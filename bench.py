@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count + a cheap checksum collect) so
+lazy plans actually run; time includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import tamer_spark
+from tamer_spark.queries import REGISTRY
+
+# Headline set: mix of heavy relational (scan/join/agg/window), ingestion-
+# shaped, and LLM-data operators — the queries whose 100 TB behavior matters.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "window_topk_orders_per_customer",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "dedup_exact",
+    "text_stats",
+    "similarity_knn",
+    "ingest_tumbling_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = tamer_spark.get_spark("tamer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        query = REGISTRY[name]
+        t0 = time.monotonic()
+        df = query.spark(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+from tamer_spark.functions.hashing import stable_hash64, perm_hash
+from tamer_spark.functions.text import (
+    words,
+    word_count,
+    text_stats_cols,
+    token_count_col,
+    lang_id_col,
+    doc_fingerprint_col,
+)
+
+__all__ = [
+    "stable_hash64",
+    "perm_hash",
+    "words",
+    "word_count",
+    "text_stats_cols",
+    "token_count_col",
+    "lang_id_col",
+    "doc_fingerprint_col",
+]

@@ -1,0 +1,116 @@
+"""Text-analysis column expressions for LLM-data pipelines.
+
+All pure JVM-side Catalyst expressions (no Python UDFs): language-ID
+heuristic, quality stats, token counting, rolling-hash fingerprinting. Each
+has an exact DuckDB-SQL equivalent (see tamer_spark/oracle.py) so the
+correctness gate hash-matches.
+
+Scale notes: every expression here is embarrassingly parallel, runs inside
+whole-stage codegen, and needs only the ``text`` column (parquet column
+pruning applies). At 100 TB these are scan-bound map operations — the ideal
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
+# Chosen to be regex-literal-safe and identical in the SQL oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish markers
+}
+
+# GPT-2-ish token pattern restricted to the RE2 ∩ Java-regex common subset:
+# word pieces, numbers, or single non-space symbols.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; [] for empty/blank input (both engines)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def word_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words(text)))
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token count: matches of TOKEN_PATTERN."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def _count_marker(text: Column, w: str) -> Column:
+    # count of whole-word occurrences; pad with spaces so boundaries are cheap
+    return F.size(F.regexp_extract_all(F.concat(F.lit(" "), text, F.lit(" ")), F.lit(f"[^A-Za-z]{w}[^A-Za-z]"), 0))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hit counts.
+
+    Ties broken by language code order ('de' < 'en' < ...) for determinism;
+    zero hits → 'und' (undetermined).
+    """
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_marker(text, w)
+            s = c if s is None else s + c
+        scores.append((lang, s))
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lang, s in reversed(scores):
+        expr = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def text_stats_cols(text: Column) -> list[Column]:
+    """Quality-score feature columns; exact-arithmetic (int counts + ratios
+    of exact ints → bit-identical across engines)."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_digits = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[!-/:-@\\[-`{-~]"), 0))
+    n_spaces = F.size(F.regexp_extract_all(text, F.lit(" "), 0))
+    n_stop = None
+    for w in STOPWORDS:
+        c = _count_marker(text, w)
+        n_stop = c if n_stop is None else n_stop + c
+    return [
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_words.cast("long").alias("n_words"),
+        n_digits.cast("long").alias("n_digits"),
+        n_punct.cast("long").alias("n_punct"),
+        # ratios: exact-int numerator/denominator → deterministic doubles
+        (n_digits.cast("double") / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_spaces.cast("double") / F.greatest(n_chars, F.lit(1))).alias("space_ratio"),
+        (n_stop.cast("double") / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        (n_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
+    ]
+
+
+def doc_fingerprint_col(text: Column, p: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over word hashes.
+
+    fold(words, acc=0): acc = (acc*base + stable_word_hash) % p — a
+    shift-invariant-ish document signature usable for cheap change detection.
+    Expressed with ``aggregate`` (JVM higher-order function, no shuffle).
+    """
+    from tamer_spark.functions.hashing import stable_hash64
+
+    ws = words(text)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * base + stable_hash64(w) % p) % p,
+    ).alias("fingerprint")

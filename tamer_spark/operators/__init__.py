@@ -1,0 +1,22 @@
+from tamer_spark.operators.asof import asof_join
+from tamer_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_normalized,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
+
+__all__ = [
+    "asof_join",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_col",
+    "cosine_knn",
+    "quantize_embedding",
+]

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup, all as pure DataFrame
+plans (no Python UDFs — whole-stage codegen end to end) with deterministic
+cross-engine semantics (md5-derived hashing, see functions/hashing.py).
+
+Scale design (the part that matters at 100 TB):
+
+- ``dedup_exact``: one hash-shuffle on a 16-byte digest — the minimum
+  possible; map-side partial aggregation halves shuffle volume.
+- ``minhash_lsh_pairs``: the classic shingle→signature→band pipeline. Cost is
+  O(docs × k) for signatures (one shuffle on (doc, explode(shingles)) — or
+  none if computed with ``aggregate`` per row, which we do), then a
+  *bucket join* that only shuffles (band_id, band_signature) — never the
+  O(n²) cross product. Skewed buckets (boilerplate docs) are the classic
+  hazard: cap bucket size (``max_bucket``) and let AQE skew-split the join.
+- ``ngram_jaccard_pairs``: exact verification join on shared shingles;
+  intended for *candidate pairs* (post-LSH) or small corpora — the plan
+  computes pair intersections via a shingle-equijoin + count, not arrays in
+  memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_coefficients,
+    stable_hash64,
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase + collapse whitespace + strip — canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+
+    Single shuffle on md5(text); returns (id, group hash, group size).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def dedup_exact_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after text normalization (case/whitespace-insensitive)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) of the normalized text.
+
+    Built with JVM higher-order functions: no explode, no shuffle — each row
+    produces its shingle array in place.
+    """
+    ws = F.split(normalize_text(text), " ")
+    k = F.size(ws) - (n - 1)
+    return F.array_distinct(
+        F.when(k <= 0, F.array(F.concat_ws(" ", ws)))  # short doc → whole text
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature (k permutation-mins over shingle hashes).
+
+    Computed entirely row-local via ``transform``/``aggregate`` — zero
+    shuffles; the output is (id, signature array<long>). At 100 TB this is a
+    map-only pass over the corpus.
+    """
+    coeffs = minhash_coefficients(k, seed)
+    sh = word_shingles(F.col(text_col), n)
+    hashed = F.transform(sh, lambda s: stable_hash64(s) % MERSENNE_P)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
+            for a, b in coeffs
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    k minhashes split into ``bands`` bands of k/bands rows; docs sharing any
+    full band signature become a candidate pair. Returns distinct
+    (doc_a < doc_b) pairs with the number of agreeing bands.
+
+    Shuffle profile: explode to (band_id, band_sig, doc) — rows = docs×bands —
+    then a self-join *within buckets only*. ``max_bucket`` drops degenerate
+    buckets (e.g. empty-text boilerplate) that would otherwise create a
+    quadratic hotspot; dropped buckets are real duplicate clusters and are
+    caught by dedup_exact far more cheaply.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws("-", F.slice(F.col("signature"), b * r + 1, r)),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    bucket_sizes = banded.groupBy("band_id", "band_sig").count()
+    small = bucket_sizes.filter(F.col("count") <= max_bucket).drop("count")
+    banded = banded.join(small, ["band_id", "band_sig"])
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("matching_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-equijoin on shingle → pair
+    intersection counts → |A∪B| = |A|+|B|−|A∩B|. Jaccard compared via exact
+    integer cross-multiplication (inter * 1 ≥ threshold_num/denom * union)
+    to stay float-free; the reported score divides two exact ints
+    (deterministic double).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        joined.withColumn("union_sz", union_sz)
+        .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("union_sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "union_sz",
+            (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
+        )
+    )
+
+
+def simhash_col(text: Column, bits: int = 32) -> Column:
+    """SimHash document signature over word hashes (bit-majority vote).
+
+    For each bit position: +1 if the word's stable hash has the bit set else
+    −1; sign of the sum sets the signature bit. Row-local (transform +
+    aggregate + bit ops) — map-only at scale; near-dups then group by
+    signature or by Hamming-ball probes.
+    """
+    ws = F.split(normalize_text(text), " ")
+    hashed = F.transform(ws, lambda w: stable_hash64(w))
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h, _i=i: acc + F.when(h.bitwiseAND(F.lit(1 << _i)) > 0, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i)).otherwise(0)
+    return out

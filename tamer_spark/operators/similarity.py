@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed variant
+as the scale path. Both pure DataFrame plans.
+
+Determinism: embeddings are quantized to integer milli-units before the dot
+product, so every sum is exact int arithmetic inside doubles (<2^53) —
+bit-identical across engines and partition orders, hence oracle-hashable.
+Quantized cosine is also what you'd ship at 100 TB (int8/int16 quantization
+is standard for ANN at scale).
+
+Scale notes: brute-force is O(queries × corpus) — fine for reranking a
+candidate set, wrong as the primary index. The LSH variant buckets vectors by
+random-hyperplane signs so each query only joins its bucket; at 1000
+executors the bucket join shuffles (bucket_id) not the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.hashing import stable_hash64
+
+QUANT = 1000  # milli-unit quantization
+
+
+def quantize_embedding(vec: Column) -> Column:
+    """array<float> → array<double of integer value> (round(x*1000))."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_knn(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (excluding self).
+
+    ``queries`` carries (id_col, vec_col) — typically a small filtered subset,
+    which the plan broadcasts; the corpus side streams. Tie-break: higher
+    cosine first, then smaller neighbor id (deterministic total order).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv"))
+    dot = _dot(F.col("qv"), F.col("cv"))
+    qn = _dot(F.col("qv"), F.col("qv"))
+    cn = _dot(F.col("cv"), F.col("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / F.sqrt(qn * cn))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern over ``planes`` planes).
+
+    Hyperplane coefficients are pseudo-random ±1 derived from md5 of
+    (seed, plane, dim-index) at *plan build* time — deterministic, no RNG
+    state, reproducible in SQL oracles.
+    """
+    import hashlib
+
+    bucket = F.lit(0).cast("long")
+    qv = quantize_embedding(vec)
+    for p in range(planes):
+        coeff = [
+            1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
+            for i in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(float(c)) for c in coeff]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def cosine_knn_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall < 1.0 by construction (single probe); production path would
+    multi-probe neighboring buckets. Bucket join shuffles on bucket_id only.
+    """
+    b = lsh_bucket_col(F.col(vec_col), planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv"), b.alias("bucket")
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv"), b.alias("bucket")
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    qn = _dot(F.col("qv"), F.col("qv"))
+    cn = _dot(F.col("cv"), F.col("cv"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / F.sqrt(qn * cn))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

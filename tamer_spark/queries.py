@@ -1,0 +1,755 @@
+"""Query registry: every graded operator as a (Spark plan, DuckDB oracle SQL) pair.
+
+This is the correctness surface for SURVEY.md §2: the relational pass-through
+surface (§2B — joins, aggregations, window functions, set ops, sorts/limits,
+scalar functions), the ingestion-shaped queries (tumbling windows, cursor
+folds re-expressed over the `events` table), and the LLM-data operators
+(dedup, similarity search, text analysis).
+
+Cross-engine determinism conventions (the whole point of this module):
+
+- **Money/metric sums**: never sum raw doubles (accumulation order varies) —
+  per-row ``round(x*100)`` / ``round(x*10000)`` to exact integers, sum as
+  int64 (all sums << 2^53 even at sf100). Bit-identical in any engine, any
+  partition order.
+- **Ratios/averages**: division of two exact ints → IEEE-deterministic
+  double, identical everywhere.
+- **Hashes**: md5-derived (functions/hashing.py); never engine hash().
+- **Top-k**: total deterministic order (value desc, unique key asc).
+- **Column names**: identical on both sides (driver sorts by name + hashes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.hashing import MERSENNE_P, minhash_coefficients
+from tamer_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_PATTERN,
+    doc_fingerprint_col,
+    lang_id_col,
+    text_stats_cols,
+    token_count_col,
+)
+from tamer_spark.operators.asof import asof_join
+from tamer_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_normalized,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from tamer_spark.operators.similarity import cosine_knn
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI/DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+        # default; read nanos as long and floor-divide to micros (exact —
+        # integer division; the matching oracle CTE casts TIMESTAMP_NS →
+        # TIMESTAMP, which also truncates).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB views see events.ts as TIMESTAMP_NS; shadow the view with a
+# micros-cast CTE so oracle SQL and Spark agree on the unit.
+EVENTS_CTE = "events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)"
+
+
+def cents(col, scale: int = 100):
+    """Exact integer money units: round(x*scale) as int64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2B: hash agg, rollup/cube, distinct)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_cc,
+           CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*10000) AS BIGINT)) AS BIGINT) AS sum_charge_cc,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary; map-side partial agg, one shuffle on 2 low-card keys.",
+)
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_price_c"),
+        F.sum(cents(disc, 10000)).alias("sum_disc_price_cc"),
+        F.sum(cents(charge, 10000)).alias("sum_charge_cc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "agg_rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_c
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents("o_totalprice")).alias("sum_total_c"))
+    )
+
+
+@q(
+    "agg_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(cents("l_quantity")).alias("sum_qty_c"))
+    )
+
+
+@q(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_customers(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast, multi-way, semi, anti, as-of, range)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q3_top_revenue",
+    """
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_cc
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cc DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: filter pushed to customer scan; customer side broadcasts; top-k via TakeOrdered.",
+)
+def q3_top_revenue(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_cc"))
+        .orderBy(F.col("revenue_cc").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_cc
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style star join: all dims broadcast; single shuffle for the agg.",
+)
+def q5_region_revenue(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_cc"))
+    )
+
+
+@q(
+    "join_semi_active_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def join_semi_active_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "join_anti_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_inactive_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_broadcast_enrich",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_broadcast_enrich(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents("o_totalprice")).alias("sum_total_c"))
+    )
+
+
+@q(
+    "join_range_price_band",
+    """
+    WITH bands AS (SELECT i AS band, i*10000.0 AS lo, (i+1)*10000.0 AS hi FROM range(0,10) t(i))
+    SELECT band, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+    doc="Range join against a broadcast band table (BroadcastNestedLoop on 10 rows — fine).",
+)
+def join_range_price_band(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10000.0).alias("lo"),
+        ((F.col("id") + 1) * 10000.0).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(cents("l_extendedprice")).alias("sum_price_c"))
+    )
+
+
+@q(
+    "asof_join_events_orders",
+    f"""
+    WITH {EVENTS_CTE}, o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT e.event_id, o.o_orderkey AS matched_orderkey,
+           CAST(round(o.o_totalprice*100) AS BIGINT) AS matched_total_c
+    FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="Point-in-time join: latest order at-or-before each event, per user. Spark side uses the union-sort-window pattern (operators/asof.py); DuckDB has native ASOF JOIN.",
+)
+def asof_join_events_orders(spark, sf):
+    e = _t(spark, sf, "events")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    # asof_join needs the same key name on both sides; rename right key first
+    joined = asof_join(
+        e.select("event_id", F.col("user_id").alias("k"), "ts"),
+        o1.select(F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey", "o_totalprice"),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        cents("o_totalprice").alias("matched_total_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions, sorts/limits, set ops
+# ---------------------------------------------------------------------------
+
+@q(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, total_c, rank FROM (
+      SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders").withColumn("total_c", cents("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("total_c").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "total_c", "rank")
+    )
+
+
+@q(
+    "window_running_user_value",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_c
+    FROM events
+    """,
+)
+def window_running_user_value(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.sum(cents("value")).over(w).alias("running_value_c")
+    )
+
+
+@q(
+    "window_lag_lead_gap",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT event_id, user_id,
+           date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_lead_gap(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@q(
+    "sort_limit_top_parts",
+    """
+    SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS price_c
+    FROM part ORDER BY price_c DESC, p_partkey LIMIT 20
+    """,
+)
+def sort_limit_top_parts(spark, sf):
+    p = _t(spark, sf, "part").withColumn("price_c", cents("p_retailprice"))
+    return p.orderBy(F.col("price_c").desc(), "p_partkey").select("p_partkey", "p_name", "price_c").limit(20)
+
+
+@q(
+    "set_union_nations",
+    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+)
+def set_union_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@q(
+    "set_intersect_custkeys",
+    "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+)
+def set_intersect_custkeys(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@q(
+    "set_except_custkeys",
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+)
+def set_except_custkeys(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string/date/math/json)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_string_math_part",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           abs(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod,
+           CAST(round(p_retailprice*90) AS BIGINT) AS discounted_c
+    FROM part
+    """,
+)
+def scalar_string_math_part(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        cents(F.col("p_retailprice") * 0.9).alias("discounted_c"),
+    )
+
+
+@q(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS o_day,
+           CAST(EXTRACT(hour FROM o_orderdate) AS INTEGER) AS o_hour,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month
+    FROM orders
+    """,
+)
+def scalar_date_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.hour("o_orderdate").alias("o_hour"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+@q(
+    "json_extract_events",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-shaped queries (reference semantics over the events table)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ingest_tumbling_events",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregation — the batch analog of the reference's Window state (db/DbSetup.scala:99-118).",
+)
+def ingest_tumbling_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+
+
+@q(
+    "ingest_cursor_max_ts",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT user_id, max(ts) AS max_ts, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Cursor fold: max-timestamp per key — the reference's window-advance rule (DbSetup.scala:109-117 uses max timestamp of the batch).",
+)
+def ingest_cursor_max_ts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_events"))
+
+
+@q(
+    "sessionize_events",
+    f"""
+    WITH {EVENTS_CTE}, gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min): the batch analog of session_window in Structured Streaming.",
+)
+def sessionize_events(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wsum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(cents("value")).alias("sum_value_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: dedup / text analysis / similarity (north star)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark, sf):
+    return dedup_exact(_t(spark, sf, "documents"))
+
+
+@q(
+    "dedup_exact_normalized",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_normalized_q(spark, sf):
+    return dedup_exact_normalized(_t(spark, sf, "documents"))
+
+
+def _stats_oracle() -> str:
+    stop_terms = " + ".join(
+        f"len(regexp_extract_all(' ' || text || ' ', '[^A-Za-z]{w}[^A-Za-z]'))" for w in STOPWORDS
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+           CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE) / greatest(length(text), 1) AS space_ratio,
+           CAST({stop_terms} AS DOUBLE)
+             / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE)
+             / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS avg_word_len
+    FROM documents
+    """
+
+
+@q("text_stats", _stats_oracle(), doc="Quality-score features; codegen'd map-only pass.")
+def text_stats_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", *text_stats_cols(F.col("text")))
+
+
+@q(
+    "token_count",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens FROM documents",
+)
+def token_count_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def _lang_oracle() -> str:
+    score_exprs = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(' ' || text || ' ', '[^A-Za-z]{w}[^A-Za-z]'))" for w in ws
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    }
+    scores_sql = ", ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    greatest_sql = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
+    case_branches = " ".join(
+        f"WHEN g > 0 AND s_{lang} = g THEN '{lang}'" for lang in sorted(score_exprs)
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores_sql} FROM documents),
+         g AS (SELECT *, {greatest_sql} AS g FROM scored)
+    SELECT doc_id, CASE {case_branches} ELSE 'und' END AS lang_pred FROM g
+    """
+
+
+@q("lang_id", _lang_oracle(), doc="Marker-word language ID heuristic; ties → lexicographically first language.")
+def lang_id_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007)),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint_col(F.col("text")))
+
+
+def _knn_oracle() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos_raw
+               FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """
+
+
+@q(
+    "similarity_knn",
+    _knn_oracle(),
+    doc="Exact cosine top-5 for query vectors (vec_id<10); quantized-int dot products → deterministic. Broadcast queries × streamed corpus.",
+)
+def similarity_knn_q(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return cosine_knn(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: query.spark for name, query in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: query.oracle for name, query in REGISTRY.items() if query.oracle is not None}

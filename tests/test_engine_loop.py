@@ -1,0 +1,83 @@
+"""Engine-loop invariants ported from the reference test suite.
+
+TamerSpec (core/src/test/scala/tamer/TamerSpec.scala:39-67): a synthetic
+source counting 1..10 must produce each state exactly once, in order —
+including across crash/restart (exactly-once with resume)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tamer_spark.engine import Pipeline, RetryPolicy
+from tamer_spark.errors import TamerError
+from tamer_spark.sinks import MemorySink
+from tamer_spark.state import fingerprint
+
+
+class CountingSource:
+    """state = int cursor; iteration emits one row (i, i) for i = state+1,
+    up to ``limit`` — the TamerSpec fixture."""
+
+    def __init__(self, limit=10):
+        self.limit = limit
+
+    def initial_state(self):
+        return 0
+
+    def state_fingerprint(self):
+        return fingerprint("counting-source", self.limit, 0)
+
+    def iteration(self, state, spark):
+        if state >= self.limit:
+            return None, state
+        i = state + 1
+        return spark.createDataFrame([(i, i)], "key int, value int"), i
+
+
+def test_counts_1_to_10_exactly_once_in_order(spark, tmp_path):
+    sink = MemorySink()
+    pipe = Pipeline(CountingSource(), sink, str(tmp_path / "cp"))
+    final = pipe.run(spark, until=lambda s: s >= 10)
+    assert final == 10
+    assert [r.key for r in sink.rows] == list(range(1, 11))
+
+
+def test_crash_resume_no_dupes_no_loss(spark, tmp_path):
+    """Kill the pipeline mid-run (sink write fails hard), restart with a new
+    Pipeline over the same checkpoint: every record still exactly once."""
+    sink = MemorySink(fail_on_epochs={5})
+    pipe = Pipeline(
+        CountingSource(), sink, str(tmp_path / "cp"), retry=RetryPolicy(retries=1, base_delay_s=0.0)
+    )
+    with pytest.raises(TamerError):
+        pipe.run(spark, until=lambda s: s >= 10)
+    # simulate restart: fresh sink failure config, same checkpoint
+    sink.fail_on_epochs = set()
+    final = Pipeline(CountingSource(), sink, str(tmp_path / "cp")).run(
+        spark, until=lambda s: s >= 10
+    )
+    assert final == 10
+    assert sorted(r.key for r in sink.rows) == list(range(1, 11))
+
+
+def test_transient_sink_failure_is_retried(spark, tmp_path):
+    sink = MemorySink(fail_once_on_epochs={2})
+    pipe = Pipeline(
+        CountingSource(), sink, str(tmp_path / "cp"), retry=RetryPolicy(retries=3, base_delay_s=0.0)
+    )
+    assert pipe.run(spark, until=lambda s: s >= 10) == 10
+    assert [r.key for r in sink.rows] == list(range(1, 11))
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Crash AFTER sink write but BEFORE state commit → epoch replays; sink
+    must converge to the same content (overwrite semantics)."""
+    sink = MemorySink()
+    pipe = Pipeline(CountingSource(), sink, str(tmp_path / "cp"))
+    pipe.run(spark, max_iterations=3)
+    # simulate losing the last state commit: roll the checkpoint back one epoch
+    store = pipe._store()
+    doc = store.load()
+    store.commit(doc.epoch - 1, doc.state - 1)
+    Pipeline(CountingSource(), sink, str(tmp_path / "cp")).run(spark, until=lambda s: s >= 10)
+    assert sorted(r.key for r in sink.rows) == list(range(1, 11))
