@@ -1,0 +1,234 @@
+"""Object-store sources: time-keyed and number-keyed object cursors.
+
+Re-expresses the reference `s3` + `oci-objectstorage` modules:
+
+- key listing with pagination + prefix filter (S3Setup.scala:79-106),
+- **time-keyed cursor** (``S3Setup.timed``, S3Setup.scala:162-210): parse an
+  instant out of each key name (strip prefix + file extension —
+  ZonedDateTimeFormatter.scala:28-39 and the dot-count heuristic at
+  S3Setup.scala:162-170), state = last processed instant, next = smallest
+  key-instant > state,
+- **number-keyed cursor** (example S3Generalized.scala:38-53): keys
+  ``prefix{N}``, next = min N > state,
+- object fetch + line decode (S3Setup.scala:108-133: utf8 + splitLines) →
+  ``spark.read.text`` (+ any DataFrame decode the caller composes),
+- OCI's ``startAfter`` listing (ObjectStorageSetup.scala:79-93) is the same
+  cursor over a different client: ``Lister`` is the seam.
+
+The reference *blocks* inside ``getNextState`` until a new key appears
+(S3Setup.scala:175-182); we return "no progress" instead and let the engine
+loop poll — same observable sequence, no hung fiber.
+
+At scale: listing is driver-side metadata-only (boto3 paginator / file
+index); object *content* is read by executors (``spark.read.text(key)``), so
+a 100 TB bucket never flows through the driver. For native streaming
+ingestion of a whole prefix, prefer Structured Streaming's file source
+(streaming/readers.py); this cursor exists for reference parity where
+strict one-object-at-a-time ordering matters.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tamer_spark.state import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# pure cursor math (unit-tested like DateParsingSpec / S3Spec)
+# ---------------------------------------------------------------------------
+
+def strip_key(key: str, prefix: str) -> str:
+    """Strip listing prefix and (heuristic) file extension.
+
+    Mirrors the reference's dot-count rule (S3Setup.scala:162-170 via
+    DateParsingSpec.scala:37-63): only a trailing ``.ext`` where ext has no
+    spaces/digits-only ambiguity is removed, so instants containing dots
+    (e.g. fractional seconds or localized formats) survive.
+    """
+    rest = key[len(prefix):] if key.startswith(prefix) else key
+    m = re.match(r"^(.*)\.([A-Za-z][A-Za-z0-9]*)$", rest)
+    return m.group(1) if m else rest
+
+
+def parse_instant_from_key(key: str, prefix: str, fmt: str, tz=timezone.utc) -> datetime | None:
+    """Parse the instant embedded in an object key; None if unparseable."""
+    s = strip_key(key, prefix)
+    try:
+        dt = datetime.strptime(s, fmt)
+    except ValueError:
+        return None
+    return dt.replace(tzinfo=tz) if dt.tzinfo is None else dt
+
+
+def parse_number_from_key(key: str, prefix: str) -> int | None:
+    s = key[len(prefix):] if key.startswith(prefix) else key
+    return int(s) if s.isdigit() else None
+
+
+def next_instant_cursor(
+    keys: list[str], current: datetime, prefix: str, fmt: str
+) -> datetime | None:
+    """Smallest key-instant strictly greater than ``current`` (S3Spec.scala:36-49)."""
+    instants = [parse_instant_from_key(k, prefix, fmt) for k in keys]
+    later = sorted(i for i in instants if i is not None and i > current)
+    return later[0] if later else None
+
+
+def next_numeric_cursor(keys: list[str], current: int, prefix: str) -> int | None:
+    nums = [parse_number_from_key(k, prefix) for k in keys]
+    later = sorted(n for n in nums if n is not None and n > current)
+    return later[0] if later else None
+
+
+# ---------------------------------------------------------------------------
+# listers (driver-side metadata clients)
+# ---------------------------------------------------------------------------
+
+class Lister(Protocol):
+    def list_keys(self, prefix: str, start_after: str | None = None) -> list[str]: ...
+
+    def object_uri(self, key: str) -> str: ...
+
+
+@dataclass
+class LocalFSLister:
+    """Filesystem-backed lister (tests / local pipelines)."""
+
+    root: str
+    max_keys: int = 1000  # reference caps: 1000 keys/page (S3Setup.scala:80)
+
+    def list_keys(self, prefix: str, start_after: str | None = None) -> list[str]:
+        pattern = os.path.join(self.root, prefix + "*")
+        keys = sorted(
+            os.path.relpath(p, self.root)
+            for p in _glob.glob(pattern)
+            if os.path.isfile(p)
+        )
+        if start_after is not None:
+            keys = [k for k in keys if k > start_after]
+        return keys[: self.max_keys]
+
+    def object_uri(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+
+@dataclass
+class S3Lister:
+    """boto3-backed lister (gated import; same contract).
+
+    Paginated ``list_objects_v2`` with prefix + StartAfter — covers both the
+    reference's zio-s3 paginate loop (S3Setup.scala:79-106) and OCI's
+    startAfter listing (ObjectStorageSetup.scala:79-93; OCI exposes an
+    S3-compatible endpoint, so the same client serves both — set
+    ``endpoint_url``).
+    """
+
+    bucket: str
+    endpoint_url: str | None = None
+    max_keys: int = 1000
+    max_pages: int = 1000  # reference cap (S3Setup.scala:81)
+
+    def _client(self):
+        import boto3  # gated: not available in all environments
+
+        return boto3.client("s3", endpoint_url=self.endpoint_url)
+
+    def list_keys(self, prefix: str, start_after: str | None = None) -> list[str]:
+        c = self._client()
+        kwargs = {"Bucket": self.bucket, "Prefix": prefix, "MaxKeys": self.max_keys}
+        if start_after:
+            kwargs["StartAfter"] = start_after
+        keys: list[str] = []
+        for _page in range(self.max_pages):
+            resp = c.list_objects_v2(**kwargs)
+            keys.extend(o["Key"] for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                break
+            kwargs["ContinuationToken"] = resp["NextContinuationToken"]
+        # spurious non-prefix keys are dropped (reference warns, S3Setup.scala:96-99)
+        return sorted(k for k in keys if k.startswith(prefix))
+
+    def object_uri(self, key: str) -> str:
+        return f"s3a://{self.bucket}/{key}"
+
+
+# ---------------------------------------------------------------------------
+# engine sources
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ObjectCursorSource:
+    """One-object-per-iteration source with a time or numeric key cursor.
+
+    ``cursor_kind``: 'instant' (state = ISO instant; keys embed a formatted
+    timestamp) or 'number' (state = int). Each iteration:
+
+    1. list keys under ``prefix`` (driver, metadata-only),
+    2. find the next key after the cursor (strict order — objects are
+       consumed exactly once, in key order, per FIXTURES.md §2-3),
+    3. read that object's lines as a DataFrame (executors),
+    4. advance the cursor; no next key → no progress (engine polls).
+    """
+
+    lister: Lister
+    prefix: str
+    cursor_kind: str = "instant"  # or "number"
+    fmt: str = "%Y-%m-%d %H:%M:%S"
+    initial_instant: datetime = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    initial_number: int = 0
+    decode: Callable[[DataFrame], DataFrame] | None = None
+    read_object: Callable[[SparkSession, str], DataFrame] | None = None
+
+    def initial_state(self) -> Any:
+        if self.cursor_kind == "instant":
+            return {"cursor": self.initial_instant.isoformat()}
+        return {"cursor": self.initial_number}
+
+    def state_fingerprint(self) -> str:
+        init = self.initial_instant.isoformat() if self.cursor_kind == "instant" else self.initial_number
+        return fingerprint("object-cursor", self.prefix, self.cursor_kind, self.fmt, init)
+
+    def _key_for(self, cursor) -> str | None:
+        keys = self.lister.list_keys(self.prefix)
+        if self.cursor_kind == "instant":
+            nxt = next_instant_cursor(keys, cursor, self.prefix, self.fmt)
+            if nxt is None:
+                return None
+            for k in keys:
+                if parse_instant_from_key(k, self.prefix, self.fmt) == nxt:
+                    return k
+            return None
+        nxt = next_numeric_cursor(keys, cursor, self.prefix)
+        if nxt is None:
+            return None
+        return f"{self.prefix}{nxt}"
+
+    def iteration(self, state: Any, spark: SparkSession) -> tuple[DataFrame | None, Any]:
+        cursor = (
+            datetime.fromisoformat(state["cursor"])
+            if self.cursor_kind == "instant"
+            else int(state["cursor"])
+        )
+        key = self._key_for(cursor)
+        if key is None:
+            return None, state  # no new object yet — poll (non-blocking)
+        uri = self.lister.object_uri(key)
+        df = (
+            self.read_object(spark, uri)
+            if self.read_object is not None
+            else spark.read.text(uri)  # utf8 + splitLines (S3Setup.scala:133)
+        )
+        if self.decode is not None:
+            df = self.decode(df)
+        if self.cursor_kind == "instant":
+            new_cursor = parse_instant_from_key(key, self.prefix, self.fmt)
+            return df, {"cursor": new_cursor.isoformat()}
+        return df, {"cursor": parse_number_from_key(key, self.prefix)}
