@@ -133,7 +133,10 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws("-", F.slice(F.col("signature"), b * r + 1, r)),
+                lambda b: F.concat_ws(
+                    "-",
+                    F.transform(F.slice(F.col("signature"), b * r + 1, r), lambda x: x.cast("string")),
+                ),
             )
         ).alias("band_id", "band_sig"),
     )
@@ -211,13 +214,14 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
     """
     ws = F.split(normalize_text(text), " ")
     hashed = F.transform(ws, lambda w: stable_hash64(w))
+
+    def vote(mask: int):
+        # closure factory: pyspark inspects lambda arity, so default-arg
+        # capture would be mistaken for a 3-arg merge function
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+
     bit_votes = [
-        F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h, _i=i: acc + F.when(h.bitwiseAND(F.lit(1 << _i)) > 0, 1).otherwise(-1),
-        )
-        for i in range(bits)
+        F.aggregate(hashed, F.lit(0).cast("long"), vote(1 << i)) for i in range(bits)
     ]
     out = F.lit(0).cast("long")
     for i, v in enumerate(bit_votes):

@@ -63,7 +63,7 @@ def cosine_knn(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -129,5 +129,5 @@ def cosine_knn_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
     )

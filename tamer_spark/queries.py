@@ -753,3 +753,192 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return {name: query.oracle for name, query in REGISTRY.items() if query.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup + LSH similarity (SQL oracles generated from shared constants)
+# ---------------------------------------------------------------------------
+
+_P = MERSENNE_P
+_K, _BANDS, _N, _MAX_BUCKET = 16, 4, 3, 1000
+_COEFFS = minhash_coefficients(_K, seed=42)
+
+
+def _shingle_ctes(n: int = _N) -> str:
+    shingle_expr = " || ' ' || ".join(f"w[i+{j+1}]" for j in range(n))
+    return f"""
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (SELECT doc_id,
+        CASE WHEN len(w) - {n - 1} <= 0 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(len(w) - {n - 1}), i -> {shingle_expr}))
+        END AS shingles FROM ws)
+    """
+
+
+def _minhash_sig_ctes() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a}*x+{b}) % {_P}))" for a, b in _COEFFS
+    )
+    return f"""{_shingle_ctes()},
+    hs AS (SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}) AS h FROM sh),
+    sig AS (SELECT doc_id, [{mins}] AS mh FROM hs)
+    """
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    WITH {_minhash_sig_ctes()}
+    SELECT doc_id, i AS hash_index, mh[i+1] AS minhash FROM sig, range({_K}) t(i)
+    """,
+    doc="Per-doc MinHash signature, exploded to (doc, hash_index, value). Map-only pass (row-local higher-order fns, zero shuffles).",
+)
+def minhash_signatures_q(spark, sf):
+    sigs = minhash_signatures(_t(spark, sf, "documents"), k=_K, n=_N, seed=42)
+    return sigs.select(
+        "doc_id",
+        F.posexplode("signature").alias("hash_index", "minhash"),
+    ).select(F.col("doc_id"), F.col("hash_index").cast("long"), F.col("minhash"))
+
+
+def _lsh_oracle() -> str:
+    r = _K // _BANDS
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    banded AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(list_transform(mh[b*{r}+1:b*{r}+{r}], x -> CAST(x AS VARCHAR)), '-') AS band_sig
+      FROM sig, range({_BANDS}) t(b)
+    ),
+    ok_buckets AS (
+      SELECT band_id, band_sig FROM banded GROUP BY band_id, band_sig HAVING count(*) <= {_MAX_BUCKET}
+    ),
+    bb AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band_id, band_sig))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matching_bands
+    FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@q(
+    "dedup_minhash_lsh",
+    _lsh_oracle(),
+    doc="Banded MinHash LSH candidate pairs; bucket join shuffles (band, sig) only — never the cross product; oversized buckets dropped (skew guard).",
+)
+def dedup_minhash_lsh_q(spark, sf):
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET
+    )
+
+
+def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
+    return f"""
+    WITH {_shingle_ctes()},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    SELECT doc_a, doc_b, inter,
+           sa.n_sh + sb.n_sh - inter AS union_sz,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * {threshold_den} >= {threshold_num} * (sa.n_sh + sb.n_sh - inter)
+    """
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _jaccard_oracle(1, 20),
+    doc="Exact 3-gram Jaccard >= 0.05 pairs via shingle equi-join (intended post-LSH verification stage; integer cross-multiplied threshold).",
+)
+def dedup_ngram_jaccard_q(spark, sf):
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=_N, threshold=1 / 20)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x & {1 << i}) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    hw AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM ws)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hw
+    """
+
+
+@q(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash signatures (bit-majority over word hashes); map-only; near-dups then group by signature / Hamming-ball probes.",
+)
+def dedup_simhash_q(spark, sf):
+    from tamer_spark.operators.dedup import simhash_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", simhash_col(F.col("text"), bits=32).alias("simhash"))
+
+
+def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    import hashlib as _hl
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for p in range(planes):
+            coeff = ", ".join(
+                ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
+                for i in range(dim)
+            )
+            terms.append(
+                f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS cv
+               FROM embeddings),
+         qb AS (SELECT query_id, qv, ({bucket_expr('qv')}) AS bucket FROM q),
+         cb AS (SELECT neighbor_id, cv, ({bucket_expr('cv')}) AS bucket FROM c),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos_raw
+               FROM qb JOIN cb USING (bucket) WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= {k}
+    """
+
+
+@q(
+    "similarity_knn_lsh",
+    _lsh_knn_oracle(),
+    doc="ANN top-5 via random-hyperplane LSH buckets (single-probe); bucket equi-join replaces the cross product — the 100 TB scale path.",
+)
+def similarity_knn_lsh_q(spark, sf):
+    from tamer_spark.operators.similarity import cosine_knn_lsh
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64)
+
+
+@q(
+    "multimodal_binary_stats",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256_hex FROM documents",
+    doc="Arrow-batched mapInPandas over binary payloads (byte length + sha256) — the multimodal decode plumbing with a hash in place of a codec.",
+)
+def multimodal_binary_stats_q(spark, sf):
+    from tamer_spark.operators.multimodal import binary_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binary_stats(d, "payload", "doc_id")
