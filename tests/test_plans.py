@@ -1,0 +1,84 @@
+"""Scale-posture regression tests: assert the physical plans we rely on at
+100 TB — broadcasts for dim joins, pushdown + pruning at the scans, bounded
+shuffle counts — actually materialize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from tamer_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    df = REGISTRY["q5_region_revenue"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # customer/supplier/nation/region
+    # lineitem⋈orders may shuffle; the agg shuffles once; dims must not add more
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_q3_filter_pushed_to_customer_scan(spark):
+    df = REGISTRY["q3_top_revenue"].spark(spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = REGISTRY["q1_pricing_summary"].spark(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    li_scan = next(s for s in scans if "l_returnflag" in s)
+    # 6 needed columns, not all 11
+    assert li_scan <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    }, li_scan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    df = REGISTRY["dedup_exact"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 1, explain_str(df)
+    # and the scan reads only (doc_id, text)
+    scans = read_schema_columns(df)
+    assert scans and scans[0] <= {"doc_id", "text"}, scans
+
+
+def test_text_stats_is_map_only(spark):
+    df = REGISTRY["text_stats"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 0, explain_str(df)
+
+
+def test_minhash_signatures_map_only(spark):
+    df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 0, explain_str(df)
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    df = REGISTRY["similarity_knn"].spark(spark, SF_DIR)
+    assert has_broadcast_join(df), explain_str(df)
+
+
+def test_asof_join_single_key_shuffle(spark):
+    df = REGISTRY["asof_join_events_orders"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    # union-sort-window pattern: no join node at all, only key-partitioned windows
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_broadcast_enrich_no_fact_shuffle_before_agg(spark):
+    df = REGISTRY["join_broadcast_enrich"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # orders side: scan → broadcast join → partial agg → single exchange
+    assert shuffle_count(df) <= 1, plan

@@ -1,0 +1,103 @@
+"""Structured Streaming pipelines: exactly-once file ingestion across
+restarts, watermarked windowed aggregation vs the batch oracle, and custom
+stateful operators in the state store."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.streaming import (
+    run_available_now,
+    stateful_running_totals,
+    stream_lines,
+    stream_parquet,
+    windowed_agg,
+)
+from tamer_spark.streaming.readers import run_available_now_foreach_batch
+
+
+def test_file_stream_exactly_once_across_restarts(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("a1\na2\n")
+    (src / "b.txt").write_text("b1\n")
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    run_available_now(stream_lines(spark, str(src)), out, cp)
+    got1 = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert got1 == ["a1", "a2", "b1"]
+
+    # new file arrives; re-run drains ONLY the new file (checkpoint resume)
+    (src / "c.txt").write_text("c1\nc2\n")
+    run_available_now(stream_lines(spark, str(src)), out, cp)
+    got2 = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert got2 == ["a1", "a2", "b1", "c1", "c2"]
+
+
+def test_windowed_agg_matches_batch(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(minutes=7 * i), i % 3, float(i)) for i in range(40)]
+    schema = "ts timestamp, k int, v double"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = windowed_agg(
+        stream_parquet(spark, src, schema),
+        "ts",
+        window="1 hour",
+        watermark="2 hours",
+        keys=["k"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c")],
+    )
+    # update mode re-emits changed windows per epoch; upsert by window key
+    upserted: dict[tuple, tuple] = {}
+    run_available_now_foreach_batch(
+        stream,
+        str(tmp_path / "cp"),
+        lambda df, epoch: upserted.update(
+            {(r.window_start, r.k): (r.n, r.sum_c) for r in df.collect()}
+        ),
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c"))
+        .collect()
+    )
+    assert upserted == {(r.window_start, r.k): (r.n, r.sum_c) for r in batch}
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    src = tmp_path / "vals"
+    src.mkdir()
+    schema = "user long, v double"
+    spark.createDataFrame([(1, 1.5), (1, 2.5), (2, 10.0)], schema).write.parquet(
+        str(src / "batch1")
+    )
+
+    def make_stream():
+        return stateful_running_totals(
+            stream_parquet(spark, str(src / "batch*"), schema), "user", "v"
+        )
+
+    state1: dict[int, tuple] = {}
+    run_available_now_foreach_batch(
+        make_stream(),
+        str(tmp_path / "cp"),
+        lambda df, e: state1.update({r.user: (r.n, r.total_c) for r in df.collect()}),
+    )
+    assert state1 == {1: (2, 400), 2: (1, 1000)}
+
+    # restart with more data: totals continue from checkpointed state
+    spark.createDataFrame([(1, 1.0), (3, 5.0)], schema).write.parquet(str(src / "batch2"))
+    state2: dict[int, tuple] = {}
+    run_available_now_foreach_batch(
+        make_stream(),
+        str(tmp_path / "cp"),
+        lambda df, e: state2.update({r.user: (r.n, r.total_c) for r in df.collect()}),
+    )
+    assert state2[1] == (3, 500)  # resumed, not recomputed
+    assert state2[3] == (1, 500)
