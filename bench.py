@@ -31,6 +31,8 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_events_orders",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_stats",
     "similarity_knn",
     "ingest_tumbling_events",

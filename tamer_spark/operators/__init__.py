@@ -5,7 +5,7 @@ from tamer_spark.operators.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_col,
+    simhash_signatures,
 )
 from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
 
@@ -16,7 +16,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "simhash_col",
+    "simhash_signatures",
     "cosine_knn",
     "quantize_embedding",
 ]

@@ -87,20 +87,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (k permutation-mins over shingle hashes).
 
-    Computed entirely row-local via ``transform``/``aggregate`` — zero
-    shuffles; the output is (id, signature array<long>). At 100 TB this is a
-    map-only pass over the corpus.
+    Plan shape: explode shingles → hash each shingle ONCE → groupBy(doc) with
+    k ``min`` aggregates. Map-side partial aggregation reduces the shuffle to
+    ~(docs × k) ints regardless of document length.
+
+    (A fully row-local formulation with ``transform``/``array_min`` is
+    possible but catastrophically slower: Catalyst inlines the shared
+    shingle-hash subexpression into all k branches, recomputing every md5
+    k times — measured 30× worse at sf0.1. The explode+agg shape hashes each
+    shingle exactly once.)
     """
     coeffs = minhash_coefficients(k, seed)
-    sh = word_shingles(F.col(text_col), n)
-    hashed = F.transform(sh, lambda s: stable_hash64(s) % MERSENNE_P)
-    sig = F.array(
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    h = sh.select("doc_id", (stable_hash64(F.col("sh")) % MERSENNE_P).alias("h"))
+    sig = h.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
-            for a, b in coeffs
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -204,26 +212,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text: Column, bits: int = 32) -> Column:
-    """SimHash document signature over word hashes (bit-majority vote).
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash document signatures (bit-majority vote over word hashes).
 
     For each bit position: +1 if the word's stable hash has the bit set else
-    −1; sign of the sum sets the signature bit. Row-local (transform +
-    aggregate + bit ops) — map-only at scale; near-dups then group by
-    signature or by Hamming-ball probes.
+    −1; sign of the sum sets the signature bit. Same explode→hash-once→
+    partial-agg shape as minhash_signatures (the row-local formulation
+    recomputes every word hash ``bits`` times — see note there).
+    Returns (doc_id, simhash int64).
     """
-    ws = F.split(normalize_text(text), " ")
-    hashed = F.transform(ws, lambda w: stable_hash64(w))
-
-    def vote(mask: int):
-        # closure factory: pyspark inspects lambda arity, so default-arg
-        # capture would be mistaken for a 3-arg merge function
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hashed, F.lit(0).cast("long"), vote(1 << i)) for i in range(bits)
-    ]
+    ws = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    h = ws.select("doc_id", stable_hash64(F.col("w")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
     out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << i)).otherwise(0)
-    return out
+    for i in range(bits):
+        out = out + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return votes.select("doc_id", out.alias("simhash"))

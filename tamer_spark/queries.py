@@ -881,10 +881,9 @@ def _simhash_oracle(bits: int = 32) -> str:
     doc="32-bit SimHash signatures (bit-majority over word hashes); map-only; near-dups then group by signature / Hamming-ball probes.",
 )
 def dedup_simhash_q(spark, sf):
-    from tamer_spark.operators.dedup import simhash_col
+    from tamer_spark.operators.dedup import simhash_signatures
 
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", simhash_col(F.col("text"), bits=32).alias("simhash"))
+    return simhash_signatures(_t(spark, sf, "documents"), bits=32)
 
 
 def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
@@ -942,3 +941,224 @@ def multimodal_binary_stats_q(spark, sf):
 
     d = _t(spark, sf, "documents").select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return binary_stats(d, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: pivot, percentiles, ntile, arg_min,
+# grouping sets, ordered string agg, re-ingestion dedup
+# ---------------------------------------------------------------------------
+
+@q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot: one shuffle, fixed output columns (explicit value list — never pivot on unbounded cardinality at scale).",
+)
+def pivot_status_by_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}") for s in ("F", "O", "P")],
+    )
+
+
+@q(
+    "percentile_order_value",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS p25_c,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)  AS p50_c,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75_c
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact linear-interpolated percentiles over integer cents (Spark percentile == DuckDB quantile_cont, both R-7).",
+)
+def percentile_order_value(spark, sf):
+    o = _t(spark, sf, "orders").withColumn("total_c", cents("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("total_c", 0.25).alias("p25_c"),
+        F.percentile("total_c", 0.5).alias("p50_c"),
+        F.percentile("total_c", 0.75).alias("p75_c"),
+    )
+
+
+@q(
+    "ntile_customer_value",
+    """
+    SELECT c_custkey, ntile(4) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS value_quartile
+    FROM customer
+    """,
+)
+def ntile_customer_value(spark, sf):
+    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
+    w = Window.orderBy(F.col("bal_c").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("value_quartile"))
+
+
+@q(
+    "argmin_first_event",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT user_id, arg_min(event_type, event_id) AS first_event_type,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY user_id
+    """,
+    doc="min_by/arg_min on a unique key — deterministic 'first row per key' without a window sort.",
+)
+def argmin_first_event(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+@q(
+    "grouping_sets_events",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY GROUPING SETS ((user_id), (event_type), ())
+    """,
+)
+def grouping_sets_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupingSets(
+        [["user_id"], ["event_type"], []], "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sum_value_c"))
+
+
+@q(
+    "agg_ordered_string_concat",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Order-insensitive collect: sort inside the agg (array_sort ∘ collect_list) — deterministic without a global sort.",
+)
+def agg_ordered_string_concat(spark, sf):
+    n = _t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@q(
+    "reingest_dedup",
+    f"""
+    WITH {EVENTS_CTE}, doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+    SELECT event_type, COUNT(*) AS n FROM (SELECT DISTINCT * FROM doubled) GROUP BY event_type
+    """,
+    doc="Re-ingestion dedup (reference periodic re-scan #23 re-ingests by design): dropDuplicates collapses the doubled input exactly.",
+)
+def reingest_dedup(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.unionAll(e).dropDuplicates().groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline compositions
+# ---------------------------------------------------------------------------
+
+@q(
+    "quality_filter_docs",
+    f"""
+    WITH stats AS ({_stats_oracle()})
+    SELECT doc_id, n_words, avg_word_len, stopword_ratio
+    FROM stats
+    WHERE n_words >= 30 AND avg_word_len >= 3.0 AND punct_ratio < 0.1
+    """,
+    doc="Quality-gate filter composing text_stats — the standard pretraining curation shape (filter on cheap map-side features before expensive stages).",
+)
+def quality_filter_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    stats = d.select("doc_id", *text_stats_cols(F.col("text")))
+    return stats.filter(
+        (F.col("n_words") >= 30) & (F.col("avg_word_len") >= 3.0) & (F.col("punct_ratio") < 0.1)
+    ).select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_dot_product(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
+                                 list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)))) AS l2_norm_q
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf):
+    from tamer_spark.operators.similarity import quantize_embedding
+
+    emb = _t(spark, sf, "embeddings")
+    qv = quantize_embedding(F.col("embedding"))
+    dot = F.aggregate(F.zip_with(qv, qv, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    return emb.select(
+        "vec_id", "label", F.size("embedding").cast("long").alias("dim"), F.sqrt(dot).alias("l2_norm_q")
+    )
+
+
+def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    import hashlib as _hl
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for p in range(planes):
+            coeff = ", ".join(
+                ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
+                for i in range(dim)
+            )
+            terms.append(f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, v, ({bucket_expr('v')}) AS bucket FROM e)
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+           round(list_dot_product(a.v, bb.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(bb.v, bb.v)), 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE list_dot_product(a.v, bb.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(bb.v, bb.v)) >= 0.3
+    """
+
+
+@q(
+    "dedup_embedding_cosine",
+    _embedding_neardup_oracle(),
+    doc="Embedding-cosine near-dup pairs (threshold 0.3 — calibrated to the synthetic random embeddings; production would use ~0.9) within LSH buckets — semantic dedup at corpus scale without the O(n²) cross join.",
+)
+def dedup_embedding_cosine(spark, sf):
+    from tamer_spark.operators.similarity import lsh_bucket_col, quantize_embedding, _dot
+
+    emb = _t(spark, sf, "embeddings")
+    b = emb.select(
+        "vec_id",
+        quantize_embedding(F.col("embedding")).alias("v"),
+        lsh_bucket_col(F.col("embedding"), 8, 64).alias("bucket"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(
+        _dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))
+    )
+    return (
+        a.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
