@@ -777,12 +777,23 @@ def _shingle_ctes(n: int = _N) -> str:
 
 
 def _minhash_sig_ctes() -> str:
+    from tamer_spark.operators.dedup import SHINGLE_BASE as _B
+
+    n = _N
+    combine = " + ".join(f"h[i+{j + 1}] * {_B ** (n - 1 - j)}" for j in range(n))
     mins = ", ".join(
-        f"list_min(list_transform(h, x -> ({a}*x+{b}) % {_P}))" for a, b in _COEFFS
+        f"list_min(list_transform(sh, x -> ({a}*x+{b}) % {_P}))" for a, b in _COEFFS
     )
-    return f"""{_shingle_ctes()},
-    hs AS (SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}) AS h FROM sh),
-    sig AS (SELECT doc_id, [{mins}] AS mh FROM hs)
+    return f"""
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    hw AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_P}) AS h FROM ws),
+    shl AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(h) - {n - 1} <= 0
+             THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), h), (acc, x) -> (acc * {_B} + x) % {_P})]
+             ELSE list_transform(range(len(h) - {n - 1}), i -> ({combine}) % {_P})
+        END) AS sh FROM hw),
+    sig AS (SELECT doc_id, [{mins}] AS mh FROM shl)
     """
 
 

@@ -59,11 +59,13 @@ def test_text_stats_is_map_only(spark):
     assert shuffle_count(df) == 0, explain_str(df)
 
 
-def test_minhash_signatures_single_shuffle(spark):
-    # explode → hash-once → partial-agg: one doc-keyed shuffle of ~(docs × k)
-    # ints; map-side combine keeps shuffle volume independent of doc length
+def test_minhash_signatures_shuffles_once_per_branch(spark):
+    # explode → hash-once-per-word → window-lead combine → groupBy mins:
+    # the long-doc branch shuffles once on doc_id (window + agg share the
+    # exchange); the short-doc branch (< n words, usually empty) adds one
+    # tiny exchange. Anything above that means the exchange reuse broke.
     df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
-    assert shuffle_count(df) == 1, explain_str(df)
+    assert shuffle_count(df) <= 2, explain_str(df)
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):
