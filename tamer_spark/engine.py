@@ -111,8 +111,14 @@ class Pipeline:
     checkpoint_dir: str
     group_id: str = "default"
     retry: RetryPolicy = field(default_factory=RetryPolicy)
+    # no-progress polling backs off exponentially from poll_interval_s to
+    # poll_max_s, resetting on progress — the reference's
+    # ``Schedule.exponential(min) || spaced(max)`` bucket-poll schedule
+    # (S3Setup.scala:74-77); set poll_max_s == poll_interval_s for fixed-rate
     poll_interval_s: float = 1.0
+    poll_max_s: float = 300.0
     observer: Callable[[BatchMetrics], None] | None = None
+    sleep_fn: Callable[[float], None] = time.sleep
 
     def _store(self) -> StateStore:
         return StateStore(self.checkpoint_dir, self.source.state_fingerprint(), self.group_id)
@@ -133,6 +139,7 @@ class Pipeline:
         doc = store.load() or store.initialize(self.source.initial_state())
         log.info("pipeline start: fingerprint=%s epoch=%d", store.fingerprint, doc.epoch)
         iterations = 0
+        idle_delay = self.poll_interval_s
         while True:
             if max_iterations is not None and iterations >= max_iterations:
                 return doc.state
@@ -152,8 +159,11 @@ class Pipeline:
             if self.observer:
                 self.observer(BatchMetrics(doc.epoch - 1, rows, t1 - t0, t2 - t1))
             iterations += 1
-            if not progressed:
-                time.sleep(self.poll_interval_s)
+            if progressed:
+                idle_delay = self.poll_interval_s
+            else:
+                self.sleep_fn(idle_delay)
+                idle_delay = min(idle_delay * 2, self.poll_max_s)
 
     def _write_with_retry(self, df: DataFrame, epoch: int) -> int:
         last: Exception | None = None

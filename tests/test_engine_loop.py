@@ -81,3 +81,28 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
     store.commit(doc.epoch - 1, doc.state - 1)
     Pipeline(CountingSource(), sink, str(tmp_path / "cp")).run(spark, until=lambda s: s >= 10)
     assert sorted(r.key for r in sink.rows) == list(range(1, 11))
+
+
+def test_idle_poll_backs_off_exponentially(spark, tmp_path):
+    """No-progress iterations sleep with exponential backoff capped at
+    poll_max_s, resetting on progress (reference S3 poll schedule,
+    S3Setup.scala:74-77)."""
+    sleeps = []
+
+    class DrainedSource(CountingSource):
+        def iteration(self, state, spark_):
+            if state >= 2:
+                return None, state  # drained: no progress
+            i = state + 1
+            return spark_.createDataFrame([(i, i)], "key int, value int"), i
+
+    pipe = Pipeline(
+        DrainedSource(limit=2),
+        MemorySink(),
+        str(tmp_path / "cp"),
+        poll_interval_s=0.01,
+        poll_max_s=0.04,
+        sleep_fn=sleeps.append,
+    )
+    pipe.run(spark, max_iterations=7)  # 2 productive + 5 idle
+    assert sleeps == [0.01, 0.02, 0.04, 0.04, 0.04]
