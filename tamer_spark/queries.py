@@ -1173,3 +1173,185 @@ def dedup_embedding_cosine(spark, sf):
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-pipeline curation ops: PII scrub, vocabulary, bigrams, TF-IDF
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"
+
+
+@q(
+    "pii_scrub",
+    f"""
+    WITH derived AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact me at user' || doc_id || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM derived
+    """,
+    doc="PII detection + redaction (emails/phones planted deterministically on 1-in-7 docs so the scrub is actually exercised); map-only codegen pass.",
+)
+def pii_scrub(spark, sf):
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact me at user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_PAT), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_PAT), 0)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+@q(
+    "vocab_top_words",
+    """
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm)
+    SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    doc="Corpus vocabulary head: explode → count → top-k; partial agg makes the shuffle proportional to vocabulary, not corpus.",
+)
+def vocab_top_words(spark, sf):
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@q(
+    "bigram_top",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         bg AS (SELECT unnest(list_transform(list_zip(w, w[2:]),
+                    p -> CASE WHEN p[2] IS NULL THEN NULL
+                         ELSE p[1] || ' ' || p[2] END)) AS bigram FROM ws)
+    SELECT bigram, COUNT(*) AS n FROM bg WHERE bigram IS NOT NULL
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    doc="Top bigrams via posexplode + window lead (linear; row-local n-gram arrays hit the Catalyst inlining trap documented in operators/dedup.py).",
+)
+def bigram_top(spark, sf):
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    wp = d.select(
+        "doc_id", F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = wp.select(F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"), F.lead("word").over(w).alias("nxt"))
+    return (
+        bg.filter(F.col("nxt").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM norm),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+         df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.word,
+                  round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+           FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF with top-3 terms per doc. df table is vocabulary-sized → broadcast joins back to tf; ranked on ROUNDED score so the ln() ulp gap between libm implementations cannot flip order.",
+)
+def tfidf_top_terms(spark, sf):
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    w = d.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@q(
+    "stopword_removal",
+    f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split(t, ' '),
+               w -> NOT list_contains({STOPWORDS!r}, w)), ' ')) AS cleaned_hash,
+           CAST(len(list_filter(string_split(t, ' '),
+               w -> NOT list_contains({STOPWORDS!r}, w))) AS BIGINT) AS n_kept
+    FROM norm
+    """,
+    doc="Stopword removal (filter + rejoin, row-local higher-order fns); output fingerprinted for the gate.",
+)
+def stopword_removal(spark, sf):
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    ws = F.split(normalize_text(F.col("text")), " ")
+    kept = F.filter(ws, lambda w: ~w.isin(*STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(kept, " ")).alias("cleaned_hash"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+@q(
+    "approx_distinct_users",
+    None,  # HLL sketches differ across engines — rows-only check by design
+    doc="approx_count_distinct (HyperLogLog++) — sketch estimates are engine-specific, so no SQL oracle; surface coverage for approximate aggregates.",
+)
+def approx_distinct_users(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
