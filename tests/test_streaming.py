@@ -101,3 +101,38 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     )
     assert state2[1] == (3, 500)  # resumed, not recomputed
     assert state2[3] == (1, 500)
+
+
+def test_session_window_agg(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from tamer_spark.streaming import session_agg, stream_parquet
+
+    t0 = datetime(2024, 1, 1)
+    # two sessions per user: a burst, a >30min gap, another burst
+    rows = []
+    for u in (1, 2):
+        rows += [(t0 + timedelta(minutes=m), u) for m in (0, 5, 10)]
+        rows += [(t0 + timedelta(minutes=m), u) for m in (90, 95)]
+    schema = "ts timestamp, user int"
+    src = str(tmp_path / "sess")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    out: dict = {}
+    stream = session_agg(
+        stream_parquet(spark, src, schema), "ts", gap="30 minutes", keys=["user"]
+    )
+    # session windows reject update mode (windows can merge); complete mode
+    # re-emits the full result each epoch, which the dict upsert absorbs
+    run_available_now_foreach_batch(
+        stream,
+        str(tmp_path / "cp"),
+        lambda df, e: out.update({(r.user, r.session_start): r.n_events for r in df.collect()}),
+        output_mode="complete",
+    )
+    assert out == {
+        (1, t0): 3,
+        (1, t0 + timedelta(minutes=90)): 2,
+        (2, t0): 3,
+        (2, t0 + timedelta(minutes=90)): 2,
+    }
