@@ -1355,3 +1355,25 @@ def approx_distinct_users(spark, sf):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "chunk_documents",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         ch AS (SELECT doc_id,
+                       unnest(list_transform(range(CAST(ceil(len(w) / 50.0) AS BIGINT)),
+                              i -> {'chunk_id': i, 'chunk': array_to_string(w[CAST(i*50+1 AS BIGINT):CAST(i*50+50 AS BIGINT)], ' ')})) AS c
+                FROM ws)
+    SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id, c.chunk AS chunk FROM ch
+    """,
+    doc="Context-window chunking (50-word budget) via JVM array slicing + posexplode; UDTF twin tested equivalent in tests/test_bucketing_chunking.py.",
+)
+def chunk_documents(spark, sf):
+    from tamer_spark.functions.chunking import chunk_text_expr
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
+    ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")

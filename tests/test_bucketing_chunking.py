@@ -1,0 +1,54 @@
+"""Bucketed co-located joins (zero-exchange) and UDTF/JVM text chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.chunking import ChunkText, chunk_text_expr, register_chunk_text
+from tamer_spark.plans import shuffle_count
+from tamer_spark.sinks.bucketed import read_table, write_bucketed
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(orders, "orders_b", ["o_custkey"], num_buckets=8)
+    write_bucketed(customer, "customer_b", ["c_custkey"], num_buckets=8)
+    joined = read_table(spark, "orders_b").join(
+        read_table(spark, "customer_b").hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # both sides pre-shuffled on the join key at write time → zero exchanges
+    assert shuffle_count(joined) == 0
+    assert joined.count() == orders.count()
+
+
+def test_udtf_chunking_matches_jvm_expr(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    register_chunk_text(spark)
+    docs.createOrReplaceTempView("docs_v")
+    via_udtf = spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.chunk, c.n_words "
+        "FROM docs_v t, LATERAL chunk_text(t.doc_id, t.text, 50) c"
+    )
+    via_expr = docs.select(
+        "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        "chunk",
+        F.when(F.length("chunk") == 0, 0)
+        .otherwise(F.size(F.split(F.col("chunk"), " ")))
+        .cast("long")
+        .alias("n_words"),
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_expr.collect()))
+    assert a == b
+    assert len(a) > docs.count()  # real 1→N explosion
+
+
+def test_chunker_word_budget():
+    rows = list(ChunkText().eval(7, "a b c d e f g", 3))
+    assert rows == [(7, 0, "a b c", 3), (7, 1, "d e f", 3), (7, 2, "g", 1)]
