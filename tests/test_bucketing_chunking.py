@@ -11,6 +11,15 @@ from tests.conftest import SF_DIR
 
 
 def test_bucketed_join_has_no_exchange(spark):
+    import shutil
+
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist; clear both or saveAsTable refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     write_bucketed(orders, "orders_b", ["o_custkey"], num_buckets=8)
