@@ -1377,3 +1377,53 @@ def chunk_documents(spark, sf):
     return d.select(
         "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+
+
+@q(
+    "window_moving_sum",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c,
+           CAST(first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS first_event,
+           CAST(last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_event
+    FROM events
+    """,
+    doc="Bounded window frames (3-row moving sum) + first/last_value over a total order.",
+)
+def window_moving_sum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w.rowsBetween(-2, 0)).alias("moving_sum_c"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_event"),
+    )
+
+
+@q(
+    "join_salted_events_customers",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-hardened join: large side salted by row fingerprint, small side replicated salt-ways — identical results to the plain join the oracle runs; physical distribution only.",
+)
+def join_salted_events_customers(spark, sf):
+    from tamer_spark.operators.skew import salted_join
+
+    e = _t(spark, sf, "events").withColumnRenamed("user_id", "c_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, "c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c")
+    )
