@@ -49,26 +49,30 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         query = REGISTRY[name]
         t0 = time.monotonic()
-        df = query.spark(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        try:
+            df = query.spark(spark, sf_dir)
+            n = df.count()
+            times[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,10 @@ class Query:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: the driver runs these queries with ITS OWN session. The
+    # DuckDB oracle reads parquet timestamps as naive/UTC, so Spark must
+    # interpret them in UTC too or toPandas shifts wall times.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read nanos as long and floor-divide to micros (exact —
