@@ -67,17 +67,23 @@ def cosine_knn(
     )
 
 
-def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id (sign pattern over ``planes`` planes).
+def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id from an ALREADY-QUANTIZED vector column.
 
-    Hyperplane coefficients are pseudo-random ±1 derived from md5 of
+    Hyperplane coefficients are pseudo-random ±1 derived from sha256 of
     (seed, plane, dim-index) at *plan build* time — deterministic, no RNG
     state, reproducible in SQL oracles.
+
+    Callers must pass a materialized column (quantize in a prior .select):
+    the bucket references the vector ``planes`` times, and Catalyst would
+    re-inline an embedded quantize expression into every plane (measured 2×
+    slower at 50k vectors — the inlining trap, see operators/dedup.py).
+    CollapseProject keeps the projections separate because the quantized
+    column is expensive and multiply-referenced.
     """
     import hashlib
 
     bucket = F.lit(0).cast("long")
-    qv = quantize_embedding(vec)
     for p in range(planes):
         coeff = [
             1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
@@ -96,6 +102,12 @@ def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) 
     return bucket
 
 
+def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """Convenience single-use form: quantizes inline. For multi-reference
+    plans prefer quantizing into a column + ``lsh_bucket_from_quantized``."""
+    return lsh_bucket_from_quantized(quantize_embedding(vec), planes, dim, seed)
+
+
 def cosine_knn_lsh(
     df: DataFrame,
     queries: DataFrame,
@@ -110,13 +122,12 @@ def cosine_knn_lsh(
     Recall < 1.0 by construction (single probe); production path would
     multi-probe neighboring buckets. Bucket join shuffles on bucket_id only.
     """
-    b = lsh_bucket_col(F.col(vec_col), planes, dim)
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv"), b.alias("bucket")
-    )
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    ).select("query_id", "qv", lsh_bucket_from_quantized(F.col("qv"), planes, dim).alias("bucket"))
     c = df.select(
-        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv"), b.alias("bucket")
-    )
+        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
+    ).select("neighbor_id", "cv", lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"))
     dot = _dot(F.col("qv"), F.col("cv"))
     qn = _dot(F.col("qv"), F.col("qv"))
     cn = _dot(F.col("cv"), F.col("cv"))

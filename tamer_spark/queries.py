@@ -1155,14 +1155,12 @@ def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) ->
     doc="Embedding-cosine near-dup pairs (threshold 0.3 — calibrated to the synthetic random embeddings; production would use ~0.9) within LSH buckets — semantic dedup at corpus scale without the O(n²) cross join.",
 )
 def dedup_embedding_cosine(spark, sf):
-    from tamer_spark.operators.similarity import lsh_bucket_col, quantize_embedding, _dot
+    from tamer_spark.operators.similarity import lsh_bucket_from_quantized, quantize_embedding, _dot
 
     emb = _t(spark, sf, "embeddings")
     b = emb.select(
-        "vec_id",
-        quantize_embedding(F.col("embedding")).alias("v"),
-        lsh_bucket_col(F.col("embedding"), 8, 64).alias("bucket"),
-    )
+        "vec_id", quantize_embedding(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", lsh_bucket_from_quantized(F.col("v"), 8, 64).alias("bucket"))
     a, bb = b.alias("a"), b.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(
         _dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))
