@@ -142,3 +142,128 @@ def cosine_knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+
+def _centroid_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _nearest_centroids(qv: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the n nearest centroid ids (squared-L2, deterministic
+    tie-break on centroid id). ``qv`` must be a materialized quantized column
+    (multi-referenced — see lsh_bucket_from_quantized inlining note)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(qv, _centroid_literal(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("dist"),
+                F.lit(i).cast("long").alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+):
+    """Train an IVF coarse quantizer: deterministic-init k-means over
+    quantized vectors, Lloyd iterations as DataFrame jobs.
+
+    The iterative-driver pattern (like the engine loop): each iteration is
+    one distributed assign+update job; only the centroid table (n_centroids ×
+    dim doubles — tiny) passes through the driver. Returns (assigned_df,
+    centroids): ``assigned_df`` carries (id, qv, cluster) — the inverted
+    file, typically persisted bucketed by cluster.
+
+    Determinism: init picks the vectors with the smallest md5(id); updates
+    average exact quantized ints via integer sums — no RNG, no
+    partition-order sensitivity.
+    """
+    from tamer_spark.functions.hashing import stable_hash64
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    )
+    seeds = (
+        base.withColumn("_h", stable_hash64(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r.qv) for r in seeds]
+
+    for _ in range(iters):
+        assigned = base.select(
+            "vec_id", "qv", _nearest_centroids(F.col("qv"), centroids, 1)[0].alias("cluster")
+        )
+        # element-wise mean per cluster: explode dims, exact integer sums
+        dims = assigned.select(
+            "cluster", F.posexplode("qv").alias("dim", "val")
+        ).groupBy("cluster", "dim").agg(
+            F.sum(F.col("val").cast("long")).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        rows = dims.collect()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s / r.n
+        for cid, dvals in by_cluster.items():
+            centroids[cid] = [dvals[d] for d in sorted(dvals)]
+
+    assigned = base.select(
+        "vec_id", "qv", _nearest_centroids(F.col("qv"), centroids, 1)[0].alias("cluster")
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN search: probe the query's ``nprobe`` nearest clusters, exact
+    cosine rerank within them. nprobe == n_centroids degenerates to exact
+    brute force; recall/cost scales with nprobe. The candidate join is an
+    equi-join on cluster id — at 100 TB the inverted file is bucketed by
+    cluster so probes touch only matching buckets.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
+    ).select(
+        "query_id",
+        "qv2",
+        F.explode(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"), "cluster"
+    )
+    dot = _dot(F.col("qv2"), F.col("cv"))
+    qn = _dot(F.col("qv2"), F.col("qv2"))
+    cn = _dot(F.col("cv"), F.col("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / F.sqrt(qn * cn))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+    )

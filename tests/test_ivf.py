@@ -1,0 +1,42 @@
+"""IVF ANN: full-probe equals brute force; partial probe trades recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.similarity import cosine_knn, ivf_build, ivf_search
+from tests.conftest import SF_DIR
+
+
+def _recall(approx_rows, exact_rows):
+    approx = {}
+    exact = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & n) for q, n in exact.items())
+    total = sum(len(n) for n in exact.values())
+    return hits / total
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_build(emb, n_centroids=4, iters=2)
+    exact = cosine_knn(emb, queries, k=5).collect()
+    full = ivf_search(assigned, centroids, queries, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=2)
+    exact = cosine_knn(emb, queries, k=5).collect()
+    approx = ivf_search(assigned, centroids, queries, k=5, nprobe=3).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.3, f"recall {r} collapsed"  # random vectors: coarse clusters are weak but not useless
+    # build is deterministic: same input → same centroids
+    _, centroids2 = ivf_build(emb, n_centroids=8, iters=2)
+    assert centroids == centroids2
