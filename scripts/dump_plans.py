@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.md: formatted physical plans of the headline
+queries at sf0.1, with the properties tests/test_plans.py enforces."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tamer_spark
+from tamer_spark.plans import explain_str, pushed_filters, read_schema_columns, shuffle_count
+from tamer_spark.queries import REGISTRY
+
+SHOW = [
+    ("q5_region_revenue", "Star join: every dim broadcast; the only shuffles are lineitem⋈orders and the final agg."),
+    ("q3_top_revenue", "Filter pushdown: c_mktsegment reaches the customer parquet scan; top-k via TakeOrderedAndProject."),
+    ("q1_pricing_summary", "Column pruning: 6 of 11 lineitem columns read; partial agg before the 2-key shuffle."),
+    ("dedup_exact", "Minimum-possible dedup: one shuffle on the md5 digest, map-side combine."),
+    ("minhash_signatures", "Explode → hash-once → window-combined shingles → partial-agg mins (inlining-trap-free shape)."),
+    ("asof_join_events_orders", "As-of via union-sort-window: no join node, single key shuffle, no range explosion."),
+    ("similarity_knn", "Query set broadcast, corpus streamed; rank inside one window."),
+]
+
+def main() -> None:
+    spark = tamer_spark.get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    out = ["# PLANS — physical-plan snapshots (sf0.1)", "",
+           "Regenerate with `python scripts/dump_plans.py`. These are the plans",
+           "tests/test_plans.py pins; commentary notes the property that matters at 100 TB.", ""]
+    for name, note in SHOW:
+        df = REGISTRY[name].spark(spark, sf)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"{note}")
+        out.append("")
+        out.append(f"- shuffle exchanges: {shuffle_count(df)}")
+        pf = pushed_filters(df)
+        if pf:
+            out.append(f"- pushed filters: {pf}")
+        scans = read_schema_columns(df)
+        if scans:
+            out.append(f"- scan column sets: {[sorted(s) for s in scans]}")
+        out.append("")
+        out.append("```")
+        out.append(explain_str(df, "formatted").strip())
+        out.append("```")
+        out.append("")
+    Path("docs/PLANS.md").write_text("\n".join(out))
+    print("wrote docs/PLANS.md")
+
+if __name__ == "__main__":
+    main()

@@ -175,3 +175,26 @@ def test_jdbc_tumbling_ingests_every_row_exactly_once(spark, tmp_path):
     got = sorted(r.id for r in sink.rows)
     assert got == sorted(r[0] for r in rows)  # every row exactly once
     assert len(got) == 200
+
+
+def test_fetch_pages_distributed(spark, rest_server):
+    """Bulk-parallel REST backfill: page URLs fetched in executors via
+    mapInPandas (the scale path for known-page backfills)."""
+    import urllib.request
+
+    from tamer_spark.sources.rest import fetch_pages_distributed
+
+    def get_token():
+        with urllib.request.urlopen(f"{rest_server}/auth") as r:
+            return r.read().decode()
+
+    from tamer_spark.sources import BearerAuth
+
+    _RestFixture.state["data"] = list(range(1, 13))
+    urls = [f"{rest_server}/finite-pagination?page={p}" for p in range(4)]
+    df = fetch_pages_distributed(
+        spark, urls, "value int",
+        page_decoder=lambda body: json.loads(body),
+        auth=BearerAuth(get_token),
+    )
+    assert sorted(r.value for r in df.collect()) == list(range(1, 13))

@@ -136,3 +136,26 @@ def test_session_window_agg(spark, tmp_path):
         (2, t0): 3,
         (2, t0 + timedelta(minutes=90)): 2,
     }
+
+
+def test_stateful_seen_filter_dedups_across_batches(spark, tmp_path):
+    from tamer_spark.streaming.stateful import stateful_seen_filter
+
+    src = tmp_path / "keys"
+    src.mkdir()
+    schema = "k long"
+    spark.createDataFrame([(1,), (2,), (2,)], schema).write.parquet(str(src / "b1"))
+
+    def run(expect):
+        got = []
+        run_available_now_foreach_batch(
+            stateful_seen_filter(stream_parquet(spark, str(src / "b*"), schema), "k"),
+            str(tmp_path / "cp"),
+            lambda df, e: got.extend(r.k for r in df.collect()),
+        )
+        assert sorted(got) == expect
+
+    run([1, 2])  # in-batch dup of 2 collapsed
+    # second drop: 2 repeats (already seen — dropped), 3 is new
+    spark.createDataFrame([(2,), (3,)], schema).write.parquet(str(src / "b2"))
+    run([3])
