@@ -1429,3 +1429,60 @@ def join_salted_events_customers(spark, sf):
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries and null semantics
+# ---------------------------------------------------------------------------
+
+@q(
+    "subquery_above_nation_avg",
+    """
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_c,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey)
+    SELECT c.c_custkey, c.c_nationkey, CAST(round(c.c_acctbal*100) AS BIGINT) AS bal_c
+    FROM customer c JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * a.n > a.sum_c
+    """,
+    doc="Correlated 'above my group's average' — decorrelated into a broadcast join against the per-group aggregate; exact-int cross-multiplication avoids avg division.",
+)
+def subquery_above_nation_avg(spark, sf):
+    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
+    avg = c.groupBy("c_nationkey").agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.join(F.broadcast(avg), "c_nationkey")
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .select("c_custkey", "c_nationkey", "bal_c")
+    )
+
+
+@q(
+    "null_semantics",
+    """
+    WITH d AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS st
+               FROM orders)
+    SELECT st, COUNT(*) AS n_rows, COUNT(st) AS n_nonnull,
+           CAST(COUNT(*) FILTER (WHERE st IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (WHERE st IS NOT DISTINCT FROM 'O') AS BIGINT) AS n_nullsafe_o
+    FROM d GROUP BY st
+    """,
+    doc="NULL semantics: grouping by NULL, count vs count(col), IS [NOT] DISTINCT FROM (null-safe equality <=>).",
+)
+def null_semantics(spark, sf):
+    o = _t(spark, sf, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("st"),
+    )
+    return d.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.count(F.when(F.col("st").isNull(), 1)).cast("long").alias("n_null"),
+        F.count(F.when(F.col("st").eqNullSafe("O"), 1)).cast("long").alias("n_nullsafe_o"),
+    )
