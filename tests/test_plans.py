@@ -64,6 +64,10 @@ def test_minhash_signatures_shuffles_once_per_branch(spark):
     # the long-doc branch shuffles once on doc_id (window + agg share the
     # exchange); the short-doc branch (< n words, usually empty) adds one
     # tiny exchange. Anything above that means the exchange reuse broke.
+    # (clear the cache first: minhash_lsh_pairs persists the signature
+    # subplan, and a cache hit here would swap exchanges for an
+    # InMemoryTableScan and make the count meaningless)
+    spark.catalog.clearCache()
     df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
     assert shuffle_count(df) <= 2, explain_str(df)
 
