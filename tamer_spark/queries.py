@@ -1486,3 +1486,26 @@ def null_semantics(spark, sf):
         F.count(F.when(F.col("st").isNull(), 1)).cast("long").alias("n_null"),
         F.count(F.when(F.col("st").eqNullSafe("O"), 1)).cast("long").alias("n_nullsafe_o"),
     )
+
+
+@q(
+    "scalar_interval_orders",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS ship_by,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2026-01-01 00:00:00') AS BIGINT) AS days_until_2026,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
+    FROM orders
+    """,
+    doc="Interval arithmetic + day-of-week (normalized to Sunday=0: Spark dayofweek is 1-based-Sunday, DuckDB dayofweek is 0-based-Sunday).",
+)
+def scalar_interval_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_by"),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_until_2026"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+    )

@@ -246,3 +246,38 @@ def encode_df(df, value_cols: list[str], schema: dict | str, schema_id: int | No
             yield pd.DataFrame({"value": payloads})
 
     return df.select(*value_cols).mapInPandas(enc, "value binary")
+
+
+def decode_df(df, value_col: str, schema: dict | str, framed: bool = True, out_schema: str | None = None):
+    """Framed Avro bytes → typed columns (the consume direction).
+
+    ``out_schema``: Spark DDL for the decoded record (defaults to mapping
+    the Avro record's top-level fields: int/long→long, float/double→double,
+    string→string, boolean→boolean, bytes→binary; nullable unions unwrap).
+    """
+    import pandas as pd
+
+    sch = json.loads(schema) if isinstance(schema, str) else schema
+    codec = AvroCodec(sch)
+
+    def _spark_type(avro_t) -> str:
+        if isinstance(avro_t, list):  # nullable union
+            non_null = [t for t in avro_t if t != "null"]
+            return _spark_type(non_null[0])
+        t = avro_t["type"] if isinstance(avro_t, dict) else avro_t
+        return {
+            "int": "long", "long": "long", "float": "double", "double": "double",
+            "string": "string", "boolean": "boolean", "bytes": "binary",
+        }.get(t, "string")
+
+    if out_schema is None:
+        out_schema = ", ".join(f"{f['name']} {_spark_type(f['type'])}" for f in sch["fields"])
+    field_names = [f["name"] for f in sch["fields"]]
+    skip = 5 if framed else 0
+
+    def dec(batches):
+        for pdf in batches:
+            recs = [codec.decode(bytes(b)[skip:]) for b in pdf[value_col]]
+            yield pd.DataFrame({n: [r[n] for r in recs] for n in field_names})
+
+    return df.select(value_col).mapInPandas(dec, out_schema)

@@ -106,3 +106,22 @@ def test_encode_df_with_confluent_framing(spark):
     decoded = sorted(codec.decode(bytes(r.payload))["id"] for r in rows)
     assert decoded == [1, 2]
     assert all(r.sid == sid for r in rows)
+
+
+def test_decode_df_roundtrip(spark):
+    from tamer_spark.serde.avro import decode_df
+
+    schema = {
+        "type": "record",
+        "name": "Row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    df = spark.createDataFrame([(1, "a", None), (2, "b", "x")], "id long, name string, note string")
+    framed = encode_df(df, ["id", "name", "note"], schema, schema_id=3)
+    back = decode_df(framed, "value", schema, framed=True)
+    got = sorted((r.id, r.name, r.note) for r in back.collect())
+    assert got == [(1, "a", None), (2, "b", "x")]
