@@ -1509,3 +1509,52 @@ def scalar_interval_orders(spark, sf):
         .alias("days_until_2026"),
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-authored queries (spark.sql end to end — the parser feeds the same
+# Catalyst planning as the DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_cc,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_cc
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_cc DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@q(
+    "sql_q6_forecast_revenue",
+    _Q6_SQL,
+    doc="TPC-H Q6-style via spark.sql — both predicates reach the parquet scan; single global agg.",
+)
+def sql_q6_forecast_revenue(spark, sf):
+    from tamer_spark.sql import register_tables
+
+    register_tables(spark, sf)
+    return spark.sql(_Q6_SQL)
+
+
+@q(
+    "sql_q10_returned_items",
+    _Q10_SQL,
+    doc="TPC-H Q10-style via spark.sql: returned-item revenue per customer, top 20 (deterministic tie-break).",
+)
+def sql_q10_returned_items(spark, sf):
+    from tamer_spark.sql import register_tables
+
+    register_tables(spark, sf)
+    return spark.sql(_Q10_SQL)
