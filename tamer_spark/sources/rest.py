@@ -175,17 +175,42 @@ def http_get(url: str, auth: Authentication, timeout: float = 30.0) -> tuple[int
         return e.code, e.read().decode("utf-8", "replace")
 
 
-def fetch_with_auth_retry(url: str, auth: Authentication, timeout: float = 30.0) -> str:
-    """GET with one refresh-and-retry on 401/403/404 (RESTSetup.scala:85-93)."""
-    status, body = http_get(url, auth, timeout)
-    if status in (401, 403, 404):
-        auth.refresh()
-        status, body = http_get(url, auth, timeout)
-    if status >= 400:
-        from tamer_spark.errors import TamerError
+def fetch_with_auth_retry(
+    url: str,
+    auth: Authentication,
+    timeout: float = 30.0,
+    retries: int = 3,
+    backoff_base_s: float = 0.5,
+) -> str:
+    """GET with one refresh-and-retry on 401/403/404 (RESTSetup.scala:85-93)
+    plus exponential-backoff retries on 5xx/connection errors (the
+    reference's optional per-request retry Schedule, RESTSetup.scala:64-72 —
+    configurable here rather than hard-coded)."""
+    import time as _time
 
-        raise TamerError(f"GET {url} failed with HTTP {status}")
-    return body
+    from tamer_spark.errors import TamerError
+
+    last_err: Exception | None = None
+    delay = backoff_base_s
+    for attempt in range(retries + 1):
+        if attempt:
+            _time.sleep(delay)
+            delay *= 2
+        try:
+            status, body = http_get(url, auth, timeout)
+        except OSError as e:  # connection-level failure → retry
+            last_err = e
+            continue
+        if status in (401, 403, 404):
+            auth.refresh()
+            status, body = http_get(url, auth, timeout)
+        if status >= 500:  # server-side transient → retry
+            last_err = TamerError(f"GET {url} failed with HTTP {status}")
+            continue
+        if status >= 400:
+            raise TamerError(f"GET {url} failed with HTTP {status}")
+        return body
+    raise TamerError(f"GET {url} failed after {retries} retries") from last_err
 
 
 # ---------------------------------------------------------------------------
