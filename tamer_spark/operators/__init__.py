@@ -5,6 +5,7 @@ from tamer_spark.operators.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_string_rows,
     simhash_signatures,
 )
 from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
@@ -16,6 +17,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "shingle_string_rows",
     "simhash_signatures",
     "cosine_knn",
     "quantize_embedding",

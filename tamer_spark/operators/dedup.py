@@ -58,23 +58,36 @@ def dedup_exact_normalized(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) of the normalized text.
+def shingle_string_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, s) rows of raw n-word shingle strings.
 
-    Built with JVM higher-order functions: no explode, no shuffle — each row
-    produces its shingle array in place.
+    posexplode + window ``lead`` (linear; the row-local array formulation
+    with ``element_at`` re-inlines the word-split per access — O(words²),
+    measured 12s vs 2s at sf0.1; see shingle_hash_rows). Documents shorter
+    than n words yield their whole normalized text as one shingle. Rows are
+    NOT deduplicated — ``.dropDuplicates([id_col, "s"])`` for set semantics.
     """
-    ws = F.split(normalize_text(text), " ")
-    k = F.size(ws) - (n - 1)
-    return F.array_distinct(
-        F.when(k <= 0, F.array(F.concat_ws(" ", ws)))  # short doc → whole text
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
-            )
-        )
+    from pyspark.sql import Window
+
+    norm = df.select(
+        F.col(id_col).alias("doc_id"), F.split(normalize_text(F.col(text_col)), " ").alias("ws")
     )
+    short = norm.filter(F.size("ws") < n).select(
+        "doc_id", F.concat_ws(" ", F.col("ws")).alias("s")
+    )
+    wp = norm.filter(F.size("ws") >= n).select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    sh = (
+        wp.select("doc_id", parts[-1].alias("_last"), F.concat_ws(" ", *parts).alias("s"))
+        # concat_ws skips NULLs, which would fabricate short tail shingles —
+        # drop positions where the window ran past the document end
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    return sh.unionByName(short)
 
 
 # polynomial combiner base for shingle hashes: B^2 * P < 2^62 keeps the
@@ -242,11 +255,8 @@ def ngram_jaccard_pairs(
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(10_000)
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
-    )
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    exploded = shingle_string_rows(df, text_col, id_col, n).dropDuplicates(["doc_id", "s"]).withColumnRenamed("s", "sh").persist()
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

@@ -1558,3 +1558,104 @@ def sql_q10_returned_items(spark, sf):
 
     register_tables(spark, sf)
     return spark.sql(_Q10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Dataset construction: deterministic sampling, splits, decontamination,
+# repetition-based quality
+# ---------------------------------------------------------------------------
+
+@q(
+    "sample_deterministic",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+    """,
+    doc="Reproducible 20% sample: membership decided by a stable content-independent hash — identical rows selected on any engine, any run, any partitioning (rand()-based sampling is none of those).",
+)
+def sample_deterministic(spark, sf):
+    from tamer_spark.functions.hashing import stable_hash64
+
+    d = _t(spark, sf, "documents")
+    return d.filter(stable_hash64(F.col("doc_id").cast("string")) % 100 < 20).select(
+        "doc_id", "lang"
+    )
+
+
+@q(
+    "split_train_val_test",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT lang, ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+            FROM documents))
+    SELECT split, lang, COUNT(*) AS n FROM assigned GROUP BY split, lang
+    """,
+    doc="Stable 80/10/10 train/val/test assignment via salted hash ranges — membership never shifts when the corpus grows (unlike percent_rank-based splits).",
+)
+def split_train_val_test(spark, sf):
+    from tamer_spark.functions.hashing import stable_hash64
+
+    d = _t(spark, sf, "documents")
+    h = stable_hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "decontaminate_against_benchmark",
+    f"""
+    WITH {_shingle_ctes()},
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0),
+    tainted AS (SELECT DISTINCT corpus.doc_id FROM corpus JOIN bench USING (s))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
+    """,
+    doc="Benchmark decontamination: drop corpus docs sharing any 3-gram shingle with the (synthetic) benchmark set — shingle equi-join + anti join; at scale use hashed shingles and broadcast the benchmark side.",
+)
+def decontaminate_against_benchmark(spark, sf):
+    from tamer_spark.operators.dedup import shingle_string_rows
+
+    d = _t(spark, sf, "documents")
+    shingled = shingle_string_rows(d, n=3).dropDuplicates(["doc_id", "s"])
+    bench = shingled.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    corpus = shingled.filter(F.col("doc_id") % 50 != 0)
+    tainted = corpus.join(F.broadcast(bench), "s").select("doc_id").distinct()
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(tainted, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+@q(
+    "repetition_ratio",
+    f"""
+    WITH {_shingle_ctes()},
+    expl AS (SELECT doc_id, unnest(
+        CASE WHEN len(w) - 2 <= 0 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        END) AS s
+      FROM ws)
+    SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition
+    FROM expl GROUP BY doc_id
+    """,
+    doc="Intra-document repetition (1 - distinct/total 3-grams) — the Gopher-style boilerplate signal; explode + countDistinct, exact-int ratio.",
+)
+def repetition_ratio(spark, sf):
+    from tamer_spark.operators.dedup import shingle_string_rows
+
+    d = _t(spark, sf, "documents")
+    expl = shingle_string_rows(d, n=3)  # raw (non-distinct) shingle rows
+    return expl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("s").alias("n_distinct"),
+        (F.lit(1.0) - F.countDistinct("s").cast("double") / F.count(F.lit(1))).alias("repetition"),
+    )
