@@ -1659,3 +1659,36 @@ def repetition_ratio(spark, sf):
         F.countDistinct("s").alias("n_distinct"),
         (F.lit(1.0) - F.countDistinct("s").cast("double") / F.count(F.lit(1))).alias("repetition"),
     )
+
+
+@q(
+    "data_quality_checks",
+    """
+    SELECT 'o_totalprice_out_of_range' AS check, CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS n_bad FROM orders
+    UNION ALL
+    SELECT 'o_custkey_null', CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_custkey_orphaned', CAST(COUNT(*) AS BIGINT) FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'o_orderkey_duplicated',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+      FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    """,
+    doc="Declarative data-quality gate: row checks in one aggregate pass + referential (anti-join) + uniqueness checks, unioned into a (check, n_bad) report.",
+)
+def data_quality_checks(spark, sf):
+    from tamer_spark.operators.quality import (
+        in_range,
+        not_null,
+        referential_check,
+        run_checks,
+        uniqueness_check,
+    )
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    row_checks = run_checks(o, [in_range("o_totalprice", lo=0), not_null("o_custkey")])
+    ref = referential_check(o, c, "o_custkey", "c_custkey")
+    uniq = uniqueness_check(o, ["o_orderkey"])
+    return row_checks.unionByName(ref).unionByName(uniq)
