@@ -165,6 +165,24 @@ class Pipeline:
                 self.sleep_fn(idle_delay)
                 idle_delay = min(idle_delay * 2, self.poll_max_s)
 
+    def run_until_drained(self, spark: SparkSession, idle_iterations: int = 2) -> Any:
+        """Backfill mode: run until ``idle_iterations`` consecutive empty
+        iterations (the engine-loop analog of Trigger.AvailableNow — drain
+        what exists, then stop)."""
+        idle = {"n": 0}
+        prev_observer = self.observer
+
+        def observing(m: BatchMetrics) -> None:
+            idle["n"] = 0 if m.rows else idle["n"] + 1
+            if prev_observer:
+                prev_observer(m)
+
+        self.observer = observing
+        try:
+            return self.run(spark, until=lambda s: idle["n"] >= idle_iterations)
+        finally:
+            self.observer = prev_observer
+
     def _write_with_retry(self, df: DataFrame, epoch: int) -> int:
         last: Exception | None = None
         attempts = [0.0, *self.retry.delays()]

@@ -106,3 +106,22 @@ def test_idle_poll_backs_off_exponentially(spark, tmp_path):
     )
     pipe.run(spark, max_iterations=7)  # 2 productive + 5 idle
     assert sleeps == [0.01, 0.02, 0.04, 0.04, 0.04]
+
+
+def test_run_until_drained_stops_after_idle(spark, tmp_path):
+    sink = MemorySink()
+    pipe = Pipeline(
+        CountingSource(limit=4), sink, str(tmp_path / "cp"), poll_interval_s=0.0
+    )
+
+    class Drainable(CountingSource):
+        def iteration(self, state, spark_):
+            if state >= self.limit:
+                return None, state
+            i = state + 1
+            return spark_.createDataFrame([(i, i)], "key int, value int"), i
+
+    pipe.source = Drainable(limit=4)
+    final = pipe.run_until_drained(spark, idle_iterations=2)
+    assert final == 4
+    assert [r.key for r in sink.rows] == [1, 2, 3, 4]
