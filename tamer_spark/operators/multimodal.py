@@ -125,3 +125,74 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(
         run, f"{id_col} long, frame_id long, frame binary"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int = 224,
+    height: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage shape: blob → resized blob + output dims.
+
+    Default deterministic fake truncates/pads the payload to width*height/64
+    bytes (keeps batch-shape and schema real without a codec); plug a
+    PIL-backed ``resizer(blob, w, h) -> bytes`` in environments that have one.
+    """
+
+    def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+        target = max(1, w * h // 64)
+        return (blob * (target // max(len(blob), 1) + 1))[:target]
+
+    fn = resizer or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": pdf[binary_col].map(lambda b: fn(bytes(b), width, height)),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, f"{id_col} long, resized binary, width long, height long"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    n_features: int = 16,
+    extractor: Callable[[bytes, int], list[float]] | None = None,
+) -> DataFrame:
+    """Audio feature-extraction shape: blob → fixed-length float vector.
+
+    Default deterministic fake derives ``n_features`` floats from the sha256
+    of the payload (real plumbing: array<double> schema, Arrow batching);
+    plug a librosa/torchaudio-backed extractor where available.
+    """
+
+    def fake_features(blob: bytes, n: int) -> list[float]:
+        h = hashlib.sha256(bytes(blob)).digest()
+        return [h[i % 32] / 255.0 for i in range(n)]
+
+    fn = extractor or fake_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": pdf[binary_col].map(lambda b: fn(bytes(b), n_features)),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, f"{id_col} long, features array<double>"
+    )

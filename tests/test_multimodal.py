@@ -59,3 +59,20 @@ def test_sample_frames_explodes_rows(spark, blobs):
     assert all(len(v) >= 1 for v in by_id.values())
     frames = sorted((r.frame_id, bytes(r.frame)) for r in by_id[3])
     assert frames[0][0] == 0 and len(frames[0][1]) <= 16
+
+
+def test_resize_images_shape(spark, blobs):
+    from tamer_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(blobs, "payload", "media_id", 64, 64).collect()}
+    assert all(len(bytes(r.resized)) == 64 * 64 // 64 for r in out.values())
+    assert out[1].width == 64 and out[1].height == 64
+
+
+def test_audio_features_deterministic(spark, blobs):
+    from tamer_spark.operators.multimodal import extract_audio_features
+
+    out1 = {r.media_id: list(r.features) for r in extract_audio_features(blobs, "payload", "media_id").collect()}
+    out2 = {r.media_id: list(r.features) for r in extract_audio_features(blobs, "payload", "media_id").collect()}
+    assert out1 == out2
+    assert all(len(v) == 16 and all(0 <= x <= 1 for x in v) for v in out1.values())
