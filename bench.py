@@ -27,13 +27,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
-    "window_topk_orders_per_customer",
+    "window_topk_quartile",
     "sessionize_events",
     "asof_join_events_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "text_stats",
+    "text_profile",
     "similarity_knn",
     "ingest_tumbling_events",
 ]

@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 from tamer_spark.sinks import ParquetEpochSink
 
 
+def merge_partials(parts: DataFrame, key_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    """Merge-on-read over epoch partials: SUM the summable measures per key.
+
+    Associative by construction (counts/sums only), so it is also the
+    compaction fold — any prefix of epochs can be folded at any time. One
+    shuffle on the (small) rollup keyspace; map-side combine makes the
+    shuffle proportional to (keys × epochs), not raw events."""
+    return parts.groupBy(*key_cols).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
 @dataclass
 class ContinuousRollup:
     """Rollup spec: group keys + summable measures (counts/sums only —
@@ -49,10 +59,7 @@ class ContinuousRollup:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Merged rollup: sum the partials across epochs."""
-        parts = self._sink.read(spark)
-        return parts.groupBy(*self.key_cols).agg(
-            *[F.sum(c).alias(c) for c in self.sum_cols]
-        )
+        return merge_partials(self._sink.read(spark), self.key_cols, self.sum_cols)
 
     def compact(self, spark: SparkSession) -> None:
         """Fold all existing epoch partials into epoch 0.

@@ -38,12 +38,17 @@ def scd2_apply(
     open_rows = current.filter(F.col("valid_to").isNull())
     closed_rows = current.filter(F.col("valid_to").isNotNull())
 
-    cmp_u = F.concat_ws("\x00", *[F.col(f"u.{c}").cast("string") for c in compare_cols])
-    cmp_o = F.concat_ws("\x00", *[F.col(f"o.{c}").cast("string") for c in compare_cols])
-    joined = updates.alias("u").join(open_rows.alias("o"), key, "left")
-    real_changes = joined.filter(F.col(f"o.{key}").isNull() | (cmp_u != cmp_o)).select(
-        "u.*"
+    # Null-safe per-column comparison: concat_ws-style fingerprints silently
+    # skip NULLs, so a NULL-shift update like (a=NULL, b='x') -> (a='x',
+    # b=NULL) would compare equal and be dropped. eqNullSafe treats
+    # NULL<=>NULL as equal and NULL<=>value as different.
+    unchanged = F.lit(True)
+    for c in compare_cols:
+        unchanged = unchanged & F.col(f"u.{c}").eqNullSafe(F.col(f"o.{c}"))
+    joined = updates.alias("u").join(
+        open_rows.withColumn("_matched", F.lit(True)).alias("o"), key, "left"
     )
+    real_changes = joined.filter(F.col("_matched").isNull() | ~unchanged).select("u.*")
 
     changing_keys = real_changes.select(key)
     to_close = (

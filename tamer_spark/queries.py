@@ -124,52 +124,83 @@ def q1_pricing_summary(spark, sf):
 
 
 @q(
-    "agg_rollup_orders",
-    """
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_c
+    "agg_grouping_variants",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT 'rollup_orders' AS variant, o_orderpriority AS k1, o_orderstatus AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
     FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-    """,
-)
-def agg_rollup_orders(spark, sf):
-    return (
-        _t(spark, sf, "orders")
-        .rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents("o_totalprice")).alias("sum_total_c"))
-    )
-
-
-@q(
-    "agg_cube_lineitem",
-    """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    UNION ALL
+    SELECT 'cube_lineitem', l_returnflag, l_linestatus, COUNT(*),
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets_events', CAST(user_id AS VARCHAR), event_type, COUNT(*),
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY GROUPING SETS ((user_id), (event_type), ())
     """,
+    doc="All three grouping variants (ROLLUP / CUBE / GROUPING SETS) as one tagged union — each branch one Expand + one shuffle; NULL grouping keys preserved.",
 )
-def agg_cube_lineitem(spark, sf):
-    return (
-        _t(spark, sf, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(cents("l_quantity")).alias("sum_qty_c"))
+def agg_grouping_variants(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    e = _t(spark, sf, "events")
+    r1 = (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("o_totalprice")).alias("sum_c"))
+        .select(
+            F.lit("rollup_orders").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            "n",
+            "sum_c",
+        )
     )
+    r2 = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("l_quantity")).alias("sum_c"))
+        .select(
+            F.lit("cube_lineitem").alias("variant"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "sum_c",
+        )
+    )
+    r3 = (
+        e.groupingSets([["user_id"], ["event_type"], []], "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sum_c"))
+        .select(
+            F.lit("gsets_events").alias("variant"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n",
+            "sum_c",
+        )
+    )
+    return r1.unionByName(r2).unionByName(r3)
 
 
 @q(
-    "agg_distinct_customers",
+    "agg_orders_by_status",
     """
-    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS p25_c,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)  AS p50_c,
+           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75_c
     FROM orders GROUP BY o_orderstatus
     """,
+    doc="COUNT(DISTINCT) + exact linear-interpolated percentiles (Spark percentile == DuckDB quantile_cont, both R-7) in one per-status pass.",
 )
-def agg_distinct_customers(spark, sf):
-    return (
-        _t(spark, sf, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+def agg_orders_by_status(spark, sf):
+    o = _t(spark, sf, "orders").withColumn("total_c", cents("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("total_c", 0.25).alias("p25_c"),
+        F.percentile("total_c", 0.5).alias("p50_c"),
+        F.percentile("total_c", 0.75).alias("p75_c"),
     )
 
 
@@ -361,113 +392,75 @@ def asof_join_events_orders(spark, sf):
 # ---------------------------------------------------------------------------
 
 @q(
-    "window_topk_orders_per_customer",
+    "window_topk_quartile",
     """
-    SELECT o_custkey, o_orderkey, total_c, rank FROM (
-      SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rank
-      FROM orders) WHERE rank <= 3
+    WITH quart AS (
+      SELECT c_custkey,
+             CAST(ntile(4) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS value_quartile
+      FROM customer),
+    topk AS (
+      SELECT o_custkey, o_orderkey, total_c, rank FROM (
+        SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rank
+        FROM orders) WHERE rank <= 3)
+    SELECT o_custkey, o_orderkey, total_c, rank, value_quartile
+    FROM topk JOIN quart ON o_custkey = c_custkey
     """,
+    doc="Partitioned top-k (row_number over per-customer orders) annotated with a global ntile quartile; the ntile runs on the dimension-sized customer table (single-partition sort is fine there — never ntile a fact table unpartitioned), then broadcast-joins back.",
 )
-def window_topk_orders_per_customer(spark, sf):
+def window_topk_quartile(spark, sf):
     o = _t(spark, sf, "orders").withColumn("total_c", cents("o_totalprice"))
     w = Window.partitionBy("o_custkey").orderBy(F.col("total_c").desc(), F.col("o_orderkey"))
-    return (
+    topk = (
         o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "total_c", "rank")
     )
+    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
+    wq = Window.orderBy(F.col("bal_c").desc(), F.col("c_custkey"))
+    quart = c.select("c_custkey", F.ntile(4).over(wq).cast("long").alias("value_quartile"))
+    return topk.join(F.broadcast(quart), topk.o_custkey == quart.c_custkey).select(
+        "o_custkey", "o_orderkey", "total_c", "rank", "value_quartile"
+    )
 
 
 @q(
-    "window_running_user_value",
+    "window_frames_events",
     f"""
     WITH {EVENTS_CTE}
     SELECT event_id, user_id,
            CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_c,
+           date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c,
+           CAST(first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS first_event,
+           CAST(last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_event
     FROM events
     """,
+    doc="Every window-frame shape over ONE window spec (running / lag / bounded moving / first / last) — Catalyst plans a single sort+shuffle for all five.",
 )
-def window_running_user_value(spark, sf):
-    e = _t(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return e.select(
-        "event_id", "user_id", F.sum(cents("value")).over(w).alias("running_value_c")
-    )
-
-
-@q(
-    "window_lag_lead_gap",
-    f"""
-    WITH {EVENTS_CTE}
-    SELECT event_id, user_id,
-           date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
-    FROM events
-    """,
-)
-def window_lag_lead_gap(spark, sf):
+def window_frames_events(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
         "user_id",
+        F.sum(cents("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_value_c"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.sum(cents("value")).over(w.rowsBetween(-2, 0)).alias("moving_sum_c"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_event"),
     )
 
 
 @q(
-    "sort_limit_top_parts",
-    """
-    SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS price_c
-    FROM part ORDER BY price_c DESC, p_partkey LIMIT 20
-    """,
-)
-def sort_limit_top_parts(spark, sf):
-    p = _t(spark, sf, "part").withColumn("price_c", cents("p_retailprice"))
-    return p.orderBy(F.col("price_c").desc(), "p_partkey").select("p_partkey", "p_name", "price_c").limit(20)
-
-
-@q(
-    "set_union_nations",
-    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
-)
-def set_union_nations(spark, sf):
-    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@q(
-    "set_intersect_custkeys",
-    "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
-)
-def set_intersect_custkeys(spark, sf):
-    c = _t(spark, sf, "customer").select("c_custkey")
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.intersect(o)
-
-
-@q(
-    "set_except_custkeys",
-    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
-)
-def set_except_custkeys(spark, sf):
-    c = _t(spark, sf, "customer").select("c_custkey")
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
-
-
-# ---------------------------------------------------------------------------
-# Scalar functions (string/date/math/json)
-# ---------------------------------------------------------------------------
-
-@q(
-    "scalar_string_math_part",
+    "scalar_top_parts",
     """
     SELECT p_partkey,
            upper(p_name) AS name_upper,
@@ -477,27 +470,76 @@ def set_except_custkeys(spark, sf):
            replace(p_name, ' ', '_') AS name_snake,
            abs(p_size - 25) AS size_dist,
            p_size % 7 AS size_mod,
-           CAST(round(p_retailprice*90) AS BIGINT) AS discounted_c
-    FROM part
+           CAST(round(p_retailprice*90) AS BIGINT) AS discounted_c,
+           CAST(round(p_retailprice*100) AS BIGINT) AS price_c
+    FROM part ORDER BY price_c DESC, p_partkey LIMIT 20
     """,
+    doc="String/math scalar functions + global sort/limit top-k (TakeOrdered — never a full sort at scale); deterministic tie-break on p_partkey.",
 )
-def scalar_string_math_part(spark, sf):
+def scalar_top_parts(spark, sf):
     p = _t(spark, sf, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-        F.abs(F.col("p_size") - 25).alias("size_dist"),
-        (F.col("p_size") % 7).alias("size_mod"),
-        cents(F.col("p_retailprice") * 0.9).alias("discounted_c"),
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.abs(F.col("p_size") - 25).alias("size_dist"),
+            (F.col("p_size") % 7).alias("size_mod"),
+            cents(F.col("p_retailprice") * 0.9).alias("discounted_c"),
+            cents("p_retailprice").alias("price_c"),
+        )
+        .orderBy(F.col("price_c").desc(), "p_partkey")
+        .limit(20)
     )
 
 
 @q(
-    "scalar_date_orders",
+    "set_ops_custkeys",
+    """
+    SELECT 'union_nations' AS op, CAST(nationkey AS BIGINT) AS k FROM (
+      SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', CAST(c_custkey AS BIGINT) FROM (
+      SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'except', CAST(c_custkey AS BIGINT) FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    doc="UNION (distinct) / INTERSECT / EXCEPT in one tagged result; each is a shuffle on the key — same cost profile as a distinct aggregate.",
+)
+def set_ops_custkeys(spark, sf):
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    u = (
+        c.select(F.col("c_nationkey").alias("k"))
+        .union(s.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+        .select(F.lit("union_nations").alias("op"), F.col("k").cast("long").alias("k"))
+    )
+    i = (
+        c.select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+        .select(F.lit("intersect").alias("op"), F.col("c_custkey").cast("long").alias("k"))
+    )
+    x = (
+        c.select("c_custkey")
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+        .select(F.lit("except").alias("op"), F.col("c_custkey").cast("long").alias("k"))
+    )
+    return u.unionByName(i).unionByName(x)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string/date/math/json)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_date_interval_orders",
     """
     SELECT o_orderkey,
            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -505,11 +547,15 @@ def scalar_string_math_part(spark, sf):
            CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS o_day,
            CAST(EXTRACT(hour FROM o_orderdate) AS INTEGER) AS o_hour,
            date_trunc('month', o_orderdate) AS month_start,
-           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month,
+           o_orderdate + INTERVAL 30 DAY AS ship_by,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2026-01-01 00:00:00') AS BIGINT) AS days_until_2026,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
     FROM orders
     """,
+    doc="Date extraction, truncation, formatting, interval arithmetic and day-of-week (normalized to Sunday=0: Spark dayofweek is 1-based-Sunday, DuckDB 0-based) in one map-only pass.",
 )
-def scalar_date_orders(spark, sf):
+def scalar_date_interval_orders(spark, sf):
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
@@ -519,24 +565,43 @@ def scalar_date_orders(spark, sf):
         F.hour("o_orderdate").alias("o_hour"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_by"),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_until_2026"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
     )
 
 
 @q(
-    "json_extract_events",
-    """
-    SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events GROUP BY event_type
+    "json_reingest_events",
+    f"""
+    WITH {EVENTS_CTE},
+    j AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type),
+    doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+    dd AS (SELECT event_type, COUNT(*) AS n_dedup
+           FROM (SELECT DISTINCT * FROM doubled) GROUP BY event_type)
+    SELECT event_type, n_events, sum_k, n_dedup FROM j JOIN dd USING (event_type)
     """,
+    doc="JSON field extraction agg joined with re-ingestion dedup (reference periodic re-scan #23 re-ingests by design — dropDuplicates collapses the doubled input exactly).",
 )
-def json_extract_events(spark, sf):
+def json_reingest_events(spark, sf):
     e = _t(spark, sf, "events")
-    return (
+    j = (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
     )
+    dd = (
+        e.unionAll(e)
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_dedup"))
+    )
+    return j.join(dd, "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -563,17 +628,24 @@ def ingest_tumbling_events(spark, sf):
 
 
 @q(
-    "ingest_cursor_max_ts",
+    "ingest_cursor_user_stats",
     f"""
     WITH {EVENTS_CTE}
-    SELECT user_id, max(ts) AS max_ts, COUNT(*) AS n_events
+    SELECT user_id, max(ts) AS max_ts, COUNT(*) AS n_events,
+           arg_min(event_type, event_id) AS first_event_type,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
     FROM events GROUP BY user_id
     """,
-    doc="Cursor fold: max-timestamp per key — the reference's window-advance rule (DbSetup.scala:109-117 uses max timestamp of the batch).",
+    doc="Cursor fold (max-timestamp per key — the reference's window-advance rule, DbSetup.scala:109-117) + min_by/arg_min deterministic 'first row per key' in one partial-aggregated pass.",
 )
-def ingest_cursor_max_ts(spark, sf):
+def ingest_cursor_user_stats(spark, sf):
     e = _t(spark, sf, "events")
-    return e.groupBy("user_id").agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_events"))
+    return e.groupBy("user_id").agg(
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.min("event_id").alias("first_event_id"),
+    )
 
 
 @q(
@@ -623,24 +695,25 @@ def sessionize_events(spark, sf):
 @q(
     "dedup_exact",
     """
-    SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+    SELECT 'raw' AS variant, md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
     FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'normalized', md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+           CAST(min(doc_id) AS BIGINT), COUNT(*)
+    FROM documents GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     """,
+    doc="Exact dedup, raw + whitespace/case-normalized variants tagged in one result; single shuffle per variant on the md5 digest, map-side combine.",
 )
 def dedup_exact_q(spark, sf):
-    return dedup_exact(_t(spark, sf, "documents"))
-
-
-@q(
-    "dedup_exact_normalized",
-    """
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
-           CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
-    FROM documents GROUP BY 1
-    """,
-)
-def dedup_exact_normalized_q(spark, sf):
-    return dedup_exact_normalized(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
+    raw = dedup_exact(d).select(
+        F.lit("raw").alias("variant"), "content_hash", "keep_id", "dup_count"
+    )
+    norm = dedup_exact_normalized(d).select(
+        F.lit("normalized").alias("variant"), "content_hash", "keep_id", "dup_count"
+    )
+    return raw.unionByName(norm)
 
 
 def _stats_oracle() -> str:
@@ -667,22 +740,11 @@ def _stats_oracle() -> str:
     """
 
 
-@q("text_stats", _stats_oracle(), doc="Quality-score features; codegen'd map-only pass.")
-def text_stats_q(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", *text_stats_cols(F.col("text")))
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"
 
 
-@q(
-    "token_count",
-    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens FROM documents",
-)
-def token_count_q(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
-
-
-def _lang_oracle() -> str:
+def _text_profile_oracle() -> str:
     score_exprs = {
         lang: " + ".join(
             f"len(regexp_extract_all(' ' || text || ' ', '[^A-Za-z]{w}[^A-Za-z]'))" for w in ws
@@ -695,33 +757,98 @@ def _lang_oracle() -> str:
         f"WHEN g > 0 AND s_{lang} = g THEN '{lang}'" for lang in sorted(score_exprs)
     )
     return f"""
-    WITH scored AS (SELECT doc_id, {scores_sql} FROM documents),
-         g AS (SELECT *, {greatest_sql} AS g FROM scored)
-    SELECT doc_id, CASE {case_branches} ELSE 'und' END AS lang_pred FROM g
-    """
-
-
-@q("lang_id", _lang_oracle(), doc="Marker-word language ID heuristic; ties → lexicographically first language.")
-def lang_id_q(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
-
-
-@q(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
+    WITH stats AS ({_stats_oracle()}),
+    tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens FROM documents),
+    lang_scored AS (SELECT doc_id, {scores_sql} FROM documents),
+    lang_g AS (SELECT *, {greatest_sql} AS g FROM lang_scored),
+    lang AS (SELECT doc_id, CASE {case_branches} ELSE 'und' END AS lang_pred FROM lang_g),
+    fp AS (SELECT doc_id,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split_regex(trim(text), '\\s+'),
                               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007)),
              (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
-    FROM documents
-    """,
+           FROM documents),
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    stop AS (SELECT doc_id,
+             md5(array_to_string(list_filter(string_split(t, ' '),
+                 w -> NOT list_contains({STOPWORDS!r}, w)), ' ')) AS cleaned_hash,
+             CAST(len(list_filter(string_split(t, ' '),
+                 w -> NOT list_contains({STOPWORDS!r}, w))) AS BIGINT) AS n_kept
+             FROM norm),
+    pii_src AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact me at user' || doc_id || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS pt
+             FROM documents),
+    pii AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(pt, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(pt, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+            md5(regexp_replace(regexp_replace(pt, '{_EMAIL_PAT}', '<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g')) AS scrubbed_hash
+            FROM pii_src),
+    expl AS (SELECT doc_id, unnest(
+        CASE WHEN len(w) - 2 <= 0 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        END) AS s
+      FROM ws),
+    reps AS (SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_distinct,
+             1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition
+             FROM expl GROUP BY doc_id)
+    SELECT stats.*, tok.n_tokens, lang.lang_pred, fp.fingerprint,
+           stop.cleaned_hash, stop.n_kept,
+           pii.n_emails, pii.n_phones, pii.scrubbed_hash,
+           reps.n_shingles, reps.n_distinct, reps.repetition
+    FROM stats
+      JOIN tok USING (doc_id) JOIN lang USING (doc_id) JOIN fp USING (doc_id)
+      JOIN stop USING (doc_id) JOIN pii USING (doc_id) JOIN reps USING (doc_id)
+    """
+
+
+@q(
+    "text_profile",
+    _text_profile_oracle(),
+    doc="Full per-document text profile in one pass: quality-score stats, BPE-ish token count, marker-word language ID, rolling-hash fingerprint, stopword removal (fingerprinted), PII detect+redact (emails/phones planted on 1-in-7 docs), and 3-gram repetition ratio. Everything except the repetition agg is a codegen'd map-only projection; the shingle agg is the only shuffle, joined back on doc_id.",
 )
-def doc_fingerprint_q(spark, sf):
+def text_profile_q(spark, sf):
+    from tamer_spark.operators.dedup import normalize_text, shingle_string_rows
+
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", doc_fingerprint_col(F.col("text")))
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact me at user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    kept = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: ~w.isin(*STOPWORDS)
+    )
+    flat = d.select(
+        "doc_id",
+        *text_stats_cols(F.col("text")),
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        doc_fingerprint_col(F.col("text")),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_hash"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_PAT), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_PAT), 0)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+    rep = shingle_string_rows(d, n=3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("s").alias("n_distinct"),
+        (F.lit(1.0) - F.countDistinct("s").cast("double") / F.count(F.lit(1))).alias("repetition"),
+    )
+    return flat.join(rep, "doc_id")
 
 
 def _knn_oracle() -> str:
@@ -946,6 +1073,68 @@ def similarity_knn_lsh_q(spark, sf):
     return cosine_knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64)
 
 
+def _lsh_multiprobe_knn_oracle(
+    planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5, probes: int = 3
+) -> str:
+    import hashlib as _hl
+
+    def proj(v: str, p: int) -> str:
+        coeff = ", ".join(
+            ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
+            for i in range(dim)
+        )
+        return f"list_dot_product({v}, [{coeff}])"
+
+    qbucket = " + ".join(
+        f"CASE WHEN {proj('qv', p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(planes)
+    )
+    cbucket = " + ".join(
+        f"CASE WHEN {proj('cv', p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(planes)
+    )
+    keys = ", ".join(
+        f"CAST(abs({proj('qv', p)}) * {planes} + {p} AS BIGINT)" for p in range(planes)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS cv
+               FROM embeddings),
+         qb AS (SELECT query_id, qv, ({qbucket}) AS bucket0,
+                       list_sort([{keys}]) AS flip_keys
+                FROM q),
+         qp AS (SELECT query_id, qv,
+                       unnest(list_concat([bucket0],
+                           list_transform(flip_keys[1:{probes - 1}],
+                               kk -> xor(bucket0, CAST(1 << CAST(kk % {planes} AS INTEGER) AS BIGINT))))) AS bucket
+                FROM qb),
+         cb AS (SELECT neighbor_id, cv, ({cbucket}) AS bucket FROM c),
+         cand AS (SELECT DISTINCT query_id, neighbor_id
+                  FROM qp JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos_raw
+               FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= {k}
+    """
+
+
+@q(
+    "similarity_knn_lsh_multiprobe",
+    _lsh_multiprobe_knn_oracle(),
+    doc="Multi-probe ANN (Lv et al. VLDB'07): each query probes its own bucket plus the 2 buckets across its lowest-|margin| hyperplanes — recall ≥ single-probe by construction (superset of candidates), still shuffling bucket ids only. Flip order is an exact-integer sort key, deterministic in both engines.",
+)
+def similarity_knn_lsh_multiprobe_q(spark, sf):
+    from tamer_spark.operators.similarity import cosine_knn_lsh_multiprobe
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_knn_lsh_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64, probes=3
+    )
+
+
 @q(
     "multimodal_binary_stats",
     "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256_hex FROM documents",
@@ -988,73 +1177,6 @@ def pivot_status_by_priority(spark, sf):
 
 
 @q(
-    "percentile_order_value",
-    """
-    SELECT o_orderstatus,
-           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS p25_c,
-           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)  AS p50_c,
-           quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75_c
-    FROM orders GROUP BY o_orderstatus
-    """,
-    doc="Exact linear-interpolated percentiles over integer cents (Spark percentile == DuckDB quantile_cont, both R-7).",
-)
-def percentile_order_value(spark, sf):
-    o = _t(spark, sf, "orders").withColumn("total_c", cents("o_totalprice"))
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile("total_c", 0.25).alias("p25_c"),
-        F.percentile("total_c", 0.5).alias("p50_c"),
-        F.percentile("total_c", 0.75).alias("p75_c"),
-    )
-
-
-@q(
-    "ntile_customer_value",
-    """
-    SELECT c_custkey, ntile(4) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS value_quartile
-    FROM customer
-    """,
-)
-def ntile_customer_value(spark, sf):
-    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
-    w = Window.orderBy(F.col("bal_c").desc(), F.col("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("value_quartile"))
-
-
-@q(
-    "argmin_first_event",
-    f"""
-    WITH {EVENTS_CTE}
-    SELECT user_id, arg_min(event_type, event_id) AS first_event_type,
-           CAST(min(event_id) AS BIGINT) AS first_event_id
-    FROM events GROUP BY user_id
-    """,
-    doc="min_by/arg_min on a unique key — deterministic 'first row per key' without a window sort.",
-)
-def argmin_first_event(spark, sf):
-    e = _t(spark, sf, "events")
-    return e.groupBy("user_id").agg(
-        F.min_by("event_type", "event_id").alias("first_event_type"),
-        F.min("event_id").alias("first_event_id"),
-    )
-
-
-@q(
-    "grouping_sets_events",
-    f"""
-    WITH {EVENTS_CTE}
-    SELECT user_id, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM events GROUP BY GROUPING SETS ((user_id), (event_type), ())
-    """,
-)
-def grouping_sets_events(spark, sf):
-    e = _t(spark, sf, "events")
-    return e.groupingSets(
-        [["user_id"], ["event_type"], []], "user_id", "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sum_value_c"))
-
-
-@q(
     "agg_ordered_string_concat",
     """
     SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -1067,19 +1189,6 @@ def agg_ordered_string_concat(spark, sf):
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
-
-
-@q(
-    "reingest_dedup",
-    f"""
-    WITH {EVENTS_CTE}, doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
-    SELECT event_type, COUNT(*) AS n FROM (SELECT DISTINCT * FROM doubled) GROUP BY event_type
-    """,
-    doc="Re-ingestion dedup (reference periodic re-scan #23 re-ingests by design): dropDuplicates collapses the doubled input exactly.",
-)
-def reingest_dedup(spark, sf):
-    e = _t(spark, sf, "events")
-    return e.unionAll(e).dropDuplicates().groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
 # ---------------------------------------------------------------------------
@@ -1178,107 +1287,60 @@ def dedup_embedding_cosine(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# Text-pipeline curation ops: PII scrub, vocabulary, bigrams, TF-IDF
+# Text-pipeline curation ops: vocabulary/bigrams, TF-IDF
 # ---------------------------------------------------------------------------
 
-_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_PAT = "\\+1-555-[0-9]{4}"
-
-
 @q(
-    "pii_scrub",
-    f"""
-    WITH derived AS (
-      SELECT doc_id,
-             text || CASE WHEN doc_id % 7 = 0
-                  THEN ' contact me at user' || doc_id || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                  ELSE '' END AS t
-      FROM documents)
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
-           md5(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g')) AS scrubbed_hash
-    FROM derived
-    """,
-    doc="PII detection + redaction (emails/phones planted deterministically on 1-in-7 docs so the scrub is actually exercised); map-only codegen pass.",
-)
-def pii_scrub(spark, sf):
-    d = _t(spark, sf, "documents")
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" contact me at user"), F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(""),
-    )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(planted, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
-    )
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_PAT), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_PAT), 0)).cast("long").alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_hash"),
-    )
-
-
-@q(
-    "vocab_top_words",
+    "ngram_top_terms",
     """
-    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-         w AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm)
-    SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
-    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         wsx AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         uni AS (SELECT unnest(w) AS word FROM wsx),
+         uni_top AS (
+           SELECT CAST(1 AS BIGINT) AS gram_len, word AS gram, COUNT(*) AS cnt
+           FROM uni WHERE length(word) > 0
+           GROUP BY word ORDER BY cnt DESC, word LIMIT 20),
+         bg AS (SELECT unnest(list_transform(list_zip(w, w[2:]),
+                    p -> CASE WHEN p[2] IS NULL THEN NULL
+                         ELSE p[1] || ' ' || p[2] END)) AS bigram FROM wsx),
+         bg_top AS (
+           SELECT CAST(2 AS BIGINT) AS gram_len, bigram AS gram, COUNT(*) AS cnt
+           FROM bg WHERE bigram IS NOT NULL
+           GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20)
+    SELECT * FROM uni_top UNION ALL SELECT * FROM bg_top
     """,
-    doc="Corpus vocabulary head: explode → count → top-k; partial agg makes the shuffle proportional to vocabulary, not corpus.",
+    doc="Corpus vocabulary head (unigram + bigram top-20, tagged by gram_len): explode → count → top-k; partial agg makes the shuffle proportional to vocabulary, not corpus. Bigrams via posexplode + window lead (row-local n-gram arrays hit the Catalyst inlining trap documented in operators/dedup.py).",
 )
-def vocab_top_words(spark, sf):
+def ngram_top_terms(spark, sf):
     from tamer_spark.operators.dedup import normalize_text
 
     d = _t(spark, sf, "documents")
-    return (
+    uni_top = (
         d.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
         .limit(20)
+        .select(F.lit(1).cast("long").alias("gram_len"), F.col("word").alias("gram"), "cnt")
     )
-
-
-@q(
-    "bigram_top",
-    """
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-         bg AS (SELECT unnest(list_transform(list_zip(w, w[2:]),
-                    p -> CASE WHEN p[2] IS NULL THEN NULL
-                         ELSE p[1] || ' ' || p[2] END)) AS bigram FROM ws)
-    SELECT bigram, COUNT(*) AS n FROM bg WHERE bigram IS NOT NULL
-    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
-    """,
-    doc="Top bigrams via posexplode + window lead (linear; row-local n-gram arrays hit the Catalyst inlining trap documented in operators/dedup.py).",
-)
-def bigram_top(spark, sf):
-    from tamer_spark.operators.dedup import normalize_text
-
-    d = _t(spark, sf, "documents")
     wp = d.select(
         "doc_id", F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = wp.select(F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"), F.lead("word").over(w).alias("nxt"))
-    return (
+    bg = wp.select(
+        F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"),
+        F.lead("word").over(w).alias("nxt"),
+    )
+    bg_top = (
         bg.filter(F.col("nxt").isNotNull())
         .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
+        .select(F.lit(2).cast("long").alias("gram_len"), F.col("bigram").alias("gram"), "cnt")
     )
+    return uni_top.unionByName(bg_top)
 
 
 @q(
@@ -1297,52 +1359,32 @@ def bigram_top(spark, sf):
       SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank FROM scored)
     WHERE rank <= 3
     """,
-    doc="TF-IDF with top-3 terms per doc. df table is vocabulary-sized → broadcast joins back to tf; ranked on ROUNDED score so the ln() ulp gap between libm implementations cannot flip order.",
+    doc="TF-IDF with top-3 terms per doc. df table is vocabulary-sized → broadcast joins back to tf; the corpus count is folded into the plan as a broadcast 1-row cross join (ONE action — no separate counting scan); ranked on ROUNDED score so the ln() ulp gap between libm implementations cannot flip order.",
 )
 def tfidf_top_terms(spark, sf):
     from tamer_spark.operators.dedup import normalize_text
 
     d = _t(spark, sf, "documents")
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = d.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
     )
     win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "tfidf", F.col("rank").cast("long").alias("rank"))
-    )
-
-
-@q(
-    "stopword_removal",
-    f"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents)
-    SELECT doc_id,
-           md5(array_to_string(list_filter(string_split(t, ' '),
-               w -> NOT list_contains({STOPWORDS!r}, w)), ' ')) AS cleaned_hash,
-           CAST(len(list_filter(string_split(t, ' '),
-               w -> NOT list_contains({STOPWORDS!r}, w))) AS BIGINT) AS n_kept
-    FROM norm
-    """,
-    doc="Stopword removal (filter + rejoin, row-local higher-order fns); output fingerprinted for the gate.",
-)
-def stopword_removal(spark, sf):
-    from tamer_spark.operators.dedup import normalize_text
-
-    d = _t(spark, sf, "documents")
-    ws = F.split(normalize_text(F.col("text")), " ")
-    kept = F.filter(ws, lambda w: ~w.isin(*STOPWORDS))
-    return d.select(
-        "doc_id",
-        F.md5(F.array_join(kept, " ")).alias("cleaned_hash"),
-        F.size(kept).cast("long").alias("n_kept"),
     )
 
 
@@ -1379,34 +1421,6 @@ def chunk_documents(spark, sf):
     return d.select(
         "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
-
-
-@q(
-    "window_moving_sum",
-    f"""
-    WITH {EVENTS_CTE}
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum_c,
-           CAST(first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS first_event,
-           CAST(last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_event
-    FROM events
-    """,
-    doc="Bounded window frames (3-row moving sum) + first/last_value over a total order.",
-)
-def window_moving_sum(spark, sf):
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        F.sum(cents("value")).over(w.rowsBetween(-2, 0)).alias("moving_sum_c"),
-        F.first("event_id").over(w).alias("first_event"),
-        F.last("event_id")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("last_event"),
-    )
 
 
 @q(
@@ -1488,29 +1502,6 @@ def null_semantics(spark, sf):
     )
 
 
-@q(
-    "scalar_interval_orders",
-    """
-    SELECT o_orderkey,
-           o_orderdate + INTERVAL 30 DAY AS ship_by,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '2026-01-01 00:00:00') AS BIGINT) AS days_until_2026,
-           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
-    FROM orders
-    """,
-    doc="Interval arithmetic + day-of-week (normalized to Sunday=0: Spark dayofweek is 1-based-Sunday, DuckDB dayofweek is 0-based-Sunday).",
-)
-def scalar_interval_orders(spark, sf):
-    o = _t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_by"),
-        F.datediff(F.lit("2026-01-01").cast("date"), F.col("o_orderdate").cast("date"))
-        .cast("long")
-        .alias("days_until_2026"),
-        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # SQL-authored queries (spark.sql end to end — the parser feeds the same
 # Catalyst planning as the DataFrame API)
@@ -1536,28 +1527,24 @@ _Q10_SQL = """
 """
 
 
-@q(
-    "sql_q6_forecast_revenue",
-    _Q6_SQL,
-    doc="TPC-H Q6-style via spark.sql — both predicates reach the parquet scan; single global agg.",
-)
-def sql_q6_forecast_revenue(spark, sf):
-    from tamer_spark.sql import register_tables
-
-    register_tables(spark, sf)
-    return spark.sql(_Q6_SQL)
+_Q6_Q10_SQL = f"""
+    WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL})
+    SELECT q10.c_custkey, q10.c_name, q10.revenue_cc,
+           q6.revenue_cc AS q6_revenue_cc, q6.n_items AS q6_n_items
+    FROM q10 CROSS JOIN q6
+"""
 
 
 @q(
-    "sql_q10_returned_items",
-    _Q10_SQL,
-    doc="TPC-H Q10-style via spark.sql: returned-item revenue per customer, top 20 (deterministic tie-break).",
+    "sql_q6_q10",
+    _Q6_Q10_SQL,
+    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API): TPC-H Q6-style scan-agg (both predicates reach the parquet scan) cross-joined as a 1-row broadcast onto the Q10-style returned-item top-20. One ANSI string runs verbatim on Spark AND DuckDB.",
 )
-def sql_q10_returned_items(spark, sf):
+def sql_q6_q10(spark, sf):
     from tamer_spark.sql import register_tables
 
     register_tables(spark, sf)
-    return spark.sql(_Q10_SQL)
+    return spark.sql(_Q6_Q10_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1566,44 +1553,29 @@ def sql_q10_returned_items(spark, sf):
 # ---------------------------------------------------------------------------
 
 @q(
-    "sample_deterministic",
+    "split_sample_docs",
     """
-    SELECT doc_id, lang FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+    SELECT doc_id, lang,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(CASE WHEN hs < 20 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
+    FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hs
+          FROM documents)
     """,
-    doc="Reproducible 20% sample: membership decided by a stable content-independent hash — identical rows selected on any engine, any run, any partitioning (rand()-based sampling is none of those).",
+    doc="Per-doc dataset-construction assignments in one map-only pass: stable 80/10/10 train/val/test split (salted hash ranges — membership never shifts when the corpus grows, unlike percent_rank splits) + reproducible 20% sample membership (content-independent hash — identical rows on any engine, any run, any partitioning; rand() sampling is none of those).",
 )
-def sample_deterministic(spark, sf):
-    from tamer_spark.functions.hashing import stable_hash64
-
-    d = _t(spark, sf, "documents")
-    return d.filter(stable_hash64(F.col("doc_id").cast("string")) % 100 < 20).select(
-        "doc_id", "lang"
-    )
-
-
-@q(
-    "split_train_val_test",
-    """
-    WITH assigned AS (
-      SELECT lang,
-             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
-      FROM (SELECT lang, ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
-            FROM documents))
-    SELECT split, lang, COUNT(*) AS n FROM assigned GROUP BY split, lang
-    """,
-    doc="Stable 80/10/10 train/val/test assignment via salted hash ranges — membership never shifts when the corpus grows (unlike percent_rank-based splits).",
-)
-def split_train_val_test(spark, sf):
+def split_sample_docs(spark, sf):
     from tamer_spark.functions.hashing import stable_hash64
 
     d = _t(spark, sf, "documents")
     h = stable_hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
-    split = (
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    )
-    return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n")
+    hs = stable_hash64(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+        F.when(hs < 20, 1).otherwise(0).cast("long").alias("in_sample"),
     )
 
 
@@ -1631,33 +1603,6 @@ def decontaminate_against_benchmark(spark, sf):
         d.filter(F.col("doc_id") % 50 != 0)
         .join(tainted, "doc_id", "left_anti")
         .select("doc_id")
-    )
-
-
-@q(
-    "repetition_ratio",
-    f"""
-    WITH {_shingle_ctes()},
-    expl AS (SELECT doc_id, unnest(
-        CASE WHEN len(w) - 2 <= 0 THEN [array_to_string(w, ' ')]
-             ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-        END) AS s
-      FROM ws)
-    SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_distinct,
-           1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition
-    FROM expl GROUP BY doc_id
-    """,
-    doc="Intra-document repetition (1 - distinct/total 3-grams) — the Gopher-style boilerplate signal; explode + countDistinct, exact-int ratio.",
-)
-def repetition_ratio(spark, sf):
-    from tamer_spark.operators.dedup import shingle_string_rows
-
-    d = _t(spark, sf, "documents")
-    expl = shingle_string_rows(d, n=3)  # raw (non-distinct) shingle rows
-    return expl.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.countDistinct("s").alias("n_distinct"),
-        (F.lit(1.0) - F.countDistinct("s").cast("double") / F.count(F.lit(1))).alias("repetition"),
     )
 
 
@@ -1692,3 +1637,68 @@ def data_quality_checks(spark, sf):
     ref = referential_check(o, c, "o_custkey", "c_custkey")
     uniq = uniqueness_check(o, ["o_orderkey"])
     return row_checks.unionByName(ref).unionByName(uniq)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse maintenance: SCD2 history, continuous-aggregate merge-on-read
+# ---------------------------------------------------------------------------
+
+@q(
+    "scd2_current_view",
+    """
+    WITH init AS (
+      SELECT c_custkey, c_name, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c,
+             TIMESTAMP '2025-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer),
+    closed AS (
+      SELECT c_custkey, c_name, bal_c, valid_from, TIMESTAMP '2025-06-01 00:00:00' AS valid_to
+      FROM init WHERE c_custkey % 10 = 0),
+    openv AS (
+      SELECT c_custkey, c_name, bal_c + 500 AS bal_c, TIMESTAMP '2025-06-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM init WHERE c_custkey % 10 = 0),
+    untouched AS (SELECT * FROM init WHERE c_custkey % 10 <> 0)
+    SELECT * FROM closed UNION ALL SELECT * FROM openv UNION ALL SELECT * FROM untouched
+    """,
+    doc="SCD Type-2 gate (operators/scd2.py): initial dimension load at t0, then an update batch where every 10th customer's balance changed (+5.00) — scd2_apply must close exactly those versions at t1, append new open versions, and DROP the unchanged rows (idempotent re-ingestion). Output is the full history table. Change detection is null-safe per column (eqNullSafe), so NULL→value and value→NULL shifts are real changes.",
+)
+def scd2_current_view_q(spark, sf):
+    from tamer_spark.operators.scd2 import scd2_apply, scd2_init
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", cents("c_acctbal").alias("bal_c"))
+    t0 = F.lit("2025-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2025-06-01 00:00:00").cast("timestamp")
+    dim = scd2_init(c, "c_custkey", t0)
+    updates = c.withColumn(
+        "bal_c",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("bal_c") + 500).otherwise(F.col("bal_c")),
+    )
+    return scd2_apply(dim, updates, "c_custkey", t1)
+
+
+@q(
+    "rollup_merge_on_read",
+    f"""
+    WITH {EVENTS_CTE}, partials AS (
+      SELECT date_trunc('day', ts) AS epoch_day, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, COUNT(*) AS n_partials,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sum_value_c) AS BIGINT) AS sum_value_c
+    FROM partials GROUP BY event_type
+    """,
+    doc="Continuous-aggregate merge-on-read gate (operators/rollup.py merge_partials): per-epoch partials (epoch ≅ event-time day, the engine's ParquetEpochSink layout) merged by the associative SUM fold — reads touch only rollup rows, never raw events; compaction is the same fold.",
+)
+def rollup_merge_on_read_q(spark, sf):
+    from tamer_spark.operators.rollup import merge_partials
+
+    e = _t(spark, sf, "events")
+    partials = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("epoch_day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+        .withColumn("n_partials", F.lit(1).cast("long"))
+    )
+    merged = merge_partials(partials, ["event_type"], ["n_partials", "n_events", "sum_value_c"])
+    return merged.select("event_type", "n_partials", "n_events", "sum_value_c")

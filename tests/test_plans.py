@@ -46,16 +46,24 @@ def test_column_pruning_reaches_scan(spark):
     }, li_scan
 
 
-def test_dedup_exact_single_shuffle(spark):
+def test_dedup_exact_single_shuffle_per_variant(spark):
+    # tagged union of raw + normalized variants: exactly one shuffle each
     df = REGISTRY["dedup_exact"].spark(spark, SF_DIR)
-    assert shuffle_count(df) == 1, explain_str(df)
-    # and the scan reads only (doc_id, text)
+    assert shuffle_count(df) == 2, explain_str(df)
+    # and the scans read only (doc_id, text)
     scans = read_schema_columns(df)
-    assert scans and scans[0] <= {"doc_id", "text"}, scans
+    assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
 
 
-def test_text_stats_is_map_only(spark):
-    df = REGISTRY["text_stats"].spark(spark, SF_DIR)
+def test_text_profile_bounded_shuffles(spark):
+    # flat projection side is map-only; the 3-gram repetition agg adds one
+    # shuffle and the doc_id join at most two more exchanges
+    df = REGISTRY["text_profile"].spark(spark, SF_DIR)
+    assert shuffle_count(df) <= 3, explain_str(df)
+
+
+def test_split_sample_docs_is_map_only(spark):
+    df = REGISTRY["split_sample_docs"].spark(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
