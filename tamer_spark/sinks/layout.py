@@ -30,6 +30,22 @@ def estimate_size_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def plan_size_mb(df: DataFrame) -> float | None:
+    """Catalyst's size estimate for the plan (MB) — ZERO extra actions.
+
+    For parquet-backed plans this comes from file-level statistics gathered
+    at planning time; ``None`` when the optimizer has no real estimate
+    (unknown sources report a max-long sentinel).
+    """
+    try:
+        size = float(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — stats API unavailable
+        return None
+    if size <= 0 or size >= 2**60:  # sentinel for "unknown"
+        return None
+    return size / (1024 * 1024)
+
+
 def write_sized(
     df: DataFrame,
     path: str,
@@ -40,12 +56,17 @@ def write_sized(
 ) -> None:
     """Write with file count chosen for ~target_file_mb files.
 
-    ``estimated_total_mb`` defaults to a sample-based estimate (driver-cheap);
-    on a real pipeline feed it from source stats. One file per partition
-    value per bucket via repartition on (partition_cols, bucket).
+    Size resolution order: caller-supplied ``estimated_total_mb`` (source
+    stats — the right input on a real pipeline) → Catalyst plan statistics
+    (free, no extra actions) → a 1k-row sample + count. The last resort runs
+    two extra actions including a FULL SCAN of the input — at 100 TB that is
+    a scan *before the real write*, which is why it is last and why the
+    plan-stats path exists.
     """
     if estimated_total_mb is None:
-        # rough estimate: rows × avg row size from a 1k-row sample
+        estimated_total_mb = plan_size_mb(df)
+    if estimated_total_mb is None:
+        # last resort: rows × avg row size from a 1k-row sample (2 actions)
         sample = df.limit(1000).toPandas()
         row_bytes = max(1, int(sample.memory_usage(deep=True).sum() / max(len(sample), 1)))
         estimated_total_mb = df.count() * row_bytes / (1024 * 1024) / 3  # parquet ≈ 3× compression

@@ -133,7 +133,14 @@ class JdbcTumblingSource:
 
     def iteration(self, state: Any, spark: SparkSession) -> tuple[DataFrame | None, Any]:
         window = TimeWindow.from_state(state)
-        df = self._read(spark, self.render_sql(window))
+        # Persist BEFORE the max(ts) agg: the windowed query hits the live
+        # database exactly once per epoch — the agg materializes the cache,
+        # and the engine's count + sink write read the cached blocks (the
+        # engine re-persists at the same level, a no-op, and unpersists after
+        # the write). Without this, rows committed between the agg and the
+        # write would make the written batch diverge from the max_ts that
+        # advanced the window — duplicates at lag=0.
+        df = self._read(spark, self.render_sql(window)).persist()
         # max timestamp of the batch drives the window advance
         # (df.agg(max) — no sort, single partial-agg pass)
         from pyspark.sql import functions as F
@@ -143,5 +150,7 @@ class JdbcTumblingSource:
         if max_ts is not None and max_ts.tzinfo is None:
             max_ts = max_ts.replace(tzinfo=timezone.utc)
         new_window = advance_window(window, max_ts, self.step, self.lag, self.now_fn())
-        batch = df if max_ts is not None else None
-        return batch, new_window.to_state()
+        if max_ts is None:
+            df.unpersist()
+            return None, new_window.to_state()
+        return df, new_window.to_state()

@@ -186,6 +186,13 @@ class ObjectCursorSource:
     initial_number: int = 0
     decode: Callable[[DataFrame], DataFrame] | None = None
     read_object: Callable[[SparkSession, str], DataFrame] | None = None
+    #: True when lexicographic key order == cursor order (ISO timestamps,
+    #: zero-padded numbers). Enables O(1) listing: resume from the last
+    #: consumed key via ``start_after`` and stop at the first page with a
+    #: candidate. False (safe default) scans every page — correct for any
+    #: key format (bare numbers: 'prefix10' < 'prefix9' lexicographically,
+    #: the trap tests/test_cursors.py pins) at O(total keys) per iteration.
+    monotonic_keys: bool = False
 
     def initial_state(self) -> Any:
         if self.cursor_kind == "instant":
@@ -196,20 +203,35 @@ class ObjectCursorSource:
         init = self.initial_instant.isoformat() if self.cursor_kind == "instant" else self.initial_number
         return fingerprint("object-cursor", self.prefix, self.cursor_kind, self.fmt, init)
 
-    def _key_for(self, cursor) -> str | None:
-        keys = self.lister.list_keys(self.prefix)
-        if self.cursor_kind == "instant":
-            nxt = next_instant_cursor(keys, cursor, self.prefix, self.fmt)
-            if nxt is None:
-                return None
-            for k in keys:
-                if parse_instant_from_key(k, self.prefix, self.fmt) == nxt:
-                    return k
-            return None
-        nxt = next_numeric_cursor(keys, cursor, self.prefix)
-        if nxt is None:
-            return None
-        return f"{self.prefix}{nxt}"
+    def _pages(self, start_after: str | None):
+        """Page through the lister via ``start_after`` until exhausted —
+        without this, a lister capped at N keys/page (every real object
+        store) would never surface keys past the first page and the cursor
+        would stall at key N+1 forever."""
+        while True:
+            page = self.lister.list_keys(self.prefix, start_after=start_after)
+            if not page:
+                return
+            yield page
+            start_after = page[-1]
+
+    def _key_for(self, cursor, last_key: str | None = None) -> str | None:
+        start_after = last_key if self.monotonic_keys else None
+        best_key, best_val = None, None
+        for page in self._pages(start_after):
+            for k in page:
+                val = (
+                    parse_instant_from_key(k, self.prefix, self.fmt)
+                    if self.cursor_kind == "instant"
+                    else parse_number_from_key(k, self.prefix)
+                )
+                if val is None or val <= cursor:
+                    continue
+                if best_val is None or val < best_val:
+                    best_key, best_val = k, val
+            if best_key is not None and self.monotonic_keys:
+                return best_key  # key order == cursor order: first hit wins
+        return best_key
 
     def iteration(self, state: Any, spark: SparkSession) -> tuple[DataFrame | None, Any]:
         cursor = (
@@ -217,7 +239,7 @@ class ObjectCursorSource:
             if self.cursor_kind == "instant"
             else int(state["cursor"])
         )
-        key = self._key_for(cursor)
+        key = self._key_for(cursor, state.get("last_key"))
         if key is None:
             return None, state  # no new object yet — poll (non-blocking)
         uri = self.lister.object_uri(key)
@@ -229,6 +251,7 @@ class ObjectCursorSource:
         if self.decode is not None:
             df = self.decode(df)
         if self.cursor_kind == "instant":
-            new_cursor = parse_instant_from_key(key, self.prefix, self.fmt)
-            return df, {"cursor": new_cursor.isoformat()}
-        return df, {"cursor": parse_number_from_key(key, self.prefix)}
+            new_cursor = parse_instant_from_key(key, self.prefix, self.fmt).isoformat()
+        else:
+            new_cursor = parse_number_from_key(key, self.prefix)
+        return df, {"cursor": new_cursor, "last_key": key}

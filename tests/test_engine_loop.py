@@ -83,6 +83,47 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
     assert sorted(r.key for r in sink.rows) == list(range(1, 11))
 
 
+def test_source_plan_executes_once_per_epoch(spark, tmp_path):
+    """The engine pins each batch (persist) so the live source plan runs
+    EXACTLY once per epoch — the row count materializes the cache and the
+    sink write reads cached blocks. An accumulator inside the source plan
+    counts actual evaluations."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    class InstrumentedSource(CountingSource):
+        def iteration(self, state, spark_):
+            if state >= self.limit:
+                return None, state
+            i = state + 1
+
+            def part(rows):
+                acc.add(1)
+                return rows
+
+            rdd = sc.parallelize([(i, i)], 1).mapPartitions(part)
+            return spark_.createDataFrame(rdd, "key int, value int"), i
+
+    sink = MemorySink()
+    Pipeline(InstrumentedSource(limit=5), sink, str(tmp_path / "cp")).run(
+        spark, until=lambda s: s >= 5
+    )
+    assert [r.key for r in sink.rows] == [1, 2, 3, 4, 5]
+    assert acc.value == 5, f"source plan executed {acc.value} times across 5 epochs"
+
+
+def test_no_cached_batches_left_after_run(spark, tmp_path):
+    """The epoch persist is released in a finally — a finished run leaves no
+    cached RDD storage behind (long-lived drivers must not accumulate)."""
+    spark.catalog.clearCache()
+    sink = MemorySink()
+    Pipeline(CountingSource(limit=3), sink, str(tmp_path / "cp")).run(
+        spark, until=lambda s: s >= 3
+    )
+    cached = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert cached.isEmpty(), f"leaked cached RDDs: {cached}"
+
+
 def test_idle_poll_backs_off_exponentially(spark, tmp_path):
     """No-progress iterations sleep with exponential backoff capped at
     poll_max_s, resetting on progress (reference S3 poll schedule,

@@ -98,3 +98,19 @@ def test_broadcast_enrich_no_fact_shuffle_before_agg(spark):
     assert "BroadcastHashJoin" in plan, plan
     # orders side: scan → broadcast join → partial agg → single exchange
     assert shuffle_count(df) <= 1, plan
+
+
+def test_dedup_caches_release_when_result_dropped(spark):
+    """minhash_lsh_pairs persists its signature stage; dropping the returned
+    plan must unpersist it (no cache accumulation in long-lived drivers)."""
+    import gc
+
+    spark.catalog.clearCache()
+    df = REGISTRY["dedup_minhash_lsh"].spark(spark, SF_DIR)
+    df.count()  # materialize → signature stage cached
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    del df
+    gc.collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty(), (
+        "signature cache leaked after result was dropped"
+    )

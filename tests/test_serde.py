@@ -32,6 +32,19 @@ def test_confluent_frame_roundtrip(spark):
     assert bytes(raw[:5]) == b"\x00\x00\x00\x04\x12"  # magic + 1042 BE
 
 
+def test_confluent_framing_on_computed_column(spark):
+    """Framing must accept COMPUTED Column inputs (not just named columns) —
+    the old string-reflection of Column → F.expr broke on anything but a
+    bare name."""
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    framed_expr = frame_confluent(F.encode(F.concat("x", "y"), "UTF-8"), 7).alias("framed")
+    out = df.select(framed_expr).select(
+        extract_schema_id(F.col("framed") ).alias("sid"),
+        F.decode(unframe_confluent(F.substring(F.col("framed"), 1, 2147483647)), "UTF-8").alias("v"),
+    ).collect()[0]
+    assert (out.sid, out.v) == (7, "ab")
+
+
 def test_registry_get_or_register_and_verify():
     reg = FakeRegistry()
     schema_v1 = '{"type":"record","name":"User","fields":[{"name":"id","type":"string"}]}'

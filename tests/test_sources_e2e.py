@@ -66,6 +66,48 @@ def test_object_cursor_numeric(spark, tmp_path):
     assert [r.value for r in sink.rows] == ["obj1", "obj2", "obj10"]
 
 
+def test_object_cursor_pages_past_listing_cap(spark, tmp_path):
+    """With more objects than one listing page returns, the cursor must page
+    via start_after instead of stalling at key max_keys+1 forever."""
+    root = tmp_path / "bucket3"
+    (root / "d").mkdir(parents=True)
+    for n in range(1, 8):  # 7 objects, pages of 2
+        (root / "d" / f"k{n}").write_text(f"obj{n}\n")
+    src = ObjectCursorSource(
+        lister=LocalFSLister(str(root), max_keys=2), prefix="d/k", cursor_kind="number"
+    )
+    sink = MemorySink()
+    Pipeline(src, sink, str(tmp_path / "cp"), poll_interval_s=0.0).run(spark, max_iterations=8)
+    assert [r.value for r in sink.rows] == [f"obj{n}" for n in range(1, 8)]
+
+
+def test_object_cursor_monotonic_fastpath_resumes_from_last_key(spark, tmp_path):
+    """Zero-padded keys: monotonic_keys=True lists from the last consumed key
+    (O(1) per iteration) and still consumes everything in order."""
+    root = tmp_path / "bucket4"
+    (root / "d").mkdir(parents=True)
+    listed_args = []
+
+    class SpyLister(LocalFSLister):
+        def list_keys(self, prefix, start_after=None):
+            listed_args.append(start_after)
+            return super().list_keys(prefix, start_after)
+
+    for n in range(1, 6):
+        (root / "d" / f"k{n:04d}").write_text(f"obj{n}\n")
+    src = ObjectCursorSource(
+        lister=SpyLister(str(root), max_keys=2),
+        prefix="d/k",
+        cursor_kind="number",
+        monotonic_keys=True,
+    )
+    sink = MemorySink()
+    Pipeline(src, sink, str(tmp_path / "cp"), poll_interval_s=0.0).run(spark, max_iterations=6)
+    assert [r.value for r in sink.rows] == [f"obj{n}" for n in range(1, 6)]
+    # after the first object, every listing resumes from a consumed key
+    assert any(a is not None for a in listed_args)
+
+
 # --- REST: growing finite pagination + rotating bearer (FIXTURES §4-5) ----
 
 class _RestFixture(BaseHTTPRequestHandler):
