@@ -125,3 +125,33 @@ def test_decode_df_roundtrip(spark):
     back = decode_df(framed, "value", schema, framed=True)
     got = sorted((r.id, r.name, r.note) for r in back.collect())
     assert got == [(1, "a", None), (2, "b", "x")]
+
+
+def test_jvm_to_avro_parity_with_python_codec(spark):
+    """Golden-byte parity: spark-avro's to_avro must emit the same Avro
+    binary as the pure-Python codec (both implement the Avro 1.x binary
+    spec). Skips when the spark-avro package cannot load in this
+    environment (it is an external connector, and the sandbox has no
+    package download) — the pure-Python codec remains the exercised path.
+    """
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tamer_spark.serde.avro import AvroCodec
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        df = spark.createDataFrame([(3, "xy")], "a long, s string")
+        jvm_bytes = df.select(
+            to_avro(F.struct("a", "s"), __import__("json").dumps(schema)).alias("b")
+        ).collect()[0].b
+    except Exception as e:  # AnalysisException: AVRO_NOT_LOADED...
+        pytest.skip(f"spark-avro package not loadable in this environment: {type(e).__name__}")
+    py_bytes = AvroCodec(schema).encode({"a": 3, "s": "xy"})
+    assert bytes(jvm_bytes) == py_bytes
