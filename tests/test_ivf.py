@@ -40,3 +40,19 @@ def test_ivf_partial_probe_recall(spark):
     # build is deterministic: same input → same centroids
     _, centroids2 = ivf_build(emb, n_centroids=8, iters=2)
     assert centroids == centroids2
+
+
+def test_lsh_multiprobe_recall_geq_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe (same base
+    bucket always probed) → recall against exact top-5 must not drop, and
+    on this fixture strictly improves."""
+    from tamer_spark.operators.similarity import cosine_knn_lsh, cosine_knn_lsh_multiprobe
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_knn(emb, queries, k=5).collect()
+    single = cosine_knn_lsh(emb, queries, k=5, planes=8, dim=64).collect()
+    multi = cosine_knn_lsh_multiprobe(emb, queries, k=5, planes=8, dim=64, probes=3).collect()
+    r1, r3 = _recall(single, exact), _recall(multi, exact)
+    assert r3 >= r1, f"multi-probe recall {r3} < single-probe {r1}"
+    assert len(multi) >= len(single)  # superset of candidate buckets
