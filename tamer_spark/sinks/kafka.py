@@ -152,6 +152,10 @@ class TransactionalKafkaSink:
     marker_topic: str | None = None
     producer_factory: Callable[[dict], Any] | None = None
     marker_exists: Callable[[Any, str, str], bool] | None = None
+    #: True → run the transaction protocol driver-side over collect(), as a
+    #: single partition. For tests (shared fake broker state) and tiny
+    #: batches; production writes stay distributed.
+    local_mode: bool = False
     #: filled per write() with (partition_id, rows_sent) for observability
     last_result: list = field(default_factory=list)
 
@@ -199,6 +203,9 @@ class TransactionalKafkaSink:
                 ),
             )
 
+        if self.local_mode:
+            self.last_result = list(run(0, iter(df.collect())))
+            return
         # mapPartitionsWithIndex + collect instead of foreachPartition: the
         # tiny (partition, count) results double as the write receipt
         self.last_result = df.rdd.mapPartitionsWithIndex(run).collect()
