@@ -91,6 +91,31 @@ def session_agg(
     )
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming form of
+    operators/dedup.dedup_exact.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark``: state for a key
+    is held only until the watermark passes it, so dedup state is bounded by
+    (arrival rate × watermark) instead of growing with the whole corpus —
+    the only shape that survives an unbounded 100 TB stream. Without
+    ``ts_col``, falls back to global ``dropDuplicates`` (state grows
+    forever; only for bounded backfills).
+
+    Deduplicate on a digest of the payload (e.g.
+    ``F.md5(F.col("text")).alias("content_hash")`` projected beforehand) so
+    state stores ~32 bytes per key, not the document.
+    """
+    if ts_col is None:
+        return df.dropDuplicates(key_cols)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_path: str,

@@ -114,3 +114,28 @@ def test_dedup_caches_release_when_result_dropped(spark):
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty(), (
         "signature cache leaked after result was dropped"
     )
+
+
+def test_multiprobe_knn_broadcasts_queries_not_corpus(spark):
+    df = REGISTRY["similarity_knn_lsh_multiprobe"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan  # probe side broadcast, corpus streamed
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    df = REGISTRY["decontaminate_against_benchmark"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    # the benchmark shingle set is the small side: must broadcast, and the
+    # final anti join must also be broadcast (tainted ids are few)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_folds_corpus_count_into_plan(spark):
+    # one plan, no driver-side count(): the corpus count arrives via a
+    # broadcast 1-row cross join — BroadcastNestedLoop over 1 row is the
+    # expected (cheap) shape
+    df = REGISTRY["tfidf_top_terms"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoop" in plan, plan

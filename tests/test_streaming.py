@@ -159,3 +159,38 @@ def test_stateful_seen_filter_dedups_across_batches(spark, tmp_path):
     # second drop: 2 repeats (already seen — dropped), 3 is new
     spark.createDataFrame([(2,), (3,)], schema).write.parquet(str(src / "b2"))
     run([3])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys arriving within the watermark
+    are collapsed; state is keyed on the digest, bounded by the watermark."""
+    import pyspark.sql.types as T
+
+    from tamer_spark.streaming import stream_parquet
+    from tamer_spark.streaming.readers import run_available_now, stream_dedup_exact
+
+    src = tmp_path / "in"
+    base = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "hello world", base),
+        (2, "hello world", base + timedelta(seconds=30)),  # dup content
+        (3, "something else", base + timedelta(seconds=60)),
+        (4, "hello world", base + timedelta(seconds=90)),  # dup again
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").write.parquet(str(src))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = stream_parquet(spark, str(src), schema).select(
+        "doc_id", "ts", F.md5("text").alias("content_hash")
+    )
+    deduped = stream_dedup_exact(stream, ["content_hash"], ts_col="ts", watermark="10 minutes")
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run_available_now(deduped, out, cp)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 2  # one per distinct content
+    assert sorted({r.content_hash for r in got}) == sorted(set(r.content_hash for r in got))
