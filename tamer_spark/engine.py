@@ -186,12 +186,16 @@ class Pipeline:
     def _write_with_retry(self, df: DataFrame, epoch: int) -> int:
         """Pin the batch, count it, write it, release it.
 
-        ``persist()`` makes the live source plan execute EXACTLY ONCE per
-        epoch: the row count materializes the cache, the sink write and any
-        retries read the cached blocks. Without it, count + write would run
-        the source query twice — a 2× tax on every ingest epoch, and a
-        non-deterministic source (rows arriving between executions) could
-        write a different batch than the one it counted/advanced state by.
+        ``persist()`` makes the live source plan execute ONCE per epoch in
+        the normal path: the row count materializes the cache, the sink
+        write and any retries read the cached blocks. Without it, count +
+        write would run the source query twice — a 2× tax on every ingest
+        epoch, and a non-deterministic source (rows arriving between
+        executions) could write a different batch than the one it
+        counted/advanced state by. Caveat: Spark caching is best-effort —
+        a lost executor recomputes its blocks from lineage (re-touching the
+        source); MEMORY_AND_DISK narrows that window but cannot close it,
+        so sinks still carry the per-epoch idempotence contract.
         The empty-batch skip stays: an all-idle poll never reaches the sink.
         """
         from pyspark import StorageLevel

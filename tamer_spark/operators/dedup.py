@@ -190,6 +190,14 @@ def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
     drops the result DataFrame (refcount-immediate in CPython) — callers
     that keep the result keep the cache, callers that move on release it,
     and nobody has to remember a handle.
+
+    CAVEAT — chained derivation: ``pairs(df).filter(...).count()`` drops
+    the wrapper before the action runs, firing the finalizer early; the
+    query stays CORRECT (the plan recomputes the signature stage) but
+    loses the compute-once benefit. Callers who derive further plans
+    should hold the result in a variable for the duration, or pass
+    ``keep_cache=True`` and manage ``spark.catalog.clearCache()`` /
+    unpersist themselves.
     """
     import weakref
 
@@ -212,6 +220,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    keep_cache: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -258,7 +267,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
-    return _release_on_gc(pairs, sigs)
+    return pairs if keep_cache else _release_on_gc(pairs, sigs)
 
 
 def ngram_jaccard_pairs(
@@ -267,6 +276,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    keep_cache: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -303,7 +313,7 @@ def ngram_jaccard_pairs(
             (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
         )
     )
-    return _release_on_gc(pairs, exploded)
+    return pairs if keep_cache else _release_on_gc(pairs, exploded)
 
 
 def simhash_signatures(

@@ -45,10 +45,14 @@ def scd2_apply(
     unchanged = F.lit(True)
     for c in compare_cols:
         unchanged = unchanged & F.col(f"u.{c}").eqNullSafe(F.col(f"o.{c}"))
+    # collision-proofed sentinel name: user dimensions legitimately carry
+    # underscore-prefixed attributes, and attrs are derived from ALL update
+    # columns, so a plain "_matched" could shadow real data
+    matched = "__tamer_scd2_matched__"
     joined = updates.alias("u").join(
-        open_rows.withColumn("_matched", F.lit(True)).alias("o"), key, "left"
+        open_rows.withColumn(matched, F.lit(True)).alias("o"), key, "left"
     )
-    real_changes = joined.filter(F.col("_matched").isNull() | ~unchanged).select("u.*")
+    real_changes = joined.filter(F.col(matched).isNull() | ~unchanged).select("u.*")
 
     changing_keys = real_changes.select(key)
     to_close = (

@@ -67,12 +67,37 @@ def cosine_knn(
     )
 
 
+def _hyperplane_projections(qv: Column, planes: int, dim: int, seed: int) -> list[Column]:
+    """Per-plane signed projections of a quantized vector.
+
+    THE single source of the hyperplane coefficients (±1 from sha256 of
+    (seed, plane, dim-index), fixed at plan build — no RNG state): both the
+    single-probe and multi-probe bucket builders call this, and the SQL
+    oracle generators mirror the same derivation, so corpus and query
+    vectors always hash into the same bucket space. Exactness matters: the
+    projections of quantized vectors are integer-valued, which is what lets
+    multi-probe's flip order be a deterministic integer sort key.
+    """
+    import hashlib
+
+    projs = []
+    for p in range(planes):
+        coeff = [
+            1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
+            for i in range(dim)
+        ]
+        projs.append(
+            F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(float(c)) for c in coeff]), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return projs
+
+
 def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id from an ALREADY-QUANTIZED vector column.
-
-    Hyperplane coefficients are pseudo-random ±1 derived from sha256 of
-    (seed, plane, dim-index) at *plan build* time — deterministic, no RNG
-    state, reproducible in SQL oracles.
 
     Callers must pass a materialized column (quantize in a prior .select):
     the bucket references the vector ``planes`` times, and Catalyst would
@@ -81,23 +106,8 @@ def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: 
     CollapseProject keeps the projections separate because the quantized
     column is expensive and multiply-referenced.
     """
-    import hashlib
-
     bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        coeff = [
-            1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
-            for i in range(dim)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                qv,
-                F.array(*[F.lit(float(c)) for c in coeff]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for p, proj in enumerate(_hyperplane_projections(qv, planes, dim, seed)):
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return bucket
 
@@ -162,20 +172,9 @@ def lsh_probe_buckets(
     index. ``qv`` must be a materialized quantized column (multi-referenced —
     see lsh_bucket_from_quantized inlining note).
     """
-    import hashlib
-
     base = F.lit(0).cast("long")
     keys = []
-    for p in range(planes):
-        coeff = [
-            1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
-            for i in range(dim)
-        ]
-        proj = F.aggregate(
-            F.zip_with(qv, F.array(*[F.lit(float(c)) for c in coeff]), lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for p, proj in enumerate(_hyperplane_projections(qv, planes, dim, seed)):
         base = base + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
         # exact-int composite sort key: (|proj|, plane)
         keys.append((F.abs(proj) * planes + F.lit(p)).cast("long"))

@@ -60,19 +60,34 @@ class KafkaSink:
     produced by :func:`tamer_spark.operators.records.to_records`.
 
     Idempotent producers stop broker-retry duplicates; they do NOT stop
-    epoch-replay duplicates — dedup downstream on (epoch, key), e.g. by
-    putting the epoch in a header and compacting, or use
-    :class:`TransactionalKafkaSink`.
+    epoch-replay duplicates. To make the documented downstream dedup on
+    (epoch, key) actually implementable, ``write`` stamps the epoch into a
+    ``tamer.epoch`` record header (``epoch_header=False`` to disable) —
+    consumers drop records whose (epoch, key) they have already seen. For
+    true exactly-once use :class:`TransactionalKafkaSink`.
     """
 
     bootstrap_servers: str
     topic: str
+    epoch_header: bool = True
 
     def write(self, df: DataFrame, epoch: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.epoch_header:
+            tag = F.struct(
+                F.lit("tamer.epoch").alias("key"),
+                F.encode(F.lit(str(epoch)), "UTF-8").alias("value"),
+            )
+            if "headers" in df.columns:
+                df = df.withColumn("headers", F.array_append(F.col("headers"), tag))
+            else:
+                df = df.withColumn("headers", F.array(tag))
         (
             df.write.format("kafka")
             .option("kafka.bootstrap.servers", self.bootstrap_servers)
             .option("topic", self.topic)
+            .option("kafka.includeHeaders", "true")
             .option("kafka.enable.idempotence", "true")
             .save()
         )
@@ -140,6 +155,17 @@ class TransactionalKafkaSink:
     """Exactly-once Kafka sink: per-partition transactional producers with
     epoch-fenced commit markers (reference semantics: Tamer.scala:150-186).
 
+    The per-partition marker skip is only sound if a REPLAYED epoch assigns
+    every row to the same partition it committed under the first time — a
+    recomputed batch with Spark's arbitrary partitioning does not guarantee
+    that (a row could move from a committed partition to an uncommitted one
+    and be written twice, or the reverse and be lost). ``write`` therefore
+    hash-repartitions the batch on the record key into a FIXED
+    ``num_partitions`` before the protocol runs: for identical batch
+    content — which the engine's state-driven iteration guarantees on
+    replay — hash(key) % n is deterministic, so (epoch, partition) names
+    the same row set on every attempt.
+
     ``producer_factory`` / ``marker_exists`` are the client seams; the
     default factory builds ``confluent_kafka.Producer`` (gated import) with
     the bootstrap servers merged in. ``marker_exists`` must check
@@ -152,6 +178,10 @@ class TransactionalKafkaSink:
     marker_topic: str | None = None
     producer_factory: Callable[[dict], Any] | None = None
     marker_exists: Callable[[Any, str, str], bool] | None = None
+    #: fixed write parallelism; part of the sink's identity — changing it
+    #: between a crash and its replay invalidates committed markers, so
+    #: treat it like the topic name (configuration, not tuning)
+    num_partitions: int = 16
     #: True → run the transaction protocol driver-side over collect(), as a
     #: single partition. For tests (shared fake broker state) and tiny
     #: batches; production writes stay distributed.
@@ -206,6 +236,12 @@ class TransactionalKafkaSink:
         if self.local_mode:
             self.last_result = list(run(0, iter(df.collect())))
             return
+        from pyspark.sql import functions as F
+
+        # Deterministic row→partition mapping (see class docstring): replays
+        # of the same batch content land every row in the same partition id,
+        # which is what makes the per-partition marker skip sound.
+        df = df.repartition(self.num_partitions, F.col("key"))
         # mapPartitionsWithIndex + collect instead of foreachPartition: the
         # tiny (partition, count) results double as the write receipt
         self.last_result = df.rdd.mapPartitionsWithIndex(run).collect()

@@ -31,19 +31,28 @@ def estimate_size_bytes(spark: SparkSession, path: str) -> int:
 
 
 def plan_size_mb(df: DataFrame) -> float | None:
-    """Catalyst's size estimate for the plan (MB) — ZERO extra actions.
+    """Sum of the plan's LEAF scan sizes (MB) — ZERO extra actions.
 
-    For parquet-backed plans this comes from file-level statistics gathered
-    at planning time; ``None`` when the optimizer has no real estimate
-    (unknown sources report a max-long sentinel).
+    For parquet-backed plans each leaf's estimate is the actual file size
+    gathered at planning time. Leaves are summed instead of reading the
+    plan ROOT's estimate on purpose: without CBO column stats, Catalyst's
+    default join estimate is the PRODUCT of the children's sizes — a join
+    of two 100 MB scans "estimates" petabytes, which would blow the file
+    count sky-high. Output ≤ inputs is the right assumption for sizing a
+    write. ``None`` when any leaf has no real estimate (unknown sources
+    report a max-long sentinel).
     """
     try:
-        size = float(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0.0
+        for i in range(leaves.size()):
+            size = float(str(leaves.apply(i).stats().sizeInBytes()))
+            if size <= 0 or size >= 2**60:  # sentinel for "unknown"
+                return None
+            total += size
     except Exception:  # noqa: BLE001 — stats API unavailable
         return None
-    if size <= 0 or size >= 2**60:  # sentinel for "unknown"
-        return None
-    return size / (1024 * 1024)
+    return total / (1024 * 1024) if total else None
 
 
 def write_sized(

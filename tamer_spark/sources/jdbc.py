@@ -133,13 +133,16 @@ class JdbcTumblingSource:
 
     def iteration(self, state: Any, spark: SparkSession) -> tuple[DataFrame | None, Any]:
         window = TimeWindow.from_state(state)
-        # Persist BEFORE the max(ts) agg: the windowed query hits the live
-        # database exactly once per epoch — the agg materializes the cache,
-        # and the engine's count + sink write read the cached blocks (the
-        # engine re-persists at the same level, a no-op, and unpersists after
-        # the write). Without this, rows committed between the agg and the
-        # write would make the written batch diverge from the max_ts that
-        # advanced the window — duplicates at lag=0.
+        # Persist BEFORE the max(ts) agg: in the normal path the windowed
+        # query hits the live database once per epoch — the agg materializes
+        # the cache, and the engine's count + sink write read the cached
+        # blocks (the engine re-persists at the same level, a no-op, and
+        # unpersists after the write). Without this, rows committed between
+        # the agg and the write would make the written batch diverge from
+        # the max_ts that advanced the window — duplicates at lag=0.
+        # (Cache loss on executor failure recomputes from lineage and
+        # re-touches the database — best-effort, not a hard guarantee;
+        # a non-zero `lag` bounds the divergence that can produce.)
         df = self._read(spark, self.render_sql(window)).persist()
         # max timestamp of the batch drives the window advance
         # (df.agg(max) — no sort, single partial-agg pass)

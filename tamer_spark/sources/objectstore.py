@@ -207,12 +207,24 @@ class ObjectCursorSource:
         """Page through the lister via ``start_after`` until exhausted —
         without this, a lister capped at N keys/page (every real object
         store) would never surface keys past the first page and the cursor
-        would stall at key N+1 forever."""
+        would stall at key N+1 forever.
+
+        Defensive stops: a lister whose ``list_keys`` doesn't take
+        ``start_after`` (pre-pagination implementations) degrades to its
+        single capped page, and a lister that accepts-but-ignores the
+        argument (returns a page that doesn't advance past it) terminates
+        after that page instead of looping forever."""
         while True:
-            page = self.lister.list_keys(self.prefix, start_after=start_after)
+            try:
+                page = self.lister.list_keys(self.prefix, start_after=start_after)
+            except TypeError:
+                yield self.lister.list_keys(self.prefix)
+                return
             if not page:
                 return
             yield page
+            if start_after is not None and page[-1] <= start_after:
+                return  # lister ignored start_after — no forward progress
             start_after = page[-1]
 
     def _key_for(self, cursor, last_key: str | None = None) -> str | None:

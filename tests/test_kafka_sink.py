@@ -168,15 +168,26 @@ def test_sink_runs_one_transaction_per_rdd_partition(spark):
         fingerprint="fp",
         producer_factory=factory,
         marker_exists=lambda producer, topic, key: False,
+        num_partitions=4,
     )
     df = spark.createDataFrame(
         [(f"k{i}".encode(), f"v{i}".encode()) for i in range(8)], "key binary, value binary"
-    ).repartition(4)
+    )
     sink.write(df, epoch=7)
     # NOTE: factory runs on executors; in local mode the broker object is
     # per-worker, so assert via the driver-side receipt instead
     assert sorted(pid for pid, _ in sink.last_result) == [0, 1, 2, 3]
     assert sum(max(n, 0) for _, n in sink.last_result) == 8
+
+    # deterministic row→partition mapping: an identical batch written again
+    # (an epoch replay) produces the identical per-partition row counts —
+    # the property that makes the per-partition marker skip sound
+    first = sorted(sink.last_result)
+    df2 = spark.createDataFrame(
+        [(f"k{i}".encode(), f"v{i}".encode()) for i in range(8)], "key binary, value binary"
+    ).repartition(7)  # different incoming partitioning, same content
+    sink.write(df2, epoch=7)
+    assert sorted(sink.last_result) == first
 
 
 def _txn_sink(broker, fail_after=None):
