@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scale-linearity probe: time the heavy operators across data-size steps.
+
+Measures wall-clock for the operators whose 100 TB behavior matters most, at
+sf0.01, sf0.1, and a synthesized 10×-sf0.1 corpus (documents/embeddings
+exploded with salted ids so duplicate/near-duplicate structure is preserved,
+not degenerate). Prints one JSON line per (op, step) plus a ratio summary.
+
+A sub-linear or ~linear time ratio vs the data ratio is the evidence that a
+plan's shuffle volume scales with the DESIGNED quantity (docs × k ints,
+bucket ids, vocabulary) rather than with pairs² — run after touching any of
+these operators. Scratch parquet goes under .scratch/ (gitignored, removed on
+success).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import tamer_spark
+from pyspark.sql import functions as F
+from tamer_spark.queries import REGISTRY
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "scale_probe"
+
+OPS = [
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "text_profile",
+    "dedup_embedding_cosine",
+    "similarity_knn_lsh_multiprobe",
+    "q1_pricing_summary",
+    "sessionize_events",
+]
+
+
+def synthesize_10x(spark, src: str, dst: Path) -> None:
+    """Explode documents/embeddings 10×: copies keep the text (so duplicate
+    clusters survive, ×10) but take distinct doc ids; other tables copied."""
+    dst.mkdir(parents=True, exist_ok=True)
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    (
+        d.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * 10_000_000)
+        .drop("copy")
+        .write.mode("overwrite")
+        .parquet(str(dst / "documents.parquet"))
+    )
+    e = spark.read.parquet(f"{src}/embeddings.parquet")
+    (
+        e.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy") * 10_000_000)
+        .drop("copy")
+        .write.mode("overwrite")
+        .parquet(str(dst / "embeddings.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        p = Path(src) / f"{t}.parquet"
+        if p.is_dir():
+            shutil.copytree(p, dst / p.name, dirs_exist_ok=True)
+        else:
+            shutil.copy(p, dst / p.name)
+
+
+def time_op(spark, name: str, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    REGISTRY[name].spark(spark, sf_dir).count()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    spark = tamer_spark.get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_10x(spark, "/root/testdata/sf0.1", SCRATCH)
+    steps = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf0.1x10", str(SCRATCH)),
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for name in OPS:
+        results[name] = {}
+        for label, path in steps:
+            spark.catalog.clearCache()
+            try:
+                results[name][label] = time_op(spark, name, path)
+            except Exception as e:  # noqa: BLE001
+                results[name][label] = -1.0
+                print(f"# {name}@{label}: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# {name}@{label}: {results[name][label]}s", file=sys.stderr)
+    summary = {}
+    for name, r in results.items():
+        if all(v > 0 for v in r.values()):
+            summary[name] = {
+                "t_sf0.01": r["sf0.01"],
+                "t_sf0.1": r["sf0.1"],
+                "t_sf0.1x10": r["sf0.1x10"],
+                "ratio_10x_docs": round(r["sf0.1x10"] / r["sf0.1"], 2),
+            }
+    print(json.dumps(summary, indent=2))
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Distributed connected components — turn near-dup PAIRS into CLUSTERS.
+
+The LSH family (dedup.minhash_lsh_pairs, embedding-cosine buckets) emits
+candidate *pairs*. Deduplication needs one canonical representative per
+transitive cluster: if A~B and B~C, then {A,B,C} is one group even when A
+and C never share a bucket. That closure is a connected-components problem
+on a graph with billions of edges at 100 TB — it cannot be a driver-side
+union-find.
+
+This module implements the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature) in pure DataFrame ops:
+
+* large-star: every node links its LARGER neighbors to the minimum of its
+  neighborhood (incl. itself);
+* small-star: every node links its smaller-or-equal neighbors to that
+  minimum.
+
+Each round is two groupBy-min shuffles keyed by node id; the edge set
+monotonically contracts toward star graphs centered on each component's
+minimum id. Convergence is O(log n) rounds *regardless of graph diameter*
+— the reason to prefer it over naive min-label propagation, whose round
+count is the component diameter (a 1M-doc boilerplate chain would need 1M
+rounds; large/small-star needs ~20).
+
+Scale notes (docs/SCALING.md):
+* per-round shuffle volume is O(|E|) longs, and |E| SHRINKS each round as
+  edges re-point to component minima — later rounds are cheaper;
+* ``localCheckpoint`` after each round truncates lineage (an iterative
+  plan otherwise doubles in depth per round and overwhelms Catalyst); on
+  a real cluster with an HDFS checkpoint dir, ``DataFrame.checkpoint``
+  is the reliable-storage variant — the seam is the one call site below;
+* the convergence test (``exceptAll . isEmpty``) is one extra shuffle on
+  the already-materialized round output, exact (no false convergence on
+  count/sum collisions).
+
+There is no analog in the reference engine (tamer has no dedup operators);
+this is part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "attach_cluster_ids"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) symmetric → for each u, connect strictly-larger neighbors to
+    min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point each edge from its larger endpoint; connect the smaller-or-equal
+    neighborhood (and the center itself) to its minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    joined = directed.join(m, "src")
+    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = joined.select("src", F.col("m").alias("dst"))
+    return to_min.union(center).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, component)`` where component is the minimum node id
+    reachable from ``node``. Nodes appearing in no edge are absent (map
+    them to themselves at the call site — see ``attach_cluster_ids``).
+
+    ``max_iter`` is a hard stop only; the loop exits on the exact
+    fixed-point test, typically ≤ ceil(log2 |largest component|) + 2
+    rounds. Raises RuntimeError if the bound is hit without convergence
+    (25 rounds covers components of ~2^23 nodes — at 100 TB raise it, or
+    investigate the graph, before trusting partial output).
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # fixed point is a star graph: src > dst == component minimum; the
+    # minima themselves are their own component.
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    reps = cur.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(reps).distinct()
+
+
+def attach_cluster_ids(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full dedup-clustering step: near-dup pairs → per-row cluster ids.
+
+    Adds ``cluster_rep`` (minimum id in the row's transitive near-dup
+    cluster; itself for singletons) and ``cluster_size``. Keeping
+    ``cluster_rep == id_col`` rows and dropping the rest is the standard
+    "keep one representative per cluster" policy; the size column supports
+    weighted/stratified alternatives.
+
+    The pair graph is tiny relative to the corpus (dup clusters only), so
+    the components table broadcasts in the common case; Catalyst/AQE picks
+    that up from size stats rather than a forced hint, which keeps the
+    pathological all-dup corpus (components ≈ corpus) safe.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b, max_iter=max_iter)
+    out = (
+        df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_rep", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    sizes = out.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_rep")

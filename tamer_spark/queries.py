@@ -974,6 +974,57 @@ def dedup_minhash_lsh_q(spark, sf):
     )
 
 
+def _clusters_oracle() -> str:
+    """Transitive closure over the LSH pair graph via a recursive CTE —
+    min-reachable-id per node is exactly what large/small-star converges to."""
+    r = _K // _BANDS
+    return f"""
+    WITH RECURSIVE {_minhash_sig_ctes()},
+    banded AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(list_transform(mh[b*{r}+1:b*{r}+{r}], x -> CAST(x AS VARCHAR)), '-') AS band_sig
+      FROM sig, range({_BANDS}) t(b)
+    ),
+    ok_buckets AS (
+      SELECT band_id, band_sig FROM banded GROUP BY band_id, band_sig HAVING count(*) <= {_MAX_BUCKET}
+    ),
+    bb AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band_id, band_sig)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, rid) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.rid FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id, min(rid) AS rep FROM reach GROUP BY id),
+    mapped AS (
+      SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM mapped
+    """
+
+
+@q(
+    "dedup_clusters",
+    _clusters_oracle(),
+    doc="Near-dup CLUSTERS, not pairs: LSH candidate pairs fed through distributed connected components (alternating large-star/small-star, operators/cc.py) → every doc labeled with its transitive cluster's min id + cluster size; singletons map to themselves. The cluster form is the 100 TB answer to pair-output blowup — a 10k-copy boilerplate cluster is 10k rows here vs ~50M pairs. O(log n) rounds, each a groupBy-min shuffle on a shrinking edge set.",
+)
+def dedup_clusters_q(spark, sf):
+    from tamer_spark.operators.cc import attach_cluster_ids
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET)
+    out = attach_cluster_ids(d.select("doc_id"), pairs)
+    return out.select("doc_id", "cluster_rep", F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
 def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
     return f"""
     WITH {_shingle_ctes()},

@@ -1,0 +1,94 @@
+"""Connected components (operators/cc.py): correctness vs a driver-side
+union-find on the same edge lists, convergence depth, and the end-to-end
+cluster-attach used by the dedup_clusters gate query."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.cc import attach_cluster_ids, connected_components
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp: dict[int, int] = {}
+    for node in range(n_nodes):
+        r = find(node)
+        comp[r] = min(comp.get(r, node), node)
+    return {node: comp[find(node)] for node in range(n_nodes)}
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # a path graph is the worst case for naive min-propagation (diameter
+    # rounds); large/small-star must close it in O(log n)
+    chain = [(i, i + 1) for i in range(63)]
+    got = _run(spark, chain)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_two_components_and_direction_independence(spark):
+    got = _run(spark, [(5, 2), (2, 9), (30, 40), (40, 30), (7, 7)])
+    assert got == {2: 2, 5: 2, 9: 2, 30: 30, 40: 30}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    expected = _uf_components(n, edges)
+    got = _run(spark, [e for e in edges if e[0] != e[1]])
+    # cc only labels nodes that appear in some non-self edge
+    for node, comp in got.items():
+        assert comp == expected[node]
+    in_graph = {a for e in edges if e[0] != e[1] for a in e}
+    assert set(got) == in_graph
+
+
+def test_attach_cluster_ids_singletons_and_sizes(spark):
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "doc_a long, doc_b long")
+    rows = {
+        r.doc_id: (r.cluster_rep, r.cluster_size)
+        for r in attach_cluster_ids(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, 1),
+        1: (1, 3),
+        2: (2, 1),
+        3: (1, 3),
+        4: (4, 1),
+        5: (1, 3),
+        6: (6, 2),
+        7: (6, 2),
+    }
+
+
+def test_nonconvergence_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
