@@ -47,16 +47,19 @@ def cosine_knn(
     which the plan broadcasts; the corpus side streams. Tie-break: higher
     cosine first, then smaller neighbor id (deterministic total order).
     """
+    # Squared norms are per-vector, so compute them once per side; per-pair
+    # work is then a single dot product. Same arithmetic as before
+    # (sqrt(qn2*cn2), not sqrt(qn2)*sqrt(cn2)) so results are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
-    )
-    c = df.select(F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv"))
+    ).select("query_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("qn2"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
+    ).select("neighbor_id", "cv", _dot(F.col("cv"), F.col("cv")).alias("cn2"))
     dot = _dot(F.col("qv"), F.col("cv"))
-    qn = _dot(F.col("qv"), F.col("qv"))
-    cn = _dot(F.col("cv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / F.sqrt(qn * cn))
+        .withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -134,17 +137,25 @@ def cosine_knn_lsh(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", lsh_bucket_from_quantized(F.col("qv"), planes, dim).alias("bucket"))
+    ).select(
+        "query_id",
+        "qv",
+        lsh_bucket_from_quantized(F.col("qv"), planes, dim).alias("bucket"),
+        _dot(F.col("qv"), F.col("qv")).alias("qn2"),
+    )
     c = df.select(
         F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"),
+        _dot(F.col("cv"), F.col("cv")).alias("cn2"),
+    )
     dot = _dot(F.col("qv"), F.col("cv"))
-    qn = _dot(F.col("qv"), F.col("qv"))
-    cn = _dot(F.col("cv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / F.sqrt(qn * cn))
+        .withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -209,23 +220,29 @@ def cosine_knn_lsh_multiprobe(
             F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
         )
         .select(
-            "query_id", "qv", lsh_probe_buckets(F.col("qv"), planes, dim, probes=probes).alias("probe_buckets")
+            "query_id",
+            "qv",
+            lsh_probe_buckets(F.col("qv"), planes, dim, probes=probes).alias("probe_buckets"),
+            _dot(F.col("qv"), F.col("qv")).alias("qn2"),
         )
-        .select("query_id", "qv", F.explode("probe_buckets").alias("bucket"))
+        .select("query_id", "qv", "qn2", F.explode("probe_buckets").alias("bucket"))
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"),
+        _dot(F.col("cv"), F.col("cv")).alias("cn2"),
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qn2", "cn2")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     dot = _dot(F.col("qv"), F.col("cv"))
-    qn = _dot(F.col("qv"), F.col("qv"))
-    cn = _dot(F.col("cv"), F.col("cv"))
-    scored = scored.withColumn("cosine", dot / F.sqrt(qn * cn))
+    scored = scored.withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1339,13 +1339,19 @@ def dedup_embedding_cosine(spark, sf):
     from tamer_spark.operators.similarity import lsh_bucket_from_quantized, quantize_embedding, _dot
 
     emb = _t(spark, sf, "embeddings")
+    # squared norm once per vector (not per candidate pair); pair work is a
+    # single dot. sqrt(a.n2 * b.n2) keeps the arithmetic (and the rounded
+    # cosine) bit-identical to the per-pair formulation.
     b = emb.select(
         "vec_id", quantize_embedding(F.col("embedding")).alias("v")
-    ).select("vec_id", "v", lsh_bucket_from_quantized(F.col("v"), 8, 64).alias("bucket"))
-    a, bb = b.alias("a"), b.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(
-        _dot(F.col("a.v"), F.col("a.v")) * _dot(F.col("b.v"), F.col("b.v"))
+    ).select(
+        "vec_id",
+        "v",
+        lsh_bucket_from_quantized(F.col("v"), 8, 64).alias("bucket"),
+        _dot(F.col("v"), F.col("v")).alias("n2"),
     )
+    a, bb = b.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     return (
         a.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cosine_raw", cos)
