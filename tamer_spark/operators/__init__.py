@@ -8,9 +8,13 @@ from tamer_spark.operators.dedup import (
     shingle_string_rows,
     simhash_signatures,
 )
+from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
 from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
 
 __all__ = [
+    "pack_greedy",
+    "pack_offsets",
+    "with_pack_group",
     "asof_join",
     "dedup_exact",
     "dedup_exact_normalized",

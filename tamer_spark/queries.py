@@ -1657,6 +1657,54 @@ def split_sample_docs(spark, sf):
     )
 
 
+_PACK_BUDGET, _PACK_GROUPS = 512, 8
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, doc_id % {_PACK_GROUPS} AS pack_group,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+      FROM documents),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM tok),
+    g AS (
+      SELECT pack_group, rn, doc_id, CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_group, o.rn, o.doc_id,
+             CASE WHEN g.fill > 0 AND g.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN g.bin_id + 1 ELSE g.bin_id END,
+             CASE WHEN g.fill > 0 AND g.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE g.fill + o.n_tokens END
+      FROM g JOIN ord o ON o.pack_group = g.pack_group AND o.rn = g.rn + 1)
+    SELECT ord.doc_id, ord.pack_group, ord.n_tokens, ord.start_off,
+           CAST(floor(ord.start_off / {_PACK_BUDGET}) AS BIGINT) AS seq_first,
+           CAST(floor((ord.start_off + greatest(ord.n_tokens, 1) - 1) / {_PACK_BUDGET}) AS BIGINT) AS seq_last,
+           g.bin_id AS greedy_bin
+    FROM ord JOIN g ON g.pack_group = ord.pack_group AND g.rn = ord.rn
+    """,
+    doc=f"Sequence packing for training rows (budget {_PACK_BUDGET} tokens, {_PACK_GROUPS} pack groups): concat-and-split offsets/sequence spans via pure window math, plus whole-document greedy bin ids via an Arrow-batched applyInPandas recurrence (a closed bin resets the fill — not a prefix sum). Group key = doc_id mod groups bounds every group to ~N/groups docs; one shuffle per layout, parallelism = groups. Oracle reproduces the greedy recurrence with a recursive CTE.",
+)
+def pack_sequences_q(spark, sf):
+    from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
+
+    d = _t(spark, sf, "documents")
+    toks = with_pack_group(
+        d.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")),
+        groups=_PACK_GROUPS,
+    )
+    off = pack_offsets(toks, budget=_PACK_BUDGET)
+    gre = pack_greedy(toks, budget=_PACK_BUDGET).select(
+        "doc_id", F.col("bin_id").alias("greedy_bin")
+    )
+    return off.join(gre, "doc_id")
+
+
 @q(
     "decontaminate_against_benchmark",
     f"""
