@@ -267,3 +267,112 @@ class ObjectCursorSource:
         else:
             new_cursor = parse_number_from_key(key, self.prefix)
         return df, {"cursor": new_cursor, "last_key": key}
+
+
+# ---------------------------------------------------------------------------
+# OCI Object Storage surface (ObjectStorageSetup.scala:32-119)
+# ---------------------------------------------------------------------------
+
+def oci_s3_compat_endpoint(namespace: str, region: str) -> str:
+    """OCI's S3-compatibility endpoint for a tenancy namespace (public OCI
+    URL scheme) — pass as ``S3Lister.endpoint_url`` to list/read OCI buckets
+    with the same client as S3."""
+    return f"https://{namespace}.compat.objectstorage.{region}.oraclecloud.com"
+
+
+def objects_cursor(start_after: str | None = None, current: str | None = None) -> dict:
+    """The reference's ``ObjectsCursor(startAfter, current)`` state shape
+    (example OciObjectStorageSimple.scala:34-44) as a JSON-serializable
+    checkpoint record."""
+    return {"start_after": start_after, "current": current}
+
+
+@dataclass
+class OciObjectStorageSource:
+    """Faithful analog of the reference's OCI ``ObjectStorageSetup`` state
+    machine (ObjectStorageSetup.scala:69-93), over any :class:`Lister`.
+
+    Per iteration, exactly like the reference:
+
+    1. list object names under ``prefix`` resuming at ``start_after(state)``
+       (driver, metadata-only),
+    2. the *next* object = first listed name accepted by
+       ``object_name_finder`` (reference line 90),
+    3. process ``object_name(state)`` — the object discovered by the
+       *previous* iteration (discovery and processing are offset by one
+       iteration, reference lines 69-78 vs 92),
+    4. fold the next name into the state via ``state_fold``.
+
+    The default callbacks implement the reference example's sequential
+    cursor (``ObjectsCursor``): every object is processed exactly once, in
+    listing order, skipping names the finder rejects. The reference's
+    1-minute sleep on an idle fold is the engine's poll/backoff here.
+
+    State identity mirrors ``stateKey = hash(namespace) + hash(bucket) +
+    hash(prefix)`` (ObjectStorageSetup.scala:48-53): changing any of the
+    three orphans the old checkpoint.
+
+    Scale: listing is names-only on the driver; object bytes are read by
+    executors via ``spark.read`` against the lister's URI (for OCI over the
+    S3-compat endpoint: s3a + ``fs.s3a.endpoint``).
+    """
+
+    lister: Lister
+    namespace: str
+    bucket: str
+    prefix: str = ""
+    object_name_finder: Callable[[str], bool] = staticmethod(lambda _name: True)
+    object_name: Callable[[Any], str | None] = staticmethod(lambda s: s["current"])
+    start_after: Callable[[Any], str | None] = staticmethod(lambda s: s["start_after"])
+    state_fold: Callable[[Any, str | None], Any] | None = None
+    decode: Callable[[DataFrame], DataFrame] | None = None
+    read_object: Callable[[SparkSession, str], DataFrame] | None = None
+
+    def initial_state(self) -> Any:
+        return objects_cursor()
+
+    def state_fingerprint(self) -> str:
+        return (
+            fingerprint("oci-namespace", self.namespace)
+            + fingerprint("oci-bucket", self.bucket)
+            + fingerprint("oci-prefix", self.prefix)
+        )
+
+    def _default_fold(self, state: Any, next_name: str | None) -> Any:
+        # example OciObjectStorageSimple.scala:39-43: a discovered name
+        # becomes both the resume point and the object to process next
+        # iteration; no discovery clears `current` (idle — engine polls).
+        if next_name is not None:
+            return objects_cursor(start_after=next_name, current=next_name)
+        return objects_cursor(start_after=state["start_after"], current=None)
+
+    def _next_name(self, start_after: str | None) -> str | None:
+        while True:
+            page = self.lister.list_keys(self.prefix, start_after=start_after)
+            if not page:
+                return None
+            for name in page:
+                if self.object_name_finder(name):
+                    return name
+            if start_after is not None and page[-1] <= start_after:
+                return None  # lister ignored start_after — no forward progress
+            start_after = page[-1]
+
+    def iteration(self, state: Any, spark: SparkSession) -> tuple[DataFrame | None, Any]:
+        next_name = self._next_name(self.start_after(state))
+        current = self.object_name(state)
+        df = None
+        if current is not None:
+            uri = self.lister.object_uri(current)
+            df = (
+                self.read_object(spark, uri)
+                if self.read_object is not None
+                else spark.read.text(uri)
+            )
+            if self.decode is not None:
+                df = self.decode(df)
+        fold = self.state_fold or self._default_fold
+        new_state = fold(state, next_name)
+        if df is None and new_state == state:
+            return None, state  # idle — engine polls with backoff
+        return df, new_state
