@@ -1208,6 +1208,19 @@ def similarity_knn_lsh_multiprobe_q(spark, sf):
 
 
 @q(
+    "ivf_cluster_assign",
+    None,
+    doc="IVF coarse-quantizer assignment over the embedding corpus: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver), integer-exact centroid updates. Rows-only gate — the iterative driver loop has no single-statement SQL analog; brute-force parity at full probes is pinned in tests/test_ivf.py.",
+)
+def ivf_cluster_assign_q(spark, sf):
+    from tamer_spark.operators.similarity import ivf_build
+
+    emb = _t(spark, sf, "embeddings")
+    assigned, _centroids = ivf_build(emb, n_centroids=8, iters=3)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@q(
     "multimodal_binary_stats",
     "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256_hex FROM documents",
     doc="Arrow-batched mapInPandas over binary payloads (byte length + sha256) — the multimodal decode plumbing with a hash in place of a codec.",
