@@ -8,10 +8,12 @@ from tamer_spark.operators.dedup import (
     shingle_string_rows,
     simhash_signatures,
 )
+from tamer_spark.operators.mixing import stratified_mix
 from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
 from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
 
 __all__ = [
+    "stratified_mix",
     "pack_greedy",
     "pack_offsets",
     "with_pack_group",

@@ -1,0 +1,68 @@
+"""Deterministic stratified source mixing (corpus rebalancing).
+
+Training mixtures prescribe per-source proportions ("3 parts curated, 1 part
+web"). This operator downsamples each source to hit target integer weights
+exactly, deterministically, and engine-independently:
+
+1. count docs per source (tiny agg),
+2. find the *limiting* source — the one whose ``count / weight`` ratio is
+   smallest; it is kept whole and caps every other source's quota,
+3. quota per source = ``(weight * n_limiting) // w_limiting`` — integer
+   arithmetic, so quotas are exact on any engine (no float-floor edge),
+4. within each source keep the ``quota`` docs with the smallest salted
+   stable hash (content-independent; the kept set only shrinks/grows at the
+   rank boundary when the corpus changes, and never depends on row order).
+
+Scale: one count agg + one window rank per source + a broadcast of the
+quota table (rows = #sources). The rank window shuffles on source — salt
+the window key for a source holding >1 executor-heap of ids (same recipe as
+join_salted) if a single source dominates the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.hashing import stable_hash64
+
+
+def stratified_mix(
+    df: DataFrame,
+    weight: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-",
+) -> DataFrame:
+    """Resample ``df`` so sources appear in ``weight`` proportions.
+
+    ``weight`` is an integer Column expression over the input row (e.g. a
+    CASE over ``source``). Returns the kept rows as (id, source, mix_rank)
+    with ``mix_rank`` = 1-based hash rank within the source.
+    """
+    base = df.select(F.col(id_col), F.col(source_col), weight.cast("long").alias("w"))
+    counts = base.groupBy(source_col, "w").agg(F.count(F.lit(1)).alias("n"))
+    # limiting source = smallest n/w (double ratio is only used to *choose*;
+    # ties broken by source name). IEEE division is identical cross-engine.
+    lim_w = Window.orderBy(
+        (F.col("n").cast("double") / F.col("w")).asc(), F.col(source_col).asc()
+    )
+    lim = (
+        counts.withColumn("_r", F.row_number().over(lim_w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("n").alias("n_lim"), F.col("w").alias("w_lim"))
+    )
+    quotas = counts.crossJoin(F.broadcast(lim)).select(
+        source_col,
+        F.floor((F.col("w") * F.col("n_lim")) / F.col("w_lim")).alias("quota"),
+    )
+    rank_w = Window.partitionBy(source_col).orderBy(
+        stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    ranked = base.withColumn("mix_rank", F.row_number().over(rank_w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select(id_col, source_col, "mix_rank")
+    )

@@ -1670,6 +1670,39 @@ def split_sample_docs(spark, sf):
     )
 
 
+_MIX_HEAVY = ("src0", "src1", "src2", "src3", "src4")
+
+
+@q(
+    "stratified_mix_sources",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN {_MIX_HEAVY!r} THEN 3 ELSE 1 END AS w
+      FROM documents),
+    counts AS (SELECT source, w, COUNT(*) AS n FROM base GROUP BY source, w),
+    lim AS (SELECT n AS n_lim, w AS w_lim FROM counts
+            ORDER BY CAST(n AS DOUBLE)/w ASC, source ASC LIMIT 1),
+    quotas AS (SELECT source, (w * n_lim) // w_lim AS quota FROM counts, lim),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+               doc_id ASC) AS mix_rank
+      FROM base)
+    SELECT ranked.doc_id, ranked.source, CAST(mix_rank AS BIGINT) AS mix_rank
+    FROM ranked JOIN quotas USING (source) WHERE mix_rank <= quota
+    """,
+    doc="Deterministic stratified source mixing: rebalance the corpus to 3:1 target weights (5 'curated' sources vs the rest). The limiting source (smallest count/weight) caps every quota via exact integer arithmetic; each source keeps its lowest-salted-hash docs, so membership is content-independent and engine-independent. One tiny count agg + per-source rank window + broadcast quota join.",
+)
+def stratified_mix_sources_q(spark, sf):
+    from tamer_spark.operators.mixing import stratified_mix
+
+    d = _t(spark, sf, "documents")
+    w = F.when(F.col("source").isin(*_MIX_HEAVY), 3).otherwise(1)
+    return stratified_mix(d, w)
+
+
 _PACK_BUDGET, _PACK_GROUPS = 512, 8
 
 

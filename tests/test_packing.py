@@ -84,3 +84,38 @@ def test_pack_query_single_shuffle_per_layout(spark):
     # offsets layout: the window's exchange is the only one before the join
     df = REGISTRY["pack_sequences"].spark(spark, SF_DIR)
     assert shuffle_count(df) <= 3, "pack layouts must shuffle once each (join may add one)"
+
+
+# --- stratified source mixing ---------------------------------------------
+
+def test_stratified_mix_hits_exact_quotas(spark):
+    from tamer_spark.operators.mixing import stratified_mix
+
+    rows = [(i, "heavy" if i % 3 == 0 else "light") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # heavy: 30 docs weight 4; light: 60 docs weight 1 → limiting = heavy
+    # (30/4 < 60/1); quotas: heavy 30, light (1*30)//4 = 7
+    w = F.when(F.col("source") == "heavy", 4).otherwise(1)
+    out = stratified_mix(df, w).collect()
+    kept = {}
+    for r in out:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    assert kept == {"heavy": 30, "light": 7}
+
+
+def test_stratified_mix_membership_stable_under_growth(spark):
+    from tamer_spark.operators.mixing import stratified_mix
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(40)]
+    w = F.lit(1)
+    small = stratified_mix(spark.createDataFrame(rows, "doc_id long, source string"), w)
+    kept_small = {(r.doc_id) for r in small.collect()}
+    # growing a source only moves the rank boundary: previously-kept docs
+    # with rank within the (unchanged) quota stay kept
+    rows2 = rows + [(100 + i, "b") for i in range(10)]
+    big = stratified_mix(spark.createDataFrame(rows2, "doc_id long, source string"), w)
+    kept_big = {(r.doc_id) for r in big.collect()}
+    # quota for 'a' unchanged (still limiting at 20): its kept set identical
+    a_small = {d for d in kept_small if d % 2 == 0}
+    a_big = {d for d in kept_big if d % 2 == 0 and d < 100}
+    assert a_small == a_big
