@@ -1,7 +1,8 @@
 """End-to-end LLM training-data curation pipeline over the documents table:
 
     quality gate → exact dedup → MinHash-LSH near-dup removal →
-    context-window chunking → token counting
+    stratified source mixing → train/val/test split →
+    context-window chunking → token counting → sequence packing
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -45,13 +46,42 @@ drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 kept = deduped.join(drop, "doc_id", "left_anti")
 n3 = kept.count()
 
-# 4. chunk to 50-word context windows + 5. count tokens per chunk
-chunks = kept.select(
-    "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
+# 4. stratified mixing: rebalance to 3:1 curated-vs-web target weights
+from tamer_spark.functions.hashing import stable_hash64
+from tamer_spark.operators.mixing import stratified_mix
+from tamer_spark.operators.packing import pack_greedy, with_pack_group
+
+heavy = ("src0", "src1", "src2", "src3", "src4")
+mix_w = F.when(F.col("source").isin(*heavy), 3).otherwise(1)
+mixed_ids = stratified_mix(
+    kept.join(docs.select("doc_id", "source"), "doc_id"), mix_w
+).select("doc_id")
+mixed = kept.join(mixed_ids, "doc_id", "left_semi")
+n4 = mixed.count()
+
+# 5. stable train/val/test split (hash-range membership — never reshuffles
+#    docs between splits as the corpus grows)
+h = stable_hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+split = mixed.withColumn(
+    "split", F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+)
+
+# 6. chunk to 50-word context windows + count tokens per chunk
+chunks = split.select(
+    "doc_id", "split",
+    F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk"),
 ).withColumn("n_tokens", token_count_col(F.col("chunk")))
 chunks.write.mode("overwrite").parquet(str(ws / "curated_chunks"))
 
+# 7. pack the train split's docs into 512-token training rows
+train_tokens = split.filter(F.col("split") == "train").select(
+    "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+)
+packed = pack_greedy(with_pack_group(train_tokens, groups=8), budget=512)
+n_bins = packed.select("pack_group", "bin_id").distinct().count()
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
-print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3}")
+print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
-assert n0 >= n1 >= n2 >= n3 > 0
+print(f"train sequences (512-token greedy bins): {n_bins}")
+assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
