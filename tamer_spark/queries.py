@@ -21,6 +21,7 @@ Cross-engine determinism conventions (the whole point of this module):
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 from typing import Callable
 
@@ -624,6 +625,50 @@ def ingest_tumbling_events(spark, sf):
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+
+
+_STREAM_GATE_SEQ = itertools.count()
+
+
+@q(
+    "streaming_tumbling_counts",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The SAME tumbling aggregation as ingest_tumbling_events, but executed through Structured Streaming end-to-end: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg, Trigger.AvailableNow drain into a memory sink — the drained table must hash-match the batch SQL oracle. Watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+)
+def streaming_tumbling_counts_q(spark, sf):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+    name = f"stream_gate_{next(_STREAM_GATE_SEQ)}"
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_c"
     )
 
 
