@@ -643,6 +643,19 @@ _STREAM_GATE_SEQ = itertools.count()
     doc="The SAME tumbling aggregation as ingest_tumbling_events, but executed through Structured Streaming end-to-end: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg, Trigger.AvailableNow drain into a memory sink — the drained table must hash-match the batch SQL oracle. Watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_tumbling_counts_q(spark, sf):
+    ev = _stream_events(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+    name = _drain(agg, "complete")
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_c"
+    )
+
+
+def _stream_events(spark, sf):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
@@ -652,24 +665,60 @@ def streaming_tumbling_counts_q(spark, sf):
         .option("pathGlobFilter", "events.parquet")
         .load(sf)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = (
-        ev.withWatermark("ts", "3650 days")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
-    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df, mode: str):
     name = f"stream_gate_{next(_STREAM_GATE_SEQ)}"
     sq = (
-        agg.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     sq.awaitTermination()
-    return spark.table(name).select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_c"
+    return name
+
+
+@q(
+    "streaming_dedup_events",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc="Streaming stateful dedup in the hard gate: the events stream unioned with itself (every row arrives twice) through watermark + dropDuplicates(event_id), drained via AvailableNow — output must contain each event exactly once, hash-matched against plain SELECT. The state store holds one key per event inside the watermark; production bounds it with the real lateness window.",
+)
+def streaming_dedup_events_q(spark, sf):
+    ev = _stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type")
+    doubled = ev.union(_stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type"))
+    deduped = doubled.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
+    name = _drain(deduped, "append")
+    return spark.table(name).select("event_id", "user_id", "event_type")
+
+
+@q(
+    "streaming_static_enrich",
+    f"""
+    WITH {EVENTS_CTE}
+    SELECT e.event_id, e.user_id, c.c_name, n.n_name
+    FROM events e
+      JOIN customer c ON e.user_id % 1500 = c.c_custkey - 1
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Stream-static join in the hard gate: the events stream enriched against static customer+nation dims (broadcast — the stream side never shuffles), drained via AvailableNow and hash-matched against the batch join. The synthetic user_id%1500 key maps every event onto the customer fixture.",
+)
+def streaming_static_enrich_q(spark, sf):
+    ev = _stream_events(spark, sf).select("event_id", "user_id")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    joined = (
+        ev.join(F.broadcast(cust), ev["user_id"] % 1500 == cust["c_custkey"] - 1)
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("event_id", "user_id", "c_name", "n_name")
     )
+    name = _drain(joined, "append")
+    return spark.table(name)
 
 
 @q(
