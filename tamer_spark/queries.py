@@ -722,6 +722,38 @@ def streaming_static_enrich_q(spark, sf):
 
 
 @q(
+    "streaming_session_windows",
+    f"""
+    WITH {EVENTS_CTE}, gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Native session_window (30-min gap) through Structured Streaming, drained via AvailableNow and hash-matched against the batch gap-sessionization oracle. Edge note: session_window's half-open merge treats an exactly-30-min gap as a new session while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF (verified), and production pipelines should pick one rule and encode it in both paths.",
+)
+def streaming_session_windows_q(spark, sf):
+    ev = _stream_events(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+    name = _drain(agg, "complete")
+    return spark.table(name).select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value_c"
+    )
+
+
+@q(
     "ingest_cursor_user_stats",
     f"""
     WITH {EVENTS_CTE}
