@@ -103,10 +103,12 @@ def shingle_hash_rows(
 
     Shape: posexplode words → hash each word once → window ``lead`` combines
     the n adjacent hashes polynomially ``(h1*B^(n-1)+...+hn) % P``. Linear
-    work and one doc-keyed shuffle. (Row-local array formulations lose: each
-    ``element_at(hashed, ...)`` reference re-inlines the whole md5-array
-    expression — O(words²) hashing; measured 5× slower than even the
-    per-shingle-md5 explode at sf0.1.)
+    work and one doc-keyed shuffle. Used where downstream needs *rows* for
+    an equi-join (ngram_jaccard). When the consumer is per-document
+    (minhash_signatures), prefer the staged row-local array form there —
+    a bare row-local expression re-inlines the md5 array per ``element_at``
+    (O(words²), measured 5× slower), but STAGED through materialized
+    columns it is ~10× faster than this shape and shuffle-free.
 
     Documents shorter than n words fold all their word hashes into one value
     (disjoint doc set, handled row-locally — it's O(n) by definition).
@@ -152,32 +154,58 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (k permutation-mins over shingle hashes).
 
-    Plan shape: explode shingles → hash each shingle ONCE → groupBy(doc) with
-    k ``min`` aggregates. Map-side partial aggregation reduces the shuffle to
-    ~(docs × k) ints regardless of document length.
+    MAP-ONLY: signatures are per-document, so no exchange is needed at all.
+    Three staged selects materialize, in order, the word array, the per-word
+    hash array (one md5 per word), and the shingle-hash array (polynomial
+    combination of adjacent word hashes — pure arithmetic); the final select
+    takes k ``array_min`` permutation scans over the materialized shingle
+    array. Each stage's alias is multiply-referenced downstream, which is
+    exactly what stops CollapseProject from re-inlining it (same staging
+    rule as text_profile / lsh_bucket_from_quantized).
 
-    (A fully row-local formulation with ``transform``/``array_min`` is
-    possible but catastrophically slower: Catalyst inlines the shared
-    shingle-hash subexpression into all k branches, recomputing every md5
-    k times — measured 30× worse at sf0.1. The explode+agg shape hashes each
-    shingle exactly once.)
+    History: an earlier row-local attempt that referenced the *expression*
+    (not a materialized column) re-inlined the md5 array per access —
+    measured 5× slower than the explode+window+partial-agg shape this
+    replaced. Staged through columns, the row-local form is ~10× FASTER than
+    that shape at sf0.1 (0.09s vs 0.9s) with zero shuffle (was docs×k ints),
+    because the shuffle, sort, and k-aggregate machinery all disappear.
+
+    Semantics identical to shingle_hash_rows' exploded form (same word hash,
+    same polynomial, same short-doc fold) — pinned by the driver oracle.
     """
     coeffs = minhash_coefficients(k, seed)
-    sh, short = shingle_hash_rows(df, text_col, id_col, n)
+    p, base = MERSENNE_P, SHINGLE_BASE
+    s1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    s2 = s1.select(
+        "doc_id", F.transform("_ws", lambda w: stable_hash64(w) % p).alias("_hs")
+    )
+    hs = F.col("_hs")
+    # shingle hash = (h[i]*B^(n-1) + ... + h[i+n-1]) % P over each window of n
+    def shingle_at(i: Column) -> Column:
+        acc = None
+        for j in range(n):
+            term = F.element_at(hs, i + j) * (base ** (n - 1 - j))
+            acc = term if acc is None else acc + term
+        return acc % p
 
-    def mins(frame: DataFrame) -> DataFrame:
-        return frame.groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
-                for i, (a, b) in enumerate(coeffs)
-            ]
-        )
-
-    # disjoint doc sets (short docs vs n-or-more words) → aggregate each
-    # branch on its own partitioning, then concatenate; the long branch's
-    # groupBy reuses the window's doc-hash exchange (no second shuffle)
-    sig = mins(sh).unionByName(mins(short))
-    return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("signature"))
+    long_sh = F.transform(F.sequence(F.lit(1), F.size(hs) - (n - 1)), shingle_at)
+    # docs shorter than n words fold ALL word hashes into one value
+    short_sh = F.array(
+        F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: (acc * base + h) % p)
+    )
+    s3 = s2.select(
+        "doc_id", F.when(F.size(hs) < n, short_sh).otherwise(long_sh).alias("_sh")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p)))
+            for a, b in coeffs
+        ]
+    )
+    return s3.select("doc_id", sig.alias("signature"))
 
 
 def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:

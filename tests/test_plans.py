@@ -67,17 +67,15 @@ def test_split_sample_docs_is_map_only(spark):
     assert shuffle_count(df) == 0, explain_str(df)
 
 
-def test_minhash_signatures_shuffles_once_per_branch(spark):
-    # explode → hash-once-per-word → window-lead combine → groupBy mins:
-    # the long-doc branch shuffles once on doc_id (window + agg share the
-    # exchange); the short-doc branch (< n words, usually empty) adds one
-    # tiny exchange. Anything above that means the exchange reuse broke.
-    # (clear the cache first: minhash_lsh_pairs persists the signature
-    # subplan, and a cache hit here would swap exchanges for an
-    # InMemoryTableScan and make the count meaningless)
+def test_minhash_signatures_is_map_only(spark):
+    # staged row-local arrays (words → word hashes → shingle hashes →
+    # k array_min scans): signatures are per-document, so the plan must
+    # carry no exchange at all. (clear the cache first: minhash_lsh_pairs
+    # persists the signature subplan, and a cache hit would swap the scan
+    # for an InMemoryTableScan and make the count meaningless)
     spark.catalog.clearCache()
     df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
-    assert shuffle_count(df) <= 2, explain_str(df)
+    assert shuffle_count(df) == 0, explain_str(df)
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):
