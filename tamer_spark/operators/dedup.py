@@ -350,25 +350,28 @@ def simhash_signatures(
     """SimHash document signatures (bit-majority vote over word hashes).
 
     For each bit position: +1 if the word's stable hash has the bit set else
-    −1; sign of the sum sets the signature bit. Same explode→hash-once→
-    partial-agg shape as minhash_signatures (the row-local formulation
-    recomputes every word hash ``bits`` times — see note there).
+    −1; sign of the sum sets the signature bit. MAP-ONLY, like
+    minhash_signatures: the per-word hash array is materialized once in its
+    own select (one md5 per word; multiply-referenced alias, so
+    CollapseProject keeps it), then each bit's vote is an ``aggregate`` scan
+    over that array — no exchange, signatures at parquet-scan rate.
     Returns (doc_id, simhash int64).
     """
-    ws = df.select(
+    hashed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    ).select(
+        "doc_id", F.transform("_ws", lambda w: stable_hash64(w)).alias("_hs")
     )
-    h = ws.select("doc_id", stable_hash64(F.col("w")).alias("h"))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
-    )
+
+    def vote(i: int) -> Column:
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1),
+        )
+
     out = F.lit(0).cast("long")
     for i in range(bits):
-        out = out + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
-    return votes.select("doc_id", out.alias("simhash"))
+        out = out + F.when(vote(i) > 0, F.lit(1 << i)).otherwise(0)
+    return hashed.select("doc_id", out.alias("simhash"))

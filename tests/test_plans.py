@@ -146,3 +146,10 @@ def test_tfidf_folds_corpus_count_into_plan(spark):
     df = REGISTRY["tfidf_top_terms"].spark(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastNestedLoop" in plan, plan
+
+
+def test_simhash_is_map_only(spark):
+    # bit votes are aggregate() scans over the materialized word-hash array —
+    # per-document output, so the plan must carry no exchange
+    df = REGISTRY["dedup_simhash"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 0, explain_str(df)
