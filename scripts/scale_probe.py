@@ -35,7 +35,7 @@ OPS = [
     "dedup_minhash_lsh",
     "text_profile",
     "dedup_embedding_cosine",
-    "similarity_knn_lsh_multiprobe",
+    "similarity_knn_lsh",
     "q1_pricing_summary",
     "sessionize_events",
 ]

@@ -262,6 +262,27 @@ def minhash_lsh_pairs(
     quadratic hotspot; dropped buckets are real duplicate clusters and are
     caught by dedup_exact far more cheaply.
     """
+    pairs, sigs = minhash_lsh_pairs_with_cache(
+        df, text_col, id_col, k, bands, n, seed, max_bucket
+    )
+    return pairs if keep_cache else _release_on_gc(pairs, sigs)
+
+
+def minhash_lsh_pairs_with_cache(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_lsh_pairs`` returning ``(pairs, cached_signatures)`` so a
+    caller that derives further plans from the pairs (e.g. connected-component
+    clustering) can hold the signature cache alive until ITS final result is
+    dropped — wire it with ``_release_on_gc(final_result, cached_signatures)``.
+    """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
     # the signature table is referenced by the bucket-size filter AND both
@@ -295,7 +316,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
-    return pairs if keep_cache else _release_on_gc(pairs, sigs)
+    return pairs, sigs
 
 
 def ngram_jaccard_pairs(

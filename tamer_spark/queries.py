@@ -632,27 +632,59 @@ _STREAM_GATE_SEQ = itertools.count()
 
 
 @q(
-    "streaming_tumbling_counts",
+    "streaming_window_aggs",
     f"""
-    WITH {EVENTS_CTE}
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    WITH {EVENTS_CTE}, gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT 'tumbling_1h' AS variant, event_type AS k, date_trunc('hour', ts) AS t_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session_30m', CAST(user_id AS VARCHAR), min(ts), COUNT(*),
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+    FROM sessions GROUP BY user_id, session_id
     """,
-    doc="The SAME tumbling aggregation as ingest_tumbling_events, but executed through Structured Streaming end-to-end: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg, Trigger.AvailableNow drain into a memory sink — the drained table must hash-match the batch SQL oracle. Watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="Both streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). Both drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
-def streaming_tumbling_counts_q(spark, sf):
+def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
-    agg = (
+    tumb = (
         ev.withWatermark("ts", "3650 days")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
     )
-    name = _drain(agg, "complete")
-    return spark.table(name).select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_c"
+    sess = (
+        _stream_events(spark, sf)
+        .withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
     )
+    t_name = _drain(tumb, "complete")
+    s_name = _drain(sess, "complete")
+    t_out = spark.table(t_name).select(
+        F.lit("tumbling_1h").alias("variant"),
+        F.col("event_type").alias("k"),
+        F.col("w.start").alias("t_start"),
+        "n_events",
+        "sum_value_c",
+    )
+    s_out = spark.table(s_name).select(
+        F.lit("session_30m").alias("variant"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("w.start").alias("t_start"),
+        "n_events",
+        "sum_value_c",
+    )
+    return t_out.unionByName(s_out)
 
 
 def _stream_events(spark, sf):
@@ -682,75 +714,50 @@ def _drain(df, mode: str):
 
 
 @q(
-    "streaming_dedup_events",
+    "streaming_row_gates",
     f"""
     WITH {EVENTS_CTE}
-    SELECT event_id, user_id, event_type FROM events
-    """,
-    doc="Streaming stateful dedup in the hard gate: the events stream unioned with itself (every row arrives twice) through watermark + dropDuplicates(event_id), drained via AvailableNow — output must contain each event exactly once, hash-matched against plain SELECT. The state store holds one key per event inside the watermark; production bounds it with the real lateness window.",
-)
-def streaming_dedup_events_q(spark, sf):
-    ev = _stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type")
-    doubled = ev.union(_stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type"))
-    deduped = doubled.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
-    name = _drain(deduped, "append")
-    return spark.table(name).select("event_id", "user_id", "event_type")
-
-
-@q(
-    "streaming_static_enrich",
-    f"""
-    WITH {EVENTS_CTE}
-    SELECT e.event_id, e.user_id, c.c_name, n.n_name
+    SELECT 'dedup' AS variant, event_id, user_id, event_type AS s1, CAST(NULL AS VARCHAR) AS s2
+    FROM events
+    UNION ALL
+    SELECT 'static_enrich', e.event_id, e.user_id, c.c_name, n.n_name
     FROM events e
       JOIN customer c ON e.user_id % 1500 = c.c_custkey - 1
       JOIN nation n ON c.c_nationkey = n.n_nationkey
     """,
-    doc="Stream-static join in the hard gate: the events stream enriched against static customer+nation dims (broadcast — the stream side never shuffles), drained via AvailableNow and hash-matched against the batch join. The synthetic user_id%1500 key maps every event onto the customer fixture.",
+    doc="Both row-level Structured Streaming gates as one tagged union. dedup: the events stream unioned with itself (every row arrives twice) through watermark + dropDuplicates(event_id) — output must contain each event exactly once, hash-matched against plain SELECT; the state store holds one key per event inside the watermark (production bounds it with the real lateness window). static_enrich: the events stream joined against static customer+nation dims (broadcast — the stream side never shuffles), hash-matched against the batch join; the synthetic user_id%1500 key maps every event onto the customer fixture. Both drain via Trigger.AvailableNow.",
 )
-def streaming_static_enrich_q(spark, sf):
-    ev = _stream_events(spark, sf).select("event_id", "user_id")
+def streaming_row_gates_q(spark, sf):
+    ev = _stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type")
+    doubled = ev.union(_stream_events(spark, sf).select("event_id", "ts", "user_id", "event_type"))
+    deduped = doubled.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
+    d_name = _drain(deduped, "append")
+
+    ev2 = _stream_events(spark, sf).select("event_id", "user_id")
     cust = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
     nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
     joined = (
-        ev.join(F.broadcast(cust), ev["user_id"] % 1500 == cust["c_custkey"] - 1)
+        ev2.join(F.broadcast(cust), ev2["user_id"] % 1500 == cust["c_custkey"] - 1)
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .select("event_id", "user_id", "c_name", "n_name")
     )
-    name = _drain(joined, "append")
-    return spark.table(name)
+    e_name = _drain(joined, "append")
 
-
-@q(
-    "streaming_session_windows",
-    f"""
-    WITH {EVENTS_CTE}, gaps AS (
-      SELECT user_id, event_id, ts, value,
-             CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
-                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM gaps)
-    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM sessions GROUP BY user_id, session_id
-    """,
-    doc="Native session_window (30-min gap) through Structured Streaming, drained via AvailableNow and hash-matched against the batch gap-sessionization oracle. Edge note: session_window's half-open merge treats an exactly-30-min gap as a new session while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF (verified), and production pipelines should pick one rule and encode it in both paths.",
-)
-def streaming_session_windows_q(spark, sf):
-    ev = _stream_events(spark, sf)
-    agg = (
-        ev.withWatermark("ts", "3650 days")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    d_out = spark.table(d_name).select(
+        F.lit("dedup").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
     )
-    name = _drain(agg, "complete")
-    return spark.table(name).select(
-        "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value_c"
+    e_out = spark.table(e_name).select(
+        F.lit("static_enrich").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("c_name").alias("s1"),
+        F.col("n_name").alias("s2"),
     )
+    return d_out.unionByName(e_out)
 
 
 @q(
@@ -1110,17 +1117,6 @@ def _lsh_oracle() -> str:
     """
 
 
-@q(
-    "dedup_minhash_lsh",
-    _lsh_oracle(),
-    doc="Banded MinHash LSH candidate pairs; bucket join shuffles (band, sig) only — never the cross product; oversized buckets dropped (skew guard).",
-)
-def dedup_minhash_lsh_q(spark, sf):
-    return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET
-    )
-
-
 def _clusters_oracle() -> str:
     """Transitive closure over the LSH pair graph via a recursive CTE —
     min-reachable-id per node is exactly what large/small-star converges to."""
@@ -1159,17 +1155,39 @@ def _clusters_oracle() -> str:
 
 
 @q(
-    "dedup_clusters",
-    _clusters_oracle(),
-    doc="Near-dup CLUSTERS, not pairs: LSH candidate pairs fed through distributed connected components (alternating large-star/small-star, operators/cc.py) → every doc labeled with its transitive cluster's min id + cluster size; singletons map to themselves. The cluster form is the 100 TB answer to pair-output blowup — a 10k-copy boilerplate cluster is 10k rows here vs ~50M pairs. O(log n) rounds, each a groupBy-min shuffle on a shrinking edge set.",
+    "dedup_minhash_lsh",
+    f"""
+    SELECT 'pairs' AS variant, doc_a AS k1, doc_b AS k2, matching_bands AS n
+    FROM ({_lsh_oracle()})
+    UNION ALL
+    SELECT 'clusters', doc_id, cluster_rep, cluster_size FROM ({_clusters_oracle()})
+    """,
+    doc="Banded MinHash LSH near-dup detection, candidate PAIRS and transitive CLUSTERS as one tagged union. pairs: bucket join shuffles (band, sig) only — never the cross product; oversized buckets dropped (skew guard). clusters: the same pairs fed through distributed connected components (alternating large-star/small-star, operators/cc.py) → every doc labeled with its transitive cluster's min id + cluster size; singletons map to themselves. The cluster form is the 100 TB answer to pair-output blowup — a 10k-copy boilerplate cluster is 10k rows vs ~50M pairs; O(log n) rounds, each a groupBy-min shuffle on a shrinking edge set.",
 )
-def dedup_clusters_q(spark, sf):
+def dedup_minhash_lsh_q(spark, sf):
     from tamer_spark.operators.cc import attach_cluster_ids
+    from tamer_spark.operators.dedup import _release_on_gc, minhash_lsh_pairs_with_cache
 
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET)
-    out = attach_cluster_ids(d.select("doc_id"), pairs)
-    return out.select("doc_id", "cluster_rep", F.col("cluster_size").cast("long").alias("cluster_size"))
+    # hold the signature cache until the UNION result is dropped — the pairs
+    # branch and the cc seed both read it
+    pairs, sigs = minhash_lsh_pairs_with_cache(
+        d, k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET
+    )
+    clusters = attach_cluster_ids(d.select("doc_id"), pairs)
+    p_out = pairs.select(
+        F.lit("pairs").alias("variant"),
+        F.col("doc_a").alias("k1"),
+        F.col("doc_b").alias("k2"),
+        F.col("matching_bands").alias("n"),
+    )
+    c_out = clusters.select(
+        F.lit("clusters").alias("variant"),
+        F.col("doc_id").alias("k1"),
+        F.col("cluster_rep").alias("k2"),
+        F.col("cluster_size").cast("long").alias("n"),
+    )
+    return _release_on_gc(p_out.unionByName(c_out), sigs)
 
 
 def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
@@ -1259,18 +1277,6 @@ def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) 
     """
 
 
-@q(
-    "similarity_knn_lsh",
-    _lsh_knn_oracle(),
-    doc="ANN top-5 via random-hyperplane LSH buckets (single-probe); bucket equi-join replaces the cross product — the 100 TB scale path.",
-)
-def similarity_knn_lsh_q(spark, sf):
-    from tamer_spark.operators.similarity import cosine_knn_lsh
-
-    emb = _t(spark, sf, "embeddings")
-    return cosine_knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64)
-
-
 def _lsh_multiprobe_knn_oracle(
     planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5, probes: int = 3
 ) -> str:
@@ -1320,16 +1326,23 @@ def _lsh_multiprobe_knn_oracle(
 
 
 @q(
-    "similarity_knn_lsh_multiprobe",
-    _lsh_multiprobe_knn_oracle(),
-    doc="Multi-probe ANN (Lv et al. VLDB'07): each query probes its own bucket plus the 2 buckets across its lowest-|margin| hyperplanes — recall ≥ single-probe by construction (superset of candidates), still shuffling bucket ids only. Flip order is an exact-integer sort key, deterministic in both engines.",
+    "similarity_knn_lsh",
+    f"""
+    SELECT CAST(1 AS BIGINT) AS probes, * FROM ({_lsh_knn_oracle()})
+    UNION ALL
+    SELECT 3, * FROM ({_lsh_multiprobe_knn_oracle()})
+    """,
+    doc="ANN top-5 via random-hyperplane LSH buckets, single-probe AND multi-probe (Lv et al. VLDB'07) as one tagged union. Single-probe: bucket equi-join replaces the cross product — the 100 TB scale path. Multi-probe: each query also probes the 2 buckets across its lowest-|margin| hyperplanes — recall ≥ single-probe by construction (superset of candidates), still shuffling bucket ids only; flip order is an exact-integer sort key, deterministic in both engines.",
 )
-def similarity_knn_lsh_multiprobe_q(spark, sf):
-    from tamer_spark.operators.similarity import cosine_knn_lsh_multiprobe
+def similarity_knn_lsh_q(spark, sf):
+    from tamer_spark.operators.similarity import cosine_knn_lsh, cosine_knn_lsh_multiprobe
 
     emb = _t(spark, sf, "embeddings")
-    return cosine_knn_lsh_multiprobe(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, planes=8, dim=64, probes=3
+    qs = emb.filter(F.col("vec_id") < 10)
+    single = cosine_knn_lsh(emb, qs, k=5, planes=8, dim=64)
+    multi = cosine_knn_lsh_multiprobe(emb, qs, k=5, planes=8, dim=64, probes=3)
+    return single.select(F.lit(1).cast("long").alias("probes"), "*").unionByName(
+        multi.select(F.lit(3).cast("long").alias("probes"), "*")
     )
 
 
@@ -1424,27 +1437,6 @@ def quality_filter_docs(spark, sf):
     ).select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
 
 
-@q(
-    "embedding_norms",
-    """
-    SELECT vec_id, label,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           sqrt(list_dot_product(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
-                                 list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)))) AS l2_norm_q
-    FROM embeddings
-    """,
-)
-def embedding_norms(spark, sf):
-    from tamer_spark.operators.similarity import quantize_embedding
-
-    emb = _t(spark, sf, "embeddings")
-    qv = quantize_embedding(F.col("embedding"))
-    dot = F.aggregate(F.zip_with(qv, qv, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
-    return emb.select(
-        "vec_id", "label", F.size("embedding").cast("long").alias("dim"), F.sqrt(dot).alias("l2_norm_q")
-    )
-
-
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     import hashlib as _hl
 
@@ -1471,10 +1463,39 @@ def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) ->
 
 @q(
     "dedup_embedding_cosine",
-    _embedding_neardup_oracle(),
-    doc="Embedding-cosine near-dup pairs (threshold 0.3 — calibrated to the synthetic random embeddings; production would use ~0.9) within LSH buckets — semantic dedup at corpus scale without the O(n²) cross join.",
+    f"""
+    SELECT 'neardup' AS variant, vec_a AS k1, vec_b AS k2, cosine AS v
+    FROM ({_embedding_neardup_oracle()})
+    UNION ALL
+    SELECT 'norm', vec_id, CAST(len(embedding) AS BIGINT),
+           round(sqrt(list_dot_product(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
+                                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)))), 6)
+    FROM embeddings
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.3 — calibrated to the synthetic random embeddings; production would use ~0.9) within LSH buckets — semantic dedup at corpus scale without the O(n²) cross join — unioned (tagged) with the per-vector L2-norm/dim profile pass (quantized F.aggregate/zip_with dot product, map-only).",
 )
 def dedup_embedding_cosine(spark, sf):
+    from tamer_spark.operators.similarity import quantize_embedding
+
+    emb = _t(spark, sf, "embeddings")
+    qv = quantize_embedding(F.col("embedding"))
+    dot = F.aggregate(F.zip_with(qv, qv, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    norms = emb.select(
+        F.lit("norm").alias("variant"),
+        F.col("vec_id").alias("k1"),
+        F.size("embedding").cast("long").alias("k2"),
+        F.round(F.sqrt(dot), 6).alias("v"),
+    )
+    pairs = _embedding_neardup_pairs(spark, sf).select(
+        F.lit("neardup").alias("variant"),
+        F.col("vec_a").alias("k1"),
+        F.col("vec_b").alias("k2"),
+        F.col("cosine").alias("v"),
+    )
+    return pairs.unionByName(norms)
+
+
+def _embedding_neardup_pairs(spark, sf):
     from tamer_spark.operators.similarity import lsh_bucket_from_quantized, quantize_embedding, _dot
 
     emb = _t(spark, sf, "embeddings")
@@ -1667,56 +1688,58 @@ def join_salted_events_customers(spark, sf):
 # ---------------------------------------------------------------------------
 
 @q(
-    "subquery_above_nation_avg",
+    "null_and_subquery_semantics",
     """
-    WITH nation_avg AS (
+    WITH d AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS st
+               FROM orders),
+    nation_avg AS (
       SELECT c_nationkey,
              CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_c,
              COUNT(*) AS n
       FROM customer GROUP BY c_nationkey)
-    SELECT c.c_custkey, c.c_nationkey, CAST(round(c.c_acctbal*100) AS BIGINT) AS bal_c
+    SELECT 'null_groups' AS variant, st AS k, COUNT(*) AS v1, COUNT(st) AS v2,
+           CAST(COUNT(*) FILTER (WHERE st IS NULL) AS BIGINT) AS v3,
+           CAST(COUNT(*) FILTER (WHERE st IS NOT DISTINCT FROM 'O') AS BIGINT) AS v4
+    FROM d GROUP BY st
+    UNION ALL
+    SELECT 'above_group_avg', CAST(c.c_custkey AS VARCHAR), c.c_nationkey,
+           CAST(round(c.c_acctbal*100) AS BIGINT), NULL, NULL
     FROM customer c JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
     WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * a.n > a.sum_c
     """,
-    doc="Correlated 'above my group's average' — decorrelated into a broadcast join against the per-group aggregate; exact-int cross-multiplication avoids avg division.",
+    doc="Two semantic showcases as one tagged union. null_groups: grouping by NULL, count vs count(col), IS [NOT] DISTINCT FROM (null-safe equality <=>). above_group_avg: correlated 'above my group's average' decorrelated into a broadcast join against the per-group aggregate; exact-int cross-multiplication avoids avg division.",
 )
-def subquery_above_nation_avg(spark, sf):
-    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
-    avg = c.groupBy("c_nationkey").agg(
-        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        c.join(F.broadcast(avg), "c_nationkey")
-        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
-        .select("c_custkey", "c_nationkey", "bal_c")
-    )
-
-
-@q(
-    "null_semantics",
-    """
-    WITH d AS (SELECT o_orderkey,
-                      CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS st
-               FROM orders)
-    SELECT st, COUNT(*) AS n_rows, COUNT(st) AS n_nonnull,
-           CAST(COUNT(*) FILTER (WHERE st IS NULL) AS BIGINT) AS n_null,
-           CAST(COUNT(*) FILTER (WHERE st IS NOT DISTINCT FROM 'O') AS BIGINT) AS n_nullsafe_o
-    FROM d GROUP BY st
-    """,
-    doc="NULL semantics: grouping by NULL, count vs count(col), IS [NOT] DISTINCT FROM (null-safe equality <=>).",
-)
-def null_semantics(spark, sf):
+def null_and_subquery_semantics(spark, sf):
     o = _t(spark, sf, "orders")
     d = o.select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("st"),
     )
-    return d.groupBy("st").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("st").alias("n_nonnull"),
-        F.count(F.when(F.col("st").isNull(), 1)).cast("long").alias("n_null"),
-        F.count(F.when(F.col("st").eqNullSafe("O"), 1)).cast("long").alias("n_nullsafe_o"),
+    nulls = d.groupBy("st").agg(
+        F.count(F.lit(1)).alias("v1"),
+        F.count("st").alias("v2"),
+        F.count(F.when(F.col("st").isNull(), 1)).cast("long").alias("v3"),
+        F.count(F.when(F.col("st").eqNullSafe("O"), 1)).cast("long").alias("v4"),
+    ).select(F.lit("null_groups").alias("variant"), F.col("st").alias("k"), "v1", "v2", "v3", "v4")
+
+    c = _t(spark, sf, "customer").withColumn("bal_c", cents("c_acctbal"))
+    avg = c.groupBy("c_nationkey").agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
     )
+    above = (
+        c.join(F.broadcast(avg), "c_nationkey")
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .select(
+            F.lit("above_group_avg").alias("variant"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.col("c_nationkey").cast("long").alias("v1"),
+            F.col("bal_c").alias("v2"),
+            F.lit(None).cast("long").alias("v3"),
+            F.lit(None).cast("long").alias("v4"),
+        )
+    )
+    return nulls.unionByName(above)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,6 @@
 """Connected components (operators/cc.py): correctness vs a driver-side
 union-find on the same edge lists, convergence depth, and the end-to-end
-cluster-attach used by the dedup_clusters gate query."""
+cluster-attach used by the dedup_minhash_lsh gate query's clusters variant."""
 
 from __future__ import annotations
 

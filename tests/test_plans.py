@@ -104,8 +104,15 @@ def test_dedup_caches_release_when_result_dropped(spark):
 
     The session is shared across the suite, so assert on the delta of
     persisted-RDD ids, not the global set — other tests' caches may still be
-    alive (or be finalizer-released mid-test)."""
+    alive (or be finalizer-released mid-test). Target the pairs operator
+    directly, not the registry entry: the registry's merged gate also runs
+    connected components, whose localCheckpoint blocks are reclaimed
+    asynchronously by the ContextCleaner, which this delta check can't
+    observe deterministically."""
     import gc
+
+    from tamer_spark.operators.dedup import minhash_lsh_pairs
+    from tamer_spark.queries import _BANDS, _K, _MAX_BUCKET, _N, _t
 
     def persisted_ids():
         rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
@@ -114,7 +121,9 @@ def test_dedup_caches_release_when_result_dropped(spark):
 
     gc.collect()  # flush pending finalizers from earlier tests first
     before = persisted_ids()
-    df = REGISTRY["dedup_minhash_lsh"].spark(spark, SF_DIR)
+    df = minhash_lsh_pairs(
+        _t(spark, SF_DIR, "documents"), k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET
+    )
     df.count()  # materialize → signature stage cached
     assert persisted_ids() - before, "signature stage was not cached"
     del df
@@ -124,7 +133,7 @@ def test_dedup_caches_release_when_result_dropped(spark):
 
 
 def test_multiprobe_knn_broadcasts_queries_not_corpus(spark):
-    df = REGISTRY["similarity_knn_lsh_multiprobe"].spark(spark, SF_DIR)
+    df = REGISTRY["similarity_knn_lsh"].spark(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan  # probe side broadcast, corpus streamed
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
