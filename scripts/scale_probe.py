@@ -24,15 +24,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import tamer_spark
+from bench import HEADLINE
 from pyspark.sql import functions as F
 from tamer_spark.queries import REGISTRY
 
 SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "scale_probe"
 
+# Hot-path callables shared with bench.py (pairs-only for the merged gates)
+# so the linearity evidence tracks the same plans the bench times.
 OPS = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_profile",
     "dedup_embedding_cosine",
     "similarity_knn_lsh",
@@ -71,8 +75,9 @@ def synthesize_10x(spark, src: str, dst: Path) -> None:
 
 
 def time_op(spark, name: str, sf_dir: str) -> float:
+    fn = HEADLINE.get(name) or REGISTRY[name].spark
     t0 = time.monotonic()
-    REGISTRY[name].spark(spark, sf_dir).count()
+    fn(spark, sf_dir).count()
     return round(time.monotonic() - t0, 3)
 
 

@@ -291,7 +291,10 @@ def minhash_lsh_pairs_with_cache(
     sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
+        # _outer: plain posexplode infers a size>0 filter whose pushdown
+        # re-inlines the band transform (Catalyst trap, see queries.py
+        # minhash_signatures_q); band arrays are always length `bands`
+        F.posexplode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.concat_ws(

@@ -225,7 +225,9 @@ def cosine_knn_lsh_multiprobe(
             lsh_probe_buckets(F.col("qv"), planes, dim, probes=probes).alias("probe_buckets"),
             _dot(F.col("qv"), F.col("qv")).alias("qn2"),
         )
-        .select("query_id", "qv", "qn2", F.explode("probe_buckets").alias("bucket"))
+        # _outer: avoids the inferred size>0 filter re-inlining the probe-
+        # bucket expression on pushdown (never empty: probes >= 1)
+        .select("query_id", "qv", "qn2", F.explode_outer("probe_buckets").alias("bucket"))
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
@@ -355,7 +357,9 @@ def ivf_search(
     ).select(
         "query_id",
         "qv2",
-        F.explode(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
+        # _outer: see cosine_knn_lsh_multiprobe — keeps the centroid-ranking
+        # expression out of an inferred pushed-down filter (never empty)
+        F.explode_outer(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"), "cluster"

@@ -1092,9 +1092,17 @@ def _minhash_sig_ctes() -> str:
 )
 def minhash_signatures_q(spark, sf):
     sigs = minhash_signatures(_t(spark, sf, "documents"), k=_K, n=_N, seed=42)
+    # posexplode_OUTER, deliberately: plain posexplode makes
+    # InferFiltersFromGenerate add `size(signature) > 0` above this Generate,
+    # and PushDownPredicates then substitutes the ENTIRE staged signature
+    # expression (16 array_min transforms → ~97 md5 subtrees) into that
+    # filter — evaluated per input row in interpreted mode, a >50× slowdown
+    # measured cold at sf0.01. The outer variant infers no filter, keeping
+    # the staged projection intact (signature arrays are always length k;
+    # pinned by tests/test_plans.py::test_minhash_gate_keeps_staged_hashes).
     return sigs.select(
         "doc_id",
-        F.posexplode("signature").alias("hash_index", "minhash"),
+        F.posexplode_outer("signature").alias("hash_index", "minhash"),
     ).select(F.col("doc_id"), F.col("hash_index").cast("long"), F.col("minhash"))
 
 
@@ -1422,19 +1430,55 @@ def agg_ordered_string_concat(spark, sf):
 @q(
     "quality_filter_docs",
     f"""
-    WITH stats AS ({_stats_oracle()})
-    SELECT doc_id, n_words, avg_word_len, stopword_ratio
+    WITH stats AS ({_stats_oracle()}),
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    bgl AS (SELECT doc_id, list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS bgs
+            FROM ws WHERE len(w) >= 2),
+    bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+    un AS (SELECT unnest(w) AS word FROM ws),
+    uc AS (SELECT word, COUNT(*) AS c1 FROM un GROUP BY word),
+    v AS (SELECT COUNT(*) AS V FROM uc),
+    lm AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    sc AS (SELECT doc_id, (1000000 * (lm.c2 + 1)) // (uc.c1 + v.V) AS p
+           FROM bg JOIN lm USING (bg)
+                   JOIN uc ON string_split(bg.bg, ' ')[1] = uc.word
+                   CROSS JOIN v)
+    SELECT 'filter' AS variant, doc_id AS k, n_words AS v1, avg_word_len AS v2, stopword_ratio AS v3
     FROM stats
     WHERE n_words >= 30 AND avg_word_len >= 3.0 AND punct_ratio < 0.1
+    UNION ALL
+    SELECT 'lm_score', doc_id, COUNT(*), CAST(SUM(p) AS DOUBLE),
+           CAST(SUM(p) AS DOUBLE) / COUNT(*)
+    FROM sc GROUP BY doc_id
     """,
-    doc="Quality-gate filter composing text_stats — the standard pretraining curation shape (filter on cheap map-side features before expensive stages).",
+    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations).",
 )
 def quality_filter_docs(spark, sf):
+    from tamer_spark.operators.lm import bigram_lm_score
+
     d = _t(spark, sf, "documents")
     stats = d.select("doc_id", *text_stats_cols(F.col("text")))
-    return stats.filter(
-        (F.col("n_words") >= 30) & (F.col("avg_word_len") >= 3.0) & (F.col("punct_ratio") < 0.1)
-    ).select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
+    filt = (
+        stats.filter(
+            (F.col("n_words") >= 30) & (F.col("avg_word_len") >= 3.0) & (F.col("punct_ratio") < 0.1)
+        )
+        .select(
+            F.lit("filter").alias("variant"),
+            F.col("doc_id").alias("k"),
+            F.col("n_words").cast("long").alias("v1"),
+            F.col("avg_word_len").alias("v2"),
+            F.col("stopword_ratio").alias("v3"),
+        )
+    )
+    lm = bigram_lm_score(d).select(
+        F.lit("lm_score").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("n_bigrams").alias("v1"),
+        F.col("sum_p_scaled").cast("double").alias("v2"),
+        F.col("avg_p_scaled").alias("v3"),
+    )
+    return filt.unionByName(lm)
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -1656,8 +1700,11 @@ def chunk_documents(spark, sf):
     from tamer_spark.functions.chunking import chunk_text_expr
 
     d = _t(spark, sf, "documents")
+    # _outer: keeps the chunk-slicing expression out of an inferred pushed-
+    # down size>0 filter (see minhash_signatures_q); chunk arrays are never
+    # empty (ceil(len/50) >= 1 for non-null text)
     return d.select(
-        "doc_id", F.posexplode(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
+        "doc_id", F.posexplode_outer(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
 
 

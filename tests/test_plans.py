@@ -157,6 +157,17 @@ def test_tfidf_folds_corpus_count_into_plan(spark):
     assert "BroadcastNestedLoop" in plan, plan
 
 
+def test_minhash_gate_keeps_staged_hashes(spark):
+    """The signatures gate must evaluate md5 once per word: plain posexplode
+    lets InferFiltersFromGenerate + PushDownPredicates substitute the whole
+    staged signature expression (~97 md5 subtrees) into a filter, which also
+    kicks the projection out of codegen — a >50x cold slowdown. Pin the
+    optimized plan to a single md5 occurrence."""
+    df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, f"md5 x{plan.count('md5')} — staged hash array was re-inlined"
+
+
 def test_simhash_is_map_only(spark):
     # bit votes are aggregate() scans over the materialized word-hash array —
     # per-document output, so the plan must carry no exchange
