@@ -50,14 +50,21 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
     )
+    # when-guard is load-bearing: sequence(1, size-1) for a 1-word doc is
+    # sequence(1, 0) == DESCENDING [1, 0], whose transform would read
+    # element_at(ws, 2) out of bounds; CaseWhen evaluates lazily, so the
+    # sequence never runs for short docs
     bgs = words.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("_ws") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("_ws"), i), F.element_at(F.col("_ws"), i + 1)
+        F.when(
+            F.size("_ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_ws"), i), F.element_at(F.col("_ws"), i + 1)
+                ),
             ),
-        ).alias("_bgs"),
+        ).otherwise(F.array().cast("array<string>")).alias("_bgs"),
     )
     # plain explode drops empty arrays on its own; an explicit size filter
     # would only re-inline the bigram transform on predicate pushdown
