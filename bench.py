@@ -23,6 +23,12 @@ from tamer_spark import queries as Q
 from tamer_spark.queries import REGISTRY
 
 
+def _dedup_exact_raw_only(spark, sf_dir):
+    from tamer_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(Q._t(spark, sf_dir, "documents"))
+
+
 def _minhash_lsh_pairs_only(spark, sf_dir):
     # the registry entry unions pairs + connected-component clusters for the
     # correctness gate; the bench times the pair-generation hot path alone so
@@ -44,7 +50,7 @@ HEADLINE = {
     "window_topk_quartile": None,
     "sessionize_events": None,
     "asof_join_events_orders": None,
-    "dedup_exact": None,
+    "dedup_exact": _dedup_exact_raw_only,
     "dedup_minhash_lsh": _minhash_lsh_pairs_only,
     "dedup_embedding_cosine": Q._embedding_neardup_pairs,
     "text_profile": None,

@@ -58,6 +58,28 @@ def dedup_exact_normalized(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def sentence_dedup_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_len: int = 1
+) -> DataFrame:
+    """Corpus-wide repeated-sentence counts — the CCNet/Gopher LINE-level
+    dedup signal (boilerplate sentences repeat across millions of pages while
+    their documents stay unique, so document-level dedup never sees them).
+
+    Splits on '. ', hashes each non-empty sentence, one md5-digest shuffle
+    with map-side combine (same cost shape as dedup_exact: ~24 B/sentence).
+    Returns (content_hash, keep_id, dup_count); downstream strips or drops
+    sentences whose dup_count exceeds a cap, keeping the first occurrence.
+    """
+    s = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\\. ")).alias("s"),
+    ).filter(F.length("s") >= min_len)
+    return (
+        s.groupBy(F.md5(F.col("s")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
 def shingle_string_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -835,10 +835,16 @@ def sessionize_events(spark, sf):
     SELECT 'normalized', md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
            CAST(min(doc_id) AS BIGINT), COUNT(*)
     FROM documents GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    UNION ALL
+    SELECT 'sentence', md5(s), CAST(min(doc_id) AS BIGINT), COUNT(*)
+    FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+    WHERE length(s) >= 1 GROUP BY md5(s)
     """,
-    doc="Exact dedup, raw + whitespace/case-normalized variants tagged in one result; single shuffle per variant on the md5 digest, map-side combine.",
+    doc="Exact dedup at three granularities tagged in one result: raw document, whitespace/case-normalized document, and corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents). Single md5-digest shuffle per variant, map-side combine.",
 )
 def dedup_exact_q(spark, sf):
+    from tamer_spark.operators.dedup import sentence_dedup_counts
+
     d = _t(spark, sf, "documents")
     raw = dedup_exact(d).select(
         F.lit("raw").alias("variant"), "content_hash", "keep_id", "dup_count"
@@ -846,7 +852,10 @@ def dedup_exact_q(spark, sf):
     norm = dedup_exact_normalized(d).select(
         F.lit("normalized").alias("variant"), "content_hash", "keep_id", "dup_count"
     )
-    return raw.unionByName(norm)
+    sent = sentence_dedup_counts(d).select(
+        F.lit("sentence").alias("variant"), "content_hash", "keep_id", "dup_count"
+    )
+    return raw.unionByName(norm).unionByName(sent)
 
 
 def _stats_oracle() -> str:

@@ -47,9 +47,9 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_dedup_exact_single_shuffle_per_variant(spark):
-    # tagged union of raw + normalized variants: exactly one shuffle each
+    # tagged union of raw + normalized + sentence variants: one shuffle each
     df = REGISTRY["dedup_exact"].spark(spark, SF_DIR)
-    assert shuffle_count(df) == 2, explain_str(df)
+    assert shuffle_count(df) == 3, explain_str(df)
     # and the scans read only (doc_id, text)
     scans = read_schema_columns(df)
     assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
