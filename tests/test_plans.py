@@ -168,6 +168,27 @@ def test_minhash_gate_keeps_staged_hashes(spark):
     assert plan.count("md5") == 1, f"md5 x{plan.count('md5')} — staged hash array was re-inlined"
 
 
+def test_no_hash_expression_blowup_across_text_gates(spark):
+    """Every text/dedup gate keeps its per-word md5 staged: a handful of md5
+    occurrences in the optimized plan, never the re-inlined explosion (the
+    broken signatures gate carried 97). Guards the whole family against the
+    three documented Catalyst traps (CollapseProject re-inlining, O(words²)
+    element_at, Generate filter pushdown) in one sweep."""
+    for name in [
+        "dedup_exact",
+        "minhash_signatures",
+        "dedup_simhash",
+        "text_profile",
+        "dedup_ngram_jaccard",
+        "quality_filter_docs",
+        "ngram_top_terms",
+        "tfidf_top_terms",
+        "decontaminate_against_benchmark",
+    ]:
+        plan = REGISTRY[name].spark(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5") <= 8, f"{name}: md5 x{plan.count('md5')} — staged hashing re-inlined"
+
+
 def test_simhash_is_map_only(spark):
     # bit votes are aggregate() scans over the materialized word-hash array —
     # per-document output, so the plan must carry no exchange
