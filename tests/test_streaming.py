@@ -70,6 +70,42 @@ def test_windowed_agg_matches_batch(spark, tmp_path):
     assert upserted == {(r.window_start, r.k): (r.n, r.sum_c) for r in batch}
 
 
+def test_sliding_window_agg_matches_batch(spark, tmp_path):
+    """Sliding windows (1h window, 30m slide): every event lands in exactly
+    two windows; the streamed result must match the batch double-count."""
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(minutes=11 * i), float(i)) for i in range(30)]
+    schema = "ts timestamp, v double"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = windowed_agg(
+        stream_parquet(spark, src, schema),
+        "ts",
+        window="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    upserted: dict = {}
+    run_available_now_foreach_batch(
+        stream,
+        str(tmp_path / "cp"),
+        lambda df, epoch: upserted.update({r.window_start: r.n for r in df.collect()}),
+    )
+    # batch equivalent: window(ts, 1h, 30m) via the same built-in on a static read
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    )
+    assert upserted == {r.window_start: r.n for r in batch}
+    # sliding property: total window-membership is 2x the event count
+    assert sum(upserted.values()) == 2 * len(rows)
+
+
 def test_stateful_running_totals_across_restarts(spark, tmp_path):
     src = tmp_path / "vals"
     src.mkdir()
