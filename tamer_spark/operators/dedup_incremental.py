@@ -1,0 +1,192 @@
+"""Incremental dedup: new batches against a persisted corpus index.
+
+Batch dedup (operators/dedup.py) re-reads the whole corpus per run. At
+100 TB that is the wrong loop: a curation pipeline ingests a few TB of NEW
+documents per epoch against a PB-scale historical corpus, and re-hashing
+history every epoch would dominate all other work. The scalable shape is an
+*index* — the historical corpus reduced to its dedup keys (16-byte content
+digests for exact dedup, (band_id, band_sig) bucket keys for MinHash LSH) —
+stored once, and each new batch joined against it:
+
+- index build: one pass over history, emitting only keys (≈24 B/doc exact,
+  ≈40 B × bands/doc for LSH) — 3-4 orders of magnitude smaller than the text.
+- per-epoch cost: hash the NEW batch only, then one join whose shuffle
+  volume is the new batch's keys. Stored bucketed on the key
+  (sinks/bucketed.write_bucketed), the index side joins with ZERO exchange —
+  only the small new-batch side shuffles, and the epoch cost is independent
+  of corpus size.
+- index update: append the surviving batch's keys (same bucketing). No
+  rewrite of history, ever.
+
+This mirrors the reference engine's incremental-ingest posture (tamer's
+whole design is "fold new data into persistent state", core Tamer.scala run
+loop) applied to the dedup domain; the reference itself has no dedup
+operators, so the semantics here follow the batch operators in
+operators/dedup.py, which the driver oracle pins.
+
+All plans are pure DataFrame ops — no Python UDFs, whole-stage codegen end
+to end, same md5-derived hashing as the batch path so an index built by one
+engine is usable by the other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.dedup import (
+    minhash_signatures,
+    normalize_text,
+)
+
+
+def exact_index(
+    df: DataFrame, text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """Distinct content digests of a corpus: the exact-dedup index.
+
+    One column ``content_hash`` (hex md5). Distinct is a single digest
+    shuffle with map-side combine — the same cost shape as dedup_exact.
+    Persist with ``write_bucketed(idx, "dedup_idx", ["content_hash"])`` so
+    future anti-joins need no exchange on the index side.
+    """
+    text = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return df.select(F.md5(text).alias("content_hash")).distinct()
+
+
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Rows of ``new_df`` that survive exact dedup against ``index`` AND
+    within the batch (min-id representative per digest, matching
+    dedup_exact's keep rule).
+
+    Plan: digest the new batch → in-batch min-id groupBy (one shuffle over
+    the BATCH only) → LEFT ANTI join against the index on ``content_hash``.
+    With the index bucketed on content_hash only the batch side shuffles;
+    the anti join also never widens rows (semi-join family), so the output
+    is bounded by the batch.
+
+    Returns the surviving rows of ``new_df`` (original columns) plus their
+    ``content_hash`` — feed ``.select("content_hash")`` back through an
+    append write to advance the index (see ``append_keys``).
+    """
+    text = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = new_df.withColumn("content_hash", F.md5(text))
+    in_batch_keep = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    survivors = hashed.join(in_batch_keep, ["content_hash", id_col])
+    return survivors.join(index, "content_hash", "left_anti")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct (band_id, band_sig) bucket keys of a corpus: the LSH index.
+
+    Same banding as minhash_lsh_pairs (k minhashes, ``bands`` bands of
+    k/bands rows, '-'-joined string signature) so index and batch agree
+    bit-for-bit. Signature computation is MAP-ONLY (row-local staged
+    arrays, see minhash_signatures); distinct is one shuffle of
+    docs × bands short rows. Persist bucketed on (band_id, band_sig).
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
+    return (
+        sigs.select(
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(F.col("signature"), b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("band_id", "band_sig")
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of ``new_df`` with no LSH band collision against ``index`` —
+    i.e. not a near-duplicate of anything already in the corpus.
+
+    A doc is dropped when ANY of its band signatures appears in the index
+    (the same "share any full band" candidate rule as minhash_lsh_pairs;
+    being index-vs-batch there is no pair verification step — at the
+    reference thresholds a single full-band match at k/bands rows per band
+    is the accept rule, and a stricter pipeline can re-verify survivors'
+    candidates with ngram_jaccard_pairs on the tiny collision set).
+
+    Plan: band the new batch (map-only) → LEFT SEMI join against the index
+    to find collided doc_ids → LEFT ANTI join the batch against those ids.
+    Both joins shuffle only batch-derived rows (docs × bands keys, then
+    doc_ids); the index side is exchange-free when bucketed. Within-batch
+    near-dups are NOT collapsed here (two novel near-dup docs both survive)
+    — run minhash_lsh_pairs on the surviving batch for that, which is cheap
+    because the batch is epoch-sized, then append the final survivors'
+    bands to the index.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sigs = minhash_signatures(new_df, text_col, id_col, k, n, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(F.col("signature"), b * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    collided = (
+        banded.join(index, ["band_id", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new_df.join(
+        collided, new_df[id_col] == collided["doc_id"], "left_anti"
+    )
+
+
+def append_keys(index: DataFrame, new_keys: DataFrame) -> DataFrame:
+    """Advance an index by a surviving batch's keys (plan form).
+
+    For a catalog-table index the physical form is
+    ``new_keys.write.mode("append")`` with the SAME bucketing as the
+    original ``write_bucketed`` call — append preserves bucket layout, so
+    the zero-exchange join property survives every epoch. This helper is
+    the logical equivalent for in-session composition and tests.
+    """
+    return index.unionByName(new_keys).distinct()

@@ -1,0 +1,123 @@
+"""Incremental dedup against a persisted index (operators/dedup_incremental).
+
+The invariant that matters: running the corpus through in epochs against an
+advancing index keeps exactly the documents that one full-corpus batch dedup
+would keep (given ids increase over time, so "first occurrence wins" agrees
+between the two).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.dedup import dedup_exact
+from tamer_spark.operators.dedup_incremental import (
+    append_keys,
+    dedup_exact_incremental,
+    dedup_minhash_incremental,
+    exact_index,
+    minhash_band_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_incremental_matches_full_batch(spark):
+    old = _docs(
+        spark,
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "unique old doc")],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox"),  # dup of old 1 -> dropped
+            (11, "fresh new document"),  # novel -> kept
+            (12, "fresh new document"),  # in-batch dup of 11 -> dropped
+            (13, "another novel one"),  # novel -> kept
+        ],
+    )
+    idx = exact_index(old)
+    survivors = dedup_exact_incremental(new, idx)
+    got = sorted(r.doc_id for r in survivors.collect())
+    assert got == [11, 13]
+
+    # equivalence: full-batch keep set over (old ∪ new), restricted to new ids
+    full_keep = {
+        r.keep_id for r in dedup_exact(old.unionByName(new)).collect()
+    }
+    assert set(got) == full_keep & {10, 11, 12, 13}
+
+
+def test_exact_incremental_epoch_loop_advances_index(spark):
+    idx = exact_index(_docs(spark, [(1, "seed doc")]))
+    b1 = _docs(spark, [(10, "epoch one doc"), (11, "seed doc")])
+    s1 = dedup_exact_incremental(b1, idx)
+    assert sorted(r.doc_id for r in s1.collect()) == [10]
+
+    idx = append_keys(idx, s1.select("content_hash"))
+    # a later epoch re-sending epoch one's doc is now deduped
+    b2 = _docs(spark, [(20, "epoch one doc"), (21, "epoch two doc")])
+    s2 = dedup_exact_incremental(b2, idx)
+    assert sorted(r.doc_id for r in s2.collect()) == [21]
+
+
+def test_exact_incremental_normalized(spark):
+    idx = exact_index(_docs(spark, [(1, "Hello   World")]), normalize=True)
+    new = _docs(spark, [(10, "hello world"), (11, "goodbye world")])
+    got = sorted(
+        r.doc_id
+        for r in dedup_exact_incremental(new, idx, normalize=True).collect()
+    )
+    assert got == [11]
+
+
+def test_minhash_incremental_drops_near_dup_keeps_novel(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    old = _docs(spark, [(1, base)])
+    idx = minhash_band_index(old, k=16, bands=4)
+    new = _docs(
+        spark,
+        [
+            # one word changed -> most shingles shared -> some band collides
+            (10, base.replace("lazy", "sleepy")),
+            (11, "completely different text about spark sql catalyst optimizer plans"),
+        ],
+    )
+    survivors = dedup_minhash_incremental(new, idx, k=16, bands=4)
+    got = sorted(r.doc_id for r in survivors.collect())
+    assert got == [11]
+    # survivors keep the batch's original columns
+    assert set(survivors.columns) == {"doc_id", "text"}
+
+
+def test_minhash_index_bands_agree_with_batch_banding(spark):
+    # an exact duplicate always collides on EVERY band
+    old = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    idx = minhash_band_index(old, k=16, bands=4)
+    assert idx.count() == 4  # one distinct sig per band for a single doc
+    new = _docs(spark, [(10, "alpha beta gamma delta epsilon zeta")])
+    assert dedup_minhash_incremental(new, idx, k=16, bands=4).count() == 0
+
+
+def test_exact_incremental_plan_is_anti_join_no_cartesian(spark):
+    old = _docs(spark, [(1, "a")])
+    new = _docs(spark, [(10, "b")])
+    plan = dedup_exact_incremental(new, exact_index(old))._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_minhash_incremental_plan_semi_then_anti(spark):
+    old = _docs(spark, [(1, "a b c d")])
+    new = _docs(spark, [(10, "e f g h")])
+    plan = (
+        dedup_minhash_incremental(new, minhash_band_index(old))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
