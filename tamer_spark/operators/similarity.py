@@ -337,6 +337,35 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_append(
+    new_df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to a frozen coarse quantizer — the incremental
+    half of the IVF index (same epoch posture as
+    operators/dedup_incremental: never recompute history per batch).
+
+    Standard IVF practice: the quantizer is trained once (``ivf_build``);
+    later epochs only *assign* their vectors to the existing centroids and
+    append to the inverted file — a MAP-ONLY pass over the batch (the
+    centroid table is a plan literal, n_centroids × dim doubles). Output
+    schema (vec_id, qv, cluster) matches ``ivf_build``'s inverted file, so
+    the physical append preserves the cluster bucketing and ``ivf_search``
+    works unchanged over the union. Retrain (a fresh ``ivf_build``) only
+    when assignment distances drift — that choice stays with the caller,
+    where the reference keeps all state-advance decisions (tamer's state
+    fold).
+    """
+    base = new_df.select(
+        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    )
+    return base.select(
+        "vec_id", "qv", _nearest_centroids(F.col("qv"), centroids, 1)[0].alias("cluster")
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

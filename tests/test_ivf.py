@@ -56,3 +56,31 @@ def test_lsh_multiprobe_recall_geq_single_probe(spark):
     r1, r3 = _recall(single, exact), _recall(multi, exact)
     assert r3 >= r1, f"multi-probe recall {r3} < single-probe {r1}"
     assert len(multi) >= len(single)  # superset of candidate buckets
+
+
+def test_ivf_append_matches_full_assignment_and_search(spark):
+    """Epoch loop: assign new vectors to frozen centroids, append to the
+    inverted file — search over the union equals assigning everything at
+    once, and the append pass is map-only (no Exchange)."""
+    from tamer_spark.operators.similarity import ivf_append
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    _, centroids = ivf_build(old, n_centroids=4, iters=2)
+
+    index = ivf_append(old, centroids).unionByName(ivf_append(new, centroids))
+    all_at_once = ivf_append(emb, centroids)
+    assert sorted(
+        (r.vec_id, r.cluster) for r in index.collect()
+    ) == sorted((r.vec_id, r.cluster) for r in all_at_once.collect())
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_search(index, centroids, queries, k=5, nprobe=4).collect()
+    want = ivf_search(all_at_once, centroids, queries, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # a neighbor from the NEW half is reachable through the appended index
+    assert any(r.neighbor_id % 2 == 1 for r in got)
+
+    plan = ivf_append(new, centroids)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
