@@ -80,8 +80,25 @@ train_tokens = split.filter(F.col("split") == "train").select(
 packed = pack_greedy(with_pack_group(train_tokens, groups=8), budget=512)
 n_bins = packed.select("pack_group", "bin_id").distinct().count()
 
+# 8. next epoch: the curated corpus is now a persisted dedup INDEX; a new
+#    day's batch folds in at O(batch) cost — history is never re-hashed.
+#    (Simulated batch: 50 re-sent docs under fresh ids + 50 genuinely new.)
+from tamer_spark.operators.dedup_incremental import dedup_exact_incremental, exact_index
+
+idx = exact_index(mixed)
+resent = mixed.limit(50).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+fresh = mixed.limit(50).select(
+    (F.col("doc_id") + 2_000_000).alias("doc_id"),
+    F.concat(F.lit("day2 update: "), F.col("text")).alias("text"),
+)
+batch = resent.unionByName(fresh)
+survivors = dedup_exact_incremental(batch, idx)
+n_new = survivors.count()
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
+print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
 assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
+assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
