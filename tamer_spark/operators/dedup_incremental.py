@@ -65,22 +65,31 @@ def dedup_exact_incremental(
     within the batch (min-id representative per digest, matching
     dedup_exact's keep rule).
 
-    Plan: digest the new batch → in-batch min-id groupBy (one shuffle over
-    the BATCH only) → LEFT ANTI join against the index on ``content_hash``.
-    With the index bucketed on content_hash only the batch side shuffles;
-    the anti join also never widens rows (semi-join family), so the output
-    is bounded by the batch.
+    Plan: digest the new batch → in-batch min-id representative via a
+    ``row_number`` window partitioned by digest — ONE shuffle over the
+    BATCH only, and the anti-join against the index reuses that exact
+    partitioning (same key), so no further batch exchange is needed. (The
+    groupBy-min + self-join formulation costs three batch exchanges: the
+    agg plus both sides of a (digest, id) equi-join — pinned in
+    tests/test_dedup_incremental.py.) With the index bucketed on
+    content_hash the index side needs zero exchange; a small index
+    broadcasts instead. The anti join never widens rows (semi-join
+    family), so the output is bounded by the batch.
 
     Returns the surviving rows of ``new_df`` (original columns) plus their
     ``content_hash`` — feed ``.select("content_hash")`` back through an
     append write to advance the index (see ``append_keys``).
     """
+    from pyspark.sql import Window
+
     text = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(text))
-    in_batch_keep = hashed.groupBy("content_hash").agg(
-        F.min(id_col).alias(id_col)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    survivors = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    survivors = hashed.join(in_batch_keep, ["content_hash", id_col])
     return survivors.join(index, "content_hash", "left_anti")
 
 

@@ -121,3 +121,42 @@ def test_minhash_incremental_plan_semi_then_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "Cartesian" not in plan
+
+
+def test_bucketed_index_anti_join_shuffles_batch_side_only(spark):
+    """The 100 TB claim from the module docstring, pinned: with the index
+    stored bucketed on content_hash, the anti-join needs NO exchange on the
+    index side — only the (epoch-sized) batch shuffles to meet it."""
+    import shutil
+
+    from tamer_spark.plans import shuffle_count
+    from tamer_spark.sinks.bucketed import read_table, write_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS dedup_idx_b")
+    shutil.rmtree(f"{warehouse}/dedup_idx_b", ignore_errors=True)
+
+    old = _docs(spark, [(i, f"historical doc {i}") for i in range(50)])
+    # bucket count == spark.sql.shuffle.partitions so the batch's window
+    # exchange satisfies the join distribution exactly (the 100 TB layout
+    # rule: pick bucket counts your epoch jobs already partition to)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(exact_index(old), "dedup_idx_b", ["content_hash"], num_buckets=n_shuffle)
+    idx = read_table(spark, "dedup_idx_b")
+
+    new = _docs(spark, [(100 + i, f"historical doc {i}") for i in range(10)]
+                + [(200 + i, f"novel doc {i}") for i in range(10)])
+    # at real scale the index outgrows broadcast; force the SMJ path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        survivors = dedup_exact_incremental(new, idx)
+        # batch side: exactly ONE exchange (the in-batch window on digest;
+        # the anti-join reuses its partitioning); index side: ZERO — the
+        # bucketed scan satisfies the distribution requirement directly
+        assert shuffle_count(survivors) == 1
+        plan = survivors._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan  # index scan is bucket-aware
+        assert sorted(r.doc_id for r in survivors.collect()) == list(range(200, 210))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
