@@ -160,3 +160,27 @@ def test_bucketed_index_anti_join_shuffles_batch_side_only(spark):
         assert sorted(r.doc_id for r in survivors.collect()) == list(range(200, 210))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exact_incremental_three_epoch_equivalence(spark):
+    """Seeded multi-epoch corpus with duplicates within and across epochs:
+    the epoch loop (dedup vs advancing index) keeps exactly the docs that
+    one full-corpus batch dedup keeps."""
+    import random
+
+    rng = random.Random(42)
+    texts = [f"text variant {rng.randrange(40)}" for _ in range(120)]
+    rows = list(enumerate(texts))  # ids 0..119, increasing over time
+    epochs = [rows[0:40], rows[40:80], rows[80:120]]
+
+    survivors: list[int] = []
+    idx = spark.createDataFrame([], "content_hash string")
+    for ep in epochs:
+        batch = _docs(spark, ep)
+        s = dedup_exact_incremental(batch, idx)
+        survivors.extend(r.doc_id for r in s.collect())
+        idx = append_keys(idx, s.select("content_hash"))
+
+    full = _docs(spark, rows)
+    want = sorted(r.keep_id for r in dedup_exact(full).collect())
+    assert sorted(survivors) == want
