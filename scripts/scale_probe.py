@@ -111,6 +111,29 @@ def main() -> None:
                 "ratio_10x_docs": round(r["sf0.1x10"] / r["sf0.1"], 2),
             }
     print(json.dumps(summary, indent=2))
+
+    # Incremental dedup: FIXED batch vs GROWING corpus index. The claim is
+    # that epoch cost is O(batch), independent of corpus size — so time must
+    # stay ~flat as the index grows 100× (the index scan is keys-only and
+    # the batch side is the only shuffle).
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental,
+        exact_index,
+    )
+
+    batch = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    inc = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        idx = exact_index(spark.read.parquet(f"{path}/documents.parquet"))
+        t0 = time.monotonic()
+        dedup_exact_incremental(batch, idx).count()
+        inc[label] = round(time.monotonic() - t0, 3)
+        print(f"# dedup_exact_incremental(batch=sf0.01)@index={label}: {inc[label]}s", file=sys.stderr)
+    print(json.dumps({"dedup_exact_incremental_fixed_batch": {
+        **{f"t_idx_{k}": v for k, v in inc.items()},
+        "ratio_100x_corpus": round(inc["sf0.1x10"] / inc["sf0.01"], 2),
+    }}, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
