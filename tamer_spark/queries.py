@@ -62,13 +62,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # interpret them in UTC too or toPandas shifts wall times.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-        # default; read nanos as long and floor-divide to micros (exact —
-        # integer division; the matching oracle CTE casts TIMESTAMP_NS →
-        # TIMESTAMP, which also truncates).
+        # events.parquet has shipped with two physical types for ts across
+        # testdata generations: TIMESTAMP(NANOS) (Spark rejects by default —
+        # read nanos as long and floor-divide to micros, exact integer
+        # division) and plain TIMESTAMP_NTZ micros (read natively, cast to
+        # session-UTC TIMESTAMP so downstream window/date logic sees the
+        # same wall times either way). Adapt on the observed schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -690,14 +695,23 @@ def streaming_window_aggs_q(spark, sf):
 def _stream_events(spark, sf):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # readStream needs a declared schema; probe the parquet footer with a
+    # batch read so the declared ts type matches the physical file (nanos →
+    # long, micros → timestamp_ntz; see _t for the two testdata generations).
+    ts_type = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
     src = (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(df, mode: str):
@@ -1920,8 +1934,8 @@ _PACK_BUDGET, _PACK_GROUPS = 512, 8
       FROM documents),
     ord AS (
       SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
       FROM tok),
     g AS (
       SELECT pack_group, rn, doc_id, CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
