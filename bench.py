@@ -4,14 +4,20 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count + a cheap checksum collect) so
-lazy plans actually run; time includes plan + execution, not session startup.
+Each query is executed to completion (count) so lazy plans actually run; time
+includes plan + execution, not session startup. Per-query value is the MEDIAN
+of $SPARK_GRAFT_BENCH_ITERS (default 3) timed iterations after a warm-up pass
+— single-run numbers at 0.2-2 s per query on local[32] swing ±15-35 %
+run-to-run, which makes round-over-round deltas unreadable; the spread
+(min/max) is reported alongside so a wide interval is visible instead of
+masquerading as a regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -19,8 +25,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import tamer_spark
+from pyspark.sql import functions as F
 from tamer_spark import queries as Q
 from tamer_spark.queries import REGISTRY
+
+# One-time per-(entry, sf_dir) setup products (persisted pairs, bucketed
+# index tables) built during the warm-up pass so the timed iterations measure
+# the operator itself, not its input construction. Holding the DataFrames
+# here also pins their caches for the life of the process.
+_MEMO: dict[tuple[str, str], object] = {}
 
 
 def _dedup_exact_raw_only(spark, sf_dir):
@@ -31,18 +44,79 @@ def _dedup_exact_raw_only(spark, sf_dir):
 
 def _minhash_lsh_pairs_only(spark, sf_dir):
     # the registry entry unions pairs + connected-component clusters for the
-    # correctness gate; the bench times the pair-generation hot path alone so
-    # the number stays comparable across rounds
+    # correctness gate; the bench times pair generation alone so the number
+    # stays comparable across rounds. Timed COLD (signature stage included,
+    # see _NO_WARM_KEEP): the operator's internal signature cache is tied to
+    # the result's lifetime, so whether an iteration rides a previous
+    # iteration's cache depends on GC/order — rounds ≤2 happened to time the
+    # warm-signature banding+join only (~1.5 s at sf0.1); from round 3 the
+    # number is the full cold path (~2.2 s) and is iteration-stable.
     return Q.minhash_lsh_pairs(
         Q._t(spark, sf_dir, "documents"), k=Q._K, bands=Q._BANDS, n=Q._N, seed=42,
         max_bucket=Q._MAX_BUCKET,
     )
 
 
+def _cc_clusters_only(spark, sf_dir):
+    # isolate connected components: the LSH candidate pairs are computed and
+    # persisted ONCE (warm-up), so the timed iterations measure the
+    # large-star/small-star rounds + cluster attach, not pair generation
+    from tamer_spark.operators.cc import attach_cluster_ids
+
+    key = ("lsh_pairs", sf_dir)
+    if key not in _MEMO:
+        d = Q._t(spark, sf_dir, "documents")
+        # the extra repartition makes this plan NOT sameResult() as the
+        # dedup_minhash_lsh timed entry's plan — without it the cache manager
+        # substitutes this persisted copy there and that entry times a cache
+        # scan instead of pair generation
+        pairs = Q.minhash_lsh_pairs(
+            d, k=Q._K, bands=Q._BANDS, n=Q._N, seed=42, max_bucket=Q._MAX_BUCKET
+        ).repartition("doc_a").persist()
+        pairs.count()
+        _MEMO[key] = (d, pairs)
+    d, pairs = _MEMO[key]
+    return attach_cluster_ids(d.select("doc_id"), pairs)
+
+
+def _dedup_exact_incremental_epoch(spark, sf_dir):
+    # the 100 TB curation loop: a 10 % "new epoch" batch deduped against the
+    # other 90 % of the corpus persisted as a BUCKETED key index (built once
+    # in warm-up). The merge hint pins the sort-merge path — at real scale
+    # the index outgrows broadcast, and SMJ against a bucketed index is the
+    # zero-index-exchange plan whose timing we want to track.
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental,
+        exact_index,
+    )
+    from tamer_spark.sinks.bucketed import write_bucketed
+
+    key = ("dedup_idx", sf_dir)
+    if key not in _MEMO:
+        # each bench process gets a fresh in-memory catalog, but the warehouse
+        # DIRECTORY persists across processes — drop both or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS on a stale leftover
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql("DROP TABLE IF EXISTS bench_dedup_idx")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, "bench_dedup_idx"), ignore_errors=True)
+        docs = Q._t(spark, sf_dir, "documents")
+        write_bucketed(
+            exact_index(docs.filter(F.col("doc_id") % 10 != 0)),
+            "bench_dedup_idx", ["content_hash"], num_buckets=32,
+        )
+        _MEMO[key] = True
+    batch = Q._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup_exact_incremental(batch, spark.table("bench_dedup_idx").hint("merge"))
+
+
 # Headline set: mix of heavy relational (scan/join/agg/window), ingestion-
 # shaped, and LLM-data operators — the queries whose 100 TB behavior matters.
-# Values: None → run the registry entry; callable → a pairs-only / hot-path
-# subset of a merged registry entry, timed for round-over-round comparability.
+# Values: None → run the registry entry; callable → a hot-path subset of a
+# merged registry entry (or an operator with memoized input setup), timed for
+# round-over-round comparability.
 HEADLINE = {
     "q1_pricing_summary": None,
     "q3_top_revenue": None,
@@ -56,38 +130,62 @@ HEADLINE = {
     "text_profile": None,
     "similarity_knn": None,
     "ingest_tumbling_events": None,
+    # scale tier (round 3+): the operators whose behavior at 100 TB the
+    # north star cares most about, tracked round-over-round
+    "connected_components": _cc_clusters_only,
+    "dedup_exact_incremental": _dedup_exact_incremental_epoch,
+    "pack_sequences": None,
 }
+
+# Entries whose warm-up plan must NOT be retained: their operator persists an
+# internal intermediate tied to the plan's lifetime, and a retained warm copy
+# makes timed iterations alternate between warm- and cold-cache executions
+# depending on GC order. Dropping the warm plan (finalizer unpersists) makes
+# every timed iteration deterministically cold.
+_NO_WARM_KEEP = {"dedup_minhash_lsh"}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = tamer_spark.get_spark("tamer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up pass: JIT-compile the generated code and prime parquet footers
-    # so the timed pass measures steady-state query throughput, not JVM warmup.
-    # Keep the warm-up plans referenced until the end: operators that cache an
-    # intermediate (minhash signature stage) release it when the plan is
+    # warm-up pass: JIT-compile the generated code, prime parquet footers,
+    # and run each entry's memoized setup (persisted pairs, bucketed index)
+    # so the timed iterations measure steady-state operator throughput.
+    # Keep the warm-up plans referenced until the end: operators that cache
+    # an intermediate (minhash signature stage) release it when the plan is
     # dropped, and steady-state means that cache is warm.
     warm = []
     for name, fn in HEADLINE.items():
         try:
             df = (fn or REGISTRY[name].spark)(spark, sf_dir)
             df.count()
-            warm.append(df)
+            if name not in _NO_WARM_KEEP:
+                warm.append(df)
         except Exception:  # noqa: BLE001 — the timed pass reports the error
             pass
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in HEADLINE.items():
-        t0 = time.monotonic()
+        samples: list[float] = []
         try:
-            df = (fn or REGISTRY[name].spark)(spark, sf_dir)
-            n = df.count()
-            times[name] = round(time.monotonic() - t0, 3)
-            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+            for _ in range(n_iter):
+                t0 = time.monotonic()
+                df = (fn or REGISTRY[name].spark)(spark, sf_dir)
+                n = df.count()
+                samples.append(time.monotonic() - t0)
+            times[name] = round(statistics.median(samples), 3)
+            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            print(
+                f"# {name}: median={times[name]}s "
+                f"spread=[{spread[name][0]}, {spread[name][1]}] rows={n}",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -98,6 +196,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
+        "n": n_iter,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
