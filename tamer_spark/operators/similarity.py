@@ -298,8 +298,12 @@ def ivf_build(
     file, typically persisted bucketed by cluster.
 
     Determinism: init picks the vectors with the smallest md5(id); updates
-    average exact quantized ints via integer sums — no RNG, no
-    partition-order sensitivity.
+    average exact quantized ints via integer sums, FLOOR-divided back to
+    integers — every distance and every centroid coordinate stays an exact
+    integer (represented in doubles < 2^53), so there is no float drift, no
+    RNG, no partition-order sensitivity, and the whole training loop is
+    bit-reproducible in any engine (the driver's DuckDB oracle replays it
+    as three unrolled CTE rounds).
     """
     from tamer_spark.functions.hashing import stable_hash64
 
@@ -325,9 +329,9 @@ def ivf_build(
             F.sum(F.col("val").cast("long")).alias("s"), F.count(F.lit(1)).alias("n")
         )
         rows = dims.collect()
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict[int, dict[int, int]] = {}
         for r in rows:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s / r.n
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s // r.n
         for cid, dvals in by_cluster.items():
             centroids[cid] = [dvals[d] for d in sorted(dvals)]
 

@@ -1377,10 +1377,69 @@ def similarity_knn_lsh_q(spark, sf):
     )
 
 
+def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of ivf_build's full deterministic k-means.
+
+    Every quantity is an exact integer (quantized vectors, squared-L2
+    distances, floor-divided centroid means), so the unrolled CTE rounds
+    reproduce the Spark training loop bit-for-bit: seed init = the
+    ``n_centroids`` vectors with the smallest md5-derived hash (same
+    stable_hash64 mapping, see functions/hashing.py); each round assigns by
+    (dist, cid)-argmin then rebuilds centroids as FLOOR(sum/count) per dim,
+    clusters that lost all members keeping their previous coordinates
+    (COALESCE) exactly like the driver-side dict update.
+    """
+    parts = [f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings),
+    bd AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS dim,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM base),
+    seeds AS (
+      SELECT qv, row_number() OVER (
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+             ) - 1 AS cid
+      FROM base
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      LIMIT {n_centroids}),
+    c0 AS (
+      SELECT cid, generate_subscripts(qv, 1) - 1 AS dim,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM seeds)"""]
+    for i in range(iters):
+        parts.append(f"""
+    dist{i} AS (
+      SELECT b.vec_id, c.cid, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+      FROM bd b JOIN c{i} c USING (dim) GROUP BY 1, 2),
+    assign{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dist{i}) WHERE rn = 1),
+    upd{i} AS (
+      SELECT a.cid, b.dim, CAST(FLOOR(SUM(b.val) / COUNT(*)) AS BIGINT) AS val
+      FROM assign{i} a JOIN bd b USING (vec_id) GROUP BY 1, 2),
+    c{i + 1} AS (
+      SELECT c.cid, c.dim, COALESCE(u.val, c.val) AS val
+      FROM c{i} c LEFT JOIN upd{i} u USING (cid, dim))""")
+    parts.append(f"""
+    fdist AS (
+      SELECT b.vec_id, c.cid, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+      FROM bd b JOIN c{iters} c USING (dim) GROUP BY 1, 2)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM fdist) WHERE rn = 1""")
+    return ",".join(parts)
+
+
 @q(
     "ivf_cluster_assign",
-    None,
-    doc="IVF coarse-quantizer assignment over the embedding corpus: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver), integer-exact centroid updates. Rows-only gate — the iterative driver loop has no single-statement SQL analog; brute-force parity at full probes is pinned in tests/test_ivf.py.",
+    _ivf_assign_oracle(n_centroids=8, iters=3),
+    doc="IVF coarse-quantizer assignment over the embedding corpus: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver). Centroid updates are FLOOR-divided integer means, so every distance and coordinate is an exact integer — the oracle replays the full training loop as unrolled DuckDB CTE rounds with zero float drift; brute-force search parity at full probes is additionally pinned in tests/test_ivf.py.",
 )
 def ivf_cluster_assign_q(spark, sf):
     from tamer_spark.operators.similarity import ivf_build

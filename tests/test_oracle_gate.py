@@ -31,3 +31,31 @@ def test_all_queries_have_entries():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_approx_distinct_within_hll_error_of_exact(spark):
+    """approx_distinct_users is the one rows-only gate entry (an HLL++ sketch
+    no other engine reproduces bit-for-bit) — pin its VALUES here instead:
+    every per-group estimate must sit within a generous HLL error band of the
+    exact distinct count (default rsd 5%; 3-sigma ≈ 15%, doubled for the
+    small-cardinality regime at test SF)."""
+    from pyspark.sql import functions as F
+
+    from tamer_spark.queries import REGISTRY, _t
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in _t(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(3, 0.3 * exact[et]), (
+            f"{et}: approx {est} vs exact {exact[et]}"
+        )
