@@ -134,6 +134,54 @@ def main() -> None:
         **{f"t_idx_{k}": v for k, v in inc.items()},
         "ratio_100x_corpus": round(inc["sf0.1x10"] / inc["sf0.01"], 2),
     }}, indent=2))
+
+    # Connected components: round count must grow ~log(cluster size), not
+    # linearly. The 10× corpus turns every duplicate cluster into a 10×
+    # bigger one (10 exact copies per doc), so edges grow superlinearly
+    # while rounds should rise by only ~log2(10) ≈ 3.
+    from tamer_spark.operators.cc import connected_components
+    from tamer_spark.queries import _K, _BANDS, _MAX_BUCKET, _N, _t, minhash_lsh_pairs
+
+    cc = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        pairs = minhash_lsh_pairs(
+            _t(spark, path, "documents"), k=_K, bands=_BANDS, n=_N, seed=42,
+            max_bucket=_MAX_BUCKET,
+        ).persist()
+        n_edges = pairs.count()
+        st: dict = {}
+        t0 = time.monotonic()
+        n_nodes = connected_components(pairs, src="doc_a", dst="doc_b", stats=st).count()
+        cc[label] = {
+            "edges": n_edges, "nodes_in_components": n_nodes,
+            "rounds": st.get("rounds"), "t_cc": round(time.monotonic() - t0, 3),
+        }
+        pairs.unpersist()
+        print(f"# connected_components@{label}: {cc[label]}", file=sys.stderr)
+    print(json.dumps({"connected_components": cc}, indent=2))
+
+    # Bigram-LM scoring: the model tables are VOCAB-sized, not corpus-sized.
+    # The 10× corpus adds zero new words (exact copies), so lm/unigram
+    # shuffle volume is flat and the cost is the scan+extract over 10× docs
+    # — time should grow far slower than 10× and the model row counts must
+    # be IDENTICAL across sf0.1 and its 10× explosion.
+    from tamer_spark.operators.lm import bigram_counts, bigram_lm_score
+
+    lm_probe = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        docs = _t(spark, path, "documents")
+        t0 = time.monotonic()
+        n_scored = bigram_lm_score(docs).count()
+        t_total = round(time.monotonic() - t0, 3)
+        lm, uni, _ = bigram_counts(docs)
+        lm_probe[label] = {
+            "docs_scored": n_scored, "t_score": t_total,
+            "bigram_model_rows": lm.count(), "unigram_model_rows": uni.count(),
+        }
+        print(f"# bigram_lm_score@{label}: {lm_probe[label]}", file=sys.stderr)
+    print(json.dumps({"bigram_lm_score": lm_probe}, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 

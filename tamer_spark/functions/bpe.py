@@ -30,7 +30,7 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     from tamer_spark.operators.dedup import normalize_text
 
     return (
-        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
+        df.select(F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

@@ -76,6 +76,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(node, component)`` where component is the minimum node id
     reachable from ``node``. Nodes appearing in no edge are absent (map
@@ -86,6 +87,10 @@ def connected_components(
     rounds. Raises RuntimeError if the bound is hit without convergence
     (25 rounds covers components of ~2^23 nodes — at 100 TB raise it, or
     investigate the graph, before trusting partial output).
+
+    ``stats`` (optional dict) receives ``rounds`` — the number of
+    star-contraction rounds actually run — so scale probes can verify the
+    O(log n) round-count claim without re-instrumenting the loop.
     """
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -93,8 +98,10 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        if stats is not None:
+            stats["rounds"] = rounds
         if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
             cur = nxt
             break

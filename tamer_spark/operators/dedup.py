@@ -72,7 +72,9 @@ def sentence_dedup_counts(
     """
     s = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), "\\. ")).alias("s"),
+        # _outer: avoids the inferred size>0 filter re-running the split
+        # regex below the project; the length guard drops any null row
+        F.explode_outer(F.split(F.col(text_col), "\\. ")).alias("s"),
     ).filter(F.length("s") >= min_len)
     return (
         s.groupBy(F.md5(F.col("s")).alias("content_hash"))
@@ -99,7 +101,12 @@ def shingle_string_rows(
     short = norm.filter(F.size("ws") < n).select(
         "doc_id", F.concat_ws(" ", F.col("ws")).alias("s")
     )
-    wp = norm.filter(F.size("ws") >= n).select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    # _outer: the explicit size>=n filter above already implies non-empty,
+    # but plain posexplode would infer ANOTHER size>0 filter, re-evaluating
+    # the split a third time per row on pushdown
+    wp = norm.filter(F.size("ws") >= n).select(
+        "doc_id", F.posexplode_outer("ws").alias("pos", "w")
+    )
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     sh = (
@@ -149,7 +156,7 @@ def shingle_hash_rows(
         ).alias("h"),
     )
     wp = norm.filter(F.size("ws") >= n).select(
-        "doc_id", F.posexplode("ws").alias("pos", "w")
+        "doc_id", F.posexplode_outer("ws").alias("pos", "w")
     )
     hh = wp.select("doc_id", "pos", (stable_hash64(F.col("w")) % MERSENNE_P).alias("h0"))
     win = Window.partitionBy("doc_id").orderBy("pos")

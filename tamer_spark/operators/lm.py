@@ -37,9 +37,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tamer_spark.operators.dedup import normalize_text
+from tamer_spark.operators.dedup import _release_on_gc, normalize_text
 
 __all__ = ["bigram_counts", "bigram_lm_score"]
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster's default parallelism.
+
+    Everything downstream of the scan here is narrow (array transforms,
+    explode, partial aggregation), so map parallelism == input splits. A
+    100 TB corpus has ~800k splits and this is a no-op; the case it guards
+    is a small/single-file input (one parquet row group ⇒ one split), where
+    the whole extraction pipeline would otherwise serialize onto one core —
+    measured 20 s → ~1 s at sf0.1 on local[32]. The text shuffle it buys is
+    one pass over exactly the under-parallel input, by definition small.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
 
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -66,9 +85,18 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>")).alias("_bgs"),
     )
-    # plain explode drops empty arrays on its own; an explicit size filter
-    # would only re-inline the bigram transform on predicate pushdown
-    return bgs.select("doc_id", F.explode("_bgs").alias("bg"))
+    # _outer is load-bearing: plain explode makes InferFiltersFromGenerate
+    # add `size(_bgs) > 0 AND isnotnull(_bgs)`, and that filter pushes below
+    # the staged projects, re-inlining the full bigram construction with
+    # split(normalize_text(...)) re-evaluated inside the transform lambda —
+    # O(words²) regex work per row, measured 20× slower than the unigram
+    # explode over the same text at sf0.1. explode_outer infers no filter;
+    # the null-row guard filters the GENERATED column, which cannot push
+    # below the Generate. (Same trap as minhash banding / chunking.)
+    return (
+        bgs.select("doc_id", F.explode_outer("_bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
 
 
 def bigram_counts(
@@ -78,10 +106,14 @@ def bigram_counts(
     (bg, c2), (w, c1), and a 1-row (V) table. All three are count aggregates
     with map-side combine; the vocabulary size is folded into the plan as a
     1-row cross join at score time (never a driver-side ``count()``)."""
+    docs = _spread(docs)
     bg = _doc_bigrams(docs, text_col, id_col)
     lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     uni = (
-        docs.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        docs.select(
+            F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
@@ -101,9 +133,35 @@ def bigram_lm_score(
     more predictable text. ``model`` defaults to training on ``docs`` itself
     (decontamination pipelines pass a clean reference slice instead). Unseen
     bigrams/unigrams (external model) score through the same smoothing via
-    left joins with zero fills."""
-    lm, uni, vocab = model if model is not None else bigram_counts(docs, text_col, id_col)
-    bg = _doc_bigrams(docs, text_col, id_col).withColumn(
+    left joins with zero fills.
+
+    Self-training (``model=None``) persists the exploded bigram stream —
+    it feeds BOTH the training count and the scoring join, and extraction
+    (normalize + split + per-window concat) is the dominant cost, so paying
+    it once instead of twice matters at any scale. The cache is released
+    when the returned plan is dropped (weakref finalizer, same contract as
+    the dedup pair operators); callers who would rather recompute than
+    spill a 100 TB bigram stream pass an explicit pre-trained ``model``,
+    which skips the cache entirely."""
+    if model is not None:
+        lm, uni, vocab = model
+        bg_stream = _doc_bigrams(_spread(docs), text_col, id_col)
+        cached = None
+    else:
+        docs = _spread(docs)
+        bg_stream = _doc_bigrams(docs, text_col, id_col).persist()
+        cached = bg_stream
+        lm = bg_stream.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+        uni = (
+            docs.select(
+                F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+            )
+            .filter(F.col("w").isNotNull())
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c1"))
+        )
+        vocab = uni.agg(F.count(F.lit(1)).alias("V"))
+    bg = bg_stream.withColumn(
         "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
     )
     scored = (
@@ -115,8 +173,9 @@ def bigram_lm_score(
             F.expr(f"({scale} * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + V)"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("p_scaled").alias("sum_p_scaled"),
         (F.sum("p_scaled") / F.count(F.lit(1))).alias("avg_p_scaled"),
     )
+    return out if cached is None else _release_on_gc(out, cached)

@@ -324,7 +324,7 @@ def ivf_build(
         )
         # element-wise mean per cluster: explode dims, exact integer sums
         dims = assigned.select(
-            "cluster", F.posexplode("qv").alias("dim", "val")
+            "cluster", F.posexplode_outer("qv").alias("dim", "val")
         ).groupBy("cluster", "dim").agg(
             F.sum(F.col("val").cast("long")).alias("s"), F.count(F.lit(1)).alias("n")
         )

@@ -1680,7 +1680,11 @@ def ngram_top_terms(spark, sf):
 
     d = _t(spark, sf, "documents")
     uni_top = (
-        d.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        # _outer: plain explode infers a size>0 filter whose pushdown
+        # re-evaluates split(normalize_text(...)) 2 extra times per row
+        # (see operators/lm._doc_bigrams); the length guard below already
+        # drops the null row an outer explode could emit
+        d.select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1689,8 +1693,9 @@ def ngram_top_terms(spark, sf):
         .select(F.lit(1).cast("long").alias("gram_len"), F.col("word").alias("gram"), "cnt")
     )
     wp = d.select(
-        "doc_id", F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word")
-    )
+        "doc_id",
+        F.posexplode_outer(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word"),
+    ).filter(F.col("word").isNotNull())
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = wp.select(
         F.concat_ws(" ", F.col("word"), F.lead("word").over(w)).alias("bigram"),
@@ -1730,7 +1735,9 @@ def tfidf_top_terms(spark, sf):
 
     d = _t(spark, sf, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = d.select("doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+    w = d.select(
+        "doc_id", F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word").isNotNull())
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     scored = (

@@ -131,8 +131,14 @@ def test_jvm_to_avro_parity_with_python_codec(spark):
     """Golden-byte parity: spark-avro's to_avro must emit the same Avro
     binary as the pure-Python codec (both implement the Avro 1.x binary
     spec). Skips when the spark-avro package cannot load in this
-    environment (it is an external connector, and the sandbox has no
-    package download) — the pure-Python codec remains the exercised path.
+    environment — the pure-Python codec remains the exercised path.
+
+    Load attempts on record (2026-08-13): no spark-avro_2.13 jar anywhere on
+    the machine (bundled pyspark jars carry avro/avro-ipc/avro-mapred 1.12.1
+    but not the spark-avro connector module), and Maven Central is
+    unreachable (curl rc=6, DNS resolution failure), so neither a vendored
+    jar nor ``--packages org.apache.spark:spark-avro_2.13:4.1.2`` can
+    succeed; to_avro raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE.
     """
     import pytest
     from pyspark.sql import functions as F
