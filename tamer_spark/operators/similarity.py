@@ -370,6 +370,69 @@ def ivf_append(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+    threshold: float = 0.3,
+    model: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv 2303.09540 — public literature): k-means-cluster the embedding
+    corpus, then within each cluster drop every vector whose cosine
+    similarity to a LOWER-id member reaches ``threshold`` (keep-min-id, the
+    same representative rule as the exact/MinHash dedup operators). Returns
+    the surviving ``(vec_id, cluster)`` rows.
+
+    The clustering is the scale trick (per the paper): pairwise cosine work
+    is confined to within-cluster pairs, so ``n_centroids`` bounds the
+    quadratic term — pick ~sqrt(corpus/target_cluster_size) so clusters
+    stay joinable; at 100 TB the inverted file is bucketed by cluster
+    (sinks/bucketed) and the self-join needs no exchange. ``model`` freezes
+    a pre-trained quantizer (ivf_build's centroids), making assignment
+    map-only — the incremental-epoch posture; otherwise the quantizer is
+    trained on ``df`` itself.
+
+    Everything is exact: integer-quantized vectors, integer-exact centroids
+    (ivf_build), and cosine built from integer dot products — IEEE division
+    and sqrt on identical integers are bit-identical in any engine, so the
+    threshold compare is deterministic; the driver's DuckDB oracle replays
+    the full pipeline including training.
+    """
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    if model is None:
+        assigned, _cents = ivf_build(df, id_col, vec_col, n_centroids, iters)
+    else:
+        assigned = ivf_append(df, model, id_col, vec_col)
+    # the inverted file feeds three plan branches (both join sides + the
+    # final anti join); persist it, released when the result is dropped
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(
+        _dot(F.col("va"), F.col("va")) * _dot(F.col("vb"), F.col("vb"))
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    out = assigned.join(drops, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+    return _release_on_gc(out, assigned)
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -1377,8 +1377,10 @@ def similarity_knn_lsh_q(spark, sf):
     )
 
 
-def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
-    """DuckDB replay of ivf_build's full deterministic k-means.
+def _ivf_cte_prefix(n_centroids: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of ivf_build's full deterministic k-means, as a WITH
+    prefix ending in ``fassign (vec_id, cid)`` — shared by the assignment
+    and semdedup oracles.
 
     Every quantity is an exact integer (quantized vectors, squared-L2
     distances, floor-divided centroid means), so the unrolled CTE rounds
@@ -1428,25 +1430,60 @@ def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
     parts.append(f"""
     fdist AS (
       SELECT b.vec_id, c.cid, SUM((b.val - c.val) * (b.val - c.val)) AS dist
-      FROM bd b JOIN c{iters} c USING (dim) GROUP BY 1, 2)
-    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
-      SELECT vec_id, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      FROM fdist) WHERE rn = 1""")
+      FROM bd b JOIN c{iters} c USING (dim) GROUP BY 1, 2),
+    fassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM fdist) WHERE rn = 1)""")
     return ",".join(parts)
+
+
+def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
+    return (
+        _ivf_cte_prefix(n_centroids, iters)
+        + " SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fassign"
+    )
+
+
+def _semdedup_oracle(n_centroids: int = 8, iters: int = 3, threshold: float = 0.3) -> str:
+    """SemDeDup survivors: the k-means replay above plus the within-cluster
+    keep-min-id cosine prune. Cosine is built from the same integer dot
+    products as the Spark plan (IEEE-identical doubles), so the threshold
+    compare cannot drift."""
+    return _ivf_cte_prefix(n_centroids, iters) + f""",
+    m AS (
+      SELECT f.vec_id, f.cid, b.qv FROM fassign f JOIN base b USING (vec_id)),
+    sd_drops AS (
+      SELECT DISTINCT b2.vec_id
+      FROM m a2 JOIN m b2 ON a2.cid = b2.cid AND a2.vec_id < b2.vec_id
+      WHERE list_dot_product(a2.qv, b2.qv)
+            / sqrt(list_dot_product(a2.qv, a2.qv) * list_dot_product(b2.qv, b2.qv))
+            >= {threshold})
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM m
+    WHERE vec_id NOT IN (SELECT vec_id FROM sd_drops)"""
 
 
 @q(
     "ivf_cluster_assign",
-    _ivf_assign_oracle(n_centroids=8, iters=3),
-    doc="IVF coarse-quantizer assignment over the embedding corpus: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver). Centroid updates are FLOOR-divided integer means, so every distance and coordinate is an exact integer — the oracle replays the full training loop as unrolled DuckDB CTE rounds with zero float drift; brute-force search parity at full probes is additionally pinned in tests/test_ivf.py.",
+    f"""
+    SELECT 'assign' AS variant, * FROM ({_ivf_assign_oracle(n_centroids=8, iters=3)})
+    UNION ALL
+    SELECT 'semdedup_keep', * FROM ({_semdedup_oracle(n_centroids=8, iters=3, threshold=0.3)})
+    """,
+    doc="IVF coarse-quantizer assignment + SemDeDup pruning (Abbas et al. 2023) as one tagged union. assign: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver); centroid updates are FLOOR-divided integer means, so every distance and coordinate is an exact integer — the oracle replays the full training loop as unrolled DuckDB CTE rounds with zero float drift. semdedup_keep: within-cluster keep-min-id cosine prune over the frozen quantizer (map-only re-assignment + cluster-equi-joined pairs — the pairwise term is cluster-bounded, never corpus²; threshold 0.3 calibrated to the synthetic embeddings). Brute-force search parity at full probes is additionally pinned in tests/test_ivf.py.",
 )
 def ivf_cluster_assign_q(spark, sf):
-    from tamer_spark.operators.similarity import ivf_build
+    from tamer_spark.operators.similarity import ivf_build, semdedup
 
     emb = _t(spark, sf, "embeddings")
-    assigned, _centroids = ivf_build(emb, n_centroids=8, iters=3)
-    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
+    keep = semdedup(emb, n_centroids=8, iters=3, threshold=0.3, model=centroids)
+    return assigned.select(
+        F.lit("assign").alias("variant"),
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+    ).unionByName(keep.select(F.lit("semdedup_keep").alias("variant"), "*"))
 
 
 @q(

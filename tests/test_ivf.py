@@ -84,3 +84,50 @@ def test_ivf_append_matches_full_assignment_and_search(spark):
 
     plan = ivf_append(new, centroids)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semdedup_keep_min_and_no_close_survivors(spark):
+    """SemDeDup invariants: (1) the minimum id of every cluster always
+    survives (keep-min-id rule), (2) no survivor has a LOWER-id member of
+    its cluster at cosine >= threshold (else it should have been dropped),
+    (3) survivors are a subset of the corpus partitioned by cluster."""
+    from tamer_spark.operators.similarity import _dot, ivf_build, semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    th = 0.2  # loose threshold so the synthetic fixture actually drops rows
+    assigned, centroids = ivf_build(emb, n_centroids=4, iters=2)
+    keep = semdedup(emb, n_centroids=4, iters=2, threshold=th, model=centroids)
+    kept = keep.collect()
+    all_assigned = assigned.select("vec_id", "cluster", "qv").collect()
+    assert 0 < len(kept) < len(all_assigned), "threshold dropped nothing/everything"
+
+    by_cluster: dict[int, list] = {}
+    for r in all_assigned:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    kept_ids = {r.vec_id for r in kept}
+    for cid, members in by_cluster.items():
+        assert min(m.vec_id for m in members) in kept_ids
+    # survivors must not have a lower-id in-cluster neighbor over threshold
+    import math
+
+    qv = {r.vec_id: (r.cluster, r.qv) for r in all_assigned}
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in v))
+    for r in kept:
+        c, v = qv[r.vec_id]
+        for other, (c2, v2) in qv.items():
+            if c2 == c and other < r.vec_id:
+                assert cos(v2, v) < th, f"{r.vec_id} should have been dropped vs {other}"
+
+
+def test_semdedup_frozen_model_matches_self_trained(spark):
+    """Passing ivf_build's centroids as a frozen model must give the same
+    survivors as training inside semdedup (assignment is deterministic)."""
+    from tamer_spark.operators.similarity import ivf_build, semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, centroids = ivf_build(emb, n_centroids=4, iters=2)
+    a = sorted(map(tuple, semdedup(emb, n_centroids=4, iters=2, threshold=0.2).collect()))
+    b = sorted(map(tuple, semdedup(emb, threshold=0.2, model=centroids).collect()))
+    assert a == b
