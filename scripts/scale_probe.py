@@ -51,10 +51,16 @@ def synthesize_10x(spark, src: str, dst: Path) -> None:
     dst.mkdir(parents=True, exist_ok=True)
     d = spark.read.parquet(f"{src}/documents.parquet")
     copies = spark.range(10).select(F.col("id").alias("copy"))
+    # repartition(32) before write: the source file is ONE row group, so the
+    # crossJoin would otherwise emit a single output file and every map-only
+    # probe op would run single-threaded — an artifact, not a measurement. A
+    # real corpus at any scale is many splits; 32 files makes the probe's
+    # map parallelism honest.
     (
         d.crossJoin(copies)
         .withColumn("doc_id", F.col("doc_id") + F.col("copy") * 10_000_000)
         .drop("copy")
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(str(dst / "documents.parquet"))
     )
@@ -63,6 +69,7 @@ def synthesize_10x(spark, src: str, dst: Path) -> None:
         e.crossJoin(copies)
         .withColumn("vec_id", F.col("vec_id") + F.col("copy") * 10_000_000)
         .drop("copy")
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(str(dst / "embeddings.parquet"))
     )

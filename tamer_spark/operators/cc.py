@@ -30,8 +30,9 @@ Scale notes (docs/SCALING.md):
   plan otherwise doubles in depth per round and overwhelms Catalyst); on
   a real cluster with an HDFS checkpoint dir, ``DataFrame.checkpoint``
   is the reliable-storage variant — the seam is the one call site below;
-* the convergence test (``exceptAll . isEmpty``) is one extra shuffle on
-  the already-materialized round output, exact (no false convergence on
+* the convergence test (symmetric difference via two ``exceptAll`` legs
+  unioned into ONE ``isEmpty`` job) is one extra shuffle on the
+  already-materialized round output, exact (no false convergence on
   count/sum collisions).
 
 There is no analog in the reference engine (tamer has no dedup operators);
@@ -102,7 +103,11 @@ def connected_components(
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         if stats is not None:
             stats["rounds"] = rounds
-        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+        # exact fixed-point test as ONE job: the symmetric difference of the
+        # two (distinct) edge sets is empty iff they are equal — two isEmpty
+        # actions here would double the per-round job count, which dominates
+        # small-graph wall-clock
+        if nxt.exceptAll(cur).union(cur.exceptAll(nxt)).isEmpty():
             cur = nxt
             break
         cur = nxt

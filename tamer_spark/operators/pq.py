@@ -1,0 +1,246 @@
+"""Product quantization (PQ) for memory-bounded ANN at corpus scale.
+
+Implements the PQ building blocks of Jégou et al., "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011 — public literature): split each
+``dim``-vector into ``m`` subvectors, learn a ``k``-codeword codebook per
+subspace (k-means), and represent every vector by its ``m`` codeword ids —
+``m*log2(k)`` bits instead of ``dim*32``. Search uses asymmetric distance
+computation (ADC): per query, an ``m × k`` lookup table of exact
+query-subvector↔codeword distances, then each database vector's approximate
+distance is ``m`` table lookups — no vector arithmetic per candidate.
+
+Why it matters at 100 TB: a 64-dim float corpus is ~256 B/vector; PQ at
+m=4, k=16 is 2 B/vector — the inverted file fits in memory orders of
+magnitude longer, and scan-rank over codes is pure integer lookups. The
+composition with IVF (coarse quantizer from operators/similarity.ivf_build,
+PQ codes within each list) is the standard IVFADC layout; both halves here
+share the same epoch posture (frozen codebooks → map-only encoding of new
+batches).
+
+Determinism contract (same as ivf_build): quantized integer vectors,
+smallest-md5 seed init, floor-divided integer centroid means — every
+distance and codeword coordinate is an exact integer, so training and
+encoding are bit-reproducible in any engine and the driver's DuckDB oracle
+replays them as unrolled CTE rounds.
+
+Training runs ONE distributed job per Lloyd iteration covering ALL
+subspaces at once (subvector slices are plan columns; the per-(subspace,
+codeword, dim) integer sums are a single groupBy of m*k*dsub ≈ 1k rows);
+only the codebook table passes through the driver.
+
+No analog in the reference engine (tamer has no vector operators); part of
+the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tamer_spark.functions.hashing import stable_hash64
+from tamer_spark.operators.similarity import quantize_embedding
+
+__all__ = ["pq_train", "pq_encode", "pq_search_adc"]
+
+
+def _sub_slice(qv: Column, j: int, dsub: int) -> Column:
+    return F.slice(qv, j * dsub + 1, dsub)
+
+
+def _nearest_code(sub: Column, codebook: list[list[int]]) -> Column:
+    """Argmin codeword id for one subvector (squared-L2, ties → lowest id).
+    ``sub`` must be a materialized column (multi-referenced)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("dist"),
+                F.lit(i).cast("long").alias("cid"),
+            )
+            for i, c in enumerate(codebook)
+        ]
+    )
+    return F.array_sort(scored)[0]["cid"]
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[list[int]]]:
+    """Learn ``m`` subspace codebooks of ``k`` codewords each; returns
+    ``codebooks[j][c] = dsub ints``.
+
+    Seeds: the ``k`` vectors with the smallest md5-derived id hash (one
+    shared seed set — subspace ``j``'s codebook starts from those vectors'
+    ``j``-th subvectors). Each Lloyd iteration is one distributed
+    assign+sum job across ALL subspaces; codeword updates are floor-divided
+    integer means with empty-codeword carry-over, exactly like ivf_build.
+    """
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row.d
+    assert dim % m == 0, "dim must divide into equal subspaces"
+    dsub = dim // m
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    )
+    seeds = (
+        base.withColumn("_h", stable_hash64(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    codebooks: list[list[list[int]]] = [
+        [[int(r.qv[j * dsub + t]) for t in range(dsub)] for r in seeds]
+        for j in range(m)
+    ]
+
+    for _ in range(iters):
+        # one map pass assigns every subspace; explode to (sub, cid, dim, val)
+        # for the update sums — m*k*dsub groups, a tiny shuffle
+        assigned = base.select(
+            "qv",
+            *[
+                _nearest_code(_sub_slice(F.col("qv"), j, dsub), codebooks[j]).alias(f"_c{j}")
+                for j in range(m)
+            ],
+        )
+        stacked = assigned.select(
+            F.posexplode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"_c{j}").alias("cid"),
+                            _sub_slice(F.col("qv"), j, dsub).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("sub", "a")
+        )
+        dims = (
+            stacked.select(
+                "sub", F.col("a.cid").alias("cid"), F.posexplode_outer("a.sv").alias("t", "val")
+            )
+            .groupBy("sub", "cid", "t")
+            .agg(F.sum(F.col("val").cast("long")).alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in dims.collect():
+            upd.setdefault((r.sub, r.cid), {})[r.t] = r.s // r.n
+        for (j, c), dvals in upd.items():
+            codebooks[j][c] = [dvals[t] for t in sorted(dvals)]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY encoding: ``(vec_id, codes array<long>, code packed long)``.
+
+    ``codes[j]`` is subspace ``j``'s nearest codeword id; ``code`` packs
+    them base-k (``Σ codes[j] * k^(m-1-j)``) into one int64 — the 2-byte-
+    per-vector representation the inverted file stores. Frozen codebooks →
+    new epochs encode without touching history (ivf_append posture).
+    """
+    m, k = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    base = df.select(
+        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    )
+    coded = base.select(
+        "vec_id",
+        F.array(
+            *[
+                _nearest_code(_sub_slice(F.col("qv"), j, dsub), codebooks[j])
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+    packed = None
+    for j in range(m):
+        term = F.col("codes")[j] * (k ** (m - 1 - j))
+        packed = term if packed is None else packed + term
+    return coded.select("vec_id", "codes", packed.cast("long").alias("code"))
+
+
+def pq_search_adc(
+    coded: DataFrame,
+    codebooks: list[list[list[int]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 = Σ_j table_j[codes[j]], where
+    table_j holds the EXACT integer distances from the query's j-th
+    subvector to subspace j's codewords.
+
+    The per-query m×k distance table is built as plan expressions over the
+    broadcast query side (k*m ints per query); each database vector then
+    costs m array lookups — no per-candidate vector math, which is the
+    entire point of PQ. Returns (query_id, neighbor_id, approx_dist, rank);
+    rank ties break on neighbor id. At 100 TB, compose with the IVF coarse
+    quantizer (probe lists, then ADC within them) for the IVFADC layout.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
+    )
+    # distance tables as array columns: tab_j[c] = ||q_sub_j - codeword_c||²
+    tabs = q.select(
+        "query_id",
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            _sub_slice(F.col("qv2"), j, dsub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    for c in codebooks[j]
+                ]
+            ).alias(f"_tab{j}")
+            for j in range(m)
+        ],
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_tab{j}"), (F.col("codes")[j] + 1).cast("int"))
+        dist = term if dist is None else dist + term
+    scored = (
+        coded.crossJoin(F.broadcast(tabs))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("approx_dist", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1446,6 +1446,67 @@ def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
     )
 
 
+def _pq_code_oracle(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of pq_train + pq_encode (operators/pq.py): per-subspace
+    k-means with the shared smallest-md5 seed set, floor-divided integer
+    codeword means, empty-codeword carry-over, and base-k packing of the
+    final per-subspace argmin codes. Integer-exact throughout — same
+    determinism contract as the IVF oracle above."""
+    dsub = dim // m
+    parts = [f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings),
+    bd AS (
+      SELECT vec_id, (generate_subscripts(qv, 1) - 1) // {dsub} AS sub,
+             (generate_subscripts(qv, 1) - 1) % {dsub} AS t,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM base),
+    seeds AS (
+      SELECT qv, row_number() OVER (
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+             ) - 1 AS cid
+      FROM base
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      LIMIT {k}),
+    k0 AS (
+      SELECT cid, (generate_subscripts(qv, 1) - 1) // {dsub} AS sub,
+             (generate_subscripts(qv, 1) - 1) % {dsub} AS t,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM seeds)"""]
+    for i in range(iters):
+        parts.append(f"""
+    pdist{i} AS (
+      SELECT b.vec_id, b.sub, c.cid, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+      FROM bd b JOIN k{i} c ON b.sub = c.sub AND b.t = c.t GROUP BY 1, 2, 3),
+    passign{i} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+        FROM pdist{i}) WHERE rn = 1),
+    pupd{i} AS (
+      SELECT a.sub, a.cid, b.t, CAST(FLOOR(SUM(b.val) / COUNT(*)) AS BIGINT) AS val
+      FROM passign{i} a JOIN bd b ON a.vec_id = b.vec_id AND a.sub = b.sub
+      GROUP BY 1, 2, 3),
+    k{i + 1} AS (
+      SELECT c.sub, c.cid, c.t, COALESCE(u.val, c.val) AS val
+      FROM k{i} c LEFT JOIN pupd{i} u ON c.sub = u.sub AND c.cid = u.cid AND c.t = u.t)""")
+    parts.append(f"""
+    pfdist AS (
+      SELECT b.vec_id, b.sub, c.cid, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+      FROM bd b JOIN k{iters} c ON b.sub = c.sub AND b.t = c.t GROUP BY 1, 2, 3),
+    pfinal AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+        FROM pfdist) WHERE rn = 1)
+    SELECT vec_id,
+           CAST(SUM(cid * (CASE sub {' '.join(f'WHEN {j} THEN {k ** (m - 1 - j)}' for j in range(m))} END)) AS BIGINT) AS cluster
+    FROM pfinal GROUP BY vec_id""")
+    return ",".join(parts)
+
+
 def _semdedup_oracle(n_centroids: int = 8, iters: int = 3, threshold: float = 0.3) -> str:
     """SemDeDup survivors: the k-means replay above plus the within-cluster
     keep-min-id cosine prune. Cosine is built from the same integer dot
@@ -1470,20 +1531,29 @@ def _semdedup_oracle(n_centroids: int = 8, iters: int = 3, threshold: float = 0.
     SELECT 'assign' AS variant, * FROM ({_ivf_assign_oracle(n_centroids=8, iters=3)})
     UNION ALL
     SELECT 'semdedup_keep', * FROM ({_semdedup_oracle(n_centroids=8, iters=3, threshold=0.3)})
+    UNION ALL
+    SELECT 'pq_code', * FROM ({_pq_code_oracle(m=4, k=16, iters=3, dim=64)})
     """,
-    doc="IVF coarse-quantizer assignment + SemDeDup pruning (Abbas et al. 2023) as one tagged union. assign: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver); centroid updates are FLOOR-divided integer means, so every distance and coordinate is an exact integer — the oracle replays the full training loop as unrolled DuckDB CTE rounds with zero float drift. semdedup_keep: within-cluster keep-min-id cosine prune over the frozen quantizer (map-only re-assignment + cluster-equi-joined pairs — the pairwise term is cluster-bounded, never corpus²; threshold 0.3 calibrated to the synthetic embeddings). Brute-force search parity at full probes is additionally pinned in tests/test_ivf.py.",
+    doc="IVF coarse-quantizer assignment + SemDeDup pruning (Abbas et al. 2023) + PQ encoding (Jégou et al. TPAMI 2011) as one tagged union. assign: deterministic k-means (smallest-md5 seed init, 3 Lloyd iterations, each a distributed assign+sum job; only the k×dim centroid table passes through the driver); centroid updates are FLOOR-divided integer means, so every distance and coordinate is an exact integer — the oracle replays the full training loop as unrolled DuckDB CTE rounds with zero float drift. semdedup_keep: within-cluster keep-min-id cosine prune over the frozen quantizer (map-only re-assignment + cluster-equi-joined pairs — the pairwise term is cluster-bounded, never corpus²; threshold 0.3 calibrated to the synthetic embeddings). pq_code: product-quantization codes (m=4 subspaces × 16 codewords, trained per-subspace with the same integer-exact Lloyd discipline, one distributed job per iteration covering all subspaces), packed base-k into one int64 — 2 B/vector, the IVFADC storage layout's second half. Brute-force search parity at full probes is additionally pinned in tests/test_ivf.py; ADC recall in tests/test_pq.py.",
 )
 def ivf_cluster_assign_q(spark, sf):
+    from tamer_spark.operators.pq import pq_encode, pq_train
     from tamer_spark.operators.similarity import ivf_build, semdedup
 
     emb = _t(spark, sf, "embeddings")
     assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
     keep = semdedup(emb, n_centroids=8, iters=3, threshold=0.3, model=centroids)
-    return assigned.select(
-        F.lit("assign").alias("variant"),
-        "vec_id",
-        F.col("cluster").cast("long").alias("cluster"),
-    ).unionByName(keep.select(F.lit("semdedup_keep").alias("variant"), "*"))
+    codebooks = pq_train(emb, m=4, k=16, iters=3)
+    codes = pq_encode(emb, codebooks).select("vec_id", F.col("code").alias("cluster"))
+    return (
+        assigned.select(
+            F.lit("assign").alias("variant"),
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+        .unionByName(keep.select(F.lit("semdedup_keep").alias("variant"), "*"))
+        .unionByName(codes.select(F.lit("pq_code").alias("variant"), "*"))
+    )
 
 
 @q(
@@ -1570,8 +1640,16 @@ def agg_ordered_string_concat(spark, sf):
     SELECT 'lm_score', doc_id, COUNT(*), CAST(SUM(p) AS DOUBLE),
            CAST(SUM(p) AS DOUBLE) / COUNT(*)
     FROM sc GROUP BY doc_id
+    UNION ALL
+    SELECT 'ppl_bucket', doc_id, CAST(bucket AS BIGINT), sp, avg_p FROM (
+      SELECT s.doc_id, d.lang, CAST(s.sp AS DOUBLE) AS sp,
+             CAST(s.sp AS DOUBLE) / s.nb AS avg_p,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY CAST(s.sp AS DOUBLE) / s.nb DESC, s.doc_id) AS bucket
+      FROM (SELECT doc_id, COUNT(*) AS nb, SUM(p) AS sp FROM sc GROUP BY doc_id) s
+      JOIN documents d USING (doc_id))
     """,
-    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations).",
+    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift.",
 )
 def quality_filter_docs(spark, sf):
     from tamer_spark.operators.lm import bigram_lm_score
@@ -1590,14 +1668,27 @@ def quality_filter_docs(spark, sf):
             F.col("stopword_ratio").alias("v3"),
         )
     )
-    lm = bigram_lm_score(d).select(
+    scores = bigram_lm_score(d)
+    lm = scores.select(
         F.lit("lm_score").alias("variant"),
         F.col("doc_id").alias("k"),
         F.col("n_bigrams").alias("v1"),
         F.col("sum_p_scaled").cast("double").alias("v2"),
         F.col("avg_p_scaled").alias("v3"),
     )
-    return filt.unionByName(lm)
+    wb = Window.partitionBy("lang").orderBy(F.col("avg_p_scaled").desc(), F.col("doc_id"))
+    ppl = (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(wb).cast("long"))
+        .select(
+            F.lit("ppl_bucket").alias("variant"),
+            F.col("doc_id").alias("k"),
+            F.col("bucket").alias("v1"),
+            F.col("sum_p_scaled").cast("double").alias("v2"),
+            F.col("avg_p_scaled").alias("v3"),
+        )
+    )
+    return filt.unionByName(lm).unionByName(ppl)
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
