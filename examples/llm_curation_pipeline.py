@@ -2,7 +2,8 @@
 
     quality gate → exact dedup → MinHash-LSH near-dup removal →
     stratified source mixing → train/val/test split →
-    context-window chunking → token counting → sequence packing
+    context-window chunking → token counting → sequence packing →
+    incremental next-epoch dedup → SemDeDup + IVFADC semantic index
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -95,10 +96,28 @@ batch = resent.unionByName(fresh)
 survivors = dedup_exact_incremental(batch, idx)
 n_new = survivors.count()
 
+# 9. semantic tier over the embedding corpus: SemDeDup prunes semantic
+#    near-copies within k-means clusters, then the survivors get IVFADC
+#    index entries — coarse cluster id + 2-byte PQ code per vector, the
+#    memory-bounded ANN layout for retrieval over the curated corpus.
+from tamer_spark.operators.pq import pq_encode, pq_train
+from tamer_spark.operators.similarity import ivf_build, semdedup
+
+emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+_assigned, centroids = ivf_build(emb, n_centroids=8, iters=2)
+sem_kept = semdedup(emb, threshold=0.3, model=centroids)
+codebooks = pq_train(emb, m=4, k=16, iters=2)
+index = pq_encode(
+    emb.join(sem_kept.select("vec_id"), "vec_id", "left_semi"), codebooks
+).join(sem_kept, "vec_id")
+n_vec, n_sem = emb.count(), sem_kept.count()
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
 print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
+print(f"embeddings: {n_vec} → semdedup {n_sem}; IVFADC entries: {index.count()} (cluster + 2 B PQ code)")
 assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
+assert 0 < n_sem <= n_vec and index.count() == n_sem
