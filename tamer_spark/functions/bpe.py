@@ -75,10 +75,42 @@ def learn_merges(word_freqs: list[tuple[str, int]], n_merges: int) -> list[tuple
     return merges
 
 
-def train_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 200) -> list[tuple[str, str]]:
-    freqs = [(r.word, r.freq) for r in word_frequencies(df, text_col).collect()]
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_vocab: int = 1 << 16,
+) -> list[tuple[str, str]]:
+    """Learn merges from the corpus word-frequency table.
+
+    ``max_vocab`` bounds the driver-side collect: only the ``max_vocab``
+    most frequent words (ties → lexicographically first, a total order, so
+    truncation is deterministic) reach the merge learner. This is standard
+    BPE practice — pair statistics are dominated by high-frequency words,
+    and the long Zipf tail contributes noise — and it turns an unbounded
+    distinct-word collect (billions of rows through the driver at web
+    scale) into a fixed-size distributed top-K (TakeOrdered, never a global
+    sort). With ``max_vocab`` ≥ the true vocabulary the result is identical
+    to the untruncated computation (tests/test_bpe.py pins this).
+    """
+    top = (
+        word_frequencies(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_vocab)
+    )
+    freqs = [(r.word, r.freq) for r in top.collect()]
     freqs.sort()  # deterministic input order regardless of partitioning
     return learn_merges(freqs, n_merges)
+
+
+# Fixed merge table for the correctness gate (queries.py chunk_documents
+# 'bpe' variant): three non-interacting merges — pairwise char-disjoint and
+# no merged symbol feeds a later merge — chosen so greedy rank-priority
+# application equals independent replace-all, which a DuckDB oracle can
+# express exactly (space the chars, apply the merges as string replaces).
+# learn_merges/train_bpe (arbitrary LEARNED tables, driver-side iteration)
+# are pinned by pytest instead: the merge recurrence is not SQL-expressible.
+GATE_MERGES: list[tuple[str, str]] = [("t", "h"), ("i", "n"), ("e", END)]
 
 
 def _encoder(merges: list[tuple[str, str]]):

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.operators.dedup import _release_on_gc, normalize_text
 
-__all__ = ["bigram_counts", "bigram_lm_score"]
+__all__ = ["bigram_counts", "bigram_lm_score", "bigram_lm_score_with_cache"]
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -142,7 +142,30 @@ def bigram_lm_score(
     when the returned plan is dropped (weakref finalizer, same contract as
     the dedup pair operators); callers who would rather recompute than
     spill a 100 TB bigram stream pass an explicit pre-trained ``model``,
-    which skips the cache entirely."""
+    which skips the cache entirely.
+
+    Callers that DERIVE further plans from the scores (joins, windows,
+    unions) must use ``bigram_lm_score_with_cache`` and attach the release
+    to THEIR final plan — otherwise the finalizer fires when this function's
+    return value goes out of scope and the derived plan recomputes the
+    extraction the cache was meant to pay for once (correct but slow —
+    ADVICE r3)."""
+    out, cached = bigram_lm_score_with_cache(docs, text_col, id_col, scale, model)
+    return out if cached is None else _release_on_gc(out, cached)
+
+
+def bigram_lm_score_with_cache(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``bigram_lm_score`` returning ``(scores, cached_bigram_stream)`` so a
+    caller deriving further plans can hold the cache alive until ITS final
+    result is dropped — wire with ``_release_on_gc(final_plan, cached)``.
+    ``cached`` is None when an external model is passed (nothing persisted).
+    Same contract as minhash_lsh_pairs_with_cache."""
     if model is not None:
         lm, uni, vocab = model
         bg_stream = _doc_bigrams(_spread(docs), text_col, id_col)
@@ -178,4 +201,4 @@ def bigram_lm_score(
         F.sum("p_scaled").alias("sum_p_scaled"),
         (F.sum("p_scaled") / F.count(F.lit(1))).alias("avg_p_scaled"),
     )
-    return out if cached is None else _release_on_gc(out, cached)
+    return out, cached

@@ -121,6 +121,33 @@ def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) 
     return lsh_bucket_from_quantized(quantize_embedding(vec), planes, dim, seed)
 
 
+def _cap_bucket_candidates(c: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Bound the corpus side of an LSH candidate join to ``max_bucket`` rows
+    per bucket — the skew guard for hot buckets (the same failure mode
+    minhash_lsh_pairs caps: a degenerate bucket makes candidates-per-query
+    O(bucket), a near-scan).
+
+    Selection is a deterministic pseudo-random sample: rank by
+    (stable_hash64(id), id) inside each bucket and keep the first
+    ``max_bucket`` — id-order alone would bias retention toward old
+    documents. The window shuffles on bucket, the same key the candidate
+    join hashes on, so the exchange is reused, not added. Recall trade:
+    neighbors ranked past the cap in a hot bucket are unreachable — the
+    same bounded-recall contract as minhash's max_bucket, documented in
+    docs/SCALING.md. ``None`` disables the guard (exact bucket semantics).
+    """
+    if max_bucket is None:
+        return c
+    wcap = Window.partitionBy("bucket").orderBy(
+        stable_hash64(F.col("neighbor_id").cast("string")), "neighbor_id"
+    )
+    return (
+        c.withColumn("_bslot", F.row_number().over(wcap))
+        .filter(F.col("_bslot") <= max_bucket)
+        .drop("_bslot")
+    )
+
+
 def cosine_knn_lsh(
     df: DataFrame,
     queries: DataFrame,
@@ -129,11 +156,13 @@ def cosine_knn_lsh(
     k: int = 5,
     planes: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Recall < 1.0 by construction (single probe); production path would
-    multi-probe neighboring buckets. Bucket join shuffles on bucket_id only.
+    multi-probe neighboring buckets. Bucket join shuffles on bucket_id only;
+    ``max_bucket`` bounds candidates per bucket (see _cap_bucket_candidates).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
@@ -151,6 +180,7 @@ def cosine_knn_lsh(
         lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"),
         _dot(F.col("cv"), F.col("cv")).alias("cn2"),
     )
+    c = _cap_bucket_candidates(c, max_bucket)
     dot = _dot(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -208,10 +238,13 @@ def cosine_knn_lsh_multiprobe(
     planes: int = 8,
     dim: int = 64,
     probes: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k with multi-probe recall: each query joins its own
     bucket plus the ``probes - 1`` likeliest neighbor buckets. Recall ≥ the
-    single-probe variant by construction (probed set is a superset).
+    single-probe variant by construction (probed set is a superset; with a
+    binding ``max_bucket`` the superset property holds per retained
+    candidate — both variants see the same capped corpus side).
 
     Candidate pairs are deduplicated before ranking (a corpus vector can
     match a query through several probed buckets)."""
@@ -237,6 +270,7 @@ def cosine_knn_lsh_multiprobe(
         lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"),
         _dot(F.col("cv"), F.col("cv")).alias("cn2"),
     )
+    c = _cap_bucket_candidates(c, max_bucket)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -378,6 +412,7 @@ def semdedup(
     iters: int = 3,
     threshold: float = 0.3,
     model: list[list[float]] | None = None,
+    max_cluster: int = 100_000,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -396,6 +431,19 @@ def semdedup(
     map-only — the incremental-epoch posture; otherwise the quantizer is
     trained on ``df`` itself.
 
+    ``max_cluster`` is the skew guard the balanced-cluster story needs:
+    k-means on real web embeddings produces hot clusters (boilerplate,
+    near-zero vectors), and one degenerate cluster would make the self-join
+    O(c²) regardless of n_centroids. Clusters larger than the cap are
+    SALT-SPLIT into ``ceil(size / max_cluster)`` deterministic sub-shards
+    (stable_hash64(vec_id) mod n_splits) and the pair join runs within
+    (cluster, shard) — bounding per-task pair work at ~max_cluster² while
+    still deduping inside each shard. Recall trade (documented like
+    minhash's max_bucket drop): duplicates landing in different shards of
+    an oversized cluster both survive — bounded work is bought with
+    within-shard-only dedup, never with an unbounded join. The cluster-size
+    aggregate is n_centroids rows, broadcast onto the inverted file.
+
     Everything is exact: integer-quantized vectors, integer-exact centroids
     (ivf_build), and cosine built from integer dot products — IEEE division
     and sqrt on identical integers are bit-identical in any engine, so the
@@ -408,20 +456,29 @@ def semdedup(
         assigned, _cents = ivf_build(df, id_col, vec_col, n_centroids, iters)
     else:
         assigned = ivf_append(df, model, id_col, vec_col)
-    # the inverted file feeds three plan branches (both join sides + the
-    # final anti join); persist it, released when the result is dropped
+    # the inverted file feeds four plan branches (size agg, both join sides,
+    # the final anti join); persist it, released when the result is dropped
     assigned = assigned.persist()
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster"
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    sharded = (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .withColumn("_shard", F.pmod(
+            stable_hash64(F.col("vec_id").cast("string")),
+            F.ceil(F.col("_csize") / max_cluster).cast("long"),
+        ))
+        .select("vec_id", "qv", "cluster", "_shard")
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster"
+    a = sharded.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard"
+    )
+    b = sharded.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard"
     )
     cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(
         _dot(F.col("va"), F.col("va")) * _dot(F.col("vb"), F.col("vb"))
     )
     drops = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_shard"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= threshold)
         .select(F.col("id_b").alias("vec_id"))

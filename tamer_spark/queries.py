@@ -1439,6 +1439,20 @@ def _ivf_cte_prefix(n_centroids: int = 8, iters: int = 3) -> str:
     return ",".join(parts)
 
 
+def _assert_gate_dim(emb, expected: int = 64) -> None:
+    """TESTDATA CONTRACT: the IVF/PQ/LSH oracle SQL is generated at import
+    time with dim pinned to the shipped embeddings shape (64). A testdata
+    regeneration with a different dimension would otherwise surface as a
+    confusing value-hash mismatch; fail loudly at the source instead
+    (ADVICE r3: _pq_code_oracle hardcodes dim)."""
+    d = emb.select(F.size("embedding").alias("d")).first().d
+    assert d == expected, (
+        f"embeddings are {d}-dim but the DuckDB oracles were generated for "
+        f"{expected}-dim vectors — regenerate the oracle dims in queries.py "
+        f"(testdata contract change)"
+    )
+
+
 def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
     return (
         _ivf_cte_prefix(n_centroids, iters)
@@ -1446,12 +1460,20 @@ def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
     )
 
 
-def _pq_code_oracle(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> str:
-    """DuckDB replay of pq_train + pq_encode (operators/pq.py): per-subspace
-    k-means with the shared smallest-md5 seed set, floor-divided integer
-    codeword means, empty-codeword carry-over, and base-k packing of the
-    final per-subspace argmin codes. Integer-exact throughout — same
-    determinism contract as the IVF oracle above."""
+def _pq_cte_prefix(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of pq_train + per-vector code assignment
+    (operators/pq.py): per-subspace k-means with the shared smallest-md5
+    seed set, floor-divided integer codeword means, empty-codeword
+    carry-over. Ends with ``pfinal (vec_id, sub, cid)`` — each vector's
+    codeword per subspace — and ``k{iters} (sub, cid, t, val)`` — the
+    trained codebooks — shared by the code-packing and ADC-search oracles.
+    Integer-exact throughout — same determinism contract as the IVF oracle
+    above.
+
+    ``dim`` is pinned to the TESTDATA CONTRACT (embeddings.parquet ships
+    64-dim vectors; asserted loudly on the Spark side in ann/ivf gate
+    queries, see _assert_gate_dim) — the oracle is a static string built at
+    import time and cannot inspect the data."""
     dsub = dim // m
     parts = [f"""
     WITH base AS (
@@ -1500,11 +1522,83 @@ def _pq_code_oracle(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> s
       SELECT vec_id, sub, cid FROM (
         SELECT vec_id, sub, cid,
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-        FROM pfdist) WHERE rn = 1)
+        FROM pfdist) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+def _pq_code_oracle(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """Base-k packing of the trained per-subspace codes (pq_encode)."""
+    return _pq_cte_prefix(m, k, iters, dim) + f"""
     SELECT vec_id,
            CAST(SUM(cid * (CASE sub {' '.join(f'WHEN {j} THEN {k ** (m - 1 - j)}' for j in range(m))} END)) AS BIGINT) AS cluster
-    FROM pfinal GROUP BY vec_id""")
-    return ",".join(parts)
+    FROM pfinal GROUP BY vec_id"""
+
+
+def _pq_adc_oracle(
+    m: int = 4, k: int = 16, iters: int = 3, dim: int = 64, topk: int = 5
+) -> str:
+    """DuckDB replay of pq_search_adc (operators/pq.py:180-246): per query,
+    the m×k table of EXACT integer squared-L2 distances from its subvectors
+    to the trained codewords; each database vector's approximate distance is
+    the sum of the m table entries its codes select. Every distance is an
+    exact integer (quantized vectors, integer codebooks), so the (dist, id)
+    rank order cannot drift between engines — this is the oracle for the
+    search half of IVFADC, the operator a retrieval user actually calls."""
+    dsub = dim // m
+    return _pq_cte_prefix(m, k, iters, dim) + f""",
+    qset AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 10),
+    qd AS (
+      SELECT query_id, (generate_subscripts(qv, 1) - 1) // {dsub} AS sub,
+             (generate_subscripts(qv, 1) - 1) % {dsub} AS t,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM qset),
+    tab AS (
+      SELECT q.query_id, c.sub, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+      FROM qd q JOIN k{iters} c ON q.sub = c.sub AND q.t = c.t GROUP BY 1, 2, 3),
+    ad AS (
+      SELECT t.query_id, p.vec_id AS neighbor_id, SUM(t.dist) AS approx
+      FROM pfinal p JOIN tab t ON p.sub = t.sub AND p.cid = t.cid
+      WHERE t.query_id <> p.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(approx AS DOUBLE) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+      FROM ad) WHERE rank <= {topk}"""
+
+
+def _ivf_search_oracle(
+    n_centroids: int = 8, iters: int = 3, nprobe: int = 2, k: int = 5
+) -> str:
+    """DuckDB replay of ivf_search (operators/similarity.py): probe each
+    query's ``nprobe`` nearest trained centroids (squared-L2, (dist, cid)
+    tie-break — the same total order as _nearest_centroids), then exact
+    quantized-cosine rerank of the probed clusters' members. Rounding and
+    rank tie-breaks mirror the LSH kNN oracles above (proven hash-stable)."""
+    return _ivf_cte_prefix(n_centroids, iters) + f""",
+    qset AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 10),
+    qd AS (
+      SELECT query_id, generate_subscripts(qv, 1) - 1 AS dim,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM qset),
+    qcd AS (
+      SELECT q.query_id, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+      FROM qd q JOIN c{iters} c USING (dim) GROUP BY 1, 2),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
+        FROM qcd) WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, f.vec_id AS neighbor_id
+      FROM probe p JOIN fassign f USING (cid)
+      WHERE p.query_id <> f.vec_id),
+    sc AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(q.qv, b.qv)
+               / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(b.qv, b.qv)) AS cos_raw
+      FROM cand c JOIN qset q USING (query_id) JOIN base b ON c.neighbor_id = b.vec_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM sc) WHERE rank <= {k}"""
 
 
 def _semdedup_oracle(n_centroids: int = 8, iters: int = 3, threshold: float = 0.3) -> str:
@@ -1541,6 +1635,7 @@ def ivf_cluster_assign_q(spark, sf):
     from tamer_spark.operators.similarity import ivf_build, semdedup
 
     emb = _t(spark, sf, "embeddings")
+    _assert_gate_dim(emb)
     assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
     keep = semdedup(emb, n_centroids=8, iters=3, threshold=0.3, model=centroids)
     codebooks = pq_train(emb, m=4, k=16, iters=3)
@@ -1553,6 +1648,44 @@ def ivf_cluster_assign_q(spark, sf):
         )
         .unionByName(keep.select(F.lit("semdedup_keep").alias("variant"), "*"))
         .unionByName(codes.select(F.lit("pq_code").alias("variant"), "*"))
+    )
+
+
+@q(
+    "ann_search",
+    f"""
+    SELECT 'ivf' AS variant, * FROM ({_ivf_search_oracle(n_centroids=8, iters=3, nprobe=2, k=5)})
+    UNION ALL
+    SELECT 'adc', * FROM ({_pq_adc_oracle(m=4, k=16, iters=3, dim=64, topk=5)})
+    """,
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. Scores are cosine (ivf) / approx squared-L2 (adc); rank ties break on neighbor id in both engines.",
+)
+def ann_search_q(spark, sf):
+    from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+    from tamer_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = _t(spark, sf, "embeddings")
+    _assert_gate_dim(emb)
+    qs = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
+    ivf = ivf_search(assigned, centroids, qs, k=5, nprobe=2)
+    codebooks = pq_train(emb, m=4, k=16, iters=3)
+    coded = pq_encode(emb, codebooks)
+    adc = pq_search_adc(coded, codebooks, qs, topk=5)
+    return ivf.select(
+        F.lit("ivf").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("score"),
+        "rank",
+    ).unionByName(
+        adc.select(
+            F.lit("adc").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("approx_dist").alias("score"),
+            "rank",
+        )
     )
 
 
@@ -1652,7 +1785,8 @@ def agg_ordered_string_concat(spark, sf):
     doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift.",
 )
 def quality_filter_docs(spark, sf):
-    from tamer_spark.operators.lm import bigram_lm_score
+    from tamer_spark.operators.dedup import _release_on_gc
+    from tamer_spark.operators.lm import bigram_lm_score_with_cache
 
     d = _t(spark, sf, "documents")
     stats = d.select("doc_id", *text_stats_cols(F.col("text")))
@@ -1668,7 +1802,14 @@ def quality_filter_docs(spark, sf):
             F.col("stopword_ratio").alias("v3"),
         )
     )
-    scores = bigram_lm_score(d)
+    # _with_cache: the scores feed TWO branches (lm_score + ppl_bucket), so
+    # the persisted bigram stream must survive until the returned UNION is
+    # dropped — attaching the finalizer to `scores` itself would fire it at
+    # function return and both branches would recompute extraction (ADVICE r3).
+    # scores is additionally persisted (doc-sized — tiny) so the scoring
+    # join runs once across the branches, not once per branch.
+    scores, cached = bigram_lm_score_with_cache(d)
+    scores = scores.persist()
     lm = scores.select(
         F.lit("lm_score").alias("variant"),
         F.col("doc_id").alias("k"),
@@ -1688,7 +1829,8 @@ def quality_filter_docs(spark, sf):
             F.col("avg_p_scaled").alias("v3"),
         )
     )
-    return filt.unionByName(lm).unionByName(ppl)
+    out = _release_on_gc(filt.unionByName(lm).unionByName(ppl), scores)
+    return out if cached is None else _release_on_gc(out, cached)
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -1908,21 +2050,47 @@ def approx_distinct_users(spark, sf):
          ch AS (SELECT doc_id,
                        unnest(list_transform(range(CAST(ceil(len(w) / 50.0) AS BIGINT)),
                               i -> {'chunk_id': i, 'chunk': array_to_string(w[CAST(i*50+1 AS BIGINT):CAST(i*50+50 AS BIGINT)], ' ')})) AS c
-                FROM ws)
-    SELECT doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id, c.chunk AS chunk FROM ch
+                FROM ws),
+         wpos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM ws),
+         wt AS (SELECT doc_id, pos,
+                       replace(replace(replace(
+                          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>',
+                          't h', 'th'), 'i n', 'in'), 'e </w>', 'e</w>') AS ts
+                FROM wpos WHERE len(word) > 0),
+         bpe AS (SELECT doc_id,
+                        CAST(SUM(len(string_split(ts, ' '))) AS BIGINT) AS n_tokens,
+                        string_agg(ts, ' ' ORDER BY pos) AS toks
+                 FROM wt GROUP BY doc_id)
+    SELECT 'chunk' AS variant, doc_id, CAST(c.chunk_id AS BIGINT) AS idx, c.chunk AS content FROM ch
+    UNION ALL
+    SELECT 'bpe', d.doc_id, COALESCE(b.n_tokens, 0), COALESCE(b.toks, '')
+    FROM documents d LEFT JOIN bpe b USING (doc_id)
     """,
-    doc="Context-window chunking (50-word budget) via JVM array slicing + posexplode; UDTF twin tested equivalent in tests/test_bucketing_chunking.py.",
+    doc="Tokenization surface as one tagged union. chunk: context-window chunking (50-word budget) via JVM array slicing + posexplode; UDTF twin tested equivalent in tests/test_bucketing_chunking.py. bpe: the Arrow-batched BPE tokenizer (functions/bpe.py apply_bpe — mapInPandas with an LRU per-word encode cache) run end-to-end under a fixed non-interacting merge table, gating the exact TOKEN SEQUENCE per document: the merges are pairwise char-disjoint and feed no later merge, so greedy rank-priority application provably equals independent replace-all, which the oracle expresses as char-spacing + string replaces. Merge LEARNING (train_bpe — distributed top-K word frequencies, driver-side merge recurrence) is pytest-pinned in tests/test_bpe.py; the recurrence is not SQL-expressible.",
 )
 def chunk_documents(spark, sf):
+    from tamer_spark.functions.bpe import GATE_MERGES, apply_bpe
     from tamer_spark.functions.chunking import chunk_text_expr
 
     d = _t(spark, sf, "documents")
     # _outer: keeps the chunk-slicing expression out of an inferred pushed-
     # down size>0 filter (see minhash_signatures_q); chunk arrays are never
     # empty (ceil(len/50) >= 1 for non-null text)
-    return d.select(
+    chunks = d.select(
         "doc_id", F.posexplode_outer(chunk_text_expr(F.col("text"), 50)).alias("chunk_id", "chunk")
-    ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+    ).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("idx"),
+        F.col("chunk").alias("content"),
+    )
+    toks = apply_bpe(d, GATE_MERGES).select(
+        F.lit("bpe").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("idx"),
+        F.array_join("tokens", " ").alias("content"),
+    )
+    return chunks.unionByName(toks)
 
 
 @q(

@@ -121,6 +121,74 @@ def test_semdedup_keep_min_and_no_close_survivors(spark):
                 assert cos(v2, v) < th, f"{r.vec_id} should have been dropped vs {other}"
 
 
+def _identical_corpus(spark, n=40, dim=8):
+    """The degenerate case the skew guards exist for: every vector identical
+    → k-means puts ALL of them in one cluster / one LSH bucket."""
+    vec = [float(i % 3 + 1) for i in range(dim)]
+    return spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+
+
+def test_semdedup_cluster_cap_bounds_pair_join(spark):
+    """max_cluster salt-splits a degenerate (all-identical) cluster: pair
+    work is confined to (cluster, shard), so the self-join is bounded at
+    ~max_cluster² per shard instead of cluster². Row evidence: uncapped,
+    keep-min-id leaves exactly 1 survivor of the 40 identical vectors;
+    capped at 10, each of the ceil(40/10)=4 hash shards keeps its own min —
+    survivors == occupied shards, proving no cross-shard pairs were ever
+    generated."""
+    from tamer_spark.operators.similarity import semdedup
+
+    emb = _identical_corpus(spark, n=40, dim=8)
+    model = [[float((i % 3 + 1) * 1000) for i in range(8)]]  # 1 frozen centroid
+    uncapped = semdedup(emb, threshold=0.9, model=model).collect()
+    assert len(uncapped) == 1 and uncapped[0].vec_id == 0
+
+    capped = semdedup(emb, threshold=0.9, model=model, max_cluster=10).collect()
+    assert 2 <= len(capped) <= 4, f"expected per-shard survivors, got {len(capped)}"
+    assert {r.vec_id for r in uncapped} <= {r.vec_id for r in capped}
+    # a non-binding cap must be a no-op (the gate/oracle path)
+    default = semdedup(emb, threshold=0.9, model=model, max_cluster=100_000).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, uncapped))
+
+
+def test_knn_lsh_bucket_cap_bounds_candidates(spark):
+    """max_bucket bounds candidates per LSH bucket: with 40 identical
+    vectors (one hot bucket) and k > bucket size, an uncapped query sees
+    all 39 others; capped at 5 it sees at most 5 — and the retained set is
+    the same deterministic pseudo-random sample for every query."""
+    from collections import Counter
+
+    from tamer_spark.operators.similarity import cosine_knn_lsh, cosine_knn_lsh_multiprobe
+
+    emb = _identical_corpus(spark, n=40, dim=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    uncapped = cosine_knn_lsh(emb, queries, k=100, planes=4, dim=8, max_bucket=None).collect()
+    assert Counter(r.query_id for r in uncapped)[0] == 39
+
+    for fn in (cosine_knn_lsh, cosine_knn_lsh_multiprobe):
+        capped = fn(emb, queries, k=100, planes=4, dim=8, max_bucket=5).collect()
+        per_q = Counter(r.query_id for r in capped)
+        assert per_q and max(per_q.values()) <= 5, f"{fn.__name__}: {per_q}"
+        assert {(r.query_id, r.neighbor_id) for r in capped} <= {
+            (r.query_id, r.neighbor_id) for r in uncapped
+        }
+
+
+def test_knn_lsh_default_cap_is_noop_at_fixture_scale(spark):
+    """The default max_bucket (10k) must not change results on real data —
+    the guard binds only on pathological buckets, so the gate/oracle path
+    is unaffected."""
+    from tamer_spark.operators.similarity import cosine_knn_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    with_cap = cosine_knn_lsh(emb, queries, k=5, planes=8, dim=64).collect()
+    no_cap = cosine_knn_lsh(emb, queries, k=5, planes=8, dim=64, max_bucket=None).collect()
+    assert sorted(map(tuple, with_cap)) == sorted(map(tuple, no_cap))
+
+
 def test_semdedup_frozen_model_matches_self_trained(spark):
     """Passing ivf_build's centroids as a frozen model must give the same
     survivors as training inside semdedup (assignment is deterministic)."""
