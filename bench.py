@@ -79,6 +79,85 @@ def _cc_clusters_only(spark, sf_dir):
     return attach_cluster_ids(d.select("doc_id"), pairs)
 
 
+def _ivf_model(spark, sf_dir):
+    # frozen coarse quantizer, trained once in warm-up: the bench times the
+    # operators a steady-state pipeline runs per epoch (assign/prune/encode/
+    # search), not quantizer training — the incremental posture SCALING.md
+    # documents (train once, append forever)
+    from tamer_spark.operators.similarity import ivf_build
+
+    key = ("ivf_model", sf_dir)
+    if key not in _MEMO:
+        emb = Q._t(spark, sf_dir, "embeddings")
+        _, centroids = ivf_build(emb, n_centroids=8, iters=3)
+        _MEMO[key] = centroids
+    return _MEMO[key]
+
+
+def _pq_model(spark, sf_dir):
+    from tamer_spark.operators.pq import pq_train
+
+    key = ("pq_model", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = pq_train(Q._t(spark, sf_dir, "embeddings"), m=4, k=16, iters=3)
+    return _MEMO[key]
+
+
+def _semdedup_frozen(spark, sf_dir):
+    # within-cluster cosine prune over the frozen quantizer — the semantic
+    # dedup hot path (assignment is map-only; the pair join is cluster- and
+    # max_cluster-bounded)
+    from tamer_spark.operators.similarity import semdedup
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.3, model=_ivf_model(spark, sf_dir))
+
+
+def _pq_encode_frozen(spark, sf_dir):
+    # map-only encode of the full corpus under frozen codebooks (2 B/vector).
+    # NOTE: at bench SF the time is dominated by per-plan fixed overhead
+    # (analysis/codegen of the m*k literal-codebook expression tree —
+    # measured flat from 500 to 2000 vectors), so the number is an upper
+    # bound on per-epoch cost; the per-row work is a shuffle-free map.
+    from tamer_spark.operators.pq import pq_encode
+
+    return pq_encode(Q._t(spark, sf_dir, "embeddings"), _pq_model(spark, sf_dir))
+
+
+def _pq_search_adc_hot(spark, sf_dir):
+    # ADC top-5 for 10 queries over a PERSISTED code table (built in
+    # warm-up): times the search itself — per-query m×k distance tables on
+    # the broadcast side + m array lookups per candidate — not encoding
+    from tamer_spark.operators.pq import pq_encode, pq_search_adc
+
+    cb = _pq_model(spark, sf_dir)
+    key = ("pq_codes", sf_dir)
+    if key not in _MEMO:
+        coded = pq_encode(Q._t(spark, sf_dir, "embeddings"), cb).persist()
+        coded.count()
+        _MEMO[key] = coded
+    emb = Q._t(spark, sf_dir, "embeddings")
+    return pq_search_adc(_MEMO[key], cb, emb.filter(F.col("vec_id") < 10), topk=5)
+
+
+def _quality_ppl_bucket(spark, sf_dir):
+    # CCNet tercile bucketing hot path: self-trained bigram LM scoring +
+    # per-language ntile. Timed COLD like dedup_minhash_lsh (the internal
+    # bigram-stream cache is dropped between iterations — _NO_WARM_KEEP)
+    from pyspark.sql import Window
+
+    from tamer_spark.operators.lm import bigram_lm_score
+
+    d = Q._t(spark, sf_dir, "documents")
+    scores = bigram_lm_score(d)
+    wb = Window.partitionBy("lang").orderBy(F.col("avg_p_scaled").desc(), F.col("doc_id"))
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(wb).cast("long"))
+        .select("doc_id", "bucket", "avg_p_scaled")
+    )
+
+
 def _dedup_exact_incremental_epoch(spark, sf_dir):
     # the 100 TB curation loop: a 10 % "new epoch" batch deduped against the
     # other 90 % of the corpus persisted as a BUCKETED key index (built once
@@ -135,6 +214,13 @@ HEADLINE = {
     "connected_components": _cc_clusters_only,
     "dedup_exact_incremental": _dedup_exact_incremental_epoch,
     "pack_sequences": None,
+    # semantic tier (round 4+): SemDeDup / PQ / ADC search / CCNet buckets
+    # under frozen models (training happens once in warm-up — the
+    # steady-state epoch posture), so the numbers track the per-epoch cost
+    "semdedup": _semdedup_frozen,
+    "pq_encode": _pq_encode_frozen,
+    "pq_search_adc": _pq_search_adc_hot,
+    "quality_ppl_bucket": _quality_ppl_bucket,
 }
 
 # Entries whose warm-up plan must NOT be retained: their operator persists an
@@ -142,7 +228,24 @@ HEADLINE = {
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket"}
+
+# FROZEN timing definitions, by the round that (re)defined them. A number is
+# comparable across rounds only within its series; redefining what an entry
+# times requires a dual-reported transition round and a new series tag here
+# (the dedup_minhash_lsh r2→r3 warm→cold redefinition is the precedent and
+# the last allowed silent one).
+SERIES = {
+    "default": "r1",
+    "dedup_minhash_lsh": "r3-cold-path",
+    "connected_components": "r3",
+    "dedup_exact_incremental": "r3",
+    "pack_sequences": "r3",
+    "semdedup": "r4-frozen-model",
+    "pq_encode": "r4-frozen-model",
+    "pq_search_adc": "r4-hot-codes",
+    "quality_ppl_bucket": "r4-cold-path",
+}
 
 
 def main() -> None:
@@ -198,6 +301,7 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "n": n_iter,
+        "series": SERIES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -112,12 +112,43 @@ index = pq_encode(
 ).join(sem_kept, "vec_id")
 n_vec, n_sem = emb.count(), sem_kept.count()
 
+# 10. next-epoch semantic tier: centroids + codebooks are FROZEN models —
+#     a new embedding batch is assigned (ivf_append) and encoded (pq_encode)
+#     map-only, never retraining on history; that's the same O(batch) epoch
+#     posture as stage 8's exact-dedup index. Frozen-model outputs must be
+#     consistent with what full training produced for the same vectors.
+from tamer_spark.operators.similarity import ivf_append
+
+new_emb = emb.limit(100).select(
+    (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+)
+epoch_assigned = ivf_append(new_emb, centroids)
+epoch_codes = pq_encode(new_emb, codebooks)
+epoch_index = epoch_assigned.select("vec_id", "cluster").join(
+    epoch_codes.select("vec_id", "code"), "vec_id"
+)
+n_epoch = epoch_index.count()
+# same vector ⇒ same frozen-model cluster and code, regardless of epoch/id
+want = (
+    ivf_append(emb.limit(100), centroids)
+    .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "cluster")
+    .join(
+        pq_encode(emb.limit(100), codebooks).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "code"
+        ),
+        "vec_id",
+    )
+)
+assert sorted(map(tuple, epoch_index.collect())) == sorted(map(tuple, want.collect()))
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
 print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
 print(f"embeddings: {n_vec} → semdedup {n_sem}; IVFADC entries: {index.count()} (cluster + 2 B PQ code)")
+print(f"next-epoch vectors: {n_epoch} assigned+encoded under frozen models (map-only)")
 assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
 assert 0 < n_sem <= n_vec and index.count() == n_sem
+assert n_epoch == 100

@@ -460,23 +460,27 @@ def semdedup(
     # the final anti join); persist it, released when the result is dropped
     assigned = assigned.persist()
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    # per-vector norms are computed ONCE here (map-only over the inverted
+    # file), not per pair — the pair predicate then costs one dot product,
+    # same arithmetic (sqrt(n2a*n2b) of exact integer dots) so results are
+    # bit-identical, ~3x less per-pair array work (measured at sf0.1)
     sharded = (
         assigned.join(F.broadcast(sizes), "cluster")
         .withColumn("_shard", F.pmod(
             stable_hash64(F.col("vec_id").cast("string")),
             F.ceil(F.col("_csize") / max_cluster).cast("long"),
         ))
-        .select("vec_id", "qv", "cluster", "_shard")
+        .select("vec_id", "qv", "cluster", "_shard", _dot(F.col("qv"), F.col("qv")).alias("_n2"))
     )
     a = sharded.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard"
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",
+        F.col("_n2").alias("_n2a"),
     )
     b = sharded.select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard"
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard",
+        F.col("_n2").alias("_n2b"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(
-        _dot(F.col("va"), F.col("va")) * _dot(F.col("vb"), F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("_n2a") * F.col("_n2b"))
     drops = (
         a.join(b, ["cluster", "_shard"])
         .filter(F.col("id_a") < F.col("id_b"))
