@@ -189,6 +189,57 @@ def main() -> None:
         }
         print(f"# bigram_lm_score@{label}: {lm_probe[label]}", file=sys.stderr)
     print(json.dumps({"bigram_lm_score": lm_probe}, indent=2))
+
+    # Round-4 semantic tier. semdedup: the within-cluster pair join grows
+    # ~quadratically when exact copies inflate every cluster (the 10× corpus
+    # is the designed worst case — 10 copies per vector). The max_cluster
+    # salt-split must flatten that blowup; both timings run under a FROZEN
+    # quantizer (per-epoch posture — training excluded). pq_search_adc must
+    # scale ~linearly in corpus (m lookups per candidate, queries fixed).
+    # gopher_signals is scan-bound + one vocab-shaped bigram shuffle.
+    from tamer_spark.operators.gopher import gopher_signals
+    from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+    from tamer_spark.operators.similarity import ivf_build, semdedup
+
+    sem = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        emb = spark.read.parquet(f"{path}/embeddings.parquet")
+        _, cents = ivf_build(emb, n_centroids=8, iters=2)
+        t0 = time.monotonic()
+        n_unc = semdedup(emb, threshold=0.3, model=cents).count()
+        t_unc = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        n_cap = semdedup(emb, threshold=0.3, model=cents, max_cluster=1000).count()
+        t_cap = round(time.monotonic() - t0, 3)
+        sem[label] = {"t_uncapped": t_unc, "keep_uncapped": n_unc,
+                      "t_cap1000": t_cap, "keep_cap1000": n_cap}
+        print(f"# semdedup@{label}: {sem[label]}", file=sys.stderr)
+    print(json.dumps({"semdedup_frozen_model": sem}, indent=2))
+
+    adc = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        emb = spark.read.parquet(f"{path}/embeddings.parquet")
+        cb = pq_train(emb, m=4, k=16, iters=2)
+        coded = pq_encode(emb, cb).persist()
+        n_codes = coded.count()
+        t0 = time.monotonic()
+        pq_search_adc(coded, cb, emb.filter(F.col("vec_id") < 10), topk=5).count()
+        adc[label] = {"corpus": n_codes, "t_adc": round(time.monotonic() - t0, 3)}
+        coded.unpersist()
+        print(f"# pq_search_adc@{label}: {adc[label]}", file=sys.stderr)
+    print(json.dumps({"pq_search_adc_hot_codes": adc}, indent=2))
+
+    gop = {}
+    for label, path in steps:
+        spark.catalog.clearCache()
+        docs = _t(spark, path, "documents")
+        t0 = time.monotonic()
+        n = gopher_signals(docs).count()
+        gop[label] = {"docs": n, "t": round(time.monotonic() - t0, 3)}
+        print(f"# gopher_signals@{label}: {gop[label]}", file=sys.stderr)
+    print(json.dumps({"gopher_signals": gop}, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 

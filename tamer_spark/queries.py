@@ -1749,11 +1749,44 @@ def agg_ordered_string_concat(spark, sf):
 # Curation pipeline compositions
 # ---------------------------------------------------------------------------
 
+def _gopher_oracle_ctes() -> str:
+    """DuckDB replay of operators/gopher.py gopher_signals: identical word
+    staging (filtered split over the same normalization), identical exact-
+    integer counts, identical IEEE ratio divisions, and the same
+    (count DESC, bigram ASC) top-2-gram champion. Consumes the ``norm`` CTE
+    of the quality_filter_docs oracle."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    gws AS (SELECT doc_id, t, list_filter(string_split(t, ' '), x -> len(x) > 0) AS gw FROM norm),
+    gsig AS (SELECT doc_id, gw,
+        CAST(len(gw) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(gw, x -> len(x))), 0) AS BIGINT) AS total_chars,
+        CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '…', ''))) AS BIGINT) AS symbols,
+        CAST(len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+        CAST(len(list_distinct(list_intersect(gw, [{stop}]))) AS BIGINT) AS n_stop
+      FROM gws),
+    gbgl AS (SELECT doc_id, list_transform(range(len(gw) - 1), i -> gw[i+1] || ' ' || gw[i+2]) AS bgs
+             FROM gws WHERE len(gw) >= 2),
+    gbg AS (SELECT doc_id, unnest(bgs) AS bg FROM gbgl),
+    gcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM gbg GROUP BY 1, 2),
+    gtop AS (SELECT doc_id, bg, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+        FROM gcnt) WHERE rn = 1),
+    gout AS (SELECT s.doc_id, s.n_words, s.n_stop,
+        CASE WHEN s.n_words > 0 THEN CAST(s.total_chars AS DOUBLE) / s.n_words ELSE 0.0 END AS mwl,
+        CASE WHEN s.n_words > 0 THEN CAST(s.symbols AS DOUBLE) / s.n_words ELSE 0.0 END AS sym_ratio,
+        CASE WHEN s.n_words > 0 THEN CAST(s.alpha_words AS DOUBLE) / s.n_words ELSE 0.0 END AS alpha_frac,
+        CASE WHEN t.c IS NOT NULL AND s.total_chars > 0
+             THEN CAST(t.c * (len(t.bg) - 1) AS DOUBLE) / s.total_chars ELSE 0.0 END AS top_frac
+      FROM gsig s LEFT JOIN gtop t USING (doc_id))"""
+
+
 @q(
     "quality_filter_docs",
     f"""
     WITH stats AS ({_stats_oracle()}),
     norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    {_gopher_oracle_ctes().lstrip()},
     ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
     bgl AS (SELECT doc_id, list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS bgs
             FROM ws WHERE len(w) >= 2),
@@ -1781,8 +1814,17 @@ def agg_ordered_string_concat(spark, sf):
                             ORDER BY CAST(s.sp AS DOUBLE) / s.nb DESC, s.doc_id) AS bucket
       FROM (SELECT doc_id, COUNT(*) AS nb, SUM(p) AS sp FROM sc GROUP BY doc_id) s
       JOIN documents d USING (doc_id))
+    UNION ALL
+    SELECT 'gopher', doc_id,
+           CAST((CASE WHEN n_words BETWEEN 50 AND 100000
+                       AND mwl >= 3.0 AND mwl <= 10.0
+                       AND sym_ratio < 0.1 AND alpha_frac > 0.8
+                       AND n_stop >= 2 AND top_frac < 0.2
+                      THEN 1 ELSE 0 END) * 10000000 + n_stop * 100000 + n_words AS BIGINT),
+           top_frac, mwl
+    FROM gout
     """,
-    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift.",
+    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift. gopher: the Gopher §A1.1 quality rules (Rae et al. 2021, operators/gopher.py) — word-count/mean-word-length bounds, symbol + alphabetic ratios, distinct-stopword floor, and the most-frequent-2-gram repetition fraction (champion by (count DESC, bigram ASC), a total order); v1 packs (keep, n_stopwords, n_words) into one int64, v2/v3 carry the repetition fraction and mean word length. Everything except the bigram count is map-only; the count shuffles (doc_id, bigram) with partial aggregation and reuses the doc_id exchange for the champion window.",
 )
 def quality_filter_docs(spark, sf):
     from tamer_spark.operators.dedup import _release_on_gc
@@ -1829,7 +1871,20 @@ def quality_filter_docs(spark, sf):
             F.col("avg_p_scaled").alias("v3"),
         )
     )
-    out = _release_on_gc(filt.unionByName(lm).unionByName(ppl), scores)
+    from tamer_spark.operators.gopher import gopher_signals
+
+    gv = gopher_signals(d).select(
+        F.lit("gopher").alias("variant"),
+        F.col("doc_id").alias("k"),
+        (
+            F.col("keep") * 10_000_000
+            + F.col("n_stopwords") * 100_000
+            + F.col("n_words")
+        ).cast("long").alias("v1"),
+        F.col("top_bigram_char_frac").alias("v2"),
+        F.col("mean_word_len").alias("v3"),
+    )
+    out = _release_on_gc(filt.unionByName(lm).unionByName(ppl).unionByName(gv), scores)
     return out if cached is None else _release_on_gc(out, cached)
 
 

@@ -139,6 +139,46 @@ def test_multiprobe_knn_broadcasts_queries_not_corpus(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
 
+def test_ann_search_broadcasts_queries_not_corpus(spark):
+    """Both retrieval paths stream the corpus/code table and broadcast the
+    query side: ivf_search's candidate join must be a BroadcastHashJoin on
+    cluster id; pq_search_adc's distance-table join is a broadcast nested
+    loop over the (tiny) query table by construction — never a
+    CartesianProduct of corpus × queries."""
+    df = REGISTRY["ann_search"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_signals_bounded_shuffles(spark):
+    """Gopher rules: map-only stats + one (doc_id, bigram) count + the
+    per-doc champion window — no cross join of any kind, and the bigram
+    aggregation must keep map-side partial aggregation (two HashAggregate
+    levels around its exchange)."""
+    from tamer_spark.operators.gopher import gopher_signals
+    from tamer_spark.queries import _t
+
+    df = gopher_signals(_t(spark, SF_DIR, "documents"))
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_knn_lsh_bucket_cap_reuses_bucket_exchange(spark):
+    """The max_bucket guard's window partitions by the SAME bucket key the
+    candidate join hashes on — capping must not add an exchange beyond the
+    uncapped plan's (corpus-side hash + window sort share the partitioning)."""
+    from tamer_spark.operators.similarity import cosine_knn_lsh
+    from tamer_spark.queries import _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    capped = cosine_knn_lsh(emb, qs, k=5, planes=8, dim=64, max_bucket=1000)
+    uncapped = cosine_knn_lsh(emb, qs, k=5, planes=8, dim=64, max_bucket=None)
+    assert shuffle_count(capped) <= shuffle_count(uncapped) + 1
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     df = REGISTRY["decontaminate_against_benchmark"].spark(spark, SF_DIR)
     plan = explain_str(df)
