@@ -494,6 +494,79 @@ def semdedup(
     return _release_on_gc(out, assigned)
 
 
+def semdedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    model: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """Incremental SemDeDup: prune a NEW epoch's vectors against the
+    persisted inverted file WITHOUT re-comparing history to itself — the
+    semantic-tier analog of operators/dedup_incremental (same posture:
+    history is an index, epoch cost is O(batch × matching clusters), never
+    O(corpus²)).
+
+    ``index`` is the accumulated inverted file — (vec_id, qv, cluster) for
+    ALL historical members as produced by ivf_build/ivf_append (members,
+    not survivors: the SemDeDup drop rule compares against every lower-id
+    member, dropped or not), bucketed by cluster at scale so the pair join
+    prunes to the batch's clusters. ``model`` is the frozen quantizer the
+    index was built with.
+
+    Exactness contract: with historical ids below batch ids (the natural
+    monotonic-id layout), the survivors returned here are EXACTLY the
+    new-id rows of ``semdedup(history ∪ batch, model=model)`` — keep-min-id
+    is id-ordered, so adding higher-id vectors never changes a historical
+    verdict, and a new vector's verdict depends only on historical members
+    + lower-id batchmates (pinned in tests/test_ivf.py, including with a
+    binding ``max_cluster``: shard sizes are computed over the UNION, the
+    same formula the batch operator uses, so capped results agree too).
+
+    Returns the surviving ``(vec_id, cluster)`` rows of the new batch only.
+    """
+    assigned_new = ivf_append(new_df, model, id_col, vec_col)
+    union = index.select("vec_id", "qv", "cluster").withColumn(
+        "_new", F.lit(False)
+    ).unionByName(assigned_new.withColumn("_new", F.lit(True)))
+    # the union feeds the size agg + both join sides; persist for the run
+    union = union.persist()
+    sizes = union.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    sharded = (
+        union.join(F.broadcast(sizes), "cluster")
+        .withColumn("_shard", F.pmod(
+            stable_hash64(F.col("vec_id").cast("string")),
+            F.ceil(F.col("_csize") / max_cluster).cast("long"),
+        ))
+        .select("vec_id", "qv", "cluster", "_shard", "_new",
+                _dot(F.col("qv"), F.col("qv")).alias("_n2"))
+    )
+    a = sharded.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",
+        F.col("_n2").alias("_n2a"),
+    )
+    b = sharded.filter("_new").select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard",
+        F.col("_n2").alias("_n2b"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("_n2a") * F.col("_n2b"))
+    drops = (
+        a.join(b, ["cluster", "_shard"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    out = assigned_new.join(drops, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    return _release_on_gc(out, union)
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -189,6 +189,48 @@ def test_knn_lsh_default_cap_is_noop_at_fixture_scale(spark):
     assert sorted(map(tuple, with_cap)) == sorted(map(tuple, no_cap))
 
 
+def test_semdedup_incremental_equals_batch_over_union(spark):
+    """Epoch posture: pruning a new batch against the persisted inverted
+    file must give EXACTLY the new-id survivors of batch SemDeDup over
+    history ∪ batch (keep-min-id is id-ordered, history ids are lower) —
+    and historical survivors are untouched by construction. Checked both
+    uncapped and with a BINDING max_cluster (shard sizes computed over the
+    union on both paths, so capped verdicts agree too)."""
+    from tamer_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        semdedup,
+        semdedup_incremental,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    _, cents = ivf_build(old, n_centroids=4, iters=2)
+    index = ivf_append(old, cents)
+    union_raw = (
+        emb.filter(F.col("vec_id") % 3 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(new.select("vec_id", "embedding"))
+    )
+    for cap in (100_000, 25):  # non-binding and binding
+        batch_new_survivors = sorted(
+            (r.vec_id, r.cluster)
+            for r in semdedup(union_raw, threshold=0.2, model=cents, max_cluster=cap).collect()
+            if r.vec_id >= 1_000_000
+        )
+        inc = sorted(
+            (r.vec_id, r.cluster)
+            for r in semdedup_incremental(
+                new, index, cents, threshold=0.2, max_cluster=cap
+            ).collect()
+        )
+        assert inc == batch_new_survivors, f"cap={cap}"
+    assert inc, "no new survivors — fixture not exercising the operator"
+
+
 def test_semdedup_frozen_model_matches_self_trained(spark):
     """Passing ivf_build's centroids as a frozen model must give the same
     survivors as training inside semdedup (assignment is deterministic)."""
