@@ -291,26 +291,31 @@ def cosine_knn_lsh_multiprobe(
 # IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probed search
 # ---------------------------------------------------------------------------
 
-def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
-
-
 def _nearest_centroids(qv: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the n nearest centroid ids (squared-L2, deterministic
     tie-break on centroid id). ``qv`` must be a materialized quantized column
-    (multi-referenced — see lsh_bucket_from_quantized inlining note)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(qv, _centroid_literal(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                ).alias("dist"),
-                F.lit(i).cast("long").alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    (multi-referenced — see lsh_bucket_from_quantized inlining note).
+
+    The centroid table is ONE shared 2D array literal indexed inside the
+    transform lambda (non-foldable index) — k shared-literal lookups
+    instead of k per-centroid expression subtrees, which shrinks the plan
+    ~k× and cuts fixed compile overhead (see operators/pq.py
+    _codebook_literal); arithmetic and tie-breaks are unchanged."""
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.element_at(cb, (i + F.lit(1)).cast("int")),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("dist"),
+            i.cast("long").alias("cid"),
+        ),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
 
