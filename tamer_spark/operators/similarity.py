@@ -70,33 +70,42 @@ def cosine_knn(
     )
 
 
-def _hyperplane_projections(qv: Column, planes: int, dim: int, seed: int) -> list[Column]:
-    """Per-plane signed projections of a quantized vector.
-
-    THE single source of the hyperplane coefficients (±1 from sha256 of
-    (seed, plane, dim-index), fixed at plan build — no RNG state): both the
-    single-probe and multi-probe bucket builders call this, and the SQL
+def _planes_literal(planes: int, dim: int, seed: int) -> Column:
+    """THE single source of the hyperplane coefficients (±1 from sha256 of
+    (seed, plane, dim-index), fixed at plan build — no RNG state) as ONE
+    foldable 2D array literal: both bucket builders index it inside HOF
+    lambdas (non-foldable index → the literal stays shared), and the SQL
     oracle generators mirror the same derivation, so corpus and query
-    vectors always hash into the same bucket space. Exactness matters: the
-    projections of quantized vectors are integer-valued, which is what lets
-    multi-probe's flip order be a deterministic integer sort key.
-    """
+    vectors always hash into the same bucket space. One shared literal
+    instead of ``planes`` per-plane coefficient subtrees — same fixed
+    plan-compile win as operators/pq.py _codebook_literal (the LSH gate
+    was ~3 s of flat overhead at any SF before this)."""
     import hashlib
 
-    projs = []
+    rows = []
     for p in range(planes):
-        coeff = [
-            1 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1
+        rows.append([
+            1.0 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1.0
             for i in range(dim)
-        ]
-        projs.append(
-            F.aggregate(
-                F.zip_with(qv, F.array(*[F.lit(float(c)) for c in coeff]), lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-    return projs
+        ])
+    return F.array(*[F.array(*[F.lit(c) for c in row]) for row in rows])
+
+
+def _proj(qv: Column, pl: Column, p: Column) -> Column:
+    """Signed projection of a quantized vector onto plane ``p`` (a lambda
+    index Column). Integer-valued by construction (±1 coefficients over
+    quantized ints), which is what lets multi-probe's flip order be a
+    deterministic integer sort key."""
+    return F.aggregate(
+        F.zip_with(qv, F.element_at(pl, (p + F.lit(1)).cast("int")), lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pow2(p: Column) -> Column:
+    """Exact 2^p as long for p < 53 (pow over doubles is exact there)."""
+    return F.pow(F.lit(2.0), p.cast("double")).cast("long")
 
 
 def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
@@ -108,11 +117,18 @@ def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: 
     slower at 50k vectors — the inlining trap, see operators/dedup.py).
     CollapseProject keeps the projections separate because the quantized
     column is expensive and multiply-referenced.
+
+    The bucket is one fold over the plane indices — sum of 2^p for planes
+    with positive projection, identical arithmetic to the unrolled form
+    (distinct powers, order-independent sum).
     """
-    bucket = F.lit(0).cast("long")
-    for p, proj in enumerate(_hyperplane_projections(qv, planes, dim, seed)):
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    pl = _planes_literal(planes, dim, seed)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(_proj(qv, pl, p) > 0, _pow2(p)).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
@@ -213,18 +229,19 @@ def lsh_probe_buckets(
     index. ``qv`` must be a materialized quantized column (multi-referenced —
     see lsh_bucket_from_quantized inlining note).
     """
-    base = F.lit(0).cast("long")
-    keys = []
-    for p, proj in enumerate(_hyperplane_projections(qv, planes, dim, seed)):
-        base = base + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-        # exact-int composite sort key: (|proj|, plane)
-        keys.append((F.abs(proj) * planes + F.lit(p)).cast("long"))
-    flips = F.slice(F.array_sort(F.array(*keys)), 1, probes - 1)
+    pl = _planes_literal(planes, dim, seed)
+    base = lsh_bucket_from_quantized(qv, planes, dim, seed)
+    # exact-int composite sort key per plane: (|proj|, plane)
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: (F.abs(_proj(qv, pl, p)) * planes + p).cast("long"),
+    )
+    flips = F.slice(F.array_sort(keys), 1, probes - 1)
     # 1 << (k % planes) with a Column shift amount: pow(2, n) is exact for
     # n < 53, cast back to long for the XOR.
     flip_buckets = F.transform(
         flips,
-        lambda k: base.bitwiseXOR(F.pow(F.lit(2.0), (k % planes).cast("double")).cast("long")),
+        lambda k: base.bitwiseXOR(_pow2((k % planes))),
     )
     return F.concat(F.array(base), flip_buckets)
 
