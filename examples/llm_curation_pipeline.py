@@ -113,33 +113,31 @@ index = pq_encode(
 n_vec, n_sem = emb.count(), sem_kept.count()
 
 # 10. next-epoch semantic tier: centroids + codebooks are FROZEN models —
-#     a new embedding batch is assigned (ivf_append) and encoded (pq_encode)
-#     map-only, never retraining on history; that's the same O(batch) epoch
-#     posture as stage 8's exact-dedup index. Frozen-model outputs must be
-#     consistent with what full training produced for the same vectors.
-from tamer_spark.operators.similarity import ivf_append
+#     the new embedding batch is semantically pruned against the persisted
+#     inverted file (semdedup_incremental: history never re-compared to
+#     itself), then the survivors are assigned + PQ-encoded map-only.
+#     Same O(batch) epoch posture as stage 8's exact-dedup index.
+from tamer_spark.operators.similarity import ivf_append, semdedup_incremental
 
-new_emb = emb.limit(100).select(
-    (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+# Simulated batch (mirrors stage 8): 50 re-sent embeddings under fresh
+# ids — semantic copies of history, must be pruned — plus 50 negated
+# vectors (cosine −1 to their source: genuinely novel directions).
+resent_emb = emb.limit(50).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+novel_emb = emb.limit(50).select(
+    (F.col("vec_id") + 2_000_000).alias("vec_id"),
+    F.transform("embedding", lambda x: -x).alias("embedding"),
 )
-epoch_assigned = ivf_append(new_emb, centroids)
-epoch_codes = pq_encode(new_emb, codebooks)
+new_emb = resent_emb.unionByName(novel_emb)
+inv_file = ivf_append(emb, centroids)  # the persisted inverted file (all members)
+epoch_kept = semdedup_incremental(new_emb, inv_file, centroids, threshold=0.3)
+epoch_survivors = new_emb.join(epoch_kept.select("vec_id"), "vec_id", "left_semi")
+epoch_assigned = ivf_append(epoch_survivors, centroids)
+epoch_codes = pq_encode(epoch_survivors, codebooks)
 epoch_index = epoch_assigned.select("vec_id", "cluster").join(
     epoch_codes.select("vec_id", "code"), "vec_id"
 )
 n_epoch = epoch_index.count()
-# same vector ⇒ same frozen-model cluster and code, regardless of epoch/id
-want = (
-    ivf_append(emb.limit(100), centroids)
-    .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "cluster")
-    .join(
-        pq_encode(emb.limit(100), codebooks).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "code"
-        ),
-        "vec_id",
-    )
-)
-assert sorted(map(tuple, epoch_index.collect())) == sorted(map(tuple, want.collect()))
+n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
@@ -147,8 +145,13 @@ print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][
 print(f"train sequences (512-token greedy bins): {n_bins}")
 print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
 print(f"embeddings: {n_vec} → semdedup {n_sem}; IVFADC entries: {index.count()} (cluster + 2 B PQ code)")
-print(f"next-epoch vectors: {n_epoch} assigned+encoded under frozen models (map-only)")
+print(
+    f"next-epoch vectors: 100 in → {n_epoch} survive semantic prune vs the "
+    f"inverted file ({n_resent_survived} re-sent copies slipped through); "
+    f"survivors assigned+encoded under frozen models (map-only)"
+)
 assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
 assert 0 < n_sem <= n_vec and index.count() == n_sem
-assert n_epoch == 100
+assert n_resent_survived == 0  # semantic copies of history all pruned
+assert n_epoch > 0  # novel directions survive
