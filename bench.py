@@ -158,6 +158,14 @@ def _quality_ppl_bucket(spark, sf_dir):
     )
 
 
+def _gopher_signals_all(spark, sf_dir):
+    # Gopher §A1.1 rules over the full documents table — map-only stats +
+    # one (doc_id, bigram) partial-agg shuffle for the repetition term
+    from tamer_spark.operators.gopher import gopher_signals
+
+    return gopher_signals(Q._t(spark, sf_dir, "documents"))
+
+
 def _dedup_exact_incremental_epoch(spark, sf_dir):
     # the 100 TB curation loop: a 10 % "new epoch" batch deduped against the
     # other 90 % of the corpus persisted as a BUCKETED key index (built once
@@ -221,6 +229,7 @@ HEADLINE = {
     "pq_encode": _pq_encode_frozen,
     "pq_search_adc": _pq_search_adc_hot,
     "quality_ppl_bucket": _quality_ppl_bucket,
+    "gopher_quality": _gopher_signals_all,
 }
 
 # Entries whose warm-up plan must NOT be retained: their operator persists an
@@ -245,6 +254,7 @@ SERIES = {
     "pq_encode": "r4-frozen-model",
     "pq_search_adc": "r4-hot-codes",
     "quality_ppl_bucket": "r4-cold-path",
+    "gopher_quality": "r4",
 }
 
 

@@ -131,3 +131,28 @@ def test_compat_reflexive_and_default_rule(fields):
         "fields": [*fields, {"name": "zzz_new", "type": "int"}],
     }
     assert check_compat(broken, rec)  # non-defaulted addition is not
+
+
+@given(
+    st.text(
+        alphabet="thinexyzabco ",  # heavy in the gate-merge chars + space
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_gate_merges_equal_replace_all_on_random_text(text):
+    """The chunk_documents 'bpe' gate rests on a provable claim: for the
+    fixed non-interacting merge table, greedy rank-priority BPE encoding
+    equals independent replace-all over the char-spaced word (what the
+    DuckDB oracle computes). Pin it property-style: for random words, the
+    encoder's token string must equal the oracle's replace construction."""
+    from tamer_spark.functions.bpe import END, GATE_MERGES, _encoder
+
+    enc = _encoder(GATE_MERGES)
+    for word in (w for w in text.split(" ") if w):
+        spaced = " ".join(word) + " " + END
+        oracle = (
+            spaced.replace("t h", "th").replace("i n", "in").replace("e " + END, "e" + END)
+        )
+        assert " ".join(enc(word)) == oracle, (word, enc(word), oracle)
