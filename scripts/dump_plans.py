@@ -21,6 +21,7 @@ SHOW = [
     ("minhash_signatures", "Explode → hash-once → window-combined shingles → partial-agg mins (inlining-trap-free shape)."),
     ("asof_join_events_orders", "As-of via union-sort-window: no join node, single key shuffle, no range explosion."),
     ("similarity_knn", "Query set broadcast, corpus streamed; rank inside one window."),
+    ("ann_search", "IVFADC retrieval: ivf probe joins cluster ids (BroadcastHashJoin, corpus streamed); ADC ranks via per-query distance tables over a broadcast nested loop of the tiny query table — no per-candidate vector math, never a corpus cross product."),
 ]
 
 def main() -> None:
