@@ -15,9 +15,21 @@ from tamer_spark.operators.dedup_incremental import (
     exact_index,
     minhash_band_index,
 )
+from tamer_spark.operators.gopher import gopher_signals
 from tamer_spark.operators.mixing import stratified_mix
 from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
-from tamer_spark.operators.similarity import cosine_knn, quantize_embedding
+from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+from tamer_spark.operators.similarity import (
+    cosine_knn,
+    cosine_knn_lsh,
+    cosine_knn_lsh_multiprobe,
+    ivf_append,
+    ivf_build,
+    ivf_search,
+    quantize_embedding,
+    semdedup,
+    semdedup_incremental,
+)
 
 __all__ = [
     "stratified_mix",
@@ -38,5 +50,16 @@ __all__ = [
     "shingle_string_rows",
     "simhash_signatures",
     "cosine_knn",
+    "cosine_knn_lsh",
+    "cosine_knn_lsh_multiprobe",
     "quantize_embedding",
+    "ivf_build",
+    "ivf_append",
+    "ivf_search",
+    "semdedup",
+    "semdedup_incremental",
+    "pq_train",
+    "pq_encode",
+    "pq_search_adc",
+    "gopher_signals",
 ]
