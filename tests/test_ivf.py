@@ -86,6 +86,35 @@ def test_ivf_append_matches_full_assignment_and_search(spark):
     assert "Exchange" not in plan
 
 
+def test_ivf_search_over_bucketed_inverted_file(spark, tmp_path):
+    """The 100 TB storage layout SCALING.md documents: the inverted file
+    persisted bucketed by cluster (sinks/bucketed), searched via
+    spark.table — results must equal the in-memory path, and the search
+    plan must not exchange the index side (broadcast probe join)."""
+    from tamer_spark.sinks.bucketed import write_bucketed
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_build(emb, n_centroids=4, iters=2)
+
+    spark.sql("DROP TABLE IF EXISTS test_ivf_inverted")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/test_ivf_inverted", ignore_errors=True)
+    write_bucketed(assigned, "test_ivf_inverted", ["cluster"], num_buckets=4)
+
+    got = ivf_search(spark.table("test_ivf_inverted"), centroids, queries, k=5, nprobe=2)
+    want = ivf_search(assigned, centroids, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # index side streams from the bucketed scan; only the rank window may
+    # exchange (keyed by query_id — query-sized, not corpus-sized)
+    assert "BroadcastHashJoin" in plan
+    spark.sql("DROP TABLE IF EXISTS test_ivf_inverted")
+
+
 def test_semdedup_keep_min_and_no_close_survivors(spark):
     """SemDeDup invariants: (1) the minimum id of every cluster always
     survives (keep-min-id rule), (2) no survivor has a LOWER-id member of
