@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from _common import session
-from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
 from tamer_spark.operators.similarity import cosine_knn, ivf_build, ivf_search
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -40,6 +40,12 @@ exact = cosine_knn(emb, queries, k=K).collect()
 ivf2 = ivf_search(assigned, centroids, queries, k=K, nprobe=2).collect()
 ivf_full = ivf_search(assigned, centroids, queries, k=K, nprobe=8).collect()
 adc = pq_search_adc(codes, codebooks, queries, topk=K).collect()
+# the production composition: probe clusters, ADC-rank the candidates,
+# exact-rerank only a shortlist — raw vectors touched for 50 rows/query
+index = assigned.join(codes.select("vec_id", "codes"), "vec_id")
+composed = ivfadc_search(
+    index, centroids, codebooks, queries, k=K, nprobe=8, shortlist=50
+).collect()
 
 
 def recall(approx_rows):
@@ -60,6 +66,8 @@ print(f"ivf_search nprobe=2: recall@{K} = {recall(ivf2):.2f} "
 print(f"ivf_search nprobe=8 (all clusters): recall@{K} = {recall(ivf_full):.2f}")
 print(f"pq_search_adc: recall@{K} = {recall(adc):.2f} "
       f"(2 B/vector codes, m lookups per candidate)")
+print(f"ivfadc_search (probe + ADC shortlist + exact rerank of 50): "
+      f"recall@{K} = {recall(composed):.2f}")
 
 # full probe degenerates to exact brute force — same results, always
 assert sorted(map(tuple, ivf_full)) == sorted(map(tuple, exact))
@@ -72,3 +80,5 @@ assert recall(ivf2) > 0.3  # partial probe trades recall for touched data
 # with ADC, rerank the shortlist exactly.
 assert recall(adc) > 0.05
 assert {r.query_id for r in adc} == {r.query_id for r in exact}
+# the exact rerank can only fix ADC mistakes within the shortlist
+assert recall(composed) >= recall(adc)

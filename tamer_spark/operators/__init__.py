@@ -18,7 +18,7 @@ from tamer_spark.operators.dedup_incremental import (
 from tamer_spark.operators.gopher import gopher_signals
 from tamer_spark.operators.mixing import stratified_mix
 from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
-from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
 from tamer_spark.operators.similarity import (
     cosine_knn,
     cosine_knn_lsh,
@@ -61,5 +61,6 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_search_adc",
+    "ivfadc_search",
     "gopher_signals",
 ]

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from tamer_spark.functions.hashing import stable_hash64
 from tamer_spark.operators.similarity import quantize_embedding
 
-__all__ = ["pq_train", "pq_encode", "pq_search_adc"]
+__all__ = ["pq_train", "pq_encode", "pq_search_adc", "ivfadc_search"]
 
 
 def _sub_slice(qv: Column, j: int, dsub: int) -> Column:
@@ -244,6 +244,96 @@ def pq_search_adc(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "approx_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivfadc_search(
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The full IVFADC serving path (Jégou et al. TPAMI 2011 §IV): probe the
+    query's ``nprobe`` nearest coarse clusters, rank the probed candidates
+    by ADC over their PQ codes (m table lookups each — no vector math),
+    keep a ``shortlist``, then exact-cosine rerank ONLY the shortlist
+    against the stored vectors. Returns (query_id, neighbor_id, cosine,
+    rank) — the same contract as ivf_search, at ADC scan cost.
+
+    ``index`` is the IVFADC index table: (vec_id, qv, cluster, codes) — the
+    inverted file joined with its PQ codes (ivf_build/append ⋈ pq_encode),
+    bucketed by cluster at scale. Cost shape at 100 TB: the candidate join
+    is a cluster equi-join against a broadcast query side (partition-pruned
+    reads over the bucketed index); ADC ranking touches codes only (2
+    B/vector); the exact rerank reads full vectors for shortlist × queries
+    rows — the only stage that touches raw vectors, by design.
+
+    Determinism: ADC distances are exact integer sums (ties → lower id), so
+    the shortlist is engine-independent; the rerank reuses the exact
+    quantized-cosine arithmetic of ivf_search. Recall ≥ plain ADC top-k at
+    the same probe set for any shortlist ≥ k (the rerank can only fix ADC's
+    quantization mistakes within the shortlist, pinned in tests/test_pq.py).
+    """
+    from tamer_spark.operators.similarity import _dot, _nearest_centroids
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    kk = len(codebooks[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
+    ).select(
+        "query_id",
+        "qv2",
+        # _outer: keeps the centroid-ranking expression out of an inferred
+        # pushed-down filter (never empty — see ivf_search)
+        F.explode_outer(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
+    )
+
+    def _tab_col(j: int):
+        cbj = _codebook_literal(codebooks[j])
+        sub = _sub_slice(F.col("qv2"), j, dsub)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(kk - 1)),
+            lambda i: _sq_l2(sub, F.element_at(cbj, (i + F.lit(1)).cast("int"))),
+        ).alias(f"_tab{j}")
+
+    qtabs = q.select("query_id", "qv2", "cluster", *[_tab_col(j) for j in range(m)])
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_tab{j}"), (F.col("codes")[j] + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    cand = (
+        index.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"), "cluster", "codes"
+        )
+        .join(F.broadcast(qtabs), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", adc)
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("neighbor_id"))
+    short = cand.withColumn("_srank", F.row_number().over(ws)).filter(
+        F.col("_srank") <= shortlist
+    )
+    cosine = _dot(F.col("qv2"), F.col("cv")) / F.sqrt(
+        _dot(F.col("qv2"), F.col("qv2")) * _dot(F.col("cv"), F.col("cv"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        short.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

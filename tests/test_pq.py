@@ -110,3 +110,45 @@ def test_pq_adc_recall_vs_exact_l2(spark):
         hits += len({vid for _, vid in ranked} & exact)
         total += len(exact)
     assert hits / total >= 0.05, f"ADC recall collapsed: {hits}/{total}"
+
+
+def test_ivfadc_search_composition(spark):
+    """The composed serving path's two provable guarantees:
+
+    1. shortlist ⊇ all probed candidates ⇒ ivfadc_search degenerates to
+       ivf_search exactly (the exact rerank sees everything the probe saw);
+    2. with all clusters probed, a reranked ADC shortlist can only improve
+       on plain ADC top-k recall: the true top-k members inside the
+       shortlist always outrank non-members under the exact rerank, and
+       ADC's own top-k is a subset of the shortlist."""
+    from tamer_spark.operators.pq import ivfadc_search
+    from tamer_spark.operators.similarity import cosine_knn, ivf_build, ivf_search
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_build(emb, n_centroids=4, iters=2)
+    cb = pq_train(emb, m=4, k=16, iters=2)
+    index = assigned.join(pq_encode(emb, cb).select("vec_id", "codes"), "vec_id")
+
+    full = ivfadc_search(
+        index, centroids, cb, queries, k=5, nprobe=4, shortlist=1_000_000
+    ).collect()
+    want = ivf_search(assigned, centroids, queries, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, want))
+
+    def recall(rows, exact_rows):
+        want_n: dict[int, set[int]] = {}
+        got_n: dict[int, set[int]] = {}
+        for r in exact_rows:
+            want_n.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in rows:
+            got_n.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got_n.get(q, set()) & n) for q, n in want_n.items())
+        return hits / sum(len(n) for n in want_n.values())
+
+    exact = cosine_knn(emb, queries, k=5).collect()
+    adc_only = pq_search_adc(pq_encode(emb, cb), cb, queries, topk=5).collect()
+    reranked = ivfadc_search(
+        index, centroids, cb, queries, k=5, nprobe=4, shortlist=20
+    ).collect()
+    assert recall(reranked, exact) >= recall(adc_only, exact)
