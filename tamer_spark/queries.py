@@ -1565,6 +1565,88 @@ def _pq_adc_oracle(
       FROM ad) WHERE rank <= {topk}"""
 
 
+def _ivf_cand_sql(n_centroids: int = 8, iters: int = 3, nprobe: int = 2) -> str:
+    """Probed-candidate pairs only (query_id, neighbor_id) — the coarse
+    half of the composed IVFADC oracle. Self-contained WITH (usable as a
+    derived-table subquery)."""
+    return _ivf_cte_prefix(n_centroids, iters) + f""",
+    qset AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 10),
+    qd AS (
+      SELECT query_id, generate_subscripts(qv, 1) - 1 AS dim,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM qset),
+    qcd AS (
+      SELECT q.query_id, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+      FROM qd q JOIN c{iters} c USING (dim) GROUP BY 1, 2),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
+        FROM qcd) WHERE rn <= {nprobe})
+    SELECT p.query_id, f.vec_id AS neighbor_id
+    FROM probe p JOIN fassign f USING (cid)
+    WHERE p.query_id <> f.vec_id"""
+
+
+def _pq_adc_dist_sql(m: int = 4, k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """All (query, vector) ADC distances — the code half of the composed
+    IVFADC oracle. Self-contained WITH (usable as a derived-table
+    subquery); exact integer sums, same contract as _pq_adc_oracle."""
+    dsub = dim // m
+    return _pq_cte_prefix(m, k, iters, dim) + f""",
+    qset AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 10),
+    qd AS (
+      SELECT query_id, (generate_subscripts(qv, 1) - 1) // {dsub} AS sub,
+             (generate_subscripts(qv, 1) - 1) % {dsub} AS t,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM qset),
+    tab AS (
+      SELECT q.query_id, c.sub, c.cid, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+      FROM qd q JOIN k{iters} c ON q.sub = c.sub AND q.t = c.t GROUP BY 1, 2, 3)
+    SELECT t.query_id, p.vec_id AS neighbor_id, SUM(t.dist) AS adc
+    FROM pfinal p JOIN tab t ON p.sub = t.sub AND p.cid = t.cid
+    WHERE t.query_id <> p.vec_id
+    GROUP BY 1, 2"""
+
+
+def _ivfadc_oracle(
+    n_centroids: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    pq_iters: int = 3,
+    dim: int = 64,
+    shortlist: int = 20,
+    topk: int = 5,
+) -> str:
+    """DuckDB replay of the COMPOSED ivfadc_search serving path
+    (operators/pq.py): coarse-probe candidates ∩ ADC distances → shortlist
+    by (adc, id) → exact quantized-cosine rerank of the shortlist only.
+    Both halves replay their full training (the same CTEs the assign/code
+    gates use, nested as derived tables so their names cannot collide);
+    the shortlist rank is over exact integer ADC sums, so the rerank input
+    set — and therefore the final rounded cosines — cannot drift."""
+    return f"""
+    WITH icand AS (SELECT * FROM ({_ivf_cand_sql(n_centroids, iters, nprobe)})),
+    iadc AS (SELECT * FROM ({_pq_adc_dist_sql(m, k, pq_iters, dim)})),
+    iqv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+            FROM embeddings),
+    ij AS (SELECT c.query_id, c.neighbor_id, a.adc
+           FROM icand c JOIN iadc a USING (query_id, neighbor_id)),
+    isl AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srank
+              FROM ij) WHERE srank <= {shortlist}),
+    irr AS (SELECT s.query_id, s.neighbor_id,
+                   list_dot_product(q.v, b.v)
+                     / sqrt(list_dot_product(q.v, q.v) * list_dot_product(b.v, b.v)) AS cos_raw
+            FROM isl s JOIN iqv q ON s.query_id = q.vec_id
+                       JOIN iqv b ON s.neighbor_id = b.vec_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM irr) WHERE rank <= {topk}"""
+
+
 def _ivf_search_oracle(
     n_centroids: int = 8, iters: int = 3, nprobe: int = 2, k: int = 5
 ) -> str:
@@ -1657,11 +1739,13 @@ def ivf_cluster_assign_q(spark, sf):
     SELECT 'ivf' AS variant, * FROM ({_ivf_search_oracle(n_centroids=8, iters=3, nprobe=2, k=5)})
     UNION ALL
     SELECT 'adc', * FROM ({_pq_adc_oracle(m=4, k=16, iters=3, dim=64, topk=5)})
+    UNION ALL
+    SELECT 'ivfadc', * FROM ({_ivfadc_oracle(n_centroids=8, iters=3, nprobe=2, m=4, k=16, pq_iters=3, dim=64, shortlist=20, topk=5)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. Scores are cosine (ivf) / approx squared-L2 (adc); rank ties break on neighbor id in both engines.",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines.",
 )
 def ann_search_q(spark, sf):
-    from tamer_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+    from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
     from tamer_spark.operators.similarity import ivf_build, ivf_search
 
     emb = _t(spark, sf, "embeddings")
@@ -1672,6 +1756,10 @@ def ann_search_q(spark, sf):
     codebooks = pq_train(emb, m=4, k=16, iters=3)
     coded = pq_encode(emb, codebooks)
     adc = pq_search_adc(coded, codebooks, qs, topk=5)
+    index = assigned.join(coded.select("vec_id", "codes"), "vec_id")
+    comp = ivfadc_search(
+        index, centroids, codebooks, qs, k=5, nprobe=2, shortlist=20
+    )
     return ivf.select(
         F.lit("ivf").alias("variant"),
         "query_id",
@@ -1684,6 +1772,14 @@ def ann_search_q(spark, sf):
             "query_id",
             "neighbor_id",
             F.col("approx_dist").alias("score"),
+            "rank",
+        )
+    ).unionByName(
+        comp.select(
+            F.lit("ivfadc").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("score"),
             "rank",
         )
     )
