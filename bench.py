@@ -287,6 +287,11 @@ def main() -> None:
     for name, fn in HEADLINE.items():
         samples: list[float] = []
         try:
+            # settle the JVM before each entry: late entries otherwise time
+            # other entries' old-gen garbage (persisted memos, prior plans) —
+            # observed as a [1.7, 6.0] spread on an operator that runs in
+            # ~1.1 s standalone. Does not change what any entry measures.
+            spark.sparkContext._jvm.System.gc()
             for _ in range(n_iter):
                 t0 = time.monotonic()
                 df = (fn or REGISTRY[name].spark)(spark, sf_dir)
