@@ -270,3 +270,25 @@ def test_semdedup_frozen_model_matches_self_trained(spark):
     a = sorted(map(tuple, semdedup(emb, n_centroids=4, iters=2, threshold=0.2).collect()))
     b = sorted(map(tuple, semdedup(emb, threshold=0.2, model=centroids).collect()))
     assert a == b
+
+
+def test_round4_operators_handle_empty_inputs(spark):
+    """Epoch plumbing edge cases: an empty new batch (quiet day) and an
+    empty query set must produce empty results, not errors."""
+    from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_train
+    from tamer_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        semdedup_incremental,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, cents = ivf_build(emb, n_centroids=4, iters=1)
+    cb = pq_train(emb, m=4, k=16, iters=1)
+    empty = emb.filter(F.lit(False)).select("vec_id", "embedding")
+
+    index = ivf_append(emb, cents)
+    assert semdedup_incremental(empty, index, cents).count() == 0
+    assert pq_encode(empty, cb).count() == 0
+    full_index = index.join(pq_encode(emb, cb).select("vec_id", "codes"), "vec_id")
+    assert ivfadc_search(full_index, cents, cb, empty, k=5).count() == 0
