@@ -166,6 +166,50 @@ def _gopher_signals_all(spark, sf_dir):
     return gopher_signals(Q._t(spark, sf_dir, "documents"))
 
 
+def _ivfadc_search_hot(spark, sf_dir):
+    # the COMPOSED serving path (probe -> ADC shortlist -> exact rerank) over
+    # a PERSISTED IVFADC index (inverted file ⋈ PQ codes, built in warm-up
+    # under the frozen models): times what a steady-state retrieval deployment
+    # pays per query batch — the 100 TB serving shape SCALING.md documents
+    from tamer_spark.operators.pq import ivfadc_search, pq_encode
+    from tamer_spark.operators.similarity import ivf_append
+
+    centroids = _ivf_model(spark, sf_dir)
+    cb = _pq_model(spark, sf_dir)
+    key = ("ivfadc_index", sf_dir)
+    if key not in _MEMO:
+        emb = Q._t(spark, sf_dir, "embeddings")
+        idx = (
+            ivf_append(emb, centroids)
+            .join(pq_encode(emb, cb).select("vec_id", "codes"), "vec_id")
+            .persist()
+        )
+        idx.count()
+        _MEMO[key] = idx
+    qs = Q._t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ivfadc_search(_MEMO[key], centroids, cb, qs, k=5, nprobe=2, shortlist=20)
+
+
+def _semdedup_incremental_epoch(spark, sf_dir):
+    # the per-epoch semantic dedup cost: a 10 % "new epoch" batch pruned
+    # against the other 90 % persisted as an assigned inverted file (built
+    # once in warm-up under the frozen quantizer) — history is never
+    # re-compared to itself, so this times O(batch × matching clusters).
+    # Timed COLD (_NO_WARM_KEEP): the operator persists its union internally
+    # with a GC-tied release, like semdedup.
+    from tamer_spark.operators.similarity import ivf_append, semdedup_incremental
+
+    centroids = _ivf_model(spark, sf_dir)
+    key = ("semdedup_hist", sf_dir)
+    if key not in _MEMO:
+        emb = Q._t(spark, sf_dir, "embeddings")
+        hist = ivf_append(emb.filter(F.col("vec_id") % 10 != 0), centroids).persist()
+        hist.count()
+        _MEMO[key] = hist
+    batch = Q._t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return semdedup_incremental(batch, _MEMO[key], centroids, threshold=0.3)
+
+
 def _dedup_exact_incremental_epoch(spark, sf_dir):
     # the 100 TB curation loop: a 10 % "new epoch" batch deduped against the
     # other 90 % of the corpus persisted as a BUCKETED key index (built once
@@ -230,14 +274,45 @@ HEADLINE = {
     "pq_search_adc": _pq_search_adc_hot,
     "quality_ppl_bucket": _quality_ppl_bucket,
     "gopher_quality": _gopher_signals_all,
+    # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
+    # the incremental semantic-dedup epoch — the operators the steady-state
+    # story rests on, now tracked round-over-round
+    "ivfadc_search": _ivfadc_search_hot,
+    "semdedup_incremental": _semdedup_incremental_epoch,
 }
+
+# HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
+# its own memoized setup (unpersist + drop warm plans + System.gc) before the
+# next group starts. Round 4 warmed EVERY entry's memo up front and pinned
+# them for the whole process, so early simple-SQL entries were timed under
+# the semantic tier's steady old-gen pressure — q3/q5 drifted +29 % with no
+# code change and semdedup's spread spanned [3.3, 5.4]. What each entry
+# measures is unchanged (same fn, same warm-up-then-time discipline), so
+# SERIES tags carry over; only the ambient heap during timing is cleaned.
+GROUPS: list[tuple[str, list[str]]] = [
+    ("relational", [
+        "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+        "window_topk_quartile", "sessionize_events", "asof_join_events_orders",
+        "text_profile", "similarity_knn", "ingest_tumbling_events",
+        "pack_sequences",
+    ]),
+    ("dedup", [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+        "connected_components", "dedup_exact_incremental",
+    ]),
+    ("semantic", [
+        "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
+        "gopher_quality",
+    ]),
+    ("serving", ["ivfadc_search", "semdedup_incremental"]),
+]
 
 # Entries whose warm-up plan must NOT be retained: their operator persists an
 # internal intermediate tied to the plan's lifetime, and a retained warm copy
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -255,7 +330,24 @@ SERIES = {
     "pq_search_adc": "r4-hot-codes",
     "quality_ppl_bucket": "r4-cold-path",
     "gopher_quality": "r4",
+    "ivfadc_search": "r5-hot-index",
+    "semdedup_incremental": "r5-frozen-model",
 }
+
+
+def _teardown_group(spark) -> None:
+    """Release a finished group's pinned state: unpersist every DataFrame-
+    valued memo (tuples included), clear the memo table, and force a full GC
+    so the next group's timings start from a clean old gen."""
+    for key in list(_MEMO):
+        val = _MEMO.pop(key)
+        for o in val if isinstance(val, tuple) else (val,):
+            if hasattr(o, "unpersist"):
+                try:
+                    o.unpersist(blocking=True)
+                except Exception:  # noqa: BLE001 — teardown must not kill the bench
+                    pass
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
@@ -265,48 +357,70 @@ def main() -> None:
     spark = tamer_spark.get_spark("tamer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up pass: JIT-compile the generated code, prime parquet footers,
-    # and run each entry's memoized setup (persisted pairs, bucketed index)
-    # so the timed iterations measure steady-state operator throughput.
-    # Keep the warm-up plans referenced until the end: operators that cache
-    # an intermediate (minhash signature stage) release it when the plan is
-    # dropped, and steady-state means that cache is warm.
-    warm = []
-    for name, fn in HEADLINE.items():
-        try:
-            df = (fn or REGISTRY[name].spark)(spark, sf_dir)
-            df.count()
-            if name not in _NO_WARM_KEEP:
-                warm.append(df)
-        except Exception:  # noqa: BLE001 — the timed pass reports the error
-            pass
-
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name, fn in HEADLINE.items():
-        samples: list[float] = []
-        try:
-            # settle the JVM before each entry: late entries otherwise time
-            # other entries' old-gen garbage (persisted memos, prior plans) —
-            # observed as a [1.7, 6.0] spread on an operator that runs in
-            # ~1.1 s standalone. Does not change what any entry measures.
-            spark.sparkContext._jvm.System.gc()
-            for _ in range(n_iter):
-                t0 = time.monotonic()
+    grouped = {n for _, names in GROUPS for n in names}
+    assert grouped == set(HEADLINE), f"GROUPS/HEADLINE drift: {grouped ^ set(HEADLINE)}"
+
+    for gname, names in GROUPS:
+        # per-group warm-up pass: JIT-compile the generated code, prime
+        # parquet footers, and run THIS group's memoized setup (persisted
+        # pairs, index tables) so the timed iterations measure steady-state
+        # operator throughput. Warm plans are kept referenced until their
+        # entry is timed: operators that cache an intermediate release it
+        # when the plan is dropped, and steady-state means that cache is
+        # warm — but only for the entry's OWN iterations, so each is
+        # released as soon as its entry finishes.
+        warm: dict[str, object] = {}
+        for name in names:
+            fn = HEADLINE[name]
+            try:
                 df = (fn or REGISTRY[name].spark)(spark, sf_dir)
-                n = df.count()
-                samples.append(time.monotonic() - t0)
-            times[name] = round(statistics.median(samples), 3)
-            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
-            print(
-                f"# {name}: median={times[name]}s "
-                f"spread=[{spread[name][0]}, {spread[name][1]}] rows={n}",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                df.count()
+                if name not in _NO_WARM_KEEP:
+                    warm[name] = df
+            except Exception:  # noqa: BLE001 — the timed pass reports the error
+                pass
+
+        for name in names:
+            fn = HEADLINE[name]
+            samples: list[float] = []
+            try:
+                # settle the JVM before each entry: late entries otherwise
+                # time other entries' old-gen garbage — observed as a
+                # [1.7, 6.0] spread on an operator that runs in ~1.1 s
+                # standalone. Does not change what any entry measures.
+                spark.sparkContext._jvm.System.gc()
+                for _ in range(n_iter):
+                    t0 = time.monotonic()
+                    df = (fn or REGISTRY[name].spark)(spark, sf_dir)
+                    n = df.count()
+                    samples.append(time.monotonic() - t0)
+                    if name in _NO_WARM_KEEP:
+                        # cold-path entries persist an internal intermediate
+                        # released by a GC finalizer; without an explicit GC
+                        # here iteration 1 can ride the PREVIOUS plan's
+                        # not-yet-finalized cache while later ones run cold —
+                        # semdedup's r4 spread ([3.3, 5.4] around a cold ~5.3
+                        # median) was exactly this alternation. GC between
+                        # iterations makes every iteration cold from t0; the
+                        # GC itself runs outside the timed window.
+                        del df
+                        spark.sparkContext._jvm.System.gc()
+                times[name] = round(statistics.median(samples), 3)
+                spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+                print(
+                    f"# [{gname}] {name}: median={times[name]}s "
+                    f"spread=[{spread[name][0]}, {spread[name][1]}] rows={n}",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                print(f"# [{gname}] {name}: ERROR {errors[name]}", file=sys.stderr)
+            warm.pop(name, None)
+        warm.clear()
+        _teardown_group(spark)
 
     total = round(sum(times.values()), 3)
     out = {

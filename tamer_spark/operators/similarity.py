@@ -91,13 +91,15 @@ def _planes_literal(planes: int, dim: int, seed: int) -> Column:
     return F.array(*[F.array(*[F.lit(c) for c in row]) for row in rows])
 
 
-def _proj(qv: Column, pl: Column, p: Column) -> Column:
-    """Signed projection of a quantized vector onto plane ``p`` (a lambda
-    index Column). Integer-valued by construction (±1 coefficients over
-    quantized ints), which is what lets multi-probe's flip order be a
-    deterministic integer sort key."""
+def _proj_at(qv: Column, pl: Column, p: int) -> Column:
+    """Signed projection of a quantized vector onto plane ``p`` (a Python int
+    — the FOLDABLE element_at index lets ConstantFolding collapse the plane
+    row out of the shared 2D literal, so runtime sees a plain 1D coefficient
+    array, not a per-row 2D lookup). Integer-valued by construction (±1
+    coefficients over quantized ints), which is what lets multi-probe's flip
+    order be a deterministic integer sort key."""
     return F.aggregate(
-        F.zip_with(qv, F.element_at(pl, (p + F.lit(1)).cast("int")), lambda x, s: x * s),
+        F.zip_with(qv, F.element_at(pl, p + 1), lambda x, s: x * s),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -118,17 +120,21 @@ def lsh_bucket_from_quantized(qv: Column, planes: int = 8, dim: int = 64, seed: 
     CollapseProject keeps the projections separate because the quantized
     column is expensive and multiply-referenced.
 
-    The bucket is one fold over the plane indices — sum of 2^p for planes
-    with positive projection, identical arithmetic to the unrolled form
-    (distinct powers, order-independent sum).
+    Shape (r5 bisect, .scratch probe at sf0.1): an UNROLLED plane loop over
+    the shared planes literal with foldable element_at indices. The r4
+    fold-over-plane-indices form (one outer F.aggregate with the projection
+    fold nested inside its lambda) cost ~25-30% more per row — nested-HOF
+    interpretation plus a per-row 2D element_at — and was the cause of the
+    r4 dedup_embedding_cosine +44% bench regression. Unrolled, each plane's
+    zip_with sees a constant-folded 1D coefficient literal and 2^p is a
+    plain literal; arithmetic is identical (distinct powers, order-
+    independent sum), so bucket ids are bit-identical across all forms.
     """
     pl = _planes_literal(planes, dim, seed)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(_proj(qv, pl, p) > 0, _pow2(p)).otherwise(F.lit(0).cast("long")),
-    )
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket + F.when(_proj_at(qv, pl, p) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
 
 
 def lsh_bucket_col(vec: Column, planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
@@ -230,20 +236,39 @@ def lsh_probe_buckets(
     see lsh_bucket_from_quantized inlining note).
     """
     pl = _planes_literal(planes, dim, seed)
-    base = lsh_bucket_from_quantized(qv, planes, dim, seed)
-    # exact-int composite sort key per plane: (|proj|, plane)
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda p: (F.abs(_proj(qv, pl, p)) * planes + p).cast("long"),
-    )
-    flips = F.slice(F.array_sort(keys), 1, probes - 1)
-    # 1 << (k % planes) with a Column shift amount: pow(2, n) is exact for
-    # n < 53, cast back to long for the XOR.
-    flip_buckets = F.transform(
-        flips,
-        lambda k: base.bitwiseXOR(_pow2((k % planes))),
-    )
-    return F.concat(F.array(base), flip_buckets)
+    # Evaluate the planes projections ONCE per row: bind the projections
+    # array as a higher-order-function lambda variable (single-element array
+    # + transform = a let binding — Spark has no `let`, but a lambda variable
+    # is bound once), then derive BOTH the base-bucket fold and the flip sort
+    # keys from that bound array. The r4 form computed every projection twice
+    # (base fold + key transform, ~64-element folds each); r5 bisect measured
+    # this let-bound form ~15% faster than even the r3 shape at sf0.1, with
+    # the smallest compiled plan of the three candidates.
+    projs = F.array(*[_proj_at(qv, pl, p) for p in range(planes)])
+
+    def _build(pr: Column) -> Column:
+        base = F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(F.element_at(pr, (p + F.lit(1)).cast("int")) > 0, _pow2(p)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        # exact-int composite sort key per plane: (|proj|, plane)
+        keys = F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: (F.abs(F.element_at(pr, (p + F.lit(1)).cast("int"))) * planes + p).cast(
+                "long"
+            ),
+        )
+        flips = F.slice(F.array_sort(keys), 1, probes - 1)
+        # 1 << (k % planes) with a Column shift amount: pow(2, n) is exact
+        # for n < 53, cast back to long for the XOR.
+        flip_buckets = F.transform(flips, lambda k: base.bitwiseXOR(_pow2((k % planes))))
+        return F.concat(F.array(base), flip_buckets)
+
+    return F.element_at(F.transform(F.array(projs), _build), 1)
 
 
 def cosine_knn_lsh_multiprobe(
