@@ -165,6 +165,12 @@ def pq_encode(
     them base-k (``Σ codes[j] * k^(m-1-j)``) into one int64 — the 2-byte-
     per-vector representation the inverted file stores. Frozen codebooks →
     new epochs encode without touching history (ivf_append posture).
+
+    When the code space exceeds int64 (``k^m - 1 > 2^63 - 1``, e.g. the
+    standard IVFPQ m=8 × k=256 = 64-bit codes), ``code`` is NULL and the
+    ``codes`` array is the storage representation — packing would overflow
+    (caught as a real ANSI ARITHMETIC_OVERFLOW in the r5 recall sweep, not
+    a theoretical edge). Schema is stable either way.
     """
     m, k = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -180,6 +186,8 @@ def pq_encode(
             ]
         ).alias("codes"),
     )
+    if k**m - 1 > 0x7FFFFFFFFFFFFFFF:
+        return coded.select("vec_id", "codes", F.lit(None).cast("long").alias("code"))
     packed = None
     for j in range(m):
         term = F.col("codes")[j] * (k ** (m - 1 - j))
