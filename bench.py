@@ -159,8 +159,23 @@ def _quality_ppl_bucket(spark, sf_dir):
 
 
 def _gopher_signals_all(spark, sf_dir):
-    # Gopher §A1.1 rules over the full documents table — map-only stats +
-    # one (doc_id, bigram) partial-agg shuffle for the repetition term
+    # the round-4 Gopher subset (word/symbol/alpha/stopword rules + the
+    # top-2-gram repetition term) — pinned to the same work the r4 series
+    # timed, now via the full operator's subset flags
+    from tamer_spark.operators.gopher import gopher_signals
+
+    return gopher_signals(
+        Q._t(spark, sf_dir, "documents"),
+        top_ngrams=((2, 0.2),),
+        dup_ngrams=(),
+        line_signals=False,
+    )
+
+
+def _gopher_signals_full(spark, sf_dir):
+    # the FULL §A1.1 rule set (round 5): adds top-3/4-gram champions,
+    # duplicated-5..10-gram coverage (one (doc_id, n, gram) shuffle for all
+    # n + the bounded coverage legs), and the map-only line/paragraph family
     from tamer_spark.operators.gopher import gopher_signals
 
     return gopher_signals(Q._t(spark, sf_dir, "documents"))
@@ -274,6 +289,7 @@ HEADLINE = {
     "pq_search_adc": _pq_search_adc_hot,
     "quality_ppl_bucket": _quality_ppl_bucket,
     "gopher_quality": _gopher_signals_all,
+    "gopher_full": _gopher_signals_full,
     # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
     # the incremental semantic-dedup epoch — the operators the steady-state
     # story rests on, now tracked round-over-round
@@ -302,7 +318,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
-        "gopher_quality",
+        "gopher_quality", "gopher_full",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental"]),
 ]
@@ -330,6 +346,7 @@ SERIES = {
     "pq_search_adc": "r4-hot-codes",
     "quality_ppl_bucket": "r4-cold-path",
     "gopher_quality": "r4",
+    "gopher_full": "r5-full-a11",
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
 }

@@ -237,7 +237,7 @@ def minhash_signatures(
     return s3.select("doc_id", sig.alias("signature"))
 
 
-def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+def _release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie a cached intermediate's lifetime to the returned plan.
 
     The pair-finding plans persist their signature stage (it feeds 3 plan
@@ -258,11 +258,12 @@ def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
     """
     import weakref
 
-    def release(c=cached):
-        try:
-            c.unpersist()
-        except Exception:  # noqa: BLE001 — session already stopped at shutdown
-            pass
+    def release(cs=cached):
+        for c in cs:
+            try:
+                c.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped at shutdown
+                pass
 
     weakref.finalize(result, release)
     return result

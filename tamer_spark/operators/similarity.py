@@ -451,6 +451,25 @@ def ivf_append(
     )
 
 
+def _salt_shard(assigned: DataFrame, max_cluster: int | None) -> DataFrame:
+    """Attach the SemDeDup salt-split ``_shard`` column: clusters larger
+    than ``max_cluster`` split into ``ceil(size / max_cluster)``
+    deterministic hash shards; ``None`` = structurally uncapped (a literal
+    shard 0, no size aggregate at all — what the oracle-gated queries pass
+    so the DuckDB oracle's uncapped semantics are guaranteed by
+    construction, ADVICE r4)."""
+    if max_cluster is None:
+        return assigned.withColumn("_shard", F.lit(0).cast("long"))
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    return (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .withColumn("_shard", F.pmod(
+            stable_hash64(F.col("vec_id").cast("string")),
+            F.ceil(F.col("_csize") / max_cluster).cast("long"),
+        ))
+    )
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -459,7 +478,7 @@ def semdedup(
     iters: int = 3,
     threshold: float = 0.3,
     model: list[list[float]] | None = None,
-    max_cluster: int = 100_000,
+    max_cluster: int | None = 100_000,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -506,18 +525,12 @@ def semdedup(
     # the inverted file feeds four plan branches (size agg, both join sides,
     # the final anti join); persist it, released when the result is dropped
     assigned = assigned.persist()
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
     # per-vector norms are computed ONCE here (map-only over the inverted
     # file), not per pair — the pair predicate then costs one dot product,
     # same arithmetic (sqrt(n2a*n2b) of exact integer dots) so results are
     # bit-identical, ~3x less per-pair array work (measured at sf0.1)
-    sharded = (
-        assigned.join(F.broadcast(sizes), "cluster")
-        .withColumn("_shard", F.pmod(
-            stable_hash64(F.col("vec_id").cast("string")),
-            F.ceil(F.col("_csize") / max_cluster).cast("long"),
-        ))
-        .select("vec_id", "qv", "cluster", "_shard", _dot(F.col("qv"), F.col("qv")).alias("_n2"))
+    sharded = _salt_shard(assigned, max_cluster).select(
+        "vec_id", "qv", "cluster", "_shard", _dot(F.col("qv"), F.col("qv")).alias("_n2")
     )
     a = sharded.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",
@@ -548,7 +561,7 @@ def semdedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-    max_cluster: int = 100_000,
+    max_cluster: int | None = 100_000,
 ) -> DataFrame:
     """Incremental SemDeDup: prune a NEW epoch's vectors against the
     persisted inverted file WITHOUT re-comparing history to itself — the
@@ -580,15 +593,9 @@ def semdedup_incremental(
     ).unionByName(assigned_new.withColumn("_new", F.lit(True)))
     # the union feeds the size agg + both join sides; persist for the run
     union = union.persist()
-    sizes = union.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
-    sharded = (
-        union.join(F.broadcast(sizes), "cluster")
-        .withColumn("_shard", F.pmod(
-            stable_hash64(F.col("vec_id").cast("string")),
-            F.ceil(F.col("_csize") / max_cluster).cast("long"),
-        ))
-        .select("vec_id", "qv", "cluster", "_shard", "_new",
-                _dot(F.col("qv"), F.col("qv")).alias("_n2"))
+    sharded = _salt_shard(union, max_cluster).select(
+        "vec_id", "qv", "cluster", "_shard", "_new",
+        _dot(F.col("qv"), F.col("qv")).alias("_n2"),
     )
     a = sharded.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",

@@ -1370,8 +1370,11 @@ def similarity_knn_lsh_q(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
-    single = cosine_knn_lsh(emb, qs, k=5, planes=8, dim=64)
-    multi = cosine_knn_lsh_multiprobe(emb, qs, k=5, planes=8, dim=64, probes=3)
+    # max_bucket=None: the DuckDB oracle models UNCAPPED bucket joins, so the
+    # gate must pin the uncapped semantics structurally rather than rely on
+    # fixture buckets staying under the default cap (ADVICE r4)
+    single = cosine_knn_lsh(emb, qs, k=5, planes=8, dim=64, max_bucket=None)
+    multi = cosine_knn_lsh_multiprobe(emb, qs, k=5, planes=8, dim=64, probes=3, max_bucket=None)
     return single.select(F.lit(1).cast("long").alias("probes"), "*").unionByName(
         multi.select(F.lit(3).cast("long").alias("probes"), "*")
     )
@@ -1439,18 +1442,30 @@ def _ivf_cte_prefix(n_centroids: int = 8, iters: int = 3) -> str:
     return ",".join(parts)
 
 
-def _assert_gate_dim(emb, expected: int = 64) -> None:
+_GATE_DIM_CACHE: dict[str, int] = {}
+
+
+def _assert_gate_dim(emb, sf_dir: str | None = None, expected: int = 64) -> None:
     """TESTDATA CONTRACT: the IVF/PQ/LSH oracle SQL is generated at import
     time with dim pinned to the shipped embeddings shape (64). A testdata
     regeneration with a different dimension would otherwise surface as a
     confusing value-hash mismatch; fail loudly at the source instead
-    (ADVICE r3: _pq_code_oracle hardcodes dim)."""
-    d = emb.select(F.size("embedding").alias("d")).first().d
-    assert d == expected, (
-        f"embeddings are {d}-dim but the DuckDB oracles were generated for "
-        f"{expected}-dim vectors — regenerate the oracle dims in queries.py "
-        f"(testdata contract change)"
-    )
+    (ADVICE r3: _pq_code_oracle hardcodes dim). Raises ValueError (NOT a
+    bare assert — semantics must survive ``python -O``), and memoizes the
+    probed dim per sf_dir so repeated gate builds over the same fixture
+    don't each trigger an eager ``.first()`` job (ADVICE r4)."""
+    if sf_dir is not None and sf_dir in _GATE_DIM_CACHE:
+        d = _GATE_DIM_CACHE[sf_dir]
+    else:
+        d = emb.select(F.size("embedding").alias("d")).first().d
+        if sf_dir is not None:
+            _GATE_DIM_CACHE[sf_dir] = d
+    if d != expected:
+        raise ValueError(
+            f"embeddings are {d}-dim but the DuckDB oracles were generated for "
+            f"{expected}-dim vectors — regenerate the oracle dims in queries.py "
+            f"(testdata contract change)"
+        )
 
 
 def _ivf_assign_oracle(n_centroids: int = 8, iters: int = 3) -> str:
@@ -1717,9 +1732,14 @@ def ivf_cluster_assign_q(spark, sf):
     from tamer_spark.operators.similarity import ivf_build, semdedup
 
     emb = _t(spark, sf, "embeddings")
-    _assert_gate_dim(emb)
+    _assert_gate_dim(emb, sf)
     assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
-    keep = semdedup(emb, n_centroids=8, iters=3, threshold=0.3, model=centroids)
+    # max_cluster=None: the oracle replays uncapped within-cluster pairs —
+    # pin that structurally instead of depending on fixture cluster sizes
+    # staying under the default salt-split cap (ADVICE r4)
+    keep = semdedup(
+        emb, n_centroids=8, iters=3, threshold=0.3, model=centroids, max_cluster=None
+    )
     codebooks = pq_train(emb, m=4, k=16, iters=3)
     codes = pq_encode(emb, codebooks).select("vec_id", F.col("code").alias("cluster"))
     return (
@@ -1749,7 +1769,7 @@ def ann_search_q(spark, sf):
     from tamer_spark.operators.similarity import ivf_build, ivf_search
 
     emb = _t(spark, sf, "embeddings")
-    _assert_gate_dim(emb)
+    _assert_gate_dim(emb, sf)
     qs = emb.filter(F.col("vec_id") < 10)
     assigned, centroids = ivf_build(emb, n_centroids=8, iters=3)
     ivf = ivf_search(assigned, centroids, qs, k=5, nprobe=2)
@@ -1845,36 +1865,151 @@ def agg_ordered_string_concat(spark, sf):
 # Curation pipeline compositions
 # ---------------------------------------------------------------------------
 
+# Deterministic "line structurer" for the gopher gate: the fixture documents
+# ship single-line texts, which would leave every line/paragraph signal a
+# constant 0.0 — a hash gate that gates nothing. The gate therefore derives a
+# line-structured text column with four pinned literal replaces (applied in
+# THIS order on both engines): paragraph breaks at ' table', line breaks at
+# ' value', an ASCII-ellipsis line ending before each 'scan', and a bulleted
+# line before each 'key' — making every §A1.1 line rule AND the ASCII-'...'
+# symbol term carry live, document-dependent values through the hash.
+_GOPHER_STRUCTURE = (
+    (" table", "\n\ntable"),
+    (" value", "\nvalue"),
+    (" scan", "...\nscan"),
+    (" key", "\n- key"),
+)
+
+
+def _gopher_structured_sql(col: str = "text") -> str:
+    out = col
+    for search, repl in _GOPHER_STRUCTURE:
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"replace({out}, '{search}', '{r}')"
+    return out
+
+
+def _gopher_structured_col(col):
+    for search, repl in _GOPHER_STRUCTURE:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return col
+
+
+_GOPHER_TOPS = ((2, 0.20), (3, 0.18), (4, 0.16))
+_GOPHER_DUPS = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+
+
 def _gopher_oracle_ctes() -> str:
-    """DuckDB replay of operators/gopher.py gopher_signals: identical word
-    staging (filtered split over the same normalization), identical exact-
-    integer counts, identical IEEE ratio divisions, and the same
-    (count DESC, bigram ASC) top-2-gram champion. Consumes the ``norm`` CTE
-    of the quality_filter_docs oracle."""
+    """DuckDB replay of operators/gopher.py gopher_signals — the FULL §A1.1
+    set: identical word staging (filtered split over the same
+    normalization), identical exact-integer counts, identical IEEE ratio
+    divisions, the same (count DESC, gram ASC) top-n-gram champions for
+    n=2..4, the same distinct-(doc, word-index) duplicated-n-gram coverage
+    for n=5..10, and the same trimmed/non-empty line & paragraph splits of
+    the RAW (line-structured, case-preserved) text. Self-contained over the
+    ``documents`` view via the pinned line-structurer."""
+    from tamer_spark.operators.gopher import STOP_GOPHER
+
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return f"""
-    gws AS (SELECT doc_id, t, list_filter(string_split(t, ' '), x -> len(x) > 0) AS gw FROM norm),
+    gstop = ", ".join(f"'{w}'" for w in STOP_GOPHER)
+    parts = [f"""
+    gnorm AS (SELECT doc_id, {_gopher_structured_sql()} AS raw,
+                     trim(regexp_replace(lower({_gopher_structured_sql()}), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+    gws AS (SELECT doc_id, raw, t, list_filter(string_split(t, ' '), x -> len(x) > 0) AS gw FROM gnorm),
+    glin AS (SELECT doc_id,
+        list_filter(list_transform(string_split(raw, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines,
+        list_filter(list_transform(string_split(raw, chr(10) || chr(10)), x -> trim(x)), x -> len(x) > 0) AS paras
+      FROM gnorm),
+    glsig AS (SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(paras) AS BIGINT) AS n_paras,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+        CAST(COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) AS BIGINT) AS line_chars,
+        CAST(COALESCE(list_sum(list_transform(paras, x -> len(x))), 0) AS BIGINT) AS para_chars,
+        CAST(COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+           - COALESCE(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
+        CAST(COALESCE(list_sum(list_transform(paras, x -> len(x))), 0)
+           - COALESCE(list_sum(list_transform(list_distinct(paras), x -> len(x))), 0) AS BIGINT) AS dup_para_chars,
+        CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS ell_lines,
+        CAST(len(list_filter(lines, x -> starts_with(x, '•') OR starts_with(x, '-') OR starts_with(x, '*'))) AS BIGINT) AS bul_lines
+      FROM glin),
     gsig AS (SELECT doc_id, gw,
         CAST(len(gw) AS BIGINT) AS n_words,
         CAST(COALESCE(list_sum(list_transform(gw, x -> len(x))), 0) AS BIGINT) AS total_chars,
-        CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '…', ''))) AS BIGINT) AS symbols,
+        CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '…', '')))
+           + (len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS symbols,
         CAST(len(list_filter(gw, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
-        CAST(len(list_distinct(list_intersect(gw, [{stop}]))) AS BIGINT) AS n_stop
+        CAST(len(list_distinct(list_intersect(gw, [{stop}]))) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(list_intersect(gw, [{gstop}]))) AS BIGINT) AS n_gstop
       FROM gws),
-    gbgl AS (SELECT doc_id, list_transform(range(len(gw) - 1), i -> gw[i+1] || ' ' || gw[i+2]) AS bgs
-             FROM gws WHERE len(gw) >= 2),
-    gbg AS (SELECT doc_id, unnest(bgs) AS bg FROM gbgl),
-    gcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM gbg GROUP BY 1, 2),
-    gtop AS (SELECT doc_id, bg, c FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
-        FROM gcnt) WHERE rn = 1),
-    gout AS (SELECT s.doc_id, s.n_words, s.n_stop,
+    gwl AS (SELECT doc_id, unnest(list_transform(range(len(gw)),
+                i -> {{'widx': i, 'wlen': len(gw[i+1])}}), recursive := true)
+            FROM gws)"""]
+    all_ns = sorted({n for n, _ in _GOPHER_TOPS} | {n for n, _ in _GOPHER_DUPS})
+    for n in all_ns:
+        parts.append(f"""
+    gocc{n} AS (SELECT doc_id, unnest(list_transform(range(greatest(len(gw) - {n} + 1, 0)),
+                    i -> {{'pos': i, 'g': array_to_string(gw[i+1:i+{n}], ' ')}}), recursive := true)
+                FROM gws),
+    gcnt{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM gocc{n} GROUP BY 1, 2)""")
+    for n, _thr in _GOPHER_TOPS:
+        parts.append(f"""
+    gtop{n} AS (SELECT doc_id, CAST(c * (len(g) - {n - 1}) AS BIGINT) AS topchars FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        FROM gcnt{n}) WHERE rn = 1)""")
+    for n, _thr in _GOPHER_DUPS:
+        parts.append(f"""
+    gcov{n} AS (SELECT DISTINCT doc_id, widx FROM (
+        SELECT o.doc_id, unnest(range(o.pos, o.pos + {n})) AS widx
+        FROM gocc{n} o JOIN (SELECT doc_id, g FROM gcnt{n} WHERE c >= 2) d USING (doc_id, g))),
+    gcc{n} AS (SELECT c.doc_id, CAST(SUM(w.wlen) AS BIGINT) AS cov
+               FROM gcov{n} c JOIN gwl w USING (doc_id, widx) GROUP BY 1)""")
+    top_fracs = ", ".join(
+        f"CASE WHEN s.total_chars > 0 THEN CAST(COALESCE(t{n}.topchars, 0) AS DOUBLE) / s.total_chars ELSE 0.0 END AS top{n}_frac"
+        for n, _ in _GOPHER_TOPS
+    )
+    dup_fracs = ", ".join(
+        f"CASE WHEN s.total_chars > 0 THEN CAST(COALESCE(d{n}.cov, 0) AS DOUBLE) / s.total_chars ELSE 0.0 END AS dup{n}_frac"
+        for n, _ in _GOPHER_DUPS
+    )
+    joins = " ".join(
+        f"LEFT JOIN gtop{n} t{n} USING (doc_id)" for n, _ in _GOPHER_TOPS
+    ) + " " + " ".join(f"LEFT JOIN gcc{n} d{n} USING (doc_id)" for n, _ in _GOPHER_DUPS)
+    parts.append(f"""
+    gout AS (SELECT s.doc_id, s.n_words, s.n_stop, s.n_gstop,
+        l.n_lines, l.n_paras, l.dup_lines, l.dup_paras, l.dup_line_chars, l.dup_para_chars,
+        l.ell_lines, l.bul_lines,
         CASE WHEN s.n_words > 0 THEN CAST(s.total_chars AS DOUBLE) / s.n_words ELSE 0.0 END AS mwl,
         CASE WHEN s.n_words > 0 THEN CAST(s.symbols AS DOUBLE) / s.n_words ELSE 0.0 END AS sym_ratio,
         CASE WHEN s.n_words > 0 THEN CAST(s.alpha_words AS DOUBLE) / s.n_words ELSE 0.0 END AS alpha_frac,
-        CASE WHEN t.c IS NOT NULL AND s.total_chars > 0
-             THEN CAST(t.c * (len(t.bg) - 1) AS DOUBLE) / s.total_chars ELSE 0.0 END AS top_frac
-      FROM gsig s LEFT JOIN gtop t USING (doc_id))"""
+        CASE WHEN l.n_lines > 0 THEN CAST(l.dup_lines AS DOUBLE) / l.n_lines ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN l.line_chars > 0 THEN CAST(l.dup_line_chars AS DOUBLE) / l.line_chars ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN l.n_paras > 0 THEN CAST(l.dup_paras AS DOUBLE) / l.n_paras ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN l.para_chars > 0 THEN CAST(l.dup_para_chars AS DOUBLE) / l.para_chars ELSE 0.0 END AS dup_para_char_frac,
+        CASE WHEN l.n_lines > 0 THEN CAST(l.ell_lines AS DOUBLE) / l.n_lines ELSE 0.0 END AS ell_ratio,
+        CASE WHEN l.n_lines > 0 THEN CAST(l.bul_lines AS DOUBLE) / l.n_lines ELSE 0.0 END AS bul_ratio,
+        {top_fracs},
+        {dup_fracs}
+      FROM gsig s JOIN glsig l USING (doc_id) {joins})""")
+    return ",".join(parts)
+
+
+def _gopher_keep_sql() -> str:
+    """The full §A1.1 keep conjunction over gout's columns — mirrors the
+    strict-< convention of gopher_signals rule for rule."""
+    terms = [
+        "n_words BETWEEN 50 AND 100000",
+        "mwl >= 3.0", "mwl <= 10.0",
+        "sym_ratio < 0.1", "alpha_frac > 0.8", "n_gstop >= 2",
+        *[f"top{n}_frac < {thr}" for n, thr in _GOPHER_TOPS],
+        *[f"dup{n}_frac < {thr}" for n, thr in _GOPHER_DUPS],
+        "dup_line_frac < 0.30", "dup_line_char_frac < 0.20",
+        "dup_para_frac < 0.30", "dup_para_char_frac < 0.20",
+        "ell_ratio < 0.30", "bul_ratio < 0.90",
+    ]
+    return " AND ".join(terms)
 
 
 @q(
@@ -1912,15 +2047,26 @@ def _gopher_oracle_ctes() -> str:
       JOIN documents d USING (doc_id))
     UNION ALL
     SELECT 'gopher', doc_id,
-           CAST((CASE WHEN n_words BETWEEN 50 AND 100000
-                       AND mwl >= 3.0 AND mwl <= 10.0
-                       AND sym_ratio < 0.1 AND alpha_frac > 0.8
-                       AND n_stop >= 2 AND top_frac < 0.2
-                      THEN 1 ELSE 0 END) * 10000000 + n_stop * 100000 + n_words AS BIGINT),
-           top_frac, mwl
+           CAST((CASE WHEN {_gopher_keep_sql()}
+                      THEN 1 ELSE 0 END) * 10000000 + n_gstop * 100000 + n_words AS BIGINT),
+           top2_frac, mwl
     FROM gout
+    UNION ALL
+    SELECT 'gopher_top34', doc_id, n_words, top3_frac, top4_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_dup56', doc_id, n_gstop, dup5_frac, dup6_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_dup78', doc_id, n_words, dup7_frac, dup8_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_dup910', doc_id, n_words, dup9_frac, dup10_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_lines', doc_id, n_lines * 100000 + n_paras, dup_line_frac, dup_line_char_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_paras', doc_id, ell_lines * 100000 + bul_lines, dup_para_frac, dup_para_char_frac FROM gout
+    UNION ALL
+    SELECT 'gopher_linerat', doc_id, dup_lines * 100000 + dup_paras, ell_ratio, bul_ratio FROM gout
     """,
-    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift. gopher: the Gopher §A1.1 quality rules (Rae et al. 2021, operators/gopher.py) — word-count/mean-word-length bounds, symbol + alphabetic ratios, distinct-stopword floor, and the most-frequent-2-gram repetition fraction (champion by (count DESC, bigram ASC), a total order); v1 packs (keep, n_stopwords, n_words) into one int64, v2/v3 carry the repetition fraction and mean word length. Everything except the bigram count is map-only; the count shuffles (doc_id, bigram) with partial aggregation and reuses the doc_id exchange for the champion window.",
+    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift. gopher/gopher_*: the FULL Gopher §A1.1 rule set (Rae et al. 2021, operators/gopher.py) over a line-structured derivation of the text (four pinned literal replaces that give the fixture's single-line docs live line/paragraph values — see _GOPHER_STRUCTURE): word-count/mean-word-length bounds, symbol ratio counting '#'/'…'/ASCII '...', alphabetic ratio, the paper's 8-word stopword rule, most-frequent-{2,3,4}-gram char fractions (champion by (count DESC, gram ASC), a total order), duplicated-{5..10}-gram coverage fractions (distinct word-position mask), duplicate line/paragraph element+char fractions, and ellipsis/bullet line ratios — EIGHT hash-gated variants ('gopher' packs the full-keep verdict with the 8-set stopword count and n_words; _top34/_dup56/_dup78/_dup910 carry the n-gram fractions; _lines/_paras/_linerat carry the line family). The composition and line families are map-only; the n-gram family shuffles once on (doc_id, n, gram) with partial aggregation plus a bounded coverage re-shuffle.",
 )
 def quality_filter_docs(spark, sf):
     from tamer_spark.operators.dedup import _release_on_gc
@@ -1969,18 +2115,42 @@ def quality_filter_docs(spark, sf):
     )
     from tamer_spark.operators.gopher import gopher_signals
 
-    gv = gopher_signals(d).select(
-        F.lit("gopher").alias("variant"),
-        F.col("doc_id").alias("k"),
-        (
-            F.col("keep") * 10_000_000
-            + F.col("n_stopwords") * 100_000
-            + F.col("n_words")
-        ).cast("long").alias("v1"),
-        F.col("top_bigram_char_frac").alias("v2"),
-        F.col("mean_word_len").alias("v3"),
+    # full §A1.1 signals over the line-structured text (see _GOPHER_STRUCTURE
+    # — the structurer is what gives the line/paragraph rules live values on
+    # the single-line fixture corpus). The signal frame feeds EIGHT gate
+    # variants, so persist it (doc-count-sized) and release with the union.
+    gs = gopher_signals(
+        d.withColumn("text", _gopher_structured_col(F.col("text")))
+    ).persist()
+
+    def _gvar(tag, v1, v2, v3):
+        return gs.select(
+            F.lit(tag).alias("variant"),
+            F.col("doc_id").alias("k"),
+            v1.cast("long").alias("v1"),
+            v2.alias("v2"),
+            v3.alias("v3"),
+        )
+
+    gv = _gvar(
+        "gopher",
+        F.col("keep") * 10_000_000 + F.col("n_gopher_stopwords") * 100_000 + F.col("n_words"),
+        F.col("top_bigram_char_frac"),
+        F.col("mean_word_len"),
     )
-    out = _release_on_gc(filt.unionByName(lm).unionByName(ppl).unionByName(gv), scores)
+    for tag, v1, v2, v3 in [
+        ("gopher_top34", F.col("n_words"), F.col("top_3gram_char_frac"), F.col("top_4gram_char_frac")),
+        ("gopher_dup56", F.col("n_gopher_stopwords"), F.col("dup_5gram_char_frac"), F.col("dup_6gram_char_frac")),
+        ("gopher_dup78", F.col("n_words"), F.col("dup_7gram_char_frac"), F.col("dup_8gram_char_frac")),
+        ("gopher_dup910", F.col("n_words"), F.col("dup_9gram_char_frac"), F.col("dup_10gram_char_frac")),
+        ("gopher_lines", F.col("n_lines") * 100_000 + F.col("n_paragraphs"), F.col("dup_line_frac"), F.col("dup_line_char_frac")),
+        ("gopher_paras", F.col("n_ellipsis_lines") * 100_000 + F.col("n_bullet_lines"), F.col("dup_para_frac"), F.col("dup_para_char_frac")),
+        ("gopher_linerat", F.col("n_dup_lines") * 100_000 + F.col("n_dup_paragraphs"), F.col("ellipsis_line_ratio"), F.col("bullet_line_ratio")),
+    ]:
+        gv = gv.unionByName(_gvar(tag, v1, v2, v3))
+    out = _release_on_gc(
+        filt.unionByName(lm).unionByName(ppl).unionByName(gv), scores, gs
+    )
     return out if cached is None else _release_on_gc(out, cached)
 
 

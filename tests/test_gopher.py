@@ -49,6 +49,207 @@ def test_stopword_floor_fails(spark):
     assert r.n_stopwords < 2 and r.keep == 0
 
 
+def test_ascii_ellipsis_counts_as_symbol(spark):
+    # §A1.1 names '#' OR '...' — each non-overlapping ASCII '...' is one
+    # symbol occurrence (ADVICE r4: only '#' and '…' were counted)
+    words = CLEAN.split()
+    text = " ".join(w + "..." if i % 9 == 0 else w for i, w in enumerate(words))
+    r = _one(spark, text)
+    assert r.symbol_word_ratio >= 0.1 and r.keep == 0
+    # control: same doc without the ellipses passes
+    assert _one(spark, CLEAN).keep == 1
+
+
+def test_gopher_stopword_set_not_generic(spark):
+    # plenty of GENERIC stopwords (a, in, is, it, for) but <2 of the paper's
+    # 8-word set {the, be, to, of, and, that, have, with} — the keep rule
+    # must use the paper's set
+    text = (
+        "a cat is in a box for fun it seems a dog is in a yard for play "
+        "many animals gather around while children watch games unfold "
+        "slowly because nothing ever happens quickly around here anyway "
+        "a bird is in a tree for rest it sings a song morning comes soon "
+        "people walk past without looking up at anything unusual today"
+    )
+    r = _one(spark, text)
+    assert r.n_stopwords >= 2 and r.n_gopher_stopwords < 2
+    assert r.keep == 0
+
+
+def test_top3gram_rule_fires_alone(spark):
+    # a 3-gram repeated non-adjacently: top3 coverage = 1.5x top2 coverage,
+    # so there is a band where only the 3-gram rule trips
+    fillers = ["oak", "elm", "fir", "ash", "yew"]
+    inject = " ".join(f"crimson velvet curtain {f}" for f in fillers)
+    r = _one(spark, CLEAN + " " + inject)
+    assert r.top_3gram_char_frac >= 0.18, r
+    assert r.top_bigram_char_frac < 0.20, r
+    assert r.keep == 0
+    # loosening ONLY the accused rule flips the verdict
+    loose = _one(
+        spark, CLEAN + " " + inject, top_ngrams=((2, 0.20), (3, 1.1), (4, 0.16))
+    )
+    assert loose.keep == 1, loose
+
+
+def test_top4gram_rule_fires_alone(spark):
+    # long outer words, short inner words: the 4-gram's char mass is far
+    # larger than either embedded 3-gram's, so only the 4-gram rule trips
+    fillers = ["oak", "elm"]
+    inject = " ".join(f"supercalifragilistic ab cd expialidocious {f}" for f in fillers)
+    r = _one(spark, CLEAN + " " + inject)
+    assert r.top_4gram_char_frac >= 0.16, r
+    assert r.top_3gram_char_frac < 0.18, r
+    assert r.top_bigram_char_frac < 0.20, r
+    assert r.keep == 0
+    loose = _one(
+        spark, CLEAN + " " + inject, top_ngrams=((2, 0.20), (3, 0.18), (4, 1.1))
+    )
+    assert loose.keep == 1, loose
+
+
+def test_dup5gram_rule_fires_alone(spark):
+    # a 5-word phrase repeated twice, non-adjacent: every 6-gram spanning it
+    # is unique, so only the 5-gram coverage rule trips
+    phrase = "silver hammer strikes golden anvil"
+    # enough distinct filler that the repeated phrase's embedded top-4-gram
+    # (coverage 50/60 of the dup-5 coverage) stays under ITS threshold
+    filler = "meanwhile nothing much happened here"
+    text = CLEAN + f" {phrase} interlude {filler} {phrase} finale"
+    r = _one(spark, text)
+    assert r.dup_5gram_char_frac >= 0.15, r
+    assert r.dup_6gram_char_frac == 0.0, r
+    assert r.keep == 0
+    loose = _one(
+        spark,
+        text,
+        dup_ngrams=((5, 1.1), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)),
+    )
+    assert loose.keep == 1, loose
+
+
+def test_dup10gram_band_fires_only_longest(spark):
+    # a repeated 10-word phrase covers the SAME positions for every n<=10,
+    # so with coverage in [0.10, 0.11) only the n=10 threshold trips
+    phrase = "ten small grey mice ran over nine warm flat stones"  # 41 chars
+    pad = " ".join(
+        f"pad{c}{d}" for c in "abcdefghijklmnopqrst" for d in "vwxyz"
+    )  # 100 distinct 5-char words = 500 chars → coverage 82/794 ≈ 0.103
+    text = CLEAN + " " + phrase + " " + pad + " " + phrase
+    r = _one(spark, text)
+    assert 0.10 <= r.dup_10gram_char_frac < 0.11, r
+    assert r.dup_10gram_char_frac == r.dup_5gram_char_frac  # same coverage
+    assert r.keep == 0
+    loose = _one(
+        spark,
+        text,
+        dup_ngrams=((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 1.1)),
+    )
+    assert loose.keep == 1, loose
+
+
+def test_dup_line_fraction_fires(spark):
+    # duplicated SHORT lines: element fraction trips, char fraction does not
+    text = CLEAN + "\nok go\nok go\nok go\nok go"
+    r = _one(spark, text)
+    assert r.n_lines == 5 and r.n_dup_lines == 3
+    assert r.dup_line_frac > 0.30 and r.dup_line_char_frac < 0.20
+    assert r.keep == 0
+    loose = _one(spark, text, max_dup_line_frac=1.1)
+    assert loose.keep == 1, loose
+
+
+def test_dup_line_char_fraction_fires(spark):
+    # ONE long duplicated line among several: char fraction trips, element
+    # fraction (1/5) does not
+    half = " ".join(CLEAN.split()[:28])
+    rest = " ".join(CLEAN.split()[28:])
+    long_line = (
+        "every single word here repeats exactly once more later on and the "
+        "repeated span is long enough to dominate character mass"
+    )
+    text = f"{half}\n{rest}\n{long_line}\nshort tail\n{long_line}"
+    r = _one(spark, text)
+    assert r.dup_line_char_frac > 0.20 and r.dup_line_frac <= 0.30, r
+    assert r.keep == 0
+    # a duplicated 20-word line necessarily duplicates its n-grams too, so
+    # prove the char-frac rule holds the verdict down with the n-gram dup
+    # family disabled, then loosening it flips the verdict
+    sub = dict(dup_ngrams=(), top_ngrams=((2, 0.2),))
+    assert _one(spark, text, **sub).keep == 0
+    assert _one(spark, text, max_dup_line_char_frac=1.1, **sub).keep == 1
+
+
+def test_dup_paragraph_rules_fire(spark):
+    # duplicated paragraphs necessarily duplicate their lines too — prove the
+    # paragraph rules hold the verdict down on their own by loosening the
+    # line rules first, then loosening the paragraph rules flips it
+    para = "repeated paragraph body with several words inside"
+    text = f"{CLEAN}\n\n{para}\n\n{para}\n\n{para}"
+    r = _one(spark, text)
+    assert r.n_paragraphs == 4 and r.n_dup_paragraphs == 2
+    assert r.dup_para_frac > 0.30 and r.dup_para_char_frac > 0.20
+    assert r.keep == 0
+    # the repeated paragraph also repeats its lines and its n-grams —
+    # disable those families and show the PARA rules still hold it down
+    sub = dict(dup_ngrams=(), top_ngrams=((2, 0.2),))
+    line_loose = _one(
+        spark, text, max_dup_line_frac=1.1, max_dup_line_char_frac=1.1, **sub
+    )
+    assert line_loose.keep == 0  # para rules still hold it down
+    all_loose = _one(
+        spark, text,
+        max_dup_line_frac=1.1, max_dup_line_char_frac=1.1,
+        max_dup_para_frac=1.1, max_dup_para_char_frac=1.1, **sub,
+    )
+    assert all_loose.keep == 1, all_loose
+
+
+def test_ellipsis_line_ratio_fires(spark):
+    words = CLEAN.split()
+    chunks = [" ".join(words[i:i + 8]) for i in range(0, 56, 8)]  # 7 lines
+    text = "\n".join(c + "..." if i < 3 else c for i, c in enumerate(chunks))
+    r = _one(spark, text)
+    assert r.n_ellipsis_lines == 3 and r.ellipsis_line_ratio > 0.30
+    assert r.symbol_word_ratio < 0.1  # only the line rule trips
+    assert r.keep == 0
+    loose = _one(spark, text, max_ellipsis_line_ratio=1.1)
+    assert loose.keep == 1, loose
+
+
+def test_ellipsis_unicode_variant_counts(spark):
+    words = CLEAN.split()
+    chunks = [" ".join(words[i:i + 8]) for i in range(0, 56, 8)]
+    text = "\n".join(c + "…" if i < 3 else c for i, c in enumerate(chunks))
+    r = _one(spark, text)
+    assert r.n_ellipsis_lines == 3 and r.keep == 0
+
+
+def test_bullet_line_ratio_fires(spark):
+    words = CLEAN.split()
+    chunks = [" ".join(words[i:i + 7]) for i in range(0, 56, 7)]  # 8 lines
+    text = "\n".join("- " + c for c in chunks)  # 100% bulleted
+    r = _one(spark, text)
+    assert r.n_bullet_lines == 8 and r.bullet_line_ratio > 0.90
+    assert r.keep == 0
+    loose = _one(spark, text, max_bullet_line_ratio=1.1)
+    assert loose.keep == 1, loose
+
+
+def test_r4_subset_mode_drops_columns_and_rules(spark):
+    # the round-4 signal subset: same columns as r4, line/dup rules absent
+    r = _one(
+        spark,
+        CLEAN + "\nok go\nok go\nok go\nok go",  # would fail dup_line_frac
+        top_ngrams=((2, 0.2),),
+        dup_ngrams=(),
+        line_signals=False,
+    )
+    assert "dup_line_frac" not in r.asDict()
+    assert "top_3gram_char_frac" not in r.asDict()
+    assert r.keep == 1  # line rule not part of the subset verdict
+
+
 def test_one_row_per_doc_and_empty_doc_safe(spark):
     df = spark.createDataFrame(
         [(1, CLEAN), (2, ""), (3, "   ")], "doc_id long, text string"
