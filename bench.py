@@ -290,6 +290,10 @@ HEADLINE = {
     "quality_ppl_bucket": _quality_ppl_bucket,
     "gopher_quality": _gopher_signals_all,
     "gopher_full": _gopher_signals_full,
+    # C4 cleaning (round 5): line filter + cross-doc 3-sentence-span dedup
+    # over the gate's punctuation-structured text (raw fixture docs carry no
+    # punctuation, so the registry query IS the meaningful timed surface)
+    "c4_clean_docs": None,
     # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
     # the incremental semantic-dedup epoch — the operators the steady-state
     # story rests on, now tracked round-over-round
@@ -318,7 +322,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
-        "gopher_quality", "gopher_full",
+        "gopher_quality", "gopher_full", "c4_clean_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental"]),
 ]
@@ -347,6 +351,7 @@ SERIES = {
     "quality_ppl_bucket": "r4-cold-path",
     "gopher_quality": "r4",
     "gopher_full": "r5-full-a11",
+    "c4_clean_docs": "r5",
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
 }

@@ -1,9 +1,10 @@
 """End-to-end LLM training-data curation pipeline over the documents table:
 
-    quality gate → exact dedup → MinHash-LSH near-dup removal →
-    stratified source mixing → train/val/test split →
-    context-window chunking → token counting → sequence packing →
-    incremental next-epoch dedup → SemDeDup + IVFADC semantic index
+    C4 line cleaning + cross-doc span dedup → quality gate → exact dedup →
+    MinHash-LSH near-dup removal → stratified source mixing →
+    train/val/test split → context-window chunking → token counting →
+    sequence packing → incremental next-epoch dedup →
+    SemDeDup + IVFADC semantic index
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -26,8 +27,34 @@ SF_DIR = "/root/testdata/sf0.01"
 
 spark = session("llm-curation")
 ws = workspace()
-docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-n0 = docs.count()
+raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+n0 = raw_docs.count()
+
+# 0. C4 cleaning (Raffel et al. 2020 §2.2): line-level filter, then the
+#    cross-document 3-sentence-span dedup, BEFORE any scoring — cleaning is
+#    a transform, so everything downstream sees the cleaned text. The
+#    synthetic fixture ships punctuation-free single-line texts, so (like
+#    the correctness gate) we first derive line/sentence structure with
+#    pinned replaces — real web text arrives already structured.
+from tamer_spark.operators.c4 import c4_line_filter, c4_span_dedup
+
+_structure = (
+    (" merge", ". merge"),
+    (" order", "! order"),
+    (" batch", "? batch"),
+    (" window", ".\nwindow"),
+)
+text = F.col("text")
+for search, repl in _structure:
+    text = F.replace(text, F.lit(search), F.lit(repl))
+structured = raw_docs.withColumn("text", text)
+cleaned = c4_line_filter(structured, min_sentences=2)
+span_deduped = c4_span_dedup(
+    cleaned.filter(F.col("keep") == 1).select("doc_id", F.col("text_clean").alias("text"))
+)
+n_spans_dropped = span_deduped.agg(F.sum("n_dropped")).collect()[0][0]
+docs = span_deduped.select("doc_id", F.col("text_dedup").alias("text"))
+n_c4 = docs.count()
 
 # 1. quality gate: cheap map-side features, filter before anything expensive
 stats = docs.select("doc_id", "text", *text_stats_cols(F.col("text")))
@@ -55,7 +82,7 @@ from tamer_spark.operators.packing import pack_greedy, with_pack_group
 heavy = ("src0", "src1", "src2", "src3", "src4")
 mix_w = F.when(F.col("source").isin(*heavy), 3).otherwise(1)
 mixed_ids = stratified_mix(
-    kept.join(docs.select("doc_id", "source"), "doc_id"), mix_w
+    kept.join(raw_docs.select("doc_id", "source"), "doc_id"), mix_w
 ).select("doc_id")
 mixed = kept.join(mixed_ids, "doc_id", "left_semi")
 n4 = mixed.count()
@@ -140,7 +167,10 @@ n_epoch = epoch_index.count()
 n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 
 out = spark.read.parquet(str(ws / "curated_chunks"))
-print(f"documents: {n0} → quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}")
+print(
+    f"documents: {n0} → c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
+    f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}"
+)
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
 print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
@@ -150,7 +180,8 @@ print(
     f"inverted file ({n_resent_survived} re-sent copies slipped through); "
     f"survivors assigned+encoded under frozen models (map-only)"
 )
-assert n0 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
+assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
+assert n_spans_dropped > 0  # the tiny shared vocabulary guarantees cross-doc spans
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
 assert 0 < n_sem <= n_vec and index.count() == n_sem
 assert n_resent_survived == 0  # semantic copies of history all pruned

@@ -40,6 +40,8 @@ OPS = [
     "text_profile",
     "dedup_embedding_cosine",
     "similarity_knn_lsh",
+    "gopher_full",
+    "c4_clean_docs",
     "q1_pricing_summary",
     "sessionize_events",
 ]

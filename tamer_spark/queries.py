@@ -2154,6 +2154,135 @@ def quality_filter_docs(spark, sf):
     return out if cached is None else _release_on_gc(out, cached)
 
 
+# Line/punctuation structurer for the C4 gate (same rationale as
+# _GOPHER_STRUCTURE: the fixture ships single-line, punctuation-free texts,
+# so the gate derives sentence terminators, line breaks, and rule triggers
+# with pinned literal replaces applied in THIS order on both engines).
+_C4_STRUCTURE = (
+    (" merge", ". merge"),
+    (" order", "! order"),
+    (" batch", "? batch"),
+    (" window", ".\nwindow"),  # line break PRECEDED by a terminal, so the
+    # closed line survives the terminal-punctuation rule; each doc's final
+    # line ends bare and is dropped — the rule fires on real data
+    (" line", " javascript line"),
+    (" slow", " { slow"),
+    (" big", " lorem ipsum big"),
+)
+
+
+def _c4_structured_sql(col: str = "text") -> str:
+    out = col
+    for search, repl in _C4_STRUCTURE:
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"replace({out}, '{search}', '{r}')"
+    return out
+
+
+def _c4_structured_col(col):
+    for search, repl in _C4_STRUCTURE:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return col
+
+
+def _c4_oracle_ctes() -> str:
+    """DuckDB replay of operators/c4.py — the line filter (terminal
+    punctuation / min words / javascript lines, lorem-ipsum / brace / 5-
+    sentence document rules) and the cross-document 3-sentence-span dedup
+    (keep-global-first by packed (doc_id, start) MIN), both over the pinned
+    structured text and composed exactly as the Spark side composes them
+    (spans run on the line filter's CLEANED output)."""
+    return f"""
+    cdocs AS (SELECT doc_id, {_c4_structured_sql()} AS text FROM documents),
+    clin AS (SELECT doc_id, text,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+      FROM cdocs),
+    ckept AS (SELECT doc_id, text, lines,
+        list_filter(lines, x ->
+            (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))
+            AND len(list_filter(string_split(x, ' '), w -> len(w) > 0)) >= 3
+            AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM clin),
+    cclean AS (SELECT doc_id,
+        COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        NOT (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{{')) AS doc_ok
+      FROM ckept),
+    cfin AS (SELECT doc_id, text_clean, n_lines, n_kept, doc_ok,
+        CAST((len(text_clean) - len(replace(text_clean, '.', '')))
+           + (len(text_clean) - len(replace(text_clean, '!', '')))
+           + (len(text_clean) - len(replace(text_clean, '?', ''))) AS BIGINT) AS n_sentences
+      FROM cclean),
+    csarr AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text_clean, '[.!?]'), x -> trim(x)), x -> len(x) > 0) AS ss
+      FROM cfin),
+    cocc AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ss) - 2, 0)),
+                 i -> {{'start': i, 'sp': array_to_string(ss[i+1:i+3], chr(31))}}), recursive := true)
+             FROM csarr),
+    ckey AS (SELECT doc_id, start, sp, doc_id * 1000000 + start AS k FROM cocc),
+    cfirst AS (SELECT sp, min(k) AS fk FROM ckey GROUP BY sp),
+    cdropped AS (SELECT DISTINCT doc_id, widx FROM (
+        SELECT o.doc_id, unnest(range(o.start, o.start + 3)) AS widx
+        FROM ckey o JOIN cfirst USING (sp) WHERE o.k != fk)),
+    csent AS (SELECT doc_id, unnest(list_transform(range(len(ss)),
+                  i -> {{'idx': i, 's': ss[i+1]}}), recursive := true)
+              FROM csarr),
+    csurv AS (SELECT s.doc_id, s.idx, s.s FROM csent s
+              LEFT JOIN cdropped d ON s.doc_id = d.doc_id AND s.idx = d.widx
+              WHERE d.doc_id IS NULL),
+    crebuilt AS (SELECT doc_id, string_agg(s, '. ' ORDER BY idx) AS text_dedup,
+                        COUNT(*) AS n_kept FROM csurv GROUP BY doc_id),
+    cspan AS (SELECT c.doc_id,
+        COALESCE(r.text_dedup, '') AS text_dedup,
+        CAST(len(c.ss) AS BIGINT) AS n_sentences,
+        CAST(len(c.ss) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+      FROM csarr c LEFT JOIN crebuilt r USING (doc_id))"""
+
+
+@q(
+    "c4_clean_docs",
+    f"""
+    WITH {_c4_oracle_ctes().lstrip()}
+    SELECT 'lines' AS variant, doc_id AS k, text_clean AS txt,
+           n_lines * 100000 + n_kept AS a,
+           n_sentences * 10 + (CASE WHEN n_sentences >= 5 AND doc_ok THEN 1 ELSE 0 END) AS b
+    FROM cfin
+    UNION ALL
+    SELECT 'spans', doc_id, text_dedup, n_sentences, n_dropped FROM cspan
+    """,
+    doc="C4-style corpus cleaning (Raffel et al. 2020 §2.2, operators/c4.py) as one tagged union over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle). lines: the line-level TRANSFORM — keep lines ending in terminal punctuation with >= 3 words and no 'javascript', re-join with newlines, plus the document verdict (>= 5 sentence terminators, no 'lorem ipsum', no curly brace); the whole stage is map-only array HOFs, and the gate hashes the REBUILT text string itself, not just counts. spans: C4's signature cross-document 3-sentence-span dedup over the CLEANED text — the kept occurrence of each span is the globally smallest packed (doc_id, start) key, computed as a partial-aggregable MIN (never a row_number window: a hot boilerplate span would funnel into one task); later occurrences' sentences are dropped and the document re-assembled in sentence order (ordered string_agg == sorted-struct array_join, both total orders). The span shuffle carries ~3x the sentence text once; the drop set and rebuild shuffle keys only. Fixture docs share a tiny vocabulary, so cross-document span collisions are dense and the dedup path does real work under the hash.",
+)
+def c4_clean_docs_q(spark, sf):
+    from tamer_spark.operators.c4 import c4_line_filter, c4_span_dedup
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", _c4_structured_col(F.col("text"))
+    )
+    # the cleaned frame feeds its own gate row AND the span-dedup stage —
+    # persist (doc-count-sized) and release with the union
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    cleaned = c4_line_filter(d).persist()
+    lines = cleaned.select(
+        F.lit("lines").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_clean").alias("txt"),
+        (F.col("n_lines") * 100_000 + F.col("n_lines_kept")).cast("long").alias("a"),
+        (F.col("n_sentences") * 10 + F.col("keep")).cast("long").alias("b"),
+    )
+    spans = c4_span_dedup(
+        cleaned.select("doc_id", F.col("text_clean").alias("text"))
+    ).select(
+        F.lit("spans").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_dedup").alias("txt"),
+        F.col("n_sentences").alias("a"),
+        F.col("n_dropped").alias("b"),
+    )
+    return _release_on_gc(lines.unionByName(spans), cleaned)
+
+
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     import hashlib as _hl
 

@@ -250,6 +250,73 @@ def test_r4_subset_mode_drops_columns_and_rules(spark):
     assert r.keep == 1  # line rule not part of the subset verdict
 
 
+def test_invariants_on_random_corpus(spark):
+    """Seeded randomized batch (200 docs, one Spark job): the signal family
+    invariants that must hold on ANY input — duplicated-n-gram coverage is
+    monotone non-increasing in n (a duplicated (n+1)-gram's constituent
+    n-grams are duplicated over the same positions), every fraction lives
+    in [0, 1], and keep is exactly the conjunction of its rules recomputed
+    from the emitted signals."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "the",
+             "to", "of", "and", "-", "x"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 120)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # inject occasional repeated runs and line/paragraph structure
+        if n > 20 and rng.random() < 0.5:
+            run = words[: rng.randint(3, 12)]
+            words = words + run + words[: rng.randint(0, 5)] + run
+        text = " ".join(words)
+        if rng.random() < 0.5:
+            text = text.replace(" zeta ", "\nzeta ").replace(" eta ", "\n\neta ")
+        if rng.random() < 0.3:
+            text = text.replace(" gamma ", "... gamma ")
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = gopher_signals(df).collect()
+    assert len(rows) == 200
+    fracs = [
+        "top_bigram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "ellipsis_line_ratio", "bullet_line_ratio",
+        "alpha_word_frac",
+    ]
+    for r in rows:
+        for c in fracs:
+            assert 0.0 <= r[c] <= 1.0, (r.doc_id, c, r[c])
+        cov = [r[f"dup_{n}gram_char_frac"] for n in range(5, 11)]
+        assert all(a >= b for a, b in zip(cov, cov[1:])), (r.doc_id, cov)
+        expect = int(
+            50 <= r.n_words <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.symbol_word_ratio < 0.1
+            and r.alpha_word_frac > 0.8
+            and r.n_gopher_stopwords >= 2
+            and r.top_bigram_char_frac < 0.20
+            and r.top_3gram_char_frac < 0.18
+            and r.top_4gram_char_frac < 0.16
+            and r.dup_5gram_char_frac < 0.15
+            and r.dup_6gram_char_frac < 0.14
+            and r.dup_7gram_char_frac < 0.13
+            and r.dup_8gram_char_frac < 0.12
+            and r.dup_9gram_char_frac < 0.11
+            and r.dup_10gram_char_frac < 0.10
+            and r.dup_line_frac < 0.30
+            and r.dup_line_char_frac < 0.20
+            and r.dup_para_frac < 0.30
+            and r.dup_para_char_frac < 0.20
+            and r.ellipsis_line_ratio < 0.30
+            and r.bullet_line_ratio < 0.90
+        )
+        assert r.keep == expect, (r.doc_id, r)
+
+
 def test_one_row_per_doc_and_empty_doc_safe(spark):
     df = spark.createDataFrame(
         [(1, CLEAN), (2, ""), (3, "   ")], "doc_id long, text string"

@@ -165,6 +165,40 @@ def test_gopher_signals_bounded_shuffles(spark):
     assert "partial_count" in plan, plan  # map-side combine before the shuffle
 
 
+def test_gopher_full_single_gram_shuffle(spark):
+    """Full §A1.1 signals: the n-gram family (9 enabled n) must shuffle the
+    gram stream ONCE — the dup-coverage leg re-derives positions from lists
+    carried through the counts aggregate, never a second explode+exchange of
+    the 9x-text occurrence stream. The exploded gram relation therefore
+    appears in exactly one aggregate subtree, and there is no cross join."""
+    from tamer_spark.operators.gopher import gopher_signals
+    from tamer_spark.queries import _t
+
+    df = gopher_signals(_t(spark, SF_DIR, "documents"))
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_count" in plan, plan
+    # one Generate of the (pos, g) struct stream per plan: the counts
+    # aggregate is its only consumer (coverage comes from collect_list)
+    n_gram_generates = plan.count("explode(_gs")
+    assert n_gram_generates <= 1, f"gram stream exploded {n_gram_generates}x:\n{plan}"
+
+
+def test_c4_span_dedup_partial_min_no_window(spark):
+    """C4 span dedup: the global-first rule must be a partial-aggregable MIN
+    on the span key (map-side combine before the span shuffle) and must NOT
+    be a row_number window over the span value — a hot boilerplate span
+    would funnel into a single window task at 100 TB. No cross join."""
+    from tamer_spark.operators.c4 import c4_span_dedup
+    from tamer_spark.queries import _t
+
+    df = c4_span_dedup(_t(spark, SF_DIR, "documents"))
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
+
+
 def test_knn_lsh_bucket_cap_reuses_bucket_exchange(spark):
     """The max_bucket guard's window partitions by the SAME bucket key the
     candidate join hashes on — capping must not add an exchange beyond the
