@@ -82,6 +82,50 @@ def sentence_dedup_counts(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal, keep-first (the
+    RefinedWeb/FineWeb line-dedup cleaning step — boilerplate navigation
+    and cookie banners repeat inside a single page; public literature:
+    Penedo et al., arXiv 2306.01116). Complements sentence_dedup_counts
+    (ACROSS-document repetition) and the gopher line *signals* (which only
+    measure): this one rewrites the text.
+
+    Pinned semantics (cross-engine): lines = text split on '\\n', trimmed
+    of spaces, empties dropped; a line survives iff it is the FIRST
+    occurrence of its exact value in the document — expressed as
+    position-of-first-match == own-index in BOTH engines, so the result
+    never depends on either engine's distinct-ordering behavior; survivors
+    re-join with '\\n'. Entirely map-only: the first-occurrence filter is
+    an array HOF over the staged line array — no shuffle, no explode, at
+    any corpus size (per-doc cost is O(lines²) string compares on short
+    arrays; documents are pages, not books — the quadratic term is bounded
+    by page line counts, and the compare is pointer-width for interned
+    duplicates).
+
+    Returns (doc_id, text_clean, n_lines, n_dropped).
+    """
+    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw"))
+    staged = raw.select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split(F.col("_raw"), "\n"), lambda x: F.trim(x)),
+            lambda x: F.length(x) > 0,
+        ).alias("_lines"),
+    )
+    firsts = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + 1,
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join(firsts, "\n").alias("text_clean"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size(firsts)).cast("long").alias("n_dropped"),
+    )
+
+
 def shingle_string_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

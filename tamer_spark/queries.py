@@ -2168,6 +2168,11 @@ _C4_STRUCTURE = (
     (" line", " javascript line"),
     (" slow", " { slow"),
     (" big", " lorem ipsum big"),
+    # every ' hash' inserts the IDENTICAL standalone line — docs with two or
+    # more occurrences carry real within-document duplicate lines, giving
+    # the linededup variant live values (and the boilerplate repeats across
+    # documents, feeding the span-dedup variant too)
+    (" hash", ".\nthis exact banner repeats verbatim.\nhash"),
 )
 
 
@@ -2237,7 +2242,12 @@ def _c4_oracle_ctes() -> str:
         COALESCE(r.text_dedup, '') AS text_dedup,
         CAST(len(c.ss) AS BIGINT) AS n_sentences,
         CAST(len(c.ss) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
-      FROM csarr c LEFT JOIN crebuilt r USING (doc_id))"""
+      FROM csarr c LEFT JOIN crebuilt r USING (doc_id)),
+    cldd AS (SELECT doc_id,
+        COALESCE(array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10)), '') AS text_ld,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(lines) - len(list_filter(lines, (x, i) -> list_position(lines, x) = i)) AS BIGINT) AS n_ld_dropped
+      FROM clin)"""
 
 
 @q(
@@ -2250,8 +2260,10 @@ def _c4_oracle_ctes() -> str:
     FROM cfin
     UNION ALL
     SELECT 'spans', doc_id, text_dedup, n_sentences, n_dropped FROM cspan
+    UNION ALL
+    SELECT 'linededup', doc_id, text_ld, n_lines, n_ld_dropped FROM cldd
     """,
-    doc="C4-style corpus cleaning (Raffel et al. 2020 §2.2, operators/c4.py) as one tagged union over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle). lines: the line-level TRANSFORM — keep lines ending in terminal punctuation with >= 3 words and no 'javascript', re-join with newlines, plus the document verdict (>= 5 sentence terminators, no 'lorem ipsum', no curly brace); the whole stage is map-only array HOFs, and the gate hashes the REBUILT text string itself, not just counts. spans: C4's signature cross-document 3-sentence-span dedup over the CLEANED text — the kept occurrence of each span is the globally smallest packed (doc_id, start) key, computed as a partial-aggregable MIN (never a row_number window: a hot boilerplate span would funnel into one task); later occurrences' sentences are dropped and the document re-assembled in sentence order (ordered string_agg == sorted-struct array_join, both total orders). The span shuffle carries ~3x the sentence text once; the drop set and rebuild shuffle keys only. Fixture docs share a tiny vocabulary, so cross-document span collisions are dense and the dedup path does real work under the hash.",
+    doc="C4-style corpus cleaning (Raffel et al. 2020 §2.2, operators/c4.py) as one tagged union over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle). lines: the line-level TRANSFORM — keep lines ending in terminal punctuation with >= 3 words and no 'javascript', re-join with newlines, plus the document verdict (>= 5 sentence terminators, no 'lorem ipsum', no curly brace); the whole stage is map-only array HOFs, and the gate hashes the REBUILT text string itself, not just counts. spans: C4's signature cross-document 3-sentence-span dedup over the CLEANED text — the kept occurrence of each span is the globally smallest packed (doc_id, start) key, computed as a partial-aggregable MIN (never a row_number window: a hot boilerplate span would funnel into one task); later occurrences' sentences are dropped and the document re-assembled in sentence order (ordered string_agg == sorted-struct array_join, both total orders). The span shuffle carries ~3x the sentence text once; the drop set and rebuild shuffle keys only. linededup: the RefinedWeb-style WITHIN-document duplicate-line removal (dedup_lines_in_doc) — keep-first pinned as position-of-first-match == own-index in both engines (never relying on either engine's distinct ordering), entirely map-only. The structurer injects an identical boilerplate line at every ' hash', so 265/500 fixture docs carry real within-doc duplicates and 65 docs lose cross-document spans — every variant's rebuilt text is hashed with live values.",
 )
 def c4_clean_docs_q(spark, sf):
     from tamer_spark.operators.c4 import c4_line_filter, c4_span_dedup
@@ -2280,7 +2292,16 @@ def c4_clean_docs_q(spark, sf):
         F.col("n_sentences").alias("a"),
         F.col("n_dropped").alias("b"),
     )
-    return _release_on_gc(lines.unionByName(spans), cleaned)
+    from tamer_spark.operators.dedup import dedup_lines_in_doc
+
+    linededup = dedup_lines_in_doc(d).select(
+        F.lit("linededup").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_clean").alias("txt"),
+        F.col("n_lines").alias("a"),
+        F.col("n_dropped").alias("b"),
+    )
+    return _release_on_gc(lines.unionByName(spans).unionByName(linededup), cleaned)
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:

@@ -128,6 +128,46 @@ def test_span_dedup_is_idempotent(spark):
     assert all(r.n_dropped == 0 for r in twice.collect())
 
 
+def test_dedup_lines_in_doc_keep_first(spark):
+    from tamer_spark.operators.dedup import dedup_lines_in_doc
+
+    text = "banner here\nreal content one\nbanner here\nreal content two\n  banner here  \nend"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dedup_lines_in_doc(df).collect()[0]
+    # the padded third copy trims to the same value and is dropped too
+    assert r.n_lines == 6 and r.n_dropped == 2
+    assert r.text_clean == "banner here\nreal content one\nreal content two\nend"
+
+
+def test_dedup_lines_in_doc_is_idempotent_and_order_preserving(spark):
+    from tamer_spark.operators.dedup import dedup_lines_in_doc
+
+    import random
+
+    rng = random.Random(3)
+    pool = ["alpha", "beta", "gamma", "delta", "alpha", "beta"]
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(0, 12))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = dedup_lines_in_doc(df)
+    twice = dedup_lines_in_doc(once.select("doc_id", once.text_clean.alias("text")))
+    assert all(r.n_dropped == 0 for r in twice.collect())
+    a = {r.doc_id: r.text_clean for r in once.collect()}
+    b = {r.doc_id: r.text_clean for r in twice.collect()}
+    assert a == b
+    # order preservation: survivors appear in first-occurrence order
+    for i, text in docs:
+        lines = [x.strip() for x in text.split("\n") if x.strip()]
+        seen, expect = set(), []
+        for x in lines:
+            if x not in seen:
+                seen.add(x)
+                expect.append(x)
+        assert a[i] == "\n".join(expect), (i, text)
+
+
 def test_span_dedup_idempotent_on_random_corpus(spark):
     """Seeded randomized batch: on ANY corpus, a second span-dedup pass over
     the first pass's output finds nothing to drop (the survivors contain at
