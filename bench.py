@@ -294,6 +294,9 @@ HEADLINE = {
     # over the gate's punctuation-structured text (raw fixture docs carry no
     # punctuation, so the registry query IS the meaningful timed surface)
     "c4_clean_docs": None,
+    # PII scrubbing (round 5): map-only email/IP redaction over structured
+    # text — times the regexp_replace scan path
+    "scrub_pii_docs": None,
     # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
     # the incremental semantic-dedup epoch — the operators the steady-state
     # story rests on, now tracked round-over-round
@@ -322,7 +325,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
-        "gopher_quality", "gopher_full", "c4_clean_docs",
+        "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental"]),
 ]
@@ -352,6 +355,7 @@ SERIES = {
     "gopher_quality": "r4",
     "gopher_full": "r5-full-a11",
     "c4_clean_docs": "r5",
+    "scrub_pii_docs": "r5",
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
 }

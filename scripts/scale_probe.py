@@ -242,6 +242,76 @@ def main() -> None:
         gop[label] = {"docs": n, "t": round(time.monotonic() - t0, 3)}
         print(f"# gopher_signals@{label}: {gop[label]}", file=sys.stderr)
     print(json.dumps({"gopher_signals": gop}, indent=2))
+
+    # C4 span dedup under a HOT span: EVERY document shares one boilerplate
+    # 3-sentence run — the worst case for a per-span row_number window (all
+    # occurrences of the hot span land in one window task) and exactly the
+    # case the operator's aggregate-MIN design combines map-side. Probe the
+    # shipped operator against an inline window-based comparator at growing
+    # hot-key multiplicity; the gap is the measured cost of the wrong plan.
+    from pyspark.sql import Window
+    from tamer_spark.operators.c4 import c4_span_dedup
+
+    def span_dedup_window_variant(docs):
+        # identical pipeline, but global-first via row_number over the span
+        sarr = docs.select(
+            "doc_id",
+            F.filter(
+                F.transform(F.split(F.col("text"), "[.!?]"), lambda x: F.trim(x)),
+                lambda x: F.length(x) > 0,
+            ).alias("_ss"),
+        )
+        sents = sarr.select("doc_id", F.posexplode("_ss").alias("idx", "s"))
+        spans = sarr.select(
+            "doc_id",
+            F.when(
+                F.size("_ss") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_ss") - 3),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice(F.col("_ss"), i + 1, 3), "\x1f").alias("sp"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:int,sp:string>>")).alias("_sps"),
+        ).select("doc_id", F.explode("_sps").alias("o")).select(
+            "doc_id", F.col("o.start").alias("start"), F.col("o.sp").alias("sp")
+        )
+        w = Window.partitionBy("sp").orderBy("doc_id", "start")
+        dropped = (
+            spans.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + 2)).alias("idx"))
+            .distinct()
+        )
+        return sents.join(dropped, ["doc_id", "idx"], "left_anti").groupBy("doc_id").count()
+
+    boiler = (
+        "accept all cookies to continue. this site uses tracking pixels. "
+        "dismiss this banner to proceed."
+    )
+    c4_skew = {}
+    for n_docs in (5_000, 50_000):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " unique tail number "),
+                F.col("id").cast("string"),
+                F.lit(" closes this document here."),
+            ).alias("text"),
+        ).repartition(32).persist()
+        docs.count()
+        t0 = time.monotonic()
+        c4_span_dedup(docs).count()
+        t_min = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        span_dedup_window_variant(docs).count()
+        t_win = round(time.monotonic() - t0, 3)
+        docs.unpersist()
+        c4_skew[f"docs={n_docs}"] = {"t_min_agg": t_min, "t_window": t_win,
+                                     "window_over_min": round(t_win / t_min, 2)}
+        print(f"# c4_span_skew@{n_docs}: {c4_skew[f'docs={n_docs}']}", file=sys.stderr)
+    print(json.dumps({"c4_span_dedup_hot_span": c4_skew}, indent=2))
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 

@@ -6,6 +6,8 @@ from tamer_spark.functions.text import (
     token_count_col,
     lang_id_col,
     doc_fingerprint_col,
+    scrub_pii_col,
+    pii_count_cols,
 )
 
 __all__ = [
@@ -17,4 +19,6 @@ __all__ = [
     "token_count_col",
     "lang_id_col",
     "doc_fingerprint_col",
+    "scrub_pii_col",
+    "pii_count_cols",
 ]

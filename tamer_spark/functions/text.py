@@ -114,3 +114,34 @@ def doc_fingerprint_col(text: Column, p: int = 1_000_000_007, base: int = 31) ->
         F.lit(0).cast("long"),
         lambda acc, w: (acc * base + stable_hash64(w) % p) % p,
     ).alias("fingerprint")
+
+
+# PII scrubbing (anonymization) — the FineWeb-style redaction stage
+# (Penedo et al. 2024 anonymize emails/IPs before release; public
+# literature). Patterns are pinned to the syntax BOTH regex engines (Java
+# in Spark, RE2 in the DuckDB oracle) interpret identically: character
+# classes, bounded repetition, non-capturing groups, \b word boundaries —
+# no lookarounds, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def scrub_pii_col(text: Column) -> Column:
+    """Redact emails then IPv4 literals (that order is pinned — an email's
+    host part can contain digit runs an IP pattern would otherwise bite).
+    Map-only; the replacement tokens are greppable sentinels."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+    )
+
+
+def pii_count_cols(text: Column) -> list[Column]:
+    """Exact redaction counts (n_emails, n_ips) for audit columns."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+    ]

@@ -2304,6 +2304,60 @@ def c4_clean_docs_q(spark, sf):
     return _release_on_gc(lines.unionByName(spans).unionByName(linededup), cleaned)
 
 
+# PII structurer for the scrub gate: the fixture carries no emails/IPs, so
+# derive them deterministically (pinned order) — ' spark' plants an email,
+# ' data' plants a redactable IPv4 literal, and ' batch' plants a 5-octet
+# decoy whose leftmost 4 octets redact while the '.5' tail must survive —
+# pinning that both engines agree on leftmost-match and \b boundary
+# semantics, not just on clean-token matches (verified identical:
+# 'x 1.2.3.4.5 y' -> 'x <IP>.5 y' in Java regex AND RE2).
+_PII_STRUCTURE = (
+    (" spark", " spark dev.team+crawl@data-example.org"),
+    (" data", " data 192.168.001.012"),
+    (" batch", " batch 1.2.3.4.5"),
+)
+
+
+def _pii_structured_sql(col: str = "text") -> str:
+    out = col
+    for search, repl in _PII_STRUCTURE:
+        out = f"replace({out}, '{search}', '{repl}')"
+    return out
+
+
+def _pii_structured_col(col):
+    for search, repl in _PII_STRUCTURE:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return col
+
+
+@q(
+    "scrub_pii_docs",
+    f"""
+    WITH pdocs AS (SELECT doc_id, {_pii_structured_sql()} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS text_scrubbed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ips
+    FROM pdocs
+    """,
+    doc="PII scrubbing / anonymization (FineWeb-style, Penedo et al. 2024; functions/text.py scrub_pii_col) over a derivation of the fixture text that plants emails, IPv4 literals, AND a 5-octet decoy whose '.5' tail must survive while its leftmost 4 octets redact — pinning leftmost-match and \\b boundary agreement, not just clean-token matches. The SCRUBBED text string itself is hashed — both engines must agree on every match boundary — plus exact redaction counts. Patterns are pinned to the Java-regex/RE2 common subset (character classes, bounded repetition, non-capturing groups, word boundaries; no lookarounds), emails replaced before IPs (pinned order). Entirely map-only: redaction at parquet-scan rate, no shuffle at any corpus size.",
+)
+def scrub_pii_docs_q(spark, sf):
+    from tamer_spark.functions.text import pii_count_cols, scrub_pii_col
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", _pii_structured_col(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        scrub_pii_col(F.col("text")).alias("text_scrubbed"),
+        *pii_count_cols(F.col("text")),
+    )
+
+
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     import hashlib as _hl
 
