@@ -107,6 +107,72 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     assert streamed[3][0] == "A real line of content survives here."
 
 
+def test_streaming_incremental_dedup_epochs(spark, tmp_path):
+    """The incremental-dedup epoch posture ON the streaming runtime: each
+    micro-batch folds against the persisted digest index via foreachBatch
+    (survivors appended to the corpus, their digests appended to the index),
+    so a document seen in ANY earlier epoch — or earlier in the same batch —
+    never lands twice. This is the engine's O(batch) epoch contract driven
+    by Structured Streaming's own checkpointed scheduler instead of the
+    driver loop."""
+    import pyspark.sql.functions as SF
+
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental,
+        exact_index,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx_dir, out, cp = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        str(tmp_path / "cp"),
+    )
+    # seed corpus + index (epoch 0)
+    seed = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    seed.write.parquet(out)
+    exact_index(seed).write.parquet(idx_dir)
+
+    def fold(batch_df, _epoch):
+        idx = batch_df.sparkSession.read.parquet(idx_dir)
+        survivors = dedup_exact_incremental(batch_df, idx).persist()
+        survivors.select("doc_id", "text").write.mode("append").parquet(out)
+        exact_index(survivors).join(idx, "content_hash", "left_anti").write.mode(
+            "append"
+        ).parquet(idx_dir)
+        survivors.unpersist()
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    # epoch 1: one duplicate of the seed corpus + two fresh docs (one
+    # duplicated WITHIN the batch — in-batch min-id wins)
+    spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc"), (12, "gamma doc")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(src))
+    run_available_now_foreach_batch(stream, cp, fold, output_mode="append")
+    # epoch 2: duplicates of epoch-1 survivors + one fresh doc
+    spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+    run_available_now_foreach_batch(stream, cp, fold, output_mode="append")
+
+    corpus = spark.read.parquet(out)
+    texts = sorted(r.text for r in corpus.collect())
+    assert texts == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 11, 21}
+    # the index holds exactly one digest per distinct text
+    assert spark.read.parquet(idx_dir).count() == 4
+    # content digests in the index match the corpus's
+    idx_hashes = {r.content_hash for r in spark.read.parquet(idx_dir).collect()}
+    corpus_hashes = {
+        r.h for r in corpus.select(SF.md5("text").alias("h")).collect()
+    }
+    assert idx_hashes == corpus_hashes
+
+
 def test_windowed_agg_matches_batch(spark, tmp_path):
     t0 = datetime(2024, 1, 1)
     rows = [(t0 + timedelta(minutes=7 * i), i % 3, float(i)) for i in range(40)]
