@@ -194,8 +194,23 @@ def c4_span_dedup(
     ).select("doc_id", F.explode("_sps").alias("o")).select(
         "doc_id", F.col("o.start").alias("start"), F.col("o.sp").alias("sp")
     )
+    # the packed key aliases if a document exceeds _MAX_SENTS sentences —
+    # fail the job loudly instead of silently mis-keying (runtime-enforced,
+    # evaluated only on violating rows; zero cost otherwise)
     occ = spans.withColumn(
-        "_key", F.col("doc_id") * _MAX_SENTS + F.col("start")
+        "_key",
+        F.when(
+            F.col("start") < _MAX_SENTS,
+            F.col("doc_id") * _MAX_SENTS + F.col("start"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("c4_span_dedup: document "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" exceeds {_MAX_SENTS} sentences — packed span key would alias"),
+                )
+            ).cast("long")
+        ),
     )
     # global first occurrence per span value: a partial-aggregable MIN on the
     # packed key — NOT a row_number window, which would funnel a hot
