@@ -121,6 +121,7 @@ def test_streaming_incremental_dedup_epochs(spark, tmp_path):
         dedup_exact_incremental,
         exact_index,
     )
+    from tamer_spark.sinks import ParquetEpochSink
 
     src = tmp_path / "in"
     src.mkdir()
@@ -129,20 +130,32 @@ def test_streaming_incremental_dedup_epochs(spark, tmp_path):
         str(tmp_path / "out"),
         str(tmp_path / "cp"),
     )
+    corpus_sink, index_sink = ParquetEpochSink(out), ParquetEpochSink(idx_dir)
     # seed corpus + index (epoch 0)
     seed = spark.createDataFrame(
         [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
     )
-    seed.write.parquet(out)
-    exact_index(seed).write.parquet(idx_dir)
+    corpus_sink.write(seed, 0)
+    index_sink.write(exact_index(seed), 0)
 
-    def fold(batch_df, _epoch):
-        idx = batch_df.sparkSession.read.parquet(idx_dir)
+    def fold(batch_df, epoch_id):
+        # epoch-idempotent writes (the engine Sink contract): a replayed
+        # micro-batch overwrites its own epoch partition instead of
+        # appending duplicates — crash-between-writes safe. The index read
+        # is partition-pruned to PRIOR epochs: a replayed epoch must not
+        # dedup against the digests its own crashed attempt already wrote
+        # (that would empty the partition on replay — data loss, not
+        # idempotence).
+        s = batch_df.sparkSession
+        idx = index_sink.read(s).filter(
+            SF.col("epoch") <= epoch_id
+        ).select("content_hash")
         survivors = dedup_exact_incremental(batch_df, idx).persist()
-        survivors.select("doc_id", "text").write.mode("append").parquet(out)
-        exact_index(survivors).join(idx, "content_hash", "left_anti").write.mode(
-            "append"
-        ).parquet(idx_dir)
+        corpus_sink.write(survivors.select("doc_id", "text"), epoch_id + 1)
+        index_sink.write(
+            exact_index(survivors).join(idx, "content_hash", "left_anti"),
+            epoch_id + 1,
+        )
         survivors.unpersist()
 
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
@@ -159,18 +172,27 @@ def test_streaming_incremental_dedup_epochs(spark, tmp_path):
     ).write.mode("append").parquet(str(src))
     run_available_now_foreach_batch(stream, cp, fold, output_mode="append")
 
-    corpus = spark.read.parquet(out)
+    corpus = corpus_sink.read(spark)
     texts = sorted(r.text for r in corpus.collect())
     assert texts == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
     assert {r.doc_id for r in corpus.collect()} == {1, 2, 11, 21}
     # the index holds exactly one digest per distinct text
-    assert spark.read.parquet(idx_dir).count() == 4
+    assert index_sink.read(spark).count() == 4
     # content digests in the index match the corpus's
-    idx_hashes = {r.content_hash for r in spark.read.parquet(idx_dir).collect()}
+    idx_hashes = {r.content_hash for r in index_sink.read(spark).collect()}
     corpus_hashes = {
         r.h for r in corpus.select(SF.md5("text").alias("h")).collect()
     }
     assert idx_hashes == corpus_hashes
+    # crash-replay safety: re-running a committed epoch's fold (the
+    # foreachBatch replay after a crash between sink write and checkpoint
+    # commit) overwrites its own epoch partitions — corpus unchanged
+    replay = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    fold(replay, 1)  # same epoch id the second drain committed
+    assert sorted(r.text for r in corpus_sink.read(spark).collect()) == texts
+    assert index_sink.read(spark).count() == 4
 
 
 def test_windowed_agg_matches_batch(spark, tmp_path):
