@@ -159,9 +159,11 @@ def _quality_ppl_bucket(spark, sf_dir):
 
 
 def _gopher_signals_all(spark, sf_dir):
-    # the round-4 Gopher subset (word/symbol/alpha/stopword rules + the
-    # top-2-gram repetition term) — pinned to the same work the r4 series
-    # timed, now via the full operator's subset flags
+    # the Gopher subset (word/symbol/alpha/stopword rules + the top-2-gram
+    # repetition term) via the full operator's subset flags. NOT identical
+    # work to the r4 entry: r5 added the ASCII-'...' symbol term, the
+    # 8-word STOP_GOPHER intersect, and the paper's stopword keep rule —
+    # hence the new series tag (r4 numbers are not comparable)
     from tamer_spark.operators.gopher import gopher_signals
 
     return gopher_signals(
@@ -352,7 +354,8 @@ SERIES = {
     "pq_encode": "r4-frozen-model",
     "pq_search_adc": "r4-hot-codes",
     "quality_ppl_bucket": "r4-cold-path",
-    "gopher_quality": "r4",
+    "gopher_quality": "r5-subset",  # r4 series closed: subset gained the
+    # ASCII-ellipsis symbol term + the 8-word stopword rule (real plan change)
     "gopher_full": "r5-full-a11",
     "c4_clean_docs": "r5",
     "scrub_pii_docs": "r5",

@@ -8,6 +8,7 @@ from tamer_spark.functions.text import (
     doc_fingerprint_col,
     scrub_pii_col,
     pii_count_cols,
+    trim_nonempty,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "doc_fingerprint_col",
     "scrub_pii_col",
     "pii_count_cols",
+    "trim_nonempty",
 ]

@@ -136,7 +136,13 @@ def scrub_pii_col(text: Column) -> Column:
 
 
 def pii_count_cols(text: Column) -> list[Column]:
-    """Exact redaction counts (n_emails, n_ips) for audit columns."""
+    """Per-pattern match counts over the ORIGINAL text (n_emails, n_ips) —
+    audit columns answering "how many PII-shaped tokens did this document
+    carry", NOT a count of redaction events in the scrubbed output: an
+    IPv4-shaped run inside an email address is counted by the IP pattern
+    here but redacted as part of the single <EMAIL> token (pinned in
+    tests/test_pii.py::test_email_before_ip_order). Reconcile audits
+    against these counts, not against sentinel-token greps."""
     return [
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
         .cast("long")
@@ -145,3 +151,20 @@ def pii_count_cols(text: Column) -> list[Column]:
         .cast("long")
         .alias("n_ips"),
     ]
+
+
+def trim_nonempty(arr: Column) -> Column:
+    """THE pinned line/sentence staging convention, shared by
+    gopher_signals, c4_line_filter/c4_span_dedup, and dedup_lines_in_doc
+    (each DuckDB oracle mirrors it as
+    ``list_filter(list_transform(x, x -> trim(x)), x -> len(x) > 0)``):
+    trim each element of a string array — SPACES only, matching both
+    engines' default trim — and drop empties. One definition so the three
+    operators' pinned semantics can never silently diverge.
+
+    The inner lambda wrapper is LOAD-BEARING: ``F.trim`` has an optional
+    second parameter (characters to strip), so passing it bare makes
+    ``transform`` treat it as a binary (element, index) lambda and trim by
+    "0"/"1"/... — a silent no-op.
+    """
+    return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: F.length(x) > 0)

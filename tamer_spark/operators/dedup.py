@@ -106,13 +106,12 @@ def dedup_lines_in_doc(
 
     Returns (doc_id, text_clean, n_lines, n_dropped).
     """
+    from tamer_spark.functions.text import trim_nonempty
+
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw"))
     staged = raw.select(
         "doc_id",
-        F.filter(
-            F.transform(F.split(F.col("_raw"), "\n"), lambda x: F.trim(x)),
-            lambda x: F.length(x) > 0,
-        ).alias("_lines"),
+        trim_nonempty(F.split(F.col("_raw"), "\n")).alias("_lines"),
     )
     firsts = F.filter(
         F.col("_lines"),

@@ -151,12 +151,8 @@ def gopher_signals(
 
     line_cols = []
     if line_signals:
-        # inner lambda wrapper is LOAD-BEARING: F.trim has an optional second
-        # param, so passing it bare makes transform treat it as a binary
-        # (element, index) lambda and trim by "0"/"1"/... — a no-op
-        trim_nonempty = lambda arr: F.filter(  # noqa: E731
-            F.transform(arr, lambda x: F.trim(x)), lambda x: F.length(x) > 0
-        )
+        from tamer_spark.functions.text import trim_nonempty
+
         lines = trim_nonempty(F.split(F.col("_raw"), "\n"))
         paras = trim_nonempty(F.split(F.col("_raw"), "\n\n"))
         is_ellipsis = lambda x: x.endswith("...") | x.endswith("…")  # noqa: E731

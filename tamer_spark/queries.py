@@ -2220,12 +2220,12 @@ def _c4_oracle_ctes() -> str:
            + (len(text_clean) - len(replace(text_clean, '?', ''))) AS BIGINT) AS n_sentences
       FROM cclean),
     csarr AS (SELECT doc_id,
-        list_filter(list_transform(string_split_regex(text_clean, '[.!?]'), x -> trim(x)), x -> len(x) > 0) AS ss
+        list_filter(list_transform(string_split_regex(replace(text_clean, chr(31), ''), '[.!?]'), x -> trim(x)), x -> len(x) > 0) AS ss
       FROM cfin),
     cocc AS (SELECT doc_id, unnest(list_transform(range(greatest(len(ss) - 2, 0)),
                  i -> {{'start': i, 'sp': array_to_string(ss[i+1:i+3], chr(31))}}), recursive := true)
              FROM csarr),
-    ckey AS (SELECT doc_id, start, sp, doc_id * 1000000 + start AS k FROM cocc),
+    ckey AS (SELECT doc_id, start, sp, ROW(doc_id, start) AS k FROM cocc),
     cfirst AS (SELECT sp, min(k) AS fk FROM ckey GROUP BY sp),
     cdropped AS (SELECT DISTINCT doc_id, widx FROM (
         SELECT o.doc_id, unnest(range(o.start, o.start + 3)) AS widx
@@ -2263,7 +2263,7 @@ def _c4_oracle_ctes() -> str:
     UNION ALL
     SELECT 'linededup', doc_id, text_ld, n_lines, n_ld_dropped FROM cldd
     """,
-    doc="C4-style corpus cleaning (Raffel et al. 2020 §2.2, operators/c4.py) as one tagged union over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle). lines: the line-level TRANSFORM — keep lines ending in terminal punctuation with >= 3 words and no 'javascript', re-join with newlines, plus the document verdict (>= 5 sentence terminators, no 'lorem ipsum', no curly brace); the whole stage is map-only array HOFs, and the gate hashes the REBUILT text string itself, not just counts. spans: C4's signature cross-document 3-sentence-span dedup over the CLEANED text — the kept occurrence of each span is the globally smallest packed (doc_id, start) key, computed as a partial-aggregable MIN (never a row_number window: a hot boilerplate span would funnel into one task); later occurrences' sentences are dropped and the document re-assembled in sentence order (ordered string_agg == sorted-struct array_join, both total orders). The span shuffle carries ~3x the sentence text once; the drop set and rebuild shuffle keys only. linededup: the RefinedWeb-style WITHIN-document duplicate-line removal (dedup_lines_in_doc) — keep-first pinned as position-of-first-match == own-index in both engines (never relying on either engine's distinct ordering), entirely map-only. The structurer injects an identical boilerplate line at every ' hash', so 265/500 fixture docs carry real within-doc duplicates and 65 docs lose cross-document spans — every variant's rebuilt text is hashed with live values.",
+    doc="C4-style corpus cleaning (Raffel et al. 2020 §2.2, operators/c4.py) as one tagged union over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle). lines: the line-level TRANSFORM — keep lines ending in terminal punctuation with >= 3 words and no 'javascript', re-join with newlines, plus the document verdict (>= 5 sentence terminators, no 'lorem ipsum', no curly brace); the whole stage is map-only array HOFs, and the gate hashes the REBUILT text string itself, not just counts. spans: C4's signature cross-document 3-sentence-span dedup over the CLEANED text — the kept occurrence of each span is the globally smallest (doc_id, start) struct, computed as a partial-aggregable lexicographic MIN (never a row_number window: a hot boilerplate span would funnel into one task); later occurrences' sentences are dropped and the document re-assembled in sentence order (ordered string_agg == sorted-struct array_join, both total orders). The span shuffle carries ~3x the sentence text once; the drop set and rebuild shuffle keys only. linededup: the RefinedWeb-style WITHIN-document duplicate-line removal (dedup_lines_in_doc) — keep-first pinned as position-of-first-match == own-index in both engines (never relying on either engine's distinct ordering), entirely map-only. The structurer injects an identical boilerplate line at every ' hash', so 265/500 fixture docs carry real within-doc duplicates and 65 docs lose cross-document spans — every variant's rebuilt text is hashed with live values.",
 )
 def c4_clean_docs_q(spark, sf):
     from tamer_spark.operators.c4 import c4_line_filter, c4_span_dedup
