@@ -196,3 +196,117 @@ def extract_audio_features(
     return df.select(id_col, binary_col).mapInPandas(
         run, f"{id_col} long, features array<double>"
     )
+
+
+def fake_pixelizer(blob: bytes, n: int = 64) -> list[int]:
+    """Deterministic stand-in for decode-and-downscale-to-grayscale: derives
+    ``n`` pseudo pixel intensities (0..255) from the content hash, with the
+    LOCALITY a perceptual hash needs to be meaningful in tests — blobs
+    sharing a prefix produce mostly-equal pixel arrays (each 16-byte block
+    of the blob perturbs only its own region of the pixel grid)."""
+    base = hashlib.sha256(b"phash-base").digest() * ((n + 31) // 32)
+    px = [base[i] for i in range(n)]
+    for block_no in range(0, len(blob), 16):
+        h = hashlib.sha256(bytes(blob[block_no : block_no + 16])).digest()
+        region = (block_no // 16) % max(1, n // 8)
+        for j in range(n // 8):
+            px[(region * (n // 8) + j) % n] = h[j % 32]
+    return px
+
+
+def phash_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    pixelizer: Callable[[bytes, int], list[int]] | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Perceptual average-hash over image blobs: decode+downscale to
+    ``bits`` grayscale pixels (pluggable ``pixelizer(blob, bits)`` — plug a
+    PIL-based 8×8 grayscale resize where codecs exist; the default is the
+    deterministic fake), then bit i = pixel_i > mean. Near-identical
+    images differ in few bits; hamming distance is the similarity metric.
+
+    Arrow-batched ``mapInPandas``, numpy-vectorized across the batch (one
+    DataFrame op per batch, never per-row Python in the hot loop beyond
+    the pluggable decode itself). Returns (id, phash int64).
+    """
+    import numpy as np
+
+    fn = pixelizer or fake_pixelizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = np.array([fn(bytes(b), bits) for b in pdf[binary_col]], dtype=np.float64)
+            if len(px) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "phash": pd.Series([], dtype="int64")})
+                continue
+            above = px > px.mean(axis=1, keepdims=True)
+            weights = (1 << np.arange(bits, dtype=np.uint64))
+            hashes = (above.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(run, f"{id_col} long, phash long")
+
+
+def dedup_images_by_phash(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_distance: int = 0,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Image dedup over perceptual hashes, exact or hamming-banded.
+
+    ``max_distance=0``: exact-hash dedup — ONE shuffle on the 8-byte hash,
+    keep-min-id per hash value (the dedup_exact cost shape). Returns
+    (id, keep_id).
+
+    ``max_distance>0``: banded hamming LSH over the bit string — split the
+    ``bits``-bit hash into ``bands`` contiguous bands; two hashes within
+    hamming distance d < bands must agree on at least one full band
+    (pigeonhole), so candidates are a (band_id, band_value) equi-join —
+    bucket ids only, never all pairs — verified with
+    ``bit_count(a XOR b) <= max_distance`` (exact, JVM-side). Returns
+    candidate pairs (id_a < id_b, hamming). The pigeonhole guarantee needs
+    ``max_distance < bands``; a larger distance lowers recall (documented
+    LSH trade, same contract as minhash banding).
+    """
+    from pyspark.sql import functions as F
+
+    if max_distance == 0:
+        keep = hashes.groupBy("phash").agg(F.min(id_col).alias("keep_id"))
+        return hashes.join(keep, "phash").select(id_col, "keep_id")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftrightunsigned(F.col("phash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select(id_col, "phash", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("ha"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("hb"), "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )

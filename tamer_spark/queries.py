@@ -1817,6 +1817,52 @@ def multimodal_binary_stats_q(spark, sf):
     return binary_stats(d, "payload", "doc_id")
 
 
+def _phash_dedup_oracle(bands: int = 4, width: int = 15, max_distance: int = 3) -> str:
+    mask = (1 << width) - 1
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, phash, {b} AS band_id, (phash >> {b * width}) & {mask} AS band_val FROM h"
+        for b in range(bands)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id,
+                      xor(('0x' || substr(md5(lang || ':' || source), 1, 15))::BIGINT,
+                          doc_id % 32) AS phash
+               FROM documents),
+         banded AS ({bands_sql})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b USING (band_id, band_val)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= {max_distance}
+    """
+
+
+@q(
+    "dedup_phash_images",
+    _phash_dedup_oracle(),
+    doc=(
+        "Perceptual-hash image near-dedup: banded hamming LSH over 60-bit "
+        "hashes (4 bands × 15 bits, pigeonhole recall for distance < bands), "
+        "exact bit_count verify JVM-side. The gate derives a deterministic "
+        "phash from (lang, source) families XOR a doc_id bit perturbation so "
+        "the hamming threshold is live and binding; the Arrow decode stage "
+        "(phash_images) is pytest-covered and its mapInPandas plumbing is "
+        "gated by multimodal_binary_stats."
+    ),
+)
+def dedup_phash_images_q(spark, sf):
+    from tamer_spark.functions.hashing import stable_hash64
+    from tamer_spark.operators.multimodal import dedup_images_by_phash
+
+    docs = _t(spark, sf, "documents")
+    hashes = docs.select(
+        "doc_id",
+        stable_hash64(F.concat_ws(":", "lang", "source"))
+        .bitwiseXOR(F.col("doc_id") % 32)
+        .alias("phash"),
+    )
+    return dedup_images_by_phash(hashes, id_col="doc_id", max_distance=3, bands=4, bits=60)
+
+
 # ---------------------------------------------------------------------------
 # Additional relational coverage: pivot, percentiles, ntile, arg_min,
 # grouping sets, ordered string agg, re-ingestion dedup

@@ -76,3 +76,61 @@ def test_audio_features_deterministic(spark, blobs):
     out2 = {r.media_id: list(r.features) for r in extract_audio_features(blobs, "payload", "media_id").collect()}
     assert out1 == out2
     assert all(len(v) == 16 and all(0 <= x <= 1 for x in v) for v in out1.values())
+
+
+def test_phash_deterministic_and_locality(spark):
+    from tamer_spark.operators.multimodal import phash_images
+
+    blob_a = bytes(range(200))
+    blob_b = bytes(range(200))  # identical content
+    blob_c = blob_a[:184] + bytes([255] * 16)  # one 16-byte block differs
+    blob_d = bytes(reversed(range(200)))  # unrelated
+    df = spark.createDataFrame(
+        [(1, blob_a), (2, blob_b), (3, blob_c), (4, blob_d)],
+        "media_id long, payload binary",
+    )
+    h = {r.media_id: r.phash for r in phash_images(df, "payload", "media_id").collect()}
+    assert h[1] == h[2]  # identical content, identical hash
+    ham_13 = bin(h[1] ^ h[3]).count("1")
+    ham_14 = bin(h[1] ^ h[4]).count("1")
+    assert ham_13 < ham_14, (ham_13, ham_14)  # locality: near-dup closer
+    assert ham_13 <= 16
+
+
+def test_phash_exact_dedup_keeps_min_id(spark):
+    from tamer_spark.operators.multimodal import dedup_images_by_phash, phash_images
+
+    blob = b"same image bytes" * 8
+    df = spark.createDataFrame(
+        [(5, blob), (9, blob), (2, blob), (7, b"different thing" * 9)],
+        "media_id long, payload binary",
+    )
+    hashes = phash_images(df, "payload", "media_id")
+    keep = {r.media_id: r.keep_id for r in dedup_images_by_phash(hashes).collect()}
+    assert keep[5] == keep[9] == keep[2] == 2
+    assert keep[7] == 7
+
+
+def test_phash_banded_hamming_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from tamer_spark.operators.multimodal import dedup_images_by_phash
+
+    # crafted hashes: b differs from a in 2 bits (same low band untouched),
+    # c is far from both
+    a, b = 0x0F0F0F0F0F0F0F0F, 0x0F0F0F0F0F0F0F0C  # 2 low bits differ
+    c = 0x123456789ABCDEF0
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "media_id long, phash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_images_by_phash(df, max_distance=3).collect()
+    }
+    assert pairs == {(1, 2): 2}
+    # pigeonhole: distance < bands guarantees recall — same pair found even
+    # when only one band agrees
+    d = a ^ 0b0111  # 3 bits flipped, all in the lowest band
+    df2 = spark.createDataFrame([(1, a), (2, d)], "media_id long, phash long")
+    got = dedup_images_by_phash(df2, max_distance=3).collect()
+    assert len(got) == 1 and got[0].hamming == 3
