@@ -299,6 +299,9 @@ HEADLINE = {
     # PII scrubbing (round 5): map-only email/IP redaction over structured
     # text — times the regexp_replace scan path
     "scrub_pii_docs": None,
+    # BM25 retrieval (round 5): map-only tokenize + vocab-filtered tf shuffle
+    # + broadcast folds + TakeOrdered top-k — the lexical retrieval scan path
+    "bm25_topk_docs": None,
     # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
     # the incremental semantic-dedup epoch — the operators the steady-state
     # story rests on, now tracked round-over-round
@@ -328,6 +331,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
+        "bm25_topk_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental"]),
 ]
@@ -359,6 +363,7 @@ SERIES = {
     "gopher_full": "r5-full-a11",
     "c4_clean_docs": "r5",
     "scrub_pii_docs": "r5",
+    "bm25_topk_docs": "r5",
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
 }

@@ -1,0 +1,82 @@
+"""Distributed BM25 ranking (Robertson & Zaragoza 2009; Lucene idf form).
+
+The retrieval scorer a curation pipeline uses to pull topical slices out
+of a web-scale corpus (and the lexical half of hybrid lexical+ANN
+retrieval next to the IVF/PQ tier in operators/similarity.py, pq.py).
+
+Scale shape (100 TB posture):
+- tokenize + doc-length are MAP-ONLY over the corpus (normalize, split,
+  size — all JVM codegen, no Python);
+- the explode is filtered to the query vocabulary BEFORE any aggregation,
+  so the only corpus-scale shuffle keys are (doc_id, term) pairs bounded
+  by documents that actually contain a query term;
+- doc length rides the groupBy key (functionally dependent on doc_id)
+  instead of a corpus-wide doclen join;
+- df and (N, avgdl) are query-vocabulary-sized / 1-row tables folded back
+  as broadcasts — ONE logical pass over the corpus, no second scan.
+
+Cross-engine determinism: scores are ranked on the ROUNDED value (6 dp)
+so libm ``ln`` ulp gaps and float summation order cannot flip order —
+same convention as the tfidf gate (queries.py tfidf_top_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against a bag of ``query_terms``.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    form). Returns (id_col, score, rank) with rank 1..k, ties broken by id.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from tamer_spark.operators.dedup import normalize_text
+
+    words = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("ws")
+    )
+    with_len = words.select(id_col, "ws", F.size("ws").alias("dl"))
+    stats = with_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        with_len.select(id_col, "dl", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(query_terms))
+        .groupBy(id_col, "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tfnorm), 6).alias("score"))
+    )
+    # distributed top-k (TakeOrderedAndProject: per-partition heads merged
+    # on the driver), then rank the <=k surviving rows — never a global
+    # single-partition window sort over the scored set
+    topk = scored.orderBy(F.col("score").desc(), id_col).limit(k)
+    win = Window.orderBy(F.col("score").desc(), id_col)
+    return (
+        topk.withColumn("rank", F.row_number().over(win))
+        .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )

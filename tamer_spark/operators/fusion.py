@@ -1,0 +1,51 @@
+"""Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009).
+
+Hybrid retrieval: fuse per-query rankings from heterogeneous retrievers
+(the lexical BM25 tier, operators/bm25.py, and the ANN tier —
+cosine_knn / ivf_search / ivfadc_search in operators/similarity.py,
+pq.py) without score calibration: RRF only reads RANKS, so a retriever's
+score scale never matters.
+
+    rrf(q, d) = Σ_r 1 / (k0 + rank_r(q, d))        (absent rank → 0)
+
+Scale shape: each input ranking is already top-k-per-query (bounded rows
+per query by construction); the fusion is one union + one
+(query, item) partial-aggregable SUM shuffle + a per-query window over
+<= len(rankings)·k rows — never a corpus-scale operation. Scores are
+ranked on the ROUNDED value (6 dp, tfidf/bm25 convention); with <= 2
+fused addends per item double addition is exactly commutative, so the
+rounded sum is engine-order-independent.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Fuse ranked lists into (query, item, rrf_score, rank), top-``k`` per
+    query, ties broken by item id. Every input must carry
+    (query_col, item_col, rank_col); extra columns are ignored."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = [r.select(query_col, item_col, rank_col) for r in rankings]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    scored = u.groupBy(query_col, item_col).agg(
+        F.round(F.sum(1.0 / (F.lit(float(k0)) + F.col(rank_col))), 6).alias("rrf_score")
+    )
+    win = Window.partitionBy(query_col).orderBy(F.col("rrf_score").desc(), item_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_col, item_col, "rrf_score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1028,8 +1028,8 @@ def text_profile_q(spark, sf):
     )
 
 
-def _knn_oracle() -> str:
-    return """
+def _knn_oracle(k: int = 5) -> str:
+    return f"""
     WITH q AS (SELECT vec_id AS query_id,
                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
                FROM embeddings WHERE vec_id < 10),
@@ -1041,7 +1041,7 @@ def _knn_oracle() -> str:
                FROM q, c WHERE query_id <> neighbor_id)
     SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-      FROM s) WHERE rank <= 5
+      FROM s) WHERE rank <= {k}
     """
 
 
@@ -2600,6 +2600,97 @@ def tfidf_top_terms(spark, sf):
     )
 
 
+_BM25_TERMS = ["hash", "join", "scan", "quick"]
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         dl AS (SELECT doc_id, len(w) AS dl FROM ws),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+                WHERE word IN ({in_list}) GROUP BY doc_id, word),
+         dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         scored AS (
+           SELECT tf.doc_id,
+                  round(SUM(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                            * tf.tf * ({k1} + 1.0)
+                            / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))), 6) AS score
+           FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@q(
+    "bm25_topk_docs",
+    _bm25_oracle(_BM25_TERMS),
+    doc=(
+        "BM25 top-10 retrieval (Lucene idf) over the documents corpus for a "
+        "4-term query — the lexical half of hybrid retrieval next to the "
+        "IVF/PQ ANN tier. Tokenize + doc length are map-only; the explode is "
+        "filtered to the query vocabulary before any shuffle; df and "
+        "(N, avgdl) fold back as broadcasts; top-k is TakeOrdered, never a "
+        "global window sort. Ranked on ROUNDED score (tfidf convention)."
+    ),
+)
+def bm25_topk_docs_q(spark, sf):
+    from tamer_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=10)
+
+
+@q(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH sem AS ({_knn_oracle(k=20)}),
+         lex AS ({_bm25_oracle(_BM25_TERMS, k=20)}),
+         qs AS (SELECT DISTINCT query_id FROM sem),
+         u AS (SELECT query_id, neighbor_id, rank FROM sem
+               UNION ALL
+               SELECT qs.query_id, lex.doc_id AS neighbor_id, lex.rank
+               FROM lex CROSS JOIN qs),
+         f AS (SELECT query_id, neighbor_id,
+                      round(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score
+               FROM u GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rrf_score, rank FROM (
+      SELECT query_id, neighbor_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+      FROM f)
+    WHERE rank <= 5
+    """,
+    doc=(
+        "Hybrid retrieval: exact-cosine ANN top-20 per query fused with the "
+        "shared BM25 lexical top-20 by reciprocal-rank fusion (k0=60) — the "
+        "calibration-free fusion both tiers compose into. Each input is "
+        "top-k-bounded per query before the fusion's (query, item) SUM "
+        "shuffle; ranked on ROUNDED score. At scale swap the exact kNN half "
+        "for ivfadc_search unchanged (same (query, item, rank) contract)."
+    ),
+)
+def hybrid_retrieval_rrf_q(spark, sf):
+    from tamer_spark.operators.bm25 import bm25_topk
+    from tamer_spark.operators.fusion import rrf_fuse
+    from tamer_spark.operators.similarity import cosine_knn
+
+    emb = _t(spark, sf, "embeddings")
+    _assert_gate_dim(emb, sf)
+    sem = cosine_knn(emb, emb.filter(F.col("vec_id") < 10), k=20)
+    lex = bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=20)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lex_per_query = F.broadcast(queries).crossJoin(
+        lex.select(F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    return rrf_fuse([sem, lex_per_query], k0=60, k=5)
+
+
 @q(
     "approx_distinct_users",
     None,  # HLL sketches differ across engines — rows-only check by design
@@ -2927,6 +3018,39 @@ def decontaminate_against_benchmark(spark, sf):
         d.filter(F.col("doc_id") % 50 != 0)
         .join(tainted, "doc_id", "left_anti")
         .select("doc_id")
+    )
+
+
+@q(
+    "decontaminate_bloom_prefilter",
+    f"""
+    WITH {_shingle_ctes()},
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0),
+    tainted AS (SELECT DISTINCT corpus.doc_id FROM corpus JOIN bench USING (s))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM tainted)
+    """,
+    doc=(
+        "Bloom-prefiltered decontamination — bit-identical output to "
+        "decontaminate_against_benchmark (same oracle), but the corpus is "
+        "first filtered MAP-SIDE by a 16-Kib broadcast bloom over the "
+        "benchmark shingles (JVM bit tests, no UDF); the exact verify join "
+        "sees only bloom survivors, so false positives never reach the "
+        "result. The scale case: benchmark shingle sets too large to "
+        "broadcast exactly still fit as a bloom literal."
+    ),
+)
+def decontaminate_bloom_prefilter_q(spark, sf):
+    from tamer_spark.operators.bloom import decontaminate_with_bloom
+    from tamer_spark.operators.dedup import shingle_string_rows
+
+    d = _t(spark, sf, "documents")
+    shingled = shingle_string_rows(d, n=3).dropDuplicates(["doc_id", "s"])
+    bench = shingled.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    corpus = shingled.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_with_bloom(
+        corpus, bench, d.filter(F.col("doc_id") % 50 != 0).select("doc_id")
     )
 
 

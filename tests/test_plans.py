@@ -268,3 +268,14 @@ def test_simhash_is_map_only(spark):
     # per-document output, so the plan must carry no exchange
     df = REGISTRY["dedup_simhash"].spark(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
+
+
+def test_bm25_topk_is_takeordered_with_broadcast_folds(spark):
+    """BM25: df and (N, avgdl) fold back as broadcasts (never a shuffle of
+    the corpus-scale tf side against a vocab-sized table), and the final
+    top-k is TakeOrdered — a global single-partition window sort over the
+    scored set would funnel every matching doc into one task at 100 TB."""
+    df = REGISTRY["bm25_topk_docs"].spark(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df), plan
