@@ -393,6 +393,73 @@ def asof_join_events_orders(spark, sf):
     )
 
 
+@q(
+    "asof_forward_events_orders",
+    f"""
+    WITH {EVENTS_CTE}, o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id AS k, ts AS t, 1 AS side, event_id,
+             NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+      FROM events
+      UNION ALL
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), 0, NULL, o_orderkey, o_totalprice FROM o
+    ),
+    m AS (
+      SELECT event_id, side,
+             first_value(o_orderkey IGNORE NULLS) OVER w AS mk,
+             first_value(o_totalprice IGNORE NULLS) OVER w AS mt
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t, side DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, mk AS matched_orderkey,
+           CAST(round(mt*100) AS BIGINT) AS matched_total_c
+    FROM m WHERE side = 1
+    """,
+    doc=(
+        "Forward as-of: EARLIEST order at-or-after each event, per user "
+        "(the look-ahead direction backtests and label joins need). Same "
+        "union-sort-window shape as the backward gate — one key shuffle, "
+        "no range explosion; the oracle replicates the union trick with "
+        "IGNORE NULLS first_value since DuckDB's native ASOF is "
+        "backward-only."
+    ),
+)
+def asof_forward_events_orders_q(spark, sf):
+    e = _t(spark, sf, "events")
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        e.select("event_id", F.col("user_id").alias("k"), "ts"),
+        o1.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderkey",
+            "o_totalprice",
+        ),
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        cents("o_totalprice").alias("matched_total_c"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions, sorts/limits, set ops
 # ---------------------------------------------------------------------------
