@@ -3122,6 +3122,41 @@ def decontaminate_bloom_prefilter_q(spark, sf):
 
 
 @q(
+    "budget_cap_sources",
+    """
+    WITH ordered AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY ok, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ordered)
+    SELECT doc_id, source FROM c WHERE cum <= 4000
+    """,
+    doc=(
+        "Token-budget corpus capping: keep the maximal stable-hash-ordered "
+        "prefix of each source whose cumulative n_chars fits a 4000-char "
+        "budget — 'take ~N tokens per source', the absolute-budget "
+        "counterpart to ratio-based stratified mixing. The implementation "
+        "is a two-phase distributed prefix sum (range-monotonic hash "
+        "buckets; per-(source,bucket) totals; offsets over the tiny totals "
+        "frame; within-bucket running sums) — never a per-source global "
+        "window; the oracle IS the global window, proving the "
+        "decomposition exact."
+    ),
+)
+def budget_cap_sources_q(spark, sf):
+    from tamer_spark.operators.budget import take_token_budget
+
+    d = _t(spark, sf, "documents")
+    return take_token_budget(
+        d, id_col="doc_id", weight_col="n_chars", budget=4000, group_col="source"
+    ).select("doc_id", "source")
+
+
+@q(
     "data_quality_checks",
     """
     SELECT 'o_totalprice_out_of_range' AS check, CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS n_bad FROM orders
