@@ -2,9 +2,9 @@
 
     C4 line cleaning + cross-doc span dedup → quality gate → exact dedup →
     MinHash-LSH near-dup removal → stratified source mixing →
-    train/val/test split → context-window chunking → token counting →
-    sequence packing → incremental next-epoch dedup →
-    SemDeDup + IVFADC semantic index
+    token-budget capping → train/val/test split → context-window chunking →
+    token counting → sequence packing → incremental next-epoch dedup →
+    SemDeDup + IVFADC semantic index → hybrid BM25+ANN retrieval (RRF)
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -87,10 +87,27 @@ mixed_ids = stratified_mix(
 mixed = kept.join(mixed_ids, "doc_id", "left_semi")
 n4 = mixed.count()
 
+# 4b. absolute token budgets: after ratio mixing, cap each source at a
+#     hard char budget — the maximal stable-hash-priority prefix per
+#     source (two-phase distributed prefix sum, never a per-source
+#     global window).
+from tamer_spark.operators.budget import take_token_budget
+
+capped = take_token_budget(
+    mixed.join(raw_docs.select("doc_id", "source"), "doc_id").withColumn(
+        "n_chars", F.length("text").cast("long")
+    ),
+    id_col="doc_id",
+    weight_col="n_chars",
+    budget=600,
+    group_col="source",
+).select("doc_id", "text")
+n4b = capped.count()
+
 # 5. stable train/val/test split (hash-range membership — never reshuffles
 #    docs between splits as the corpus grows)
 h = stable_hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
-split = mixed.withColumn(
+split = capped.withColumn(
     "split", F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
 )
 
@@ -166,10 +183,28 @@ epoch_index = epoch_assigned.select("vec_id", "cluster").join(
 n_epoch = epoch_index.count()
 n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 
+# 11. serving: hybrid retrieval over the curated corpus — BM25 lexical
+#     top-20 fused with exact-cosine ANN top-20 by reciprocal-rank fusion.
+#     At 100 TB swap cosine_knn for ivfadc_search over stage 9's index:
+#     rrf_fuse only reads the (query, item, rank) contract.
+from tamer_spark.operators.bm25 import bm25_topk
+from tamer_spark.operators.fusion import rrf_fuse
+from tamer_spark.operators.similarity import cosine_knn
+
+lex = bm25_topk(capped, ["merge", "window", "batch"], k=20)
+query_vecs = emb.filter(F.col("vec_id") < 3)
+sem_rank = cosine_knn(emb, query_vecs, k=20)
+lex_per_q = F.broadcast(
+    query_vecs.select(F.col("vec_id").alias("query_id"))
+).crossJoin(lex.select(F.col("doc_id").alias("neighbor_id"), "rank"))
+hybrid = rrf_fuse([sem_rank, lex_per_q], k0=60, k=5)
+n_hybrid = hybrid.count()
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(
     f"documents: {n0} → c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
-    f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4}"
+    f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4} "
+    f"→ budget-capped {n4b}"
 )
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
@@ -180,7 +215,12 @@ print(
     f"inverted file ({n_resent_survived} re-sent copies slipped through); "
     f"survivors assigned+encoded under frozen models (map-only)"
 )
-assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n4 > 0 and n_bins > 0
+print(
+    f"hybrid retrieval (3 queries): {n_hybrid} fused results "
+    f"(BM25 top-20 + cosine top-20 → RRF top-5 per query)"
+)
+assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n4 >= n4b > 0 and n_bins > 0
+assert n_hybrid == 15  # 3 queries x top-5
 assert n_spans_dropped > 0  # the tiny shared vocabulary guarantees cross-doc spans
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
 assert 0 < n_sem <= n_vec and index.count() == n_sem

@@ -22,6 +22,8 @@ SHOW = [
     ("asof_join_events_orders", "As-of via union-sort-window: no join node, single key shuffle, no range explosion."),
     ("similarity_knn", "Query set broadcast, corpus streamed; rank inside one window."),
     ("ann_search", "IVFADC retrieval: ivf probe joins cluster ids (BroadcastHashJoin, corpus streamed); ADC ranks via per-query distance tables over a broadcast nested loop of the tiny query table — no per-candidate vector math, never a corpus cross product."),
+    ("bm25_topk_docs", "BM25: explode filtered to the query vocabulary before the (doc, term) shuffle; df/(N, avgdl) broadcast back; top-k is TakeOrderedAndProject, never a global window sort."),
+    ("budget_cap_sources", "Two-phase prefix sum: every corpus-side window partitions by (source, bucket) — the group-only window exists solely over the tiny groups×buckets totals frame."),
 ]
 
 def main() -> None:

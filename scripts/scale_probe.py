@@ -44,6 +44,13 @@ OPS = [
     "c4_clean_docs",
     "q1_pricing_summary",
     "sessionize_events",
+    # round 5 retrieval/curation tier. dedup_phash_images is deliberately
+    # NOT probed: its gate derives synthetic (lang, source) hash families,
+    # so the 10x corpus grows every family 10x and the PAIR OUTPUT 100x —
+    # a quadratic artifact of the gate construction, not of the banded
+    # operator (real perceptual hashes don't share one value per source).
+    "bm25_topk_docs",
+    "budget_cap_sources",
 ]
 
 

@@ -388,3 +388,56 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == 2  # one per distinct content
     assert sorted({r.content_hash for r in got}) == sorted(set(r.content_hash for r in got))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the static interval join
+    over the same files: clicks join impressions within [0, 30m] after the
+    impression, per ad id. Also pins that the helper attaches watermarks to
+    BOTH sides (the state-bound contract — without them Spark rejects or
+    retains forever)."""
+    from tamer_spark.streaming.readers import stream_interval_join
+
+    t0 = datetime(2024, 3, 1)
+    imps = [(i % 5, t0 + timedelta(minutes=4 * i)) for i in range(30)]
+    clicks = [
+        (i % 5, t0 + timedelta(minutes=4 * i + d))
+        for i in range(30)
+        for d in (2, 45)  # one click inside the 30m window, one far outside
+    ]
+    imp_schema, clk_schema = "ad int, imp_ts timestamp", "ad int, clk_ts timestamp"
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imps, imp_schema).write.parquet(imp_src)
+    spark.createDataFrame(clicks, clk_schema).write.parquet(clk_src)
+
+    joined = stream_interval_join(
+        stream_parquet(spark, imp_src, imp_schema),
+        stream_parquet(spark, clk_src, clk_schema),
+        on="ad",
+        left_time="imp_ts",
+        right_time="clk_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        watermark="1 hour",
+    )
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run_available_now(joined, out, cp)
+    got = {
+        (r.ad, r.imp_ts, r.clk_ts) for r in spark.read.parquet(out).collect()
+    }
+
+    li, ri = spark.read.parquet(imp_src), spark.read.parquet(clk_src)
+    expected = {
+        (r.ad, r.imp_ts, r.clk_ts)
+        for r in li.join(
+            ri,
+            (li.ad == ri.ad)
+            & (ri.clk_ts >= li.imp_ts)
+            & (ri.clk_ts <= li.imp_ts + F.expr("interval 30 minutes")),
+        )
+        .select(li.ad, "imp_ts", "clk_ts")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+    # the far-outside clicks never join
+    assert all((c - i).total_seconds() <= 1800 for _, i, c in got)
