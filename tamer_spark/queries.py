@@ -3121,6 +3121,31 @@ def decontaminate_bloom_prefilter_q(spark, sf):
     )
 
 
+_DECON_SUBSTR = ["hash join", "slow scan", "merge sort"]
+
+
+@q(
+    "decontaminate_substrings",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE NOT ({" OR ".join(f"contains(text, '{p}')" for p in _DECON_SUBSTR)})
+    """,
+    doc=(
+        "Verbatim-substring decontamination (GPT-3 appendix-C style): drop "
+        "docs quoting any benchmark answer string exactly. Zero-shuffle — "
+        "the pattern list is a plan literal and the filter is map-only "
+        "exists(contains) in whole-stage codegen; for pattern sets past "
+        "plan-literal scale, fall back to the shingle or bloom modes."
+    ),
+)
+def decontaminate_substrings_q(spark, sf):
+    from tamer_spark.operators.decontaminate import decontaminate_substrings
+
+    return decontaminate_substrings(
+        _t(spark, sf, "documents"), _DECON_SUBSTR
+    ).select("doc_id")
+
+
 @q(
     "budget_cap_sources",
     """
