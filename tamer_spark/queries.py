@@ -3121,6 +3121,38 @@ def decontaminate_bloom_prefilter_q(spark, sf):
     )
 
 
+@q(
+    "corpus_datasheet",
+    """
+    WITH norm AS (SELECT doc_id, source, lang, text,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+         d AS (SELECT source, lang, length(text) AS nc,
+                      len(string_split(t, ' ')) AS nt, md5(t) AS dg
+               FROM norm),
+         c AS (SELECT dg, COUNT(*) AS copies FROM d GROUP BY dg)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+    FROM d JOIN c USING (dg)
+    GROUP BY source, lang
+    """,
+    doc=(
+        "Corpus datasheet (dataset-card stats): per-(source, lang) doc "
+        "counts, char/token volume, and corpus-wide exact-duplicate "
+        "incidence in one logical pass — map-only stats riding the scan, "
+        "one 16 B/doc digest shuffle for copy counts, slice agg is "
+        "|sources|x|langs| rows."
+    ),
+)
+def corpus_datasheet_q(spark, sf):
+    from tamer_spark.operators.datasheet import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf, "documents"))
+
+
 _DECON_SUBSTR = ["hash join", "slow scan", "merge sort"]
 
 
