@@ -1,0 +1,64 @@
+"""Temperature-based source resampling (mT5, Xue et al. 2021 §3.1; the
+multilingual/multi-source rebalancing every large pretraining mix uses):
+sample group g with probability ∝ n_g^alpha — alpha < 1 upsamples the
+tail relative to the head.
+
+Deterministic and INTEGER-EXACT keep rule: with w_g = round(n_g^alpha·10⁶)
+and W = Σ w_g (exact int64 sums — no float accumulation order anywhere),
+a doc is kept iff
+
+    (stable_hash64('temp-' || id) % M) · W · n_g  <  target · w_g · M
+
+which is exactly membership in the hash-range of fraction
+min(1, target·p_g / n_g), p_g = w_g/W — the expected output is ~target
+docs distributed by the temperature shares, groups too small to fill
+their share are kept whole, and the decision replays bit-identically in
+any engine (for alpha = 0.5, n^alpha is IEEE-correctly-rounded sqrt, so
+even the weight table is exact cross-engine; other alphas inherit libm
+pow agreement). Keep int64 headroom in mind: M·W·n_g must stay under
+2⁶³ — with M = 10⁶ that bounds W·n_g < 9.2e12·10⁶; rescale the weight
+quantum for corpora beyond it.
+
+100 TB shape: one tiny count agg per group, weights fold back as a
+broadcast, the keep rule is a map-only filter riding the scan — no
+corpus-scale shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def temperature_mix(
+    docs: DataFrame,
+    target: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature sampling to ~``target`` docs with group
+    shares ∝ n_g^alpha. Returns the surviving rows (all columns)."""
+    from tamer_spark.functions.hashing import stable_hash64
+
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    pow_expr = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
+    # the total folds into the GROUP-sized frame via a global window —
+    # |groups| rows, evaluated once, then the whole table broadcasts
+    weights = counts.withColumn("_w", F.round(pow_expr * _M).cast("long")).withColumn(
+        "_wsum", F.sum("_w").over(Window.partitionBy())
+    )
+    h = (
+        stable_hash64(F.concat(F.lit("temp-"), F.col(id_col).cast("string"))) % _M
+    )
+    return (
+        docs.join(F.broadcast(weights), group_col)
+        .filter(h * F.col("_wsum") * F.col("_n") < F.lit(int(target)) * F.col("_w") * F.lit(_M))
+        .drop("_n", "_w", "_wsum")
+    )

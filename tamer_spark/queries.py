@@ -3122,6 +3122,34 @@ def decontaminate_bloom_prefilter_q(spark, sf):
 
 
 @q(
+    "temperature_mix_langs",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+         t AS (SELECT SUM(w) AS W FROM w)
+    SELECT d.doc_id, d.lang FROM documents d JOIN w USING (lang) CROSS JOIN t
+    WHERE (('0x' || substr(md5('temp-' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+          * t.W * w.n
+          < 250 * w.w * 1000000
+    """,
+    doc=(
+        "Temperature resampling (mT5 §3.1, alpha=0.5): group shares ∝ "
+        "sqrt(n_g), integer-exact keep rule (sqrt is IEEE "
+        "correctly-rounded, weights quantized to int64, the hash-range "
+        "test is pure integer arithmetic — bit-identical replay in any "
+        "engine). Map-only filter riding the scan; counts/weights are "
+        "tiny broadcasts."
+    ),
+)
+def temperature_mix_langs_q(spark, sf):
+    from tamer_spark.operators.temperature import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf, "documents"), target=250, group_col="lang", alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@q(
     "corpus_datasheet",
     """
     WITH norm AS (SELECT doc_id, source, lang, text,
