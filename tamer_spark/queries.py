@@ -3122,6 +3122,48 @@ def decontaminate_bloom_prefilter_q(spark, sf):
 
 
 @q(
+    "quality_odds_score",
+    """
+    WITH norm AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS w FROM norm),
+         train AS (SELECT * FROM tok WHERE doc_id % 3 = 0),
+         pw AS (SELECT w, COUNT(*) AS c_pos FROM train WHERE lang = 'en' GROUP BY w),
+         nw AS (SELECT w, COUNT(*) AS c_neg FROM train WHERE lang <> 'en' GROUP BY w),
+         vocab AS (SELECT COALESCE(pw.w, nw.w) AS w,
+                          COALESCE(c_pos, 0) AS c_pos, COALESCE(c_neg, 0) AS c_neg
+                   FROM pw FULL OUTER JOIN nw ON pw.w = nw.w),
+         tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg, COUNT(*) AS v FROM vocab),
+         wt AS (SELECT w,
+                       (1000000 * (c_pos + 1)) // (t_pos + v)
+                       - (1000000 * (c_neg + 1)) // (t_neg + v) AS weight,
+                       1000000 // (t_pos + v) - 1000000 // (t_neg + v) AS base
+                FROM vocab CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(SUM(COALESCE(weight, (SELECT max(base) FROM wt))) AS BIGINT) AS score
+    FROM tok LEFT JOIN wt USING (w) GROUP BY doc_id
+    """,
+    doc=(
+        "Reference-vs-crawl linear odds scoring (the supervised CCNet/"
+        "fastText role): train scaled smoothed-conditional difference "
+        "weights on a 1/3 training slice (en = reference, rest = crawl), "
+        "score EVERY doc — unseen words take the smoothing floor, live in "
+        "this gate by construction. All int64 `div` arithmetic — "
+        "order-independent sums, bit-identical cross-engine."
+    ),
+)
+def quality_odds_score_q(spark, sf):
+    from tamer_spark.operators.classifier import odds_score, odds_train
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 3 == 0)
+    weights = odds_train(
+        train.filter(F.col("lang") == "en"), train.filter(F.col("lang") != "en")
+    )
+    return odds_score(d, weights)
+
+
+@q(
     "temperature_mix_langs",
     """
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
