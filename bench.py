@@ -307,6 +307,9 @@ HEADLINE = {
     # story rests on, now tracked round-over-round
     "ivfadc_search": _ivfadc_search_hot,
     "semdedup_incremental": _semdedup_incremental_epoch,
+    # hybrid retrieval (round 5): exact-kNN + BM25 fused by RRF — the
+    # composed lexical+semantic serving path, timed cold via the registry
+    "hybrid_retrieval_rrf": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -333,7 +336,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
         "bm25_topk_docs",
     ]),
-    ("serving", ["ivfadc_search", "semdedup_incremental"]),
+    ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf"]),
 ]
 
 # Entries whose warm-up plan must NOT be retained: their operator persists an
@@ -366,6 +369,7 @@ SERIES = {
     "bm25_topk_docs": "r5",
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
+    "hybrid_retrieval_rrf": "r5",
 }
 
 

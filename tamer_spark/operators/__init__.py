@@ -1,4 +1,16 @@
 from tamer_spark.operators.asof import asof_join
+from tamer_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    decontaminate_with_bloom,
+)
+from tamer_spark.operators.bm25 import bm25_topk
+from tamer_spark.operators.budget import take_token_budget
+from tamer_spark.operators.classifier import odds_score, odds_train
+from tamer_spark.operators.datasheet import corpus_datasheet
+from tamer_spark.operators.decontaminate import decontaminate_substrings
+from tamer_spark.operators.fusion import rrf_fuse
+from tamer_spark.operators.temperature import temperature_mix
 from tamer_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_normalized,
@@ -63,4 +75,15 @@ __all__ = [
     "pq_search_adc",
     "ivfadc_search",
     "gopher_signals",
+    "bm25_topk",
+    "rrf_fuse",
+    "bloom_build",
+    "bloom_might_contain",
+    "decontaminate_with_bloom",
+    "decontaminate_substrings",
+    "take_token_budget",
+    "temperature_mix",
+    "corpus_datasheet",
+    "odds_train",
+    "odds_score",
 ]

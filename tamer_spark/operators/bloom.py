@@ -16,6 +16,9 @@ distinct, collected driver-side — bounded by k x |values|, the same scale
 class as broadcasting the set itself would be at build time) and probed by
 whole-stage-codegen bit tests (``shiftrightunsigned`` with a column shift
 amount via F.expr — the SQL form accepts non-literal shifts).
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

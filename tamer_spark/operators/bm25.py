@@ -18,6 +18,9 @@ Scale shape (100 TB posture):
 Cross-engine determinism: scores are ranked on the ROUNDED value (6 dp)
 so libm ``ln`` ulp gaps and float summation order cannot flip order —
 same convention as the tfidf gate (queries.py tfidf_top_terms).
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

@@ -27,6 +27,9 @@ classic TWO-PHASE DISTRIBUTED PREFIX SUM instead:
 
 The keep set is bit-identical to the global-window formulation (pinned by
 tests against a single-window reference and the DuckDB oracle).
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

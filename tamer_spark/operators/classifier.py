@@ -22,6 +22,9 @@ contribute the smoothing-floor difference, folded in as plan scalars.
 Shuffle profile: two vocabulary-sized count tables (Zipf-bounded, never
 corpus-sized) + one broadcast-joined scoring pass + one partial-agg
 groupBy(doc_id) — the bigram-LM cost shape with words instead of bigrams.
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

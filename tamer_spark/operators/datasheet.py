@@ -8,6 +8,9 @@ duplicate incidence needs the content-digest cardinality, so the pass
 shuffles (digest ≈ 16 B/doc) once to count copies, then aggregates to the
 slice keys (tiny: |sources| × |langs| rows, partial-aggregated map-side).
 No driver-side state; the result IS the datasheet table.
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

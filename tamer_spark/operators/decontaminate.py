@@ -13,6 +13,9 @@ The family (pick by benchmark-set size and match semantics):
    codegen — no join, no exchange, runs in the ingest stream. Right for
    pattern sets up to ~thousands (plan-literal scale); past that, shingle
    the patterns and use mode 1/2.
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

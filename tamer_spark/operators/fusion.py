@@ -15,6 +15,9 @@ per query by construction); the fusion is one union + one
 ranked on the ROUNDED value (6 dp, tfidf/bm25 convention); with <= 2
 fused addends per item double addition is exactly commutative, so the
 rounded sum is engine-order-independent.
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

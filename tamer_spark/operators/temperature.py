@@ -22,6 +22,9 @@ quantum for corpora beyond it.
 100 TB shape: one tiny count agg per group, weights fold back as a
 broadcast, the keep rule is a map-only filter riding the scan — no
 corpus-scale shuffle at all.
+No analog in the reference engine (tamer has no text/retrieval
+operators); part of the training-data-pipeline extension surface.
+
 """
 
 from __future__ import annotations

@@ -86,3 +86,45 @@ def test_all_directions_share_one_shuffle(spark, frames):
         df = asof_join(left, right, on="k", left_time="t", right_time="t",
                        right_cols=["px"], direction=direction)
         assert shuffle_count(df) == 1, direction
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_data_matches_reference(spark, seed):
+    """Seeded random corpora (duplicate times, sparse keys, unmatched rows)
+    against the exhaustive reference, all three directions."""
+    import random
+
+    rng = random.Random(seed)
+    left = [(rng.randint(1, 4), rng.randint(0, 50), f"L{i}") for i in range(60)]
+    right_raw = [(rng.randint(1, 4), rng.randint(0, 50), rng.randint(1, 999)) for _ in range(40)]
+    # right side must be unique per (key, time) — the operator's contract
+    right = list({(k, t): (k, t, v) for k, t, v in right_raw}.values())
+
+    def ref(direction):
+        out = {}
+        for k, t, ev in left:
+            cands = [(rt, v) for rk, rt, v in right if rk == k]
+            back = max(((rt, v) for rt, v in cands if rt <= t), default=None)
+            fwd = min(((rt, v) for rt, v in cands if rt >= t), default=None)
+            if direction == "backward":
+                pick = back
+            elif direction == "forward":
+                pick = fwd
+            elif back is None or (fwd is not None and (fwd[0] - t) < (t - back[0])):
+                pick = fwd
+            else:
+                pick = back
+            out[ev] = pick[1] if pick else None
+        return out
+
+    ldf = spark.createDataFrame(left, "k long, t long, ev string")
+    rdf = spark.createDataFrame(right, "k long, t long, px long")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.ev: r.px
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="t", right_time="t",
+                right_cols=["px"], direction=direction,
+            ).collect()
+        }
+        assert got == ref(direction), (seed, direction)
