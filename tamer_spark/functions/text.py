@@ -168,3 +168,67 @@ def trim_nonempty(arr: Column) -> Column:
     "0"/"1"/... — a silent no-op.
     """
     return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: F.length(x) > 0)
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 4, w: int = 5
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) over word ``k``-grams.
+
+    Hash every k-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum: the selected set is GUARANTEED to share a
+    fingerprint with any other document sharing a run of at least
+    w + k - 1 words (the winnowing coverage theorem), while keeping only
+    ~2/(w+1) of the k-gram hashes — tunable density with a provable
+    detection floor, unlike plain 1-in-p hash sampling. Degenerate docs
+    follow the shingle-family convention: fewer than k words → one hash
+    of the whole text; fewer than w windows → the single global minimum
+    (always >= 1 fingerprint per doc).
+
+    MAP-ONLY, and STAGED through materialized columns (the
+    minhash_signatures rule: a multi-referenced expensive array must be a
+    column alias, or CollapseProject re-inlines one md5-per-gram
+    evaluation into every reference). Values are stable_hash64, so the
+    selection replays identically in any engine. Returns
+    (id_col, fingerprints array<long>).
+
+    No analog in the reference engine; training-data extension surface.
+    """
+    from tamer_spark.functions.hashing import stable_hash64
+    from tamer_spark.operators.dedup import normalize_text
+
+    s1 = df.select(
+        F.col(id_col).alias(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    s2 = s1.select(
+        id_col,
+        F.when(
+            F.size("_ws") - (k - 1) <= 0,
+            F.array(stable_hash64(F.array_join("_ws", " "))),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - k),
+                lambda i: stable_hash64(F.array_join(F.slice("_ws", i + 1, k), " ")),
+            )
+        )
+        .alias("_kh"),
+    )
+    return s2.select(
+        id_col,
+        F.when(
+            F.size("_kh") - (w - 1) <= 0,
+            F.array(F.array_min("_kh")),
+        )
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_kh") - (w - 1)),
+                    lambda j: F.array_min(F.slice("_kh", j, w)),
+                )
+            )
+        )
+        .alias("fingerprints"),
+    )

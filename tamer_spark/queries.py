@@ -3122,6 +3122,45 @@ def decontaminate_bloom_prefilter_q(spark, sf):
 
 
 @q(
+    "winnow_fingerprints_docs",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         kh AS (SELECT doc_id,
+                 CASE WHEN len(w) - 3 <= 0
+                      THEN [('0x' || substr(md5(array_to_string(w, ' ')), 1, 15))::BIGINT]
+                      ELSE list_transform(range(len(w) - 3), i ->
+                           ('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')), 1, 15))::BIGINT)
+                 END AS h
+                FROM ws),
+         fp AS (SELECT doc_id,
+                 CASE WHEN len(h) - 4 <= 0 THEN [list_min(h)]
+                      ELSE list_distinct(list_transform(range(len(h) - 4), j -> list_min(h[j+1:j+5])))
+                 END AS fps
+                FROM kh)
+    SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp
+    """,
+    doc=(
+        "Winnowing fingerprints (MOSS, Schleimer et al. 2003) over word "
+        "4-grams with window 5: per-window min of k-gram hashes — "
+        "guaranteed shared fingerprint for any w+k-1-word overlap at "
+        "~2/(w+1) density. Map-only staged array HOFs; the gate explodes "
+        "the per-doc fingerprint sets."
+    ),
+)
+def winnow_fingerprints_docs_q(spark, sf):
+    from tamer_spark.functions.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+    # explode_outer, NOT explode: the array is never empty (>=1 fingerprint
+    # per doc), and plain explode lets InferFiltersFromGenerate re-inline
+    # the whole staged hashing expression into a size()>0 filter (the
+    # documented Generate trap — measured minutes vs seconds at sf0.1)
+    return fp.select("doc_id", F.explode_outer("fingerprints").alias("fp")).distinct()
+
+
+@q(
     "quality_odds_score",
     """
     WITH norm AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
