@@ -232,3 +232,47 @@ def winnow_fingerprints(
         )
         .alias("fingerprints"),
     )
+
+
+def winnow_overlap_pairs(
+    fps, id_col: str = "doc_id", min_shared: int = 2, max_posting: int | None = 10_000
+):
+    """Near-dup candidate pairs from winnowing fingerprints: docs sharing
+    >= ``min_shared`` selected fingerprints. With the coverage theorem this
+    inherits a hard guarantee plain MinHash lacks: any two docs sharing
+    ``min_shared`` disjoint runs of w+k-1 words MUST appear (no
+    probabilistic misses), while unrelated docs share nothing.
+
+    Shape: explode the per-doc sets (~2/(w+1) of grams), self-join on the
+    fingerprint VALUE (bucket ids only, never all pairs), count shared
+    values per (id_a < id_b) pair — the minhash-banding cost class.
+    ``max_posting`` caps a hot fingerprint's posting list (boilerplate
+    grams) by deterministic pseudo-random retention, same contract and
+    mechanism as the LSH ``max_bucket`` guard; ``None`` = exact.
+
+    Input: the output of :func:`winnow_fingerprints`. Returns
+    (id_a, id_b, n_shared).
+    """
+    from pyspark.sql import Window
+
+    from tamer_spark.functions.hashing import stable_hash64
+
+    posting = fps.select(id_col, F.explode_outer("fingerprints").alias("fp"))
+    if max_posting is not None:
+        wcap = Window.partitionBy("fp").orderBy(
+            stable_hash64(F.col(id_col).cast("string")), id_col
+        )
+        posting = (
+            posting.withColumn("_r", F.row_number().over(wcap))
+            .filter(F.col("_r") <= max_posting)
+            .drop("_r")
+        )
+    a = posting.select(F.col(id_col).alias("id_a"), "fp")
+    b = posting.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3161,6 +3161,46 @@ def winnow_fingerprints_docs_q(spark, sf):
 
 
 @q(
+    "winnow_overlap_pairs_docs",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         kh AS (SELECT doc_id,
+                 CASE WHEN len(w) - 3 <= 0
+                      THEN [('0x' || substr(md5(array_to_string(w, ' ')), 1, 15))::BIGINT]
+                      ELSE list_transform(range(len(w) - 3), i ->
+                           ('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')), 1, 15))::BIGINT)
+                 END AS h
+                FROM ws),
+         fp AS (SELECT doc_id,
+                 CASE WHEN len(h) - 4 <= 0 THEN [list_min(h)]
+                      ELSE list_distinct(list_transform(range(len(h) - 4), j -> list_min(h[j+1:j+5])))
+                 END AS fps
+                FROM kh),
+         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpx a JOIN fpx b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "Winnowing near-dup pairs: docs sharing >= 2 selected fingerprints "
+        "— posting-list equi-join on the fingerprint value (bucket ids "
+        "only, minhash-banding cost class) with the coverage theorem's "
+        "hard guarantee instead of MinHash's probabilistic one. The gate "
+        "passes max_posting=None so the oracle's exact semantics are "
+        "structurally guaranteed (non-binding-cap convention)."
+    ),
+)
+def winnow_overlap_pairs_docs_q(spark, sf):
+    from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+
+    fps = winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+    return winnow_overlap_pairs(fps, min_shared=2, max_posting=None)
+
+
+@q(
     "quality_odds_score",
     """
     WITH norm AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

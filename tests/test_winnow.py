@@ -70,3 +70,30 @@ def test_gate_explode_keeps_staging(spark):
     df = REGISTRY["winnow_fingerprints_docs"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") <= 2, f"md5 x{plan.count('md5')} — Generate trap"
+
+
+def test_overlap_pairs_guarantee_and_cap(spark):
+    from tamer_spark.functions.text import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four {shared} five"),
+            (2, f"six seven {shared} eight nine {shared} ten"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=K, w=W)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(fps, min_shared=1, max_posting=None).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # a binding posting cap only SHRINKS the candidate set, never errors
+    capped = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(fps, min_shared=1, max_posting=1).collect()
+    }
+    assert capped <= set(pairs)
