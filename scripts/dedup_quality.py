@@ -100,6 +100,20 @@ def main() -> None:
         sim_rows.append({"config": f"hamming<={radius} (32-bit)", **m})
         print(json.dumps({"tier": "simhash", "radius": radius, **m}))
 
+    # --- winnowing overlap pairs (MOSS fingerprints) ---
+    from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+
+    win_rows = []
+    for wk, ww, ms in ((4, 5, 1), (4, 5, 2), (3, 4, 1)):
+        fps = winnow_fingerprints(docs, k=wk, w=ww)
+        cand = {
+            (r.id_a, r.id_b)
+            for r in winnow_overlap_pairs(fps, min_shared=ms, max_posting=None).collect()
+        }
+        m = pair_metrics(cand, truth)
+        win_rows.append({"config": f"k={wk},w={ww},shared>={ms}", **m})
+        print(json.dumps({"tier": "winnow", "k": wk, "w": ww, "min_shared": ms, **m}))
+
     # --- SemDeDup: cluster-bounded prune vs exact cosine ground truth ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.select(
@@ -146,6 +160,12 @@ def main() -> None:
     print("\nMinHash LSH candidate quality vs exact 3-gram Jaccard:")
     table(
         lsh_rows,
+        ["config", "candidates", "recall@0.2", "recall@0.35", "recall@0.5",
+         "recall@0.7", "precision@0.2"],
+    )
+    print("\nWinnowing (MOSS) overlap-pair quality vs exact 3-gram Jaccard:")
+    table(
+        win_rows,
         ["config", "candidates", "recall@0.2", "recall@0.35", "recall@0.5",
          "recall@0.7", "precision@0.2"],
     )

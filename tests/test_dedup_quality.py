@@ -106,3 +106,28 @@ def test_semdedup_pair_coverage_floor_and_cluster_trade(spark):
     # the documented trade: more clusters = cheaper pair term, lower coverage
     # (cross-cluster dup pairs are the misses the cluster bound buys speed with)
     assert coverage(4) >= c8 - 0.02, "coarser clustering should cover more pairs"
+
+
+def test_winnow_overlap_floor_and_threshold_trade(spark, truth):
+    """Winnowing (k=4, w=5): shared>=1 catches every true pair (the
+    coverage theorem is structural at this corpus's overlap runs);
+    shared>=2 trades at most a small recall dip for exact precision.
+    Floors carry margin under the measured 1.00 / 0.96."""
+    from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    loose = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(fps, min_shared=1, max_posting=None).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(fps, min_shared=2, max_posting=None).collect()
+    }
+    assert truth, "ground truth empty"
+    assert len(loose & truth) / len(truth) >= 0.95
+    assert len(tight & truth) / len(truth) >= 0.85
+    assert tight <= loose
+    # precision at the tight threshold: candidates are overwhelmingly true
+    assert len(tight & truth) / max(len(tight), 1) >= 0.9
