@@ -1,0 +1,110 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The product-analytics pair every event store ships (and the reference's
+JDBC/REST event ingestion feeds): "how many users progressed through
+view → click → purchase IN ORDER", and "of the users whose first event
+fell in week W, how many were active k weeks later".
+
+Both are exact-integer results (counts and epoch-week arithmetic — no
+floats anywhere), so the gates hash-match any engine.
+
+Scale shape:
+- funnel: one conditional-min aggregation per stage, every one keyed on
+  user_id — the per-stage join re-uses the same hash partitioning
+  (exchange reuse), and the per-user frame carries one timestamp per
+  stage, never the event list. Stage semantics: the stage-i event must
+  occur AT OR AFTER the user's stage-(i-1) time (>=, so same-timestamp
+  progress counts — document the convention, don't leave it to ties).
+- cohort retention: first-event week per user (one agg), then distinct
+  (user, week) activity — the shuffled payload is user × active-week,
+  already deduplicated map-side; offsets are integer epoch-week
+  differences.
+
+No analog in the reference engine; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WEEK_S = 7 * 24 * 3600
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Users reaching each stage of an ORDERED funnel: stage i counts users
+    with a ``stages[i]`` event at-or-after their stage-(i-1) time (first
+    qualifying occurrence). Returns (stage_idx, stage, users), one row per
+    stage, monotone non-increasing."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    per_user = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).alias("t0")
+    )
+    for i, s in enumerate(stages[1:], 1):
+        nxt = (
+            events.join(per_user.select(user_col, f"t{i-1}"), user_col)
+            .groupBy(user_col)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == s)
+                        & (F.col(ts_col) >= F.col(f"t{i-1}")),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t{i}")
+            )
+        )
+        per_user = per_user.join(nxt, user_col, "left")
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(len(stages))]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', c{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack}) AS (stage_idx, stage, users)"
+    ).select(
+        F.col("stage_idx").cast("long"),
+        "stage",
+        F.col("users").cast("long"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of the user's first
+    event; a user counts toward (cohort, offset) iff they had any event in
+    cohort-week + offset. Returns (cohort_week timestamp, week_offset,
+    n_users); offset 0 always equals the cohort size."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        events.join(first, user_col)
+        .select(
+            user_col,
+            "cohort_week",
+            F.date_trunc("week", F.col(ts_col)).alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        active.withColumn(
+            "week_offset",
+            F.expr(
+                f"(unix_timestamp(wk) - unix_timestamp(cohort_week)) div {_WEEK_S}"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -3122,6 +3122,65 @@ def decontaminate_bloom_prefilter_q(spark, sf):
 
 
 @q(
+    "funnel_view_click_purchase",
+    f"""
+    WITH {EVENTS_CTE},
+    u0 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+           FROM events GROUP BY user_id),
+    u1 AS (SELECT e.user_id,
+                  MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u0.t0 THEN e.ts END) AS t1
+           FROM events e JOIN u0 USING (user_id) GROUP BY e.user_id),
+    u2 AS (SELECT e.user_id,
+                  MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= u1.t1 THEN e.ts END) AS t2
+           FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(COUNT(t0) AS BIGINT) AS users FROM u0
+    UNION ALL
+    SELECT 2, 'click', CAST(COUNT(t1) AS BIGINT) FROM u1
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(t2) AS BIGINT) FROM u2
+    """,
+    doc=(
+        "Ordered funnel (view → click → purchase): stage i counts users "
+        "with a stage-i event at-or-after their stage-(i-1) time — one "
+        "conditional-min agg per stage, all keyed on user_id (exchange "
+        "reuse), per-user frame carries one timestamp per stage. Exact "
+        "integer counts."
+    ),
+)
+def funnel_view_click_purchase_q(spark, sf):
+    from tamer_spark.operators.events import funnel_counts
+
+    return funnel_counts(_t(spark, sf, "events"), ["view", "click", "purchase"])
+
+
+@q(
+    "cohort_retention_weekly",
+    f"""
+    WITH {EVENTS_CTE},
+    first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+              FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                      date_trunc('week', e.ts) AS wk
+               FROM events e JOIN first f USING (user_id))
+    SELECT cohort_week,
+           (CAST(epoch(wk) AS BIGINT) - CAST(epoch(cohort_week) AS BIGINT)) // 604800 AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active GROUP BY cohort_week, week_offset
+    """,
+    doc=(
+        "Weekly cohort retention: cohort = ISO week of first event; "
+        "(cohort, offset) counts users active offset weeks later. "
+        "Shuffled payload is the deduplicated user × active-week set; "
+        "offsets are integer epoch-week arithmetic — exact cross-engine."
+    ),
+)
+def cohort_retention_weekly_q(spark, sf):
+    from tamer_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@q(
     "winnow_fingerprints_docs",
     """
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

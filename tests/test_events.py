@@ -1,0 +1,64 @@
+"""Funnel and cohort-retention semantics: ordering matters, monotone
+stage counts, at-or-after inclusivity, offset-0 equals cohort size."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.events import cohort_retention, funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+T = lambda d, h=0: datetime(2024, 1, d, h)
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),  # full path
+        (2, T(1), "view"), (2, T(2), "click"),                        # stops at click
+        (3, T(3), "purchase"), (3, T(4), "view"), (3, T(5), "click"), # purchase BEFORE view
+        (4, T(1), "click"), (4, T(2), "purchase"),                    # never viewed
+    ]
+    out = {r.stage: r.users for r in funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_funnel_monotone_and_same_timestamp_inclusive(spark):
+    rows = [
+        (1, T(1), "view"), (1, T(1), "click"), (1, T(1), "purchase"),  # all at once: counts
+        (2, T(2), "view"),
+    ]
+    out = [
+        (r.stage_idx, r.users)
+        for r in funnel_counts(_ev(spark, rows), ["view", "click", "purchase"])
+        .orderBy("stage_idx")
+        .collect()
+    ]
+    assert out == [(1, 2), (2, 1), (3, 1)]
+    users = [u for _, u in out]
+    assert users == sorted(users, reverse=True)
+
+
+def test_funnel_empty_stages_rejected(spark):
+    with pytest.raises(ValueError):
+        funnel_counts(_ev(spark, [(1, T(1), "view")]), [])
+
+
+def test_cohort_offset_zero_equals_cohort_size(spark):
+    rows = [
+        # cohort week of Jan 1 2024 (Monday): users 1, 2
+        (1, T(1), "view"), (1, T(9), "click"),    # active weeks 0 and 1
+        (2, T(2), "view"),                        # active week 0 only
+        # cohort week of Jan 8: user 3
+        (3, T(9), "view"), (3, T(16), "click"),   # offsets 0 and 1
+    ]
+    out = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    w0, w1 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    assert out == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1, (w1, 1): 1}
