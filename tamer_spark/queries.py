@@ -3121,6 +3121,69 @@ def decontaminate_bloom_prefilter_q(spark, sf):
     )
 
 
+def _pagerank_oracle(iters: int = 3, d_ppm: int = 850_000) -> str:
+    scale, ppm = 10**12, 10**6
+    rounds = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""s{k} AS (SELECT e.dst, SUM({prev}.rank // d.deg) AS inflow
+               FROM edges e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    r{k} AS (SELECT {prev}.node,
+                    (({ppm} - {d_ppm}) * ({scale} // {prev}.n)) // {ppm}
+                    + ({d_ppm} * COALESCE(s{k}.inflow, 0)) // {ppm} AS rank,
+                    {prev}.n
+             FROM {prev} LEFT JOIN s{k} ON s{k}.dst = {prev}.node)"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT 2*c AS src, 2*s+1 AS dst FROM pairs
+              UNION ALL SELECT 2*s+1, 2*c FROM pairs),
+    vx AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM vx),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {scale} // n AS rank, n FROM vx CROSS JOIN nn),
+    {", ".join(rounds)}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
+    """
+
+
+@q(
+    "pagerank_cust_supp",
+    _pagerank_oracle(),
+    doc=(
+        "Integer-exact PageRank (3 unrolled power-iteration rounds, "
+        "d=0.85) over the bipartite customer↔supplier purchase graph — "
+        "the iterative-graph class next to connected components, gated "
+        "the way the k-means/PQ training loops are: every round is int64 "
+        "div arithmetic, the oracle unrolls the rounds as CTEs and the "
+        "ranks hash-match bit-for-bit. Per round: one edges⋈ranks join "
+        "plus one dst partial-agg — edge-list-sized shuffles, node-sized "
+        "rank frame."
+    ),
+)
+def pagerank_cust_supp_q(spark, sf):
+    from tamer_spark.operators.pagerank import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
 @q(
     "funnel_view_click_purchase",
     f"""
