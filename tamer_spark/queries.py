@@ -3121,6 +3121,41 @@ def decontaminate_bloom_prefilter_q(spark, sf):
     )
 
 
+@q(
+    "exact_percentiles_orders",
+    """
+    WITH v AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS val
+               FROM orders),
+         ranked AS (SELECT o_orderpriority, val,
+                           row_number() OVER (PARTITION BY o_orderpriority ORDER BY val) AS rn,
+                           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                    FROM v)
+    SELECT o_orderpriority, '1/2' AS p, val AS value FROM ranked WHERE rn = (1 * n + 1) // 2
+    UNION ALL
+    SELECT o_orderpriority, '9/10', val FROM ranked WHERE rn = (9 * n + 9) // 10
+    UNION ALL
+    SELECT o_orderpriority, '99/100', val FROM ranked WHERE rn = (99 * n + 99) // 100
+    """,
+    doc=(
+        "Exact discrete percentiles (median/p90/p99 of order totals in "
+        "cents per priority): percentile_disc semantics with RATIONAL "
+        "targets — ceil(p·n) via pure int64 arithmetic, no interpolation, "
+        "no float index math — so the gate is bit-exact where "
+        "interpolating percentiles would ride libm rounding. One window "
+        "exchange serves rank + count; each percentile is a filter."
+    ),
+)
+def exact_percentiles_orders_q(spark, sf):
+    from tamer_spark.operators.percentiles import exact_percentiles
+
+    v = _t(spark, sf, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("val")
+    )
+    return exact_percentiles(
+        v, "val", [(1, 2), (9, 10), (99, 100)], keys=("o_orderpriority",)
+    )
+
+
 def _pagerank_oracle(iters: int = 3, d_ppm: int = 850_000) -> str:
     scale, ppm = 10**12, 10**6
     rounds = []
