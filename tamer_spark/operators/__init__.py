@@ -9,6 +9,9 @@ from tamer_spark.operators.budget import take_token_budget
 from tamer_spark.operators.classifier import odds_score, odds_train
 from tamer_spark.operators.datasheet import corpus_datasheet
 from tamer_spark.operators.decontaminate import decontaminate_substrings
+from tamer_spark.operators.events import cohort_retention, funnel_counts
+from tamer_spark.operators.pagerank import pagerank
+from tamer_spark.operators.percentiles import exact_percentiles
 from tamer_spark.operators.fusion import rrf_fuse
 from tamer_spark.operators.temperature import temperature_mix
 from tamer_spark.operators.dedup import (
@@ -86,4 +89,8 @@ __all__ = [
     "corpus_datasheet",
     "odds_train",
     "odds_score",
+    "funnel_counts",
+    "cohort_retention",
+    "pagerank",
+    "exact_percentiles",
 ]
