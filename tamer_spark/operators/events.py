@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WEEK_S = 7 * 24 * 3600
-
 
 def funnel_counts(
     events: DataFrame,
@@ -37,13 +35,23 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    persist: bool = False,
 ) -> DataFrame:
     """Users reaching each stage of an ORDERED funnel: stage i counts users
     with a ``stages[i]`` event at-or-after their stage-(i-1) time (first
     qualifying occurrence). Returns (stage_idx, stage, users), one row per
-    stage, monotone non-increasing."""
+    stage, monotone non-increasing.
+
+    An S-stage funnel joins ``events`` S-1 times (once per conditional-min
+    stage); without ``persist`` each join re-reads the source. For deep
+    funnels over non-trivial inputs pass ``persist=True`` — the (projected)
+    events frame is cached and released when the result is garbage
+    collected."""
     if not stages:
         raise ValueError("stages must be non-empty")
+    cached = None
+    if persist:
+        events = cached = events.select(user_col, type_col, ts_col).persist()
     per_user = events.groupBy(user_col).agg(
         F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).alias("t0")
     )
@@ -65,16 +73,25 @@ def funnel_counts(
     counts = per_user.agg(
         *[F.count(f"t{i}").alias(f"c{i}") for i in range(len(stages))]
     )
+    # stage names are caller-supplied and interpolated into SQL text —
+    # escape embedded quotes so a stage like "o'brien" can't break the
+    # stack() expression or inject into the plan
     stack = ", ".join(
-        f"{i + 1}, '{s}', c{i}" for i, s in enumerate(stages)
+        f"{i + 1}, '{s.replace(chr(39), chr(92) + chr(39))}', c{i}"
+        for i, s in enumerate(stages)
     )
-    return counts.selectExpr(
+    out = counts.selectExpr(
         f"stack({len(stages)}, {stack}) AS (stage_idx, stage, users)"
     ).select(
         F.col("stage_idx").cast("long"),
         "stage",
         F.col("users").cast("long"),
     )
+    if cached is not None:
+        from tamer_spark.operators.dedup import _release_on_gc
+
+        out = _release_on_gc(out, cached)
+    return out
 
 
 def cohort_retention(
@@ -100,10 +117,15 @@ def cohort_retention(
     )
     return (
         active.withColumn(
+            # calendar arithmetic, NOT epoch-second division: date_trunc is
+            # session-timezone-dependent, and in a DST timezone a
+            # spring-forward week spans 601200 s, so (604800*k - 3600) div
+            # 604800 = k-1 would collapse that offset into the previous
+            # week. datediff counts calendar days — DST-immune, still
+            # integer-exact (truncated weeks are always a whole number of
+            # days apart).
             "week_offset",
-            F.expr(
-                f"(unix_timestamp(wk) - unix_timestamp(cohort_week)) div {_WEEK_S}"
-            ),
+            F.expr("datediff(wk, cohort_week) div 7"),
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))

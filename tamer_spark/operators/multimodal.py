@@ -255,6 +255,7 @@ def dedup_images_by_phash(
     max_distance: int = 0,
     bands: int = 4,
     bits: int = 64,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Image dedup over perceptual hashes, exact or hamming-banded.
 
@@ -271,8 +272,21 @@ def dedup_images_by_phash(
     candidate pairs (id_a < id_b, hamming). The pigeonhole guarantee needs
     ``max_distance < bands``; a larger distance lowers recall (documented
     LSH trade, same contract as minhash banding).
+
+    ``max_bucket``: hot-bucket skew guard — a boilerplate band value (e.g.
+    a monochrome thumbnail family) would make the (band_id, band_val)
+    self-join quadratic in that bucket. Each bucket deterministically
+    retains at most ``max_bucket`` rows, ranked by
+    (stable_hash64(id), id) — a pseudo-random, engine-independent sample,
+    the same contract as similarity.py's ``_cap_bucket_candidates`` and
+    text.py's ``max_posting``. Pairs beyond the cap in a degenerate bucket
+    are unreachable (bounded-recall trade, docs/SCALING.md); ``None``
+    disables the guard (exact banded semantics).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from tamer_spark.functions.hashing import stable_hash64
 
     if max_distance == 0:
         keep = hashes.groupBy("phash").agg(F.min(id_col).alias("keep_id"))
@@ -294,6 +308,17 @@ def dedup_images_by_phash(
             ])
         ).alias("bd"),
     ).select(id_col, "phash", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
+    if max_bucket is not None:
+        # the cap window shuffles on (band_id, band_val) — the same key the
+        # candidate join hashes on, so the exchange is reused, not added
+        wcap = Window.partitionBy("band_id", "band_val").orderBy(
+            stable_hash64(F.col(id_col).cast("string")), id_col
+        )
+        banded = (
+            banded.withColumn("_bslot", F.row_number().over(wcap))
+            .filter(F.col("_bslot") <= max_bucket)
+            .drop("_bslot")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("phash").alias("ha"), "band_id", "band_val"
     )

@@ -15,9 +15,10 @@ docs distributed by the temperature shares, groups too small to fill
 their share are kept whole, and the decision replays bit-identically in
 any engine (for alpha = 0.5, n^alpha is IEEE-correctly-rounded sqrt, so
 even the weight table is exact cross-engine; other alphas inherit libm
-pow agreement). Keep int64 headroom in mind: M·W·n_g must stay under
-2⁶³ — with M = 10⁶ that bounds W·n_g < 9.2e12·10⁶; rescale the weight
-quantum for corpora beyond it.
+pow agreement). int64 headroom: M·W·n_g must stay under 2⁶³ — with
+M = 10⁶ that bounds W·n_g < 9.2e12; the bound is ENFORCED at plan time
+(a tiny agg over the group-count frame raises ValueError past it) so
+oversized corpora fail loudly instead of silently wrapping.
 
 100 TB shape: one tiny count agg per group, weights fold back as a
 broadcast, the keep rule is a map-only filter riding the scan — no
@@ -57,6 +58,19 @@ def temperature_mix(
     weights = counts.withColumn("_w", F.round(pow_expr * _M).cast("long")).withColumn(
         "_wsum", F.sum("_w").over(Window.partitionBy())
     )
+    # int64 headroom is ENFORCED, not just documented: the keep predicate's
+    # largest terms are (M-1)·_wsum·_n and target·_w·M ≤ target·_wsum·M —
+    # both bounded by _wsum·max(_n, target)·M. One tiny agg over the
+    # |groups|-sized weights frame (already materialized for the broadcast)
+    # checks the bound; silent wraparound would corrupt sampling unnoticed.
+    hdr = weights.agg(
+        F.max(F.col("_wsum") * F.greatest(F.col("_n"), F.lit(int(target)))).alias("m")
+    ).collect()[0]["m"]
+    if hdr is not None and hdr >= (2**63) // _M:
+        raise ValueError(
+            f"temperature_mix int64 headroom exceeded: max(_wsum*max(n_g, target)) = {hdr} "
+            f">= 2^63/{_M}; rescale the weight quantum (reduce M) or pre-partition the corpus"
+        )
     h = (
         stable_hash64(F.concat(F.lit("temp-"), F.col(id_col).cast("string"))) % _M
     )

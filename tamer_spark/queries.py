@@ -1884,18 +1884,28 @@ def multimodal_binary_stats_q(spark, sf):
     return binary_stats(d, "payload", "doc_id")
 
 
-def _phash_dedup_oracle(bands: int = 4, width: int = 15, max_distance: int = 3) -> str:
+def _phash_dedup_oracle(
+    bands: int = 4, width: int = 15, max_distance: int = 3, max_bucket: int = 1000
+) -> str:
     mask = (1 << width) - 1
     bands_sql = " UNION ALL ".join(
         f"SELECT doc_id, phash, {b} AS band_id, (phash >> {b * width}) & {mask} AS band_val FROM h"
         for b in range(bands)
     )
+    # the capped CTE replays the operator's deterministic hot-bucket
+    # retention (rank by (stable_hash64(id), id) within each band bucket,
+    # keep the first max_bucket) so the oracle matches whether or not the
+    # cap binds at this SF
     return f"""
     WITH h AS (SELECT doc_id,
                       xor(('0x' || substr(md5(lang || ':' || source), 1, 15))::BIGINT,
                           doc_id % 32) AS phash
                FROM documents),
-         banded AS ({bands_sql})
+         banded0 AS ({bands_sql}),
+         banded AS (SELECT doc_id, phash, band_id, band_val FROM (
+            SELECT *, row_number() OVER (PARTITION BY band_id, band_val
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS slot
+            FROM banded0) WHERE slot <= {max_bucket})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM banded a JOIN banded b USING (band_id, band_val)
@@ -1909,7 +1919,9 @@ def _phash_dedup_oracle(bands: int = 4, width: int = 15, max_distance: int = 3) 
     doc=(
         "Perceptual-hash image near-dedup: banded hamming LSH over 60-bit "
         "hashes (4 bands × 15 bits, pigeonhole recall for distance < bands), "
-        "exact bit_count verify JVM-side. The gate derives a deterministic "
+        "exact bit_count verify JVM-side, hot buckets capped to 1000 rows by "
+        "deterministic hash-rank retention (the minhash/knn-LSH skew "
+        "contract; oracle replays the cap). The gate derives a deterministic "
         "phash from (lang, source) families XOR a doc_id bit perturbation so "
         "the hamming threshold is live and binding; the Arrow decode stage "
         "(phash_images) is pytest-covered and its mapInPandas plumbing is "
@@ -3261,7 +3273,7 @@ def funnel_view_click_purchase_q(spark, sf):
                       date_trunc('week', e.ts) AS wk
                FROM events e JOIN first f USING (user_id))
     SELECT cohort_week,
-           (CAST(epoch(wk) AS BIGINT) - CAST(epoch(cohort_week) AS BIGINT)) // 604800 AS week_offset,
+           date_diff('day', cohort_week, wk) // 7 AS week_offset,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM active GROUP BY cohort_week, week_offset
     """,

@@ -134,3 +134,29 @@ def test_phash_banded_hamming_candidates(spark):
     df2 = spark.createDataFrame([(1, a), (2, d)], "media_id long, phash long")
     got = dedup_images_by_phash(df2, max_distance=3).collect()
     assert len(got) == 1 and got[0].hamming == 3
+
+
+def test_phash_banded_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus — every image identical (e.g. monochrome
+    thumbnails), so every (band_id, band_val) bucket holds ALL rows. The
+    max_bucket guard must bound the candidate join to C(cap, 2) pairs of a
+    deterministic hash-ranked retained set; uncapped it is C(n, 2)."""
+    import hashlib
+
+    from tamer_spark.operators.multimodal import dedup_images_by_phash
+
+    n, cap = 50, 10
+    df = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0F) for i in range(n)], "media_id long, phash long"
+    )
+    got = dedup_images_by_phash(df, max_distance=3, max_bucket=cap).collect()
+    assert len(got) == cap * (cap - 1) // 2
+    # retention is the cap-smallest ids by (stable_hash64(str(id)), id) —
+    # engine-independent pseudo-random sample, replayed here via hashlib
+    expect = set(
+        sorted(range(n), key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i))[:cap]
+    )
+    assert {r.id_a for r in got} | {r.id_b for r in got} == expect
+    # uncapped (None) keeps exact banded semantics
+    uncapped = dedup_images_by_phash(df, max_distance=3, max_bucket=None).collect()
+    assert len(uncapped) == n * (n - 1) // 2
