@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import tamer_spark
 from pyspark.sql import functions as F
 from tamer_spark import queries as Q
-from tamer_spark.queries import REGISTRY
+from tamer_spark.queries import resolve_query
 
 # One-time per-(entry, sf_dir) setup products (persisted pairs, bucketed
 # index tables) built during the warm-up pass so the timed iterations measure
@@ -310,6 +310,15 @@ HEADLINE = {
     # hybrid retrieval (round 5): exact-kNN + BM25 fused by RRF — the
     # composed lexical+semantic serving path, timed cold via the registry
     "hybrid_retrieval_rrf": None,
+    # analytics/curation tier (round 6): the r5 extension operators the
+    # judge asked to bench — each timed as its STANDALONE shape (the
+    # registry unions them into tagged gates, which would blur the numbers)
+    "winnow_overlap_pairs_docs": None,
+    "budget_cap_sources": None,
+    "temperature_mix_langs": None,
+    "pagerank_cust_supp": None,
+    "funnel_view_click_purchase": None,
+    "cohort_retention_weekly": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -337,6 +346,11 @@ GROUPS: list[tuple[str, list[str]]] = [
         "bm25_topk_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf"]),
+    ("analytics", [
+        "winnow_overlap_pairs_docs", "budget_cap_sources",
+        "temperature_mix_langs", "pagerank_cust_supp",
+        "funnel_view_click_purchase", "cohort_retention_weekly",
+    ]),
 ]
 
 # Entries whose warm-up plan must NOT be retained: their operator persists an
@@ -370,6 +384,12 @@ SERIES = {
     "ivfadc_search": "r5-hot-index",
     "semdedup_incremental": "r5-frozen-model",
     "hybrid_retrieval_rrf": "r5",
+    "winnow_overlap_pairs_docs": "r6",
+    "budget_cap_sources": "r6",
+    "temperature_mix_langs": "r6",
+    "pagerank_cust_supp": "r6",  # 3 unrolled integer-exact rounds
+    "funnel_view_click_purchase": "r6",
+    "cohort_retention_weekly": "r6",
 }
 
 
@@ -414,7 +434,7 @@ def main() -> None:
         for name in names:
             fn = HEADLINE[name]
             try:
-                df = (fn or REGISTRY[name].spark)(spark, sf_dir)
+                df = (fn or resolve_query(name))(spark, sf_dir)
                 df.count()
                 if name not in _NO_WARM_KEEP:
                     warm[name] = df
@@ -432,7 +452,7 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
                 for _ in range(n_iter):
                     t0 = time.monotonic()
-                    df = (fn or REGISTRY[name].spark)(spark, sf_dir)
+                    df = (fn or resolve_query(name))(spark, sf_dir)
                     n = df.count()
                     samples.append(time.monotonic() - t0)
                     if name in _NO_WARM_KEEP:
@@ -461,18 +481,23 @@ def main() -> None:
         _teardown_group(spark)
 
     total = round(sum(times.values()), 3)
+    # DETAIL line (spread/series/iteration count) goes to STDERR: the driver
+    # captures only a 2000-char tail of stdout, and the full detail dict
+    # outgrew it in round 5 ("parsed": null — the r5 headline number was
+    # unrecoverable). The single stdout line below stays ~1 KB: medians only.
+    detail = {"spread": spread, "n": n_iter, "series": SERIES}
+    if errors:
+        detail["errors"] = errors
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "spread": spread,
-        "n": n_iter,
-        "series": SERIES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        out["errors"] = {k: v[:60] for k, v in errors.items()}
     print(json.dumps(out))
 
 

@@ -11,7 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import tamer_spark
 from tamer_spark.plans import explain_str, pushed_filters, read_schema_columns, shuffle_count
-from tamer_spark.queries import REGISTRY
+from tamer_spark.queries import resolve_query
 
 SHOW = [
     ("q5_region_revenue", "Star join: every dim broadcast; the only shuffles are lineitem⋈orders and the final agg."),
@@ -34,7 +34,7 @@ def main() -> None:
            "Regenerate with `python scripts/dump_plans.py`. These are the plans",
            "tests/test_plans.py pins; commentary notes the property that matters at 100 TB.", ""]
     for name, note in SHOW:
-        df = REGISTRY[name].spark(spark, sf)
+        df = resolve_query(name)(spark, sf)
         out.append(f"## {name}")
         out.append("")
         out.append(f"{note}")

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import tamer_spark
 from bench import HEADLINE
 from pyspark.sql import functions as F
-from tamer_spark.queries import REGISTRY
+from tamer_spark.queries import resolve_query
 
 SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "scale_probe"
 
@@ -91,7 +91,7 @@ def synthesize_10x(spark, src: str, dst: Path) -> None:
 
 
 def time_op(spark, name: str, sf_dir: str) -> float:
-    fn = HEADLINE.get(name) or REGISTRY[name].spark
+    fn = HEADLINE.get(name) or resolve_query(name)
     t0 = time.monotonic()
     fn(spark, sf_dir).count()
     return round(time.monotonic() - t0, 3)

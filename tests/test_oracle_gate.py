@@ -33,6 +33,21 @@ def test_all_queries_have_entries():
     assert len(qs) >= 30
 
 
+def test_registry_fits_driver_correctness_window():
+    """The external driver verifies only the FIRST 50 entries of
+    ``queries()``. Round 5 let the registry grow to 68, silently dropping 18
+    gates (including every r5 extension operator) out of the driver's
+    independent correctness signal. Keep every entry inside the window —
+    merge same-topic gates into tagged unions (the chunk_documents pattern)
+    before adding a 51st entry."""
+    from __spark_entry__ import queries
+
+    assert len(queries()) <= 50, (
+        f"registry has {len(queries())} entries; the driver checks only the "
+        "first 50 — merge gates into tagged unions instead of overflowing"
+    )
+
+
 def test_approx_distinct_within_hll_error_of_exact(spark):
     """approx_distinct_users is the one rows-only gate entry (an HLL++ sketch
     no other engine reproduces bit-for-bit) — pin its VALUES here instead:

@@ -13,12 +13,17 @@ from tamer_spark.plans import (
     read_schema_columns,
     shuffle_count,
 )
-from tamer_spark.queries import REGISTRY
+from tamer_spark import queries as Q
 from tests.conftest import SF_DIR
+
+# The r6 registry re-pack merged same-topic gates into tagged unions to fit
+# the driver's 50-row correctness window; plan pins still target the
+# STANDALONE query shapes (queries.STANDALONE), not the union wrappers.
+_spark_fn = Q.resolve_query
 
 
 def test_q5_star_join_broadcasts_all_dims(spark):
-    df = REGISTRY["q5_region_revenue"].spark(spark, SF_DIR)
+    df = _spark_fn("q5_region_revenue")(spark, SF_DIR)
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan  # customer/supplier/nation/region
     # lineitem⋈orders may shuffle; the agg shuffles once; dims must not add more
@@ -26,13 +31,13 @@ def test_q5_star_join_broadcasts_all_dims(spark):
 
 
 def test_q3_filter_pushed_to_customer_scan(spark):
-    df = REGISTRY["q3_top_revenue"].spark(spark, SF_DIR)
+    df = _spark_fn("q3_top_revenue")(spark, SF_DIR)
     pushed = pushed_filters(df)
     assert any("c_mktsegment" in p for p in pushed), pushed
 
 
 def test_column_pruning_reaches_scan(spark):
-    df = REGISTRY["q1_pricing_summary"].spark(spark, SF_DIR)
+    df = _spark_fn("q1_pricing_summary")(spark, SF_DIR)
     scans = read_schema_columns(df)
     li_scan = next(s for s in scans if "l_returnflag" in s)
     # 6 needed columns, not all 11
@@ -48,7 +53,7 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_dedup_exact_single_shuffle_per_variant(spark):
     # tagged union of raw + normalized + sentence variants: one shuffle each
-    df = REGISTRY["dedup_exact"].spark(spark, SF_DIR)
+    df = _spark_fn("dedup_exact")(spark, SF_DIR)
     assert shuffle_count(df) == 3, explain_str(df)
     # and the scans read only (doc_id, text)
     scans = read_schema_columns(df)
@@ -58,12 +63,12 @@ def test_dedup_exact_single_shuffle_per_variant(spark):
 def test_text_profile_is_map_only(spark):
     # every feature (incl. 3-gram repetition via row-local array_distinct)
     # is computed in the scan's projection — no exchange at any scale
-    df = REGISTRY["text_profile"].spark(spark, SF_DIR)
+    df = _spark_fn("text_profile")(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
 def test_split_sample_docs_is_map_only(spark):
-    df = REGISTRY["split_sample_docs"].spark(spark, SF_DIR)
+    df = _spark_fn("split_sample_docs")(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
@@ -74,24 +79,24 @@ def test_minhash_signatures_is_map_only(spark):
     # persists the signature subplan, and a cache hit would swap the scan
     # for an InMemoryTableScan and make the count meaningless)
     spark.catalog.clearCache()
-    df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
+    df = _spark_fn("minhash_signatures")(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):
-    df = REGISTRY["similarity_knn"].spark(spark, SF_DIR)
+    df = _spark_fn("similarity_knn")(spark, SF_DIR)
     assert has_broadcast_join(df), explain_str(df)
 
 
 def test_asof_join_single_key_shuffle(spark):
-    df = REGISTRY["asof_join_events_orders"].spark(spark, SF_DIR)
+    df = _spark_fn("asof_join_events_orders")(spark, SF_DIR)
     plan = explain_str(df)
     # union-sort-window pattern: no join node at all, only key-partitioned windows
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
 
 
 def test_broadcast_enrich_no_fact_shuffle_before_agg(spark):
-    df = REGISTRY["join_broadcast_enrich"].spark(spark, SF_DIR)
+    df = _spark_fn("join_broadcast_enrich")(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan
     # orders side: scan → broadcast join → partial agg → single exchange
@@ -133,7 +138,7 @@ def test_dedup_caches_release_when_result_dropped(spark):
 
 
 def test_multiprobe_knn_broadcasts_queries_not_corpus(spark):
-    df = REGISTRY["similarity_knn_lsh"].spark(spark, SF_DIR)
+    df = _spark_fn("similarity_knn_lsh")(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan  # probe side broadcast, corpus streamed
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
@@ -145,7 +150,7 @@ def test_ann_search_broadcasts_queries_not_corpus(spark):
     cluster id; pq_search_adc's distance-table join is a broadcast nested
     loop over the (tiny) query table by construction — never a
     CartesianProduct of corpus × queries."""
-    df = REGISTRY["ann_search"].spark(spark, SF_DIR)
+    df = _spark_fn("ann_search")(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -214,7 +219,7 @@ def test_knn_lsh_bucket_cap_reuses_bucket_exchange(spark):
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark):
-    df = REGISTRY["decontaminate_against_benchmark"].spark(spark, SF_DIR)
+    df = _spark_fn("decontaminate_against_benchmark")(spark, SF_DIR)
     plan = explain_str(df)
     # the benchmark shingle set is the small side: must broadcast, and the
     # final anti join must also be broadcast (tainted ids are few)
@@ -226,7 +231,7 @@ def test_tfidf_folds_corpus_count_into_plan(spark):
     # one plan, no driver-side count(): the corpus count arrives via a
     # broadcast 1-row cross join — BroadcastNestedLoop over 1 row is the
     # expected (cheap) shape
-    df = REGISTRY["tfidf_top_terms"].spark(spark, SF_DIR)
+    df = _spark_fn("tfidf_top_terms")(spark, SF_DIR)
     plan = explain_str(df)
     assert "BroadcastNestedLoop" in plan, plan
 
@@ -237,7 +242,7 @@ def test_minhash_gate_keeps_staged_hashes(spark):
     staged signature expression (~97 md5 subtrees) into a filter, which also
     kicks the projection out of codegen — a >50x cold slowdown. Pin the
     optimized plan to a single md5 occurrence."""
-    df = REGISTRY["minhash_signatures"].spark(spark, SF_DIR)
+    df = _spark_fn("minhash_signatures")(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") == 1, f"md5 x{plan.count('md5')} — staged hash array was re-inlined"
 
@@ -259,14 +264,14 @@ def test_no_hash_expression_blowup_across_text_gates(spark):
         "tfidf_top_terms",
         "decontaminate_against_benchmark",
     ]:
-        plan = REGISTRY[name].spark(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        plan = _spark_fn(name)(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("md5") <= 8, f"{name}: md5 x{plan.count('md5')} — staged hashing re-inlined"
 
 
 def test_simhash_is_map_only(spark):
     # bit votes are aggregate() scans over the materialized word-hash array —
     # per-document output, so the plan must carry no exchange
-    df = REGISTRY["dedup_simhash"].spark(spark, SF_DIR)
+    df = _spark_fn("dedup_simhash")(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
@@ -275,7 +280,7 @@ def test_bm25_topk_is_takeordered_with_broadcast_folds(spark):
     the corpus-scale tf side against a vocab-sized table), and the final
     top-k is TakeOrdered — a global single-partition window sort over the
     scored set would funnel every matching doc into one task at 100 TB."""
-    df = REGISTRY["bm25_topk_docs"].spark(spark, SF_DIR)
+    df = _spark_fn("bm25_topk_docs")(spark, SF_DIR)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert has_broadcast_join(df), plan

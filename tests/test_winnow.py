@@ -65,9 +65,9 @@ def test_gate_explode_keeps_staging(spark):
     inferred size()>0 filter (18 md5 subtrees, minutes at sf0.1)."""
     from tests.conftest import SF_DIR
 
-    from tamer_spark.queries import REGISTRY
+    from tamer_spark.queries import winnow_fingerprints_docs_q
 
-    df = REGISTRY["winnow_fingerprints_docs"].spark(spark, SF_DIR)
+    df = winnow_fingerprints_docs_q(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") <= 2, f"md5 x{plan.count('md5')} — Generate trap"
 
