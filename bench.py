@@ -319,6 +319,10 @@ HEADLINE = {
     "pagerank_cust_supp": None,
     "funnel_view_click_purchase": None,
     "cohort_retention_weekly": None,
+    # r6 additions: exact substring-run dedup (cold, incl. its grid persist)
+    # and fractional contamination scoring (scan-shaped, broadcast lookup)
+    "substring_run_pairs": None,
+    "contamination_score_docs": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -350,6 +354,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "winnow_overlap_pairs_docs", "budget_cap_sources",
         "temperature_mix_langs", "pagerank_cust_supp",
         "funnel_view_click_purchase", "cohort_retention_weekly",
+        "substring_run_pairs", "contamination_score_docs",
     ]),
 ]
 
@@ -358,7 +363,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -390,6 +395,8 @@ SERIES = {
     "pagerank_cust_supp": "r6",  # 3 unrolled integer-exact rounds
     "funnel_view_click_purchase": "r6",
     "cohort_retention_weekly": "r6",
+    "substring_run_pairs": "r6-cold",  # internal grid persist released per iter
+    "contamination_score_docs": "r6",
 }
 
 

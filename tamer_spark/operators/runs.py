@@ -1,0 +1,168 @@
+"""Exact verbatim-substring-run detection between documents (the
+suffix-array dedup class: Lee et al. 2021, "Deduplicating Training Data
+Makes Language Models Better" — their ExactSubstr dedup finds documents
+sharing any verbatim run of >= 50 tokens).
+
+Spark-first re-expression: a suffix array is a single-machine data
+structure, but the QUERY it answers — "which document pairs share a
+verbatim window of L tokens, and how long is their longest shared run" —
+decomposes into DataFrame ops exactly:
+
+1. hash every L-token window per document (map-only staged array HOFs —
+   one rolling set of hashes per doc, the winnowing cost shape with NO
+   subsampling, so detection is EXACT for runs >= L tokens);
+2. equi-join the (id, pos, hash) posting lists on the hash value —
+   bucket ids only, never a cross product; hot windows (boilerplate)
+   capped by deterministic retention (``max_posting``, the LSH
+   ``max_bucket`` contract);
+3. matched grid cells (pa, pb) group into maximal runs along diagonals
+   d = pa - pb: consecutive pa values on one diagonal are one shared
+   run (gaps-and-islands via pa - row_number), so the longest shared
+   run is max island size + L - 1 tokens.
+
+Costs: step 1 is scan-rate map-only (~1 hash per token); step 2 shuffles
+(hash, id, pos) — linear in corpus tokens, the shingle-join cost class;
+step 3 is keyed on (id_a, id_b[, diagonal]) — bounded by actually-shared
+content. No driver-side state, no quadratic blowup outside a capped
+posting list.
+
+vs winnowing (functions/text.py): winnowing SAMPLES ~2/(w+1) of the
+k-gram hashes with a probabilistic-free coverage floor; this operator
+keeps EVERY window hash — more shuffle volume per token, but exact
+window counts and exact maximal-run lengths, which the
+dedup-the-training-set policy (drop/trim the longer run) needs.
+
+No analog in the reference engine; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_window_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> DataFrame:
+    """(id, pos, h): stable hash of every ``length``-token window, 1-based
+    position. Documents shorter than ``length`` tokens contribute NO rows —
+    an L-token verbatim run cannot exist in them (exact-match semantics;
+    contrast the shingle family's whole-text fallback).
+
+    Map-only; staged through materialized columns (the minhash_signatures
+    rule — a multi-referenced expensive array must be a column alias or
+    CollapseProject re-inlines one md5 per reference), exploded with the
+    _outer variant so InferFiltersFromGenerate cannot push the staged
+    hashing into an inferred size()>0 filter (the documented Generate
+    trap)."""
+    from tamer_spark.functions.hashing import stable_hash64
+    from tamer_spark.operators.dedup import normalize_text
+
+    s1 = df.select(
+        F.col(id_col).alias(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    s2 = s1.select(
+        id_col,
+        F.when(
+            F.size("_ws") - (length - 1) <= 0,
+            F.array().cast("array<bigint>"),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - length),
+                lambda i: stable_hash64(
+                    F.array_join(F.slice("_ws", i + 1, length), " ")
+                ),
+            )
+        )
+        .alias("_wh"),
+    )
+    return (
+        s2.select(id_col, F.posexplode_outer("_wh").alias("pos0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+    )
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+    min_windows: int = 1,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_windows`` verbatim ``length``-token
+    windows, with the longest shared run measured exactly.
+
+    Returns (id_a, id_b, n_shared_windows, max_run_tokens) with
+    id_a < id_b; ``n_shared_windows`` counts DISTINCT shared window
+    hashes, ``max_run_tokens`` = longest maximal diagonal run of matched
+    positions + length - 1 (the verbatim overlap in tokens — >= length by
+    construction).
+
+    ``max_posting`` bounds a hot window hash's posting list (site
+    boilerplate repeated across thousands of docs) by deterministic
+    hash-rank retention — the same skew contract as the LSH/winnow caps;
+    ``None`` = exact."""
+    from tamer_spark.functions.hashing import stable_hash64
+
+    wh = token_window_hashes(df, text_col, id_col, length)
+    if max_posting is not None:
+        # rank whole (id, pos) rows: a doc with internal repetition holds
+        # several posting rows for one hash, all adjacent in this order —
+        # the cap never splits a document's occurrences non-deterministically
+        wcap = Window.partitionBy("h").orderBy(
+            stable_hash64(F.col(id_col).cast("string")), id_col, "pos"
+        )
+        wh = (
+            wh.withColumn("_r", F.row_number().over(wcap))
+            .filter(F.col("_r") <= max_posting)
+            .drop("_r")
+        )
+    a = wh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = wh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "h")
+    # the matched grid feeds BOTH the run-length and the shared-count
+    # branches; without a persist each branch re-derives the whole
+    # window-hash stage (4 scans of the corpus). The grid is bounded by
+    # actually-shared content (tiny next to the corpus), so cache it and
+    # tie the release to the result's lifetime (the minhash convention).
+    grid = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", "h")
+        .distinct()
+        .persist()
+    )
+    # diagonal runs: consecutive pa on one d = pa - pb diagonal are one
+    # verbatim run; island id = pa - row_number is constant within a run
+    wd = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = (
+        grid.withColumn("d", F.col("pa") - F.col("pb"))
+        .withColumn("_isl", F.col("pa") - F.row_number().over(wd))
+        .groupBy("id_a", "id_b", "d", "_isl")
+        .agg(F.count(F.lit(1)).alias("run_windows"))
+    )
+    per_pair_runs = runs.groupBy("id_a", "id_b").agg(
+        F.max("run_windows").alias("max_run_windows")
+    )
+    shared = grid.groupBy("id_a", "id_b").agg(
+        F.countDistinct("h").alias("n_shared_windows")
+    )
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    out = (
+        shared.join(per_pair_runs, ["id_a", "id_b"])
+        .filter(F.col("n_shared_windows") >= min_windows)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_windows",
+            (F.col("max_run_windows") + (length - 1)).alias("max_run_tokens"),
+        )
+    )
+    return _release_on_gc(out, grid)

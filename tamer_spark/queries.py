@@ -4067,6 +4067,96 @@ def table_maintenance_q(spark, sf):
     return dq.unionByName(scd2).unionByName(roll)
 
 
+_RUN_L = 12
+
+
+@q(
+    "substring_run_pairs",
+    f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         wh AS (SELECT doc_id,
+                 CASE WHEN len(w) - {_RUN_L - 1} <= 0 THEN []
+                      ELSE list_transform(range(len(w) - {_RUN_L - 1}), i ->
+                           ('0x' || substr(md5(array_to_string(w[i+1:i+{_RUN_L}], ' ')), 1, 15))::BIGINT)
+                 END AS hs
+                FROM ws),
+         e0 AS (SELECT doc_id, unnest(hs) AS h,
+                       CAST(generate_subscripts(hs, 1) AS BIGINT) AS pos FROM wh),
+         e AS (SELECT doc_id, h, pos FROM (
+            SELECT *, row_number() OVER (PARTITION BY h
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id, pos) AS slot
+            FROM e0) WHERE slot <= 1000),
+         grid AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.pos AS pa, b.pos AS pb, h
+                  FROM e a JOIN e b USING (h) WHERE a.doc_id < b.doc_id),
+         runs AS (SELECT id_a, id_b, pa - pb AS d,
+                         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+                  FROM grid),
+         rl AS (SELECT id_a, id_b, COUNT(*) AS run_windows
+                FROM runs GROUP BY id_a, id_b, d, isl),
+         mx AS (SELECT id_a, id_b, MAX(run_windows) AS mrw FROM rl GROUP BY id_a, id_b),
+         sh AS (SELECT id_a, id_b, COUNT(DISTINCT h) AS n_shared_windows
+                FROM grid GROUP BY id_a, id_b)
+    SELECT sh.id_a, sh.id_b, sh.n_shared_windows,
+           CAST(mx.mrw + {_RUN_L - 1} AS BIGINT) AS max_run_tokens
+    FROM sh JOIN mx USING (id_a, id_b)
+    """,
+    doc=(
+        "Exact verbatim-substring-run dedup (the ExactSubstr class, Lee et "
+        f"al. 2021; operators/runs.py) at L={_RUN_L} tokens: every "
+        "document pair sharing a verbatim L-token window, with the longest "
+        "shared run measured EXACTLY via diagonal gaps-and-islands over "
+        "the matched (pos_a, pos_b) grid — the policy signal (drop/trim "
+        "the longer run) suffix-array dedup provides, re-expressed as "
+        "map-only rolling window hashes + a posting-list equi-join (hot "
+        "windows capped by deterministic hash-rank retention, modeled in "
+        "the oracle) + keyed run aggregation. Unlike winnowing this keeps "
+        "every window hash: exact counts and run lengths, no sampling."
+    ),
+)
+def substring_run_pairs_q(spark, sf):
+    from tamer_spark.operators.runs import substring_run_pairs
+
+    return substring_run_pairs(
+        _t(spark, sf, "documents"), length=_RUN_L, min_windows=1, max_posting=1000
+    )
+
+
+@q(
+    "contamination_score_docs",
+    f"""
+    WITH {_shingle_ctes()},
+    corp AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS BIGINT) AS n_contaminated,
+           (1000000 * COUNT(*) FILTER (WHERE s IN (SELECT s FROM bench))) // COUNT(*) AS contamination_ppm
+    FROM corp GROUP BY doc_id
+    """,
+    doc=(
+        "Fractional benchmark-contamination scoring (GPT-3 appendix-C / "
+        "PaLM dirty-fraction; operators/contamination.py): for every "
+        "corpus doc, the exact share of its 3-gram shingles found in the "
+        "benchmark slice (doc_id %% 50 == 0, the decontaminate_docs "
+        "convention) as integer ppm — the GRADED signal binary "
+        "decontamination lacks (one common phrase vs a quoted answer "
+        "key). Benchmark set broadcast; membership rides the hash join "
+        "JVM-side; one per-doc agg keyed on the id — scan-dominated at "
+        "any corpus size; int64 floor-division, bit-identical cross-"
+        "engine."
+    ),
+)
+def contamination_score_docs_q(spark, sf):
+    from tamer_spark.operators.contamination import contamination_score
+
+    d = _t(spark, sf, "documents")
+    return contamination_score(
+        d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0), n=_N
+    )
+
+
 # ---------------------------------------------------------------------------
 # Standalone shapes for entries merged into tagged-union gates by the r6
 # window re-pack (the driver verifies only the first 50 registry entries).

@@ -284,3 +284,28 @@ def test_bm25_topk_is_takeordered_with_broadcast_folds(spark):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert has_broadcast_join(df), plan
+
+
+def test_substring_runs_no_cross_product_and_pruned_scans(spark):
+    """Exact substring-run dedup: the candidate stage must be a posting-list
+    equi-join on the window hash (never a doc × doc product), the grid
+    persist must keep the corpus to 2 window-hash scans (one per join
+    side — each branch re-deriving the map stage would double the 100 TB
+    scan bill), and the scans read only (doc_id, text)."""
+    spark.catalog.clearCache()
+    df = _spark_fn("substring_run_pairs")(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    scans = read_schema_columns(df)
+    assert len([s for s in scans if s == {"doc_id", "text"}]) == 2, scans
+
+
+def test_contamination_score_broadcasts_benchmark(spark):
+    """Contamination scoring: the benchmark n-gram set must ride a
+    broadcast join against the corpus shingle stream — shuffling the
+    corpus side against a benchmark-sized table would add a corpus-scale
+    exchange for a tiny lookup."""
+    df = _spark_fn("contamination_score_docs")(spark, SF_DIR)
+    plan = explain_str(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,103 @@
+"""Exact substring-run dedup (operators/runs.py) and fractional
+benchmark-contamination scoring (operators/contamination.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.contamination import contamination_score
+from tamer_spark.operators.runs import substring_run_pairs, token_window_hashes
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_window_hashes_positions_and_short_doc_exclusion(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b"), (3, "x")])
+    got = token_window_hashes(df, length=3).collect()
+    # doc 1: 3 windows (abc, bcd, cde) at pos 1..3; docs 2, 3 too short -> none
+    assert sorted((r.doc_id, r.pos) for r in got) == [(1, 1), (1, 2), (1, 3)]
+    # same window text -> same hash across docs
+    df2 = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    h = [r.h for r in token_window_hashes(df2, length=3).collect()]
+    assert h[0] == h[1]
+
+
+def test_substring_run_exact_length(spark):
+    # docs 1 and 2 share the verbatim 6-token run "q w e r t y" embedded at
+    # different offsets; doc 3 is unrelated
+    df = _docs(
+        spark,
+        [
+            (1, "a b q w e r t y c d"),
+            (2, "z z z q w e r t y"),
+            (3, "completely different words here indeed"),
+        ],
+    )
+    got = substring_run_pairs(df, length=4, min_windows=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    # shared 6-token run -> 3 distinct shared 4-token windows, max run 6 tokens
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_shared_windows == 3
+    assert r.max_run_tokens == 6
+
+
+def test_substring_run_two_disjoint_runs_reports_longest(spark):
+    # two disjoint shared runs (4 and 5 tokens); the longest must win and
+    # the windows must NOT merge across the gap
+    df = _docs(
+        spark,
+        [
+            (1, "p q r s GAP1 v w x y z"),
+            (2, "p q r s OTHER v w x y z"),
+        ],
+    )
+    got = substring_run_pairs(df, length=4, min_windows=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_shared_windows == 1 + 2  # 1 window from the 4-run, 2 from the 5-run
+    assert r.max_run_tokens == 5
+
+
+def test_substring_run_posting_cap_bounds_degenerate_corpus(spark):
+    # all docs identical -> every window hash's posting list holds all docs;
+    # the cap bounds the join while uncapped is quadratic
+    n, cap = 30, 5
+    df = _docs(spark, [(i, "u v w x y z") for i in range(n)])
+    capped = substring_run_pairs(df, length=6, max_posting=cap).collect()
+    assert 0 < len(capped) <= cap * (cap - 1) // 2
+    exact = substring_run_pairs(df, length=6, max_posting=None).collect()
+    assert len(exact) == n * (n - 1) // 2
+
+
+def test_contamination_score_exact_fractions(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),  # shares 'the quick brown' only
+            (2, "totally clean document text"),
+            (3, "the quick brown fox ate lunch"),
+        ],
+    )
+    bench = _docs(spark, [(100, "the quick brown fox")])
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ppm)
+        for r in contamination_score(corpus, bench, n=3).collect()
+    }
+    # doc1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # bench 3-grams: {the quick brown, quick brown fox}
+    assert got[1] == (3, 2, 1_000_000 * 2 // 3)
+    assert got[2] == (2, 0, 0)
+    assert got[3][1] == 2
+    # every corpus doc is scored, clean ones at 0
+    assert set(got) == {1, 2, 3}
+
+
+def test_contamination_short_doc_whole_text_shingle(spark):
+    # shingle-family convention: short docs contribute one whole-text shingle
+    corpus = _docs(spark, [(1, "ab cd")])
+    bench = _docs(spark, [(9, "ab cd")])
+    r = contamination_score(corpus, bench, n=3).collect()[0]
+    assert (r.n_shingles, r.n_contaminated, r.contamination_ppm) == (1, 1, 1_000_000)
