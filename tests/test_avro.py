@@ -133,7 +133,7 @@ def test_jvm_to_avro_parity_with_python_codec(spark):
     spec). Skips when the spark-avro package cannot load in this
     environment — the pure-Python codec remains the exercised path.
 
-    Load attempts on record (2026-08-13, re-attempted rounds 4 and 5
+    Load attempts on record (2026-08-13, re-attempted rounds 4, 5, and 6
     [2026-08-14] — unchanged): no spark-avro_2.13 jar anywhere on
     the machine (bundled pyspark jars carry avro/avro-ipc/avro-mapred 1.12.1
     but not the spark-avro connector module), and Maven Central is
