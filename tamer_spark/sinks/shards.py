@@ -1,0 +1,136 @@
+"""Training-shard export: the last stage of a curation pipeline — write the
+curated corpus as N deterministic shards plus an integrity manifest, the
+layout a training dataloader consumes.
+
+Design constraints (and how each is met):
+
+- **Stable membership**: a document's shard must not depend on corpus size,
+  partitioning, or run order — shard = stable_hash64(id) % n_shards, so
+  re-exports and incremental appends route every doc identically (the
+  split/sample convention from split_sample_docs, not round-robin or
+  monotonically_increasing_id, both of which reshuffle membership on every
+  run).
+- **Byte-stable files**: rows sort within each shard by (salted hash, id) —
+  a deterministic pseudo-random order (so shards are well-mixed for
+  training, not sorted by ingest time) that is identical across runs and
+  input partitionings.
+- **Verifiable**: manifest.json records per-shard row counts and an
+  order-independent content digest (sum of row-level md5-derived int64s,
+  wrapping mod 2^64) — a reader can validate any shard in isolation, and
+  two exports of the same data produce byte-identical manifests.
+- **Scale shape**: ONE shuffle (repartition on the shard id) + in-partition
+  sort + parquet write; the manifest aggregate is |shards| rows. No driver
+  collect beyond the manifest frame.
+
+No analog in the reference engine (tamer's sink is Kafka); training-data
+extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Add a ``shard`` column: stable_hash64(id) % n_shards — content- and
+    corpus-size-independent, so membership never shifts across exports."""
+    from tamer_spark.functions.hashing import stable_hash64
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumn(
+        "shard",
+        (stable_hash64(F.concat(F.lit("shard-"), F.col(id_col).cast("string"))) % n_shards).cast(
+            "int"
+        ),
+    )
+
+
+def shard_manifest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(shard, n_rows, content_digest): order-independent per-shard digest —
+    XOR of per-row digests of the FULL row (all columns, canonical JSON).
+    Commutative + associative + overflow-free under ANSI mode (a wrapping
+    SUM of 60-bit hashes throws ARITHMETIC_OVERFLOW), so it
+    partial-aggregates map-side and never depends on row order or
+    partitioning. XOR cancels duplicate rows pairwise — harmless here
+    because rows carry unique ids, and n_rows is checked alongside."""
+    from tamer_spark.functions.hashing import stable_hash64
+
+    # NAME-sorted struct fields: the write side and the verify side see
+    # different column orders (partitionBy appends the partition column on
+    # read-back), and to_json field order follows struct order — sorting by
+    # name makes the digest independent of both
+    row_digest = stable_hash64(
+        F.to_json(F.struct(*sorted(c for c in df.columns if c != "shard")))
+    )
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(row_digest).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> dict:
+    """Export ``df`` as ``n_shards`` deterministic parquet shards under
+    ``path`` (hive-partitioned ``shard=K/`` directories) and write
+    ``_manifest.json`` (underscore-prefixed so parquet directory listings skip it, like _SUCCESS) next to them. Returns the manifest dict.
+
+    Rows are sorted within each shard by a salted hash of the id — a fixed
+    pseudo-random training order, identical across runs. The manifest is
+    computed from the SAME DataFrame in the same job (one extra tiny agg),
+    so it cannot drift from the written data.
+    """
+    from tamer_spark.functions.hashing import stable_hash64
+
+    sharded = assign_shard(df, id_col, n_shards)
+    # "shard" leads the sort: the partitioned-file writer requires its input
+    # ordered by the partition columns and INSERTS ITS OWN sort otherwise,
+    # which does not preserve the secondary order — leading with shard
+    # satisfies the requirement so the (salted hash, id) order survives
+    # into the files byte-stably
+    ordered = sharded.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard",
+        stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest_rows = shard_manifest(sharded, id_col).collect()
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": int(sum(r.n_rows for r in manifest_rows)),
+        "shards": {
+            int(r.shard): {"n_rows": int(r.n_rows), "content_digest": int(r.content_digest)}
+            for r in manifest_rows
+        },
+    }
+    Path(path, "_manifest.json").write_text(json.dumps(manifest, sort_keys=True, indent=1))
+    return manifest
+
+
+def verify_shards(spark, path: str, id_col: str = "doc_id") -> bool:
+    """Re-derive the manifest from the written shards and compare — the
+    reader-side integrity check. Raises ValueError on any mismatch."""
+    manifest = json.loads(Path(path, "_manifest.json").read_text())
+    df = spark.read.parquet(path)
+    got = {
+        int(r.shard): {"n_rows": int(r.n_rows), "content_digest": int(r.content_digest)}
+        for r in shard_manifest(df, id_col).collect()
+    }
+    want = {int(k): v for k, v in manifest["shards"].items()}
+    if got != want:
+        bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+        raise ValueError(f"shard integrity mismatch in shards {sorted(bad)}")
+    return True

@@ -95,6 +95,32 @@ def test_contamination_score_exact_fractions(spark):
     assert set(got) == {1, 2, 3}
 
 
+def test_winnow_coverage_subsumes_exact_runs_on_fixture(spark):
+    """Cross-operator validation on the real fixture corpus: the winnowing
+    coverage theorem guarantees a shared fingerprint for any verbatim
+    overlap of >= w+k-1 = 8 words, and substring_run_pairs finds pairs
+    sharing runs of >= 12 words EXACTLY — so every exact-run pair must
+    appear among winnow's min_shared=1 pairs. (The converse is false:
+    winnow also fires on shorter/scattered overlaps.)"""
+    from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+    from tamer_spark.queries import _t
+    from tests.conftest import SF_DIR
+
+    docs = _t(spark, SF_DIR, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in substring_run_pairs(docs, length=12, max_posting=None).collect()
+    }
+    winnow = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(
+            winnow_fingerprints(docs, k=4, w=5), min_shared=1, max_posting=None
+        ).collect()
+    }
+    assert exact, "fixture should contain verbatim 12-token runs"
+    assert exact <= winnow, f"coverage theorem violated for {exact - winnow}"
+
+
 def test_contamination_short_doc_whole_text_shingle(spark):
     # shingle-family convention: short docs contribute one whole-text shingle
     corpus = _docs(spark, [(1, "ab cd")])
