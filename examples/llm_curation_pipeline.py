@@ -1,10 +1,13 @@
 """End-to-end LLM training-data curation pipeline over the documents table:
 
     C4 line cleaning + cross-doc span dedup → quality gate → exact dedup →
-    MinHash-LSH near-dup removal → stratified source mixing →
-    token-budget capping → train/val/test split → context-window chunking →
-    token counting → sequence packing → incremental next-epoch dedup →
-    SemDeDup + IVFADC semantic index → hybrid BM25+ANN retrieval (RRF)
+    MinHash-LSH near-dup removal → exact substring-run dedup →
+    stratified source mixing → token-budget capping →
+    graded decontamination (dirty-fraction threshold) →
+    train/val/test split → context-window chunking → token counting →
+    sequence packing → incremental next-epoch dedup →
+    SemDeDup + IVFADC semantic index → hybrid BM25+ANN retrieval (RRF) →
+    verified training-shard export
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -74,6 +77,25 @@ drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 kept = deduped.join(drop, "doc_id", "left_anti")
 n3 = kept.count()
 
+# 3b. exact substring-run dedup (Lee et al. ExactSubstr class): pairs
+#     sharing a verbatim 12-token run that the probabilistic tiers may
+#     rank below threshold; the measured run length is the policy signal
+#     (here: drop the higher id of any pair overlapping >= 12 tokens).
+#     `kept` is lineage-truncated first (localCheckpoint, the connected-
+#     components convention): it feeds the run-pair SELF-join and every
+#     downstream stage, and Spark's logical plan otherwise nests the whole
+#     clean→quality→dedup→LSH chain once per reference — multiplicative
+#     plan growth that OOMs the driver's analyzer long before the data
+#     does. A production pipeline writes survivors to parquet at this
+#     boundary; localCheckpoint is the in-process equivalent.
+from tamer_spark.operators.runs import substring_run_pairs
+
+kept = kept.localCheckpoint()
+run_pairs = substring_run_pairs(kept, length=12, min_windows=1)
+run_drop = run_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+kept = kept.join(run_drop, "doc_id", "left_anti").localCheckpoint()
+n3b = kept.count()
+
 # 4. stratified mixing: rebalance to 3:1 curated-vs-web target weights
 from tamer_spark.functions.hashing import stable_hash64
 from tamer_spark.operators.mixing import stratified_mix
@@ -103,6 +125,25 @@ capped = take_token_budget(
     group_col="source",
 ).select("doc_id", "text")
 n4b = capped.count()
+
+# 4c. graded decontamination: score every doc's exact 3-gram dirty
+#     fraction against the benchmark slice (synthetic: every 50th raw
+#     doc) and drop docs quoting >= 20% of their content — the threshold
+#     form of the binary anti-join, keeping docs that merely brush a
+#     common phrase
+from tamer_spark.operators.contamination import contamination_score
+
+bench_docs = raw_docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+# lineage truncation again: capped feeds the scorer, the anti-join, the
+# splits, chunking, packing, AND the BM25 serving stage below
+capped = capped.localCheckpoint()
+scored_con = contamination_score(capped, bench_docs, n=3)
+capped = capped.join(
+    scored_con.filter(F.col("contamination_ppm") >= 200_000).select("doc_id"),
+    "doc_id",
+    "left_anti",
+).localCheckpoint()
+n4c = capped.count()
 
 # 5. stable train/val/test split (hash-range membership — never reshuffles
 #    docs between splits as the corpus grows)
@@ -200,11 +241,28 @@ lex_per_q = F.broadcast(
 hybrid = rrf_fuse([sem_rank, lex_per_q], k0=60, k=5)
 n_hybrid = hybrid.count()
 
+# 12. export: the curated split ships as deterministic parquet shards +
+#     an integrity manifest a dataloader can verify in isolation —
+#     membership and in-shard order are both stable hashes, so
+#     re-exports are byte-identical and incremental appends never
+#     re-route history
+from tamer_spark.sinks.shards import verify_shards, write_training_shards
+
+manifest = write_training_shards(
+    split.filter(F.col("split") == "train"), str(ws / "train_shards"), n_shards=4
+)
+verify_shards(spark, str(ws / "train_shards"))
+
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(
     f"documents: {n0} → c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
-    f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} → mixed {n4} "
-    f"→ budget-capped {n4b}"
+    f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} "
+    f"→ substring-run-dedup {n3b} → mixed {n4} "
+    f"→ budget-capped {n4b} → decontaminated {n4c}"
+)
+print(
+    f"train shards: {manifest['n_shards']} verified, "
+    f"{manifest['total_rows']} rows"
 )
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
@@ -219,7 +277,8 @@ print(
     f"hybrid retrieval (3 queries): {n_hybrid} fused results "
     f"(BM25 top-20 + cosine top-20 → RRF top-5 per query)"
 )
-assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n4 >= n4b > 0 and n_bins > 0
+assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c > 0 and n_bins > 0
+assert manifest["total_rows"] > 0
 assert n_hybrid == 15  # 3 queries x top-5
 assert n_spans_dropped > 0  # the tiny shared vocabulary guarantees cross-doc spans
 assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
