@@ -24,6 +24,8 @@ SHOW = [
     ("ann_search", "IVFADC retrieval: ivf probe joins cluster ids (BroadcastHashJoin, corpus streamed); ADC ranks via per-query distance tables over a broadcast nested loop of the tiny query table — no per-candidate vector math, never a corpus cross product."),
     ("bm25_topk_docs", "BM25: explode filtered to the query vocabulary before the (doc, term) shuffle; df/(N, avgdl) broadcast back; top-k is TakeOrderedAndProject, never a global window sort."),
     ("budget_cap_sources", "Two-phase prefix sum: every corpus-side window partitions by (source, bucket) — the group-only window exists solely over the tiny groups×buckets totals frame."),
+    ("substring_run_pairs", "Exact substring runs: posting-list equi-join on the rolling window hash (never doc×doc), grid persisted so the corpus is scanned exactly twice, run lengths via keyed diagonal windows."),
+    ("contamination_score_docs", "Contamination scoring: benchmark n-gram set broadcast against the corpus shingle stream; one per-doc aggregation — scan-dominated."),
 ]
 
 def main() -> None:

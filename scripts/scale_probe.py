@@ -51,6 +51,14 @@ OPS = [
     # operator (real perceptual hashes don't share one value per source).
     "bm25_topk_docs",
     "budget_cap_sources",
+    # round 6: contamination scoring is scan-shaped (broadcast benchmark +
+    # one per-doc agg) — probe it. substring_run_pairs is deliberately NOT
+    # probed for the same reason as dedup_phash_images: the 10x corpus is
+    # 10 verbatim copies of every doc, so the PAIR OUTPUT grows
+    # quadratically by construction (C(10,2) per original window) — an
+    # artifact of the synthetic duplication, not of the posting-capped
+    # join; its scale posture is pinned by plan tests instead.
+    "contamination_score_docs",
 ]
 
 

@@ -95,6 +95,70 @@ def test_contamination_score_exact_fractions(spark):
     assert set(got) == {1, 2, 3}
 
 
+def _brute_force_pairs(docs: dict[int, list[str]], L: int):
+    """Reference semantics in plain Python: per pair, the distinct shared
+    L-token windows and the longest common token substring (>= L)."""
+    windows = {
+        i: [tuple(w[j : j + L]) for j in range(len(w) - L + 1)]
+        for i, w in docs.items()
+    }
+    out = {}
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = set(windows[a]) & set(windows[b])
+            if not shared:
+                continue
+            # longest common substring over token lists (classic DP)
+            wa, wb = docs[a], docs[b]
+            best, prev = 0, [0] * (len(wb) + 1)
+            for i in range(1, len(wa) + 1):
+                cur = [0] * (len(wb) + 1)
+                for j in range(1, len(wb) + 1):
+                    if wa[i - 1] == wb[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                        best = max(best, cur[j])
+                prev = cur
+            out[(a, b)] = (len(shared), best)
+    return out
+
+
+def test_substring_runs_match_brute_force_randomized(spark):
+    """Randomized geometry pin: n_shared_windows and max_run_tokens agree
+    with a plain-Python brute force (distinct shared windows; longest
+    common token substring via DP) across corpora drawn from a 3-word
+    vocabulary — dense overlaps, repeated windows within docs, every
+    diagonal shape. One Spark run over a multi-corpus union keyed by a
+    corpus tag keeps the property cheap."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c"]
+    L = 4
+    rows, expected = [], {}
+    for corpus in range(12):
+        docs = {
+            corpus * 100 + i: [vocab[rng.randrange(3)] for _ in range(rng.randrange(0, 22))]
+            for i in range(4)
+        }
+        for i, w in docs.items():
+            rows.append((i, " ".join(w)))
+        expected.update(
+            ((a, b), v) for (a, b), v in _brute_force_pairs(docs, L).items()
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc ids are globally unique and corpora use disjoint id ranges, but
+    # windows DO collide across corpora (tiny vocab) — restrict pairs to
+    # the same corpus to mirror the per-corpus brute force
+    got = {
+        (r.id_a, r.id_b): (r.n_shared_windows, r.max_run_tokens)
+        for r in substring_run_pairs(df, length=L, max_posting=None).collect()
+        if r.id_a // 100 == r.id_b // 100
+    }
+    assert got == expected
+
+
 def test_winnow_coverage_subsumes_exact_runs_on_fixture(spark):
     """Cross-operator validation on the real fixture corpus: the winnowing
     coverage theorem guarantees a shared fingerprint for any verbatim
