@@ -39,14 +39,27 @@ def pagerank(
     d_ppm: int = 850_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    persist_edges: bool = False,
 ) -> DataFrame:
     """Ranks after ``iters`` exact power-iteration rounds over DIRECTED
     ``edges``. Returns (node, rank) for every node appearing as src or
     dst; dangling nodes keep receiving ``base`` and leak their mass
-    (standard simplification, documented above)."""
+    (standard simplification, documented above).
+
+    ``persist_edges``: the deduplicated edge list is referenced by deg,
+    nodes, and every round's join — unpersisted, the unrolled plan
+    re-runs the edge derivation once per reference. Measured A/B at
+    sf0.1 (3 rounds, cold): persisting is ~17% SLOWER locally (2.99 s vs
+    2.55 s — the cache write outweighs re-deriving a cheap AQE-broadcast
+    join), so the default is off; turn it ON when the edge input is
+    expensive relative to memory bandwidth (a corpus-scale multi-join at
+    real scale), where per-round re-derivation dominates instead. Values
+    are identical either way (persist is physical only)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    if persist_edges:
+        e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -78,4 +91,9 @@ def pagerank(
                 "n",
             )
         )
-    return ranks.select("node", "rank")
+    out = ranks.select("node", "rank")
+    if persist_edges:
+        from tamer_spark.operators.dedup import _release_on_gc
+
+        out = _release_on_gc(out, e)
+    return out
