@@ -114,6 +114,34 @@ def main() -> None:
         win_rows.append({"config": f"k={wk},w={ww},shared>={ms}", **m})
         print(json.dumps({"tier": "winnow", "k": wk, "w": ww, "min_shared": ms, **m}))
 
+    # --- winnow recall vs the EXACT substring-run ground truth (r6) ---
+    # substring_run_pairs is exhaustive for verbatim runs >= L tokens, so
+    # it IS the ground truth for run-based overlap; the coverage theorem
+    # guarantees winnow recall 1.0 at min_shared=1 whenever L >= w+k-1 —
+    # this section measures how much of that guarantee survives the
+    # min_shared=2 noise filter, per run length
+    from tamer_spark.operators.runs import substring_run_pairs
+
+    run_truth = {
+        (r.id_a, r.id_b): r.max_run_tokens
+        for r in substring_run_pairs(docs, length=8, max_posting=None).collect()
+    }
+    runw_rows = []
+    for wk, ww, ms in ((4, 5, 1), (4, 5, 2)):
+        fps = winnow_fingerprints(docs, k=wk, w=ww)
+        cand = {
+            (r.id_a, r.id_b)
+            for r in winnow_overlap_pairs(fps, min_shared=ms, max_posting=None).collect()
+        }
+        row = {"config": f"k={wk},w={ww},shared>={ms}", "truth_pairs": len(run_truth)}
+        for lo in (8, 12, 20):
+            tset = {p for p, t in run_truth.items() if t >= lo}
+            row[f"recall@run>={lo}"] = (
+                round(len(cand & tset) / len(tset), 3) if tset else None
+            )
+        runw_rows.append(row)
+        print(json.dumps({"tier": "winnow_vs_runs", **row}))
+
     # --- SemDeDup: cluster-bounded prune vs exact cosine ground truth ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.select(
@@ -168,6 +196,11 @@ def main() -> None:
         win_rows,
         ["config", "candidates", "recall@0.2", "recall@0.35", "recall@0.5",
          "recall@0.7", "precision@0.2"],
+    )
+    print("\nWinnowing recall vs EXACT substring-run ground truth (runs >= L tokens):")
+    table(
+        runw_rows,
+        ["config", "truth_pairs", "recall@run>=8", "recall@run>=12", "recall@run>=20"],
     )
     print("\nSimHash (32-bit) hamming-ball quality vs exact 3-gram Jaccard:")
     table(

@@ -131,3 +131,34 @@ def test_winnow_overlap_floor_and_threshold_trade(spark, truth):
     assert tight <= loose
     # precision at the tight threshold: candidates are overwhelmingly true
     assert len(tight & truth) / max(len(tight), 1) >= 0.9
+
+
+def test_winnow_recall_vs_exact_run_ground_truth(spark):
+    """r6 grounding: substring_run_pairs is EXHAUSTIVE for verbatim runs,
+    so it is the ground truth for run-based overlap. The coverage theorem
+    (k=4, w=5 detects every >= 8-word overlap) must measure exactly 1.0
+    at min_shared=1; the min_shared=2 noise filter may only lose pairs
+    whose sole overlap is one short run — recall at runs >= 12 stays 1.0
+    (floors carry the measured values with no slack: these are theorem
+    consequences, not tuning outcomes)."""
+    from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+    from tamer_spark.operators.runs import substring_run_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    runs = {
+        (r.id_a, r.id_b): r.max_run_tokens
+        for r in substring_run_pairs(docs, length=8, max_posting=None).collect()
+    }
+    assert runs, "fixture should contain verbatim 8-token runs"
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    loose = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(fps, min_shared=1, max_posting=None).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(fps, min_shared=2, max_posting=None).collect()
+    }
+    assert set(runs) <= loose  # the coverage theorem, measured: recall 1.0
+    long_runs = {p for p, t in runs.items() if t >= 12}
+    assert long_runs <= tight  # >= 12-token runs survive the noise filter
