@@ -5,9 +5,17 @@ from __future__ import annotations
 
 import pytest
 
+import os
+
 from tamer_spark.oracle import compare, duckdb_con
 from tamer_spark.queries import REGISTRY
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR as _DEFAULT_SF
+
+# The suite replays the driver's gate at sf0.001 for speed; the sf0.1
+# robustness sweep COVERAGE.md records is the same parametrization at a
+# bigger SF — run it with
+#   SPARK_GRAFT_GATE_SF=/root/testdata/sf0.1 pytest tests/test_oracle_gate.py
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", _DEFAULT_SF)
 
 
 @pytest.fixture(scope="module")
