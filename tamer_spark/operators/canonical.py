@@ -1,0 +1,46 @@
+"""Canonical-member selection for dedup clusters: keep the BEST document
+per near-dup cluster, not the smallest id.
+
+``attach_cluster_ids`` (operators/cc.py) labels every row with its
+transitive cluster; the min-id keep rule is the cheap default, but real
+curation keeps the highest-QUALITY member (longest, best LM score, best
+odds-classifier score — any per-doc signal the scoring tier already
+produced). This is one partial-aggregable max_by per cluster — exactly
+the dedup_exact cost shape, no window, no second shuffle.
+
+Determinism: the argmax key is the struct (score, -id), so equal scores
+break toward the SMALLEST id — a total order, same answer in any engine
+at any partitioning (exact-int scores recommended; the repo's scoring
+tier emits them).
+
+No analog in the reference engine; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def select_canonical(
+    clustered: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_rep",
+) -> DataFrame:
+    """(cluster, keep_id, keep_score): the argmax-score member per cluster,
+    ties to the smallest id. Input is ``attach_cluster_ids`` output joined
+    with a per-doc score. Join the result back on ``keep_id`` (left_semi)
+    to materialize the curated survivors."""
+    pick = F.max(
+        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid"))
+    )
+    return (
+        clustered.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(pick.alias("_best"))
+        .select(
+            "cluster",
+            (-F.col("_best.negid")).alias("keep_id"),
+            F.col("_best.s").alias("keep_score"),
+        )
+    )
