@@ -58,3 +58,19 @@ def test_membership_monotone_in_target(spark, corpus):
 def test_invalid_alpha_rejected(spark, corpus):
     with pytest.raises(ValueError):
         temperature_mix(corpus, target=100, alpha=0.0)
+
+
+def test_int64_headroom_guard_raises(spark):
+    # one group large enough that (M-1)*W*n would wrap int64: W*n >= 2^63/M
+    # with W ~ 1e6*sqrt(n) needs n ~ 44k — tiny frame, but the keep
+    # predicate would silently corrupt sampling without the guard
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tamer_spark.operators.temperature import temperature_mix
+
+    docs = spark.range(45_000).select(
+        F.col("id").alias("doc_id"), F.lit("only-group").alias("source")
+    )
+    with pytest.raises(ValueError, match="headroom"):
+        temperature_mix(docs, target=10)
