@@ -5,12 +5,15 @@ from tamer_spark.operators.bloom import (
     decontaminate_with_bloom,
 )
 from tamer_spark.operators.bm25 import bm25_topk
+from tamer_spark.operators.canonical import select_canonical
+from tamer_spark.operators.contamination import contamination_score
 from tamer_spark.operators.budget import take_token_budget
 from tamer_spark.operators.classifier import odds_score, odds_train
-from tamer_spark.operators.datasheet import corpus_datasheet
+from tamer_spark.operators.datasheet import corpus_datasheet, datasheet_delta
 from tamer_spark.operators.decontaminate import decontaminate_substrings
 from tamer_spark.operators.events import cohort_retention, funnel_counts
 from tamer_spark.operators.pagerank import pagerank
+from tamer_spark.operators.runs import substring_run_pairs, token_window_hashes
 from tamer_spark.operators.percentiles import exact_percentiles
 from tamer_spark.operators.fusion import rrf_fuse
 from tamer_spark.operators.temperature import temperature_mix
@@ -87,6 +90,11 @@ __all__ = [
     "take_token_budget",
     "temperature_mix",
     "corpus_datasheet",
+    "datasheet_delta",
+    "select_canonical",
+    "contamination_score",
+    "substring_run_pairs",
+    "token_window_hashes",
     "odds_train",
     "odds_score",
     "funnel_counts",
