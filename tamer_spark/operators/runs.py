@@ -131,11 +131,13 @@ def substring_run_pairs(
     # window-hash stage (4 scans of the corpus). The grid is bounded by
     # actually-shared content (tiny next to the corpus), so cache it and
     # tie the release to the result's lifetime (the minhash convention).
+    # No distinct: every (id, pos) posting row carries exactly ONE hash,
+    # so each matched (id_a, pa, id_b, pb) cell appears exactly once —
+    # a dedup here would be a wasted full shuffle of the grid.
     grid = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", "h")
-        .distinct()
         .persist()
     )
     # diagonal runs: consecutive pa on one d = pa - pb diagonal are one
