@@ -137,10 +137,12 @@ def test_winnow_recall_vs_exact_run_ground_truth(spark):
     """r6 grounding: substring_run_pairs is EXHAUSTIVE for verbatim runs,
     so it is the ground truth for run-based overlap. The coverage theorem
     (k=4, w=5 detects every >= 8-word overlap) must measure exactly 1.0
-    at min_shared=1; the min_shared=2 noise filter may only lose pairs
-    whose sole overlap is one short run — recall at runs >= 12 stays 1.0
-    (floors carry the measured values with no slack: these are theorem
-    consequences, not tuning outcomes)."""
+    at min_shared=1 — that inclusion is a theorem consequence at ANY
+    scale. The second inclusion (min_shared=2 keeps every >= 12-token-run
+    pair) is a fixture-SCALE observation, pinned here at the suite SF:
+    the sf0.1 re-run measured 0.996 (one 12-run pair yields a single
+    selected fingerprint) — see docs/SCALING.md for the honest knob rule
+    (min_shared=2 guarantees nothing below ~w+2(k-1)+1 tokens)."""
     from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
     from tamer_spark.operators.runs import substring_run_pairs
 
