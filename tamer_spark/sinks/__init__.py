@@ -5,6 +5,7 @@ contract required by the engine loop (see engine.py docstring)."""
 from tamer_spark.sinks.base import ConsoleSink, MemorySink, ParquetEpochSink
 from tamer_spark.sinks.shards import (
     assign_shard,
+    shard_diff,
     shard_manifest,
     verify_shards,
     write_training_shards,
@@ -17,6 +18,7 @@ __all__ = [
     "assign_shard",
     "shard_manifest",
     "verify_shards",
+    "shard_diff",
     "write_training_shards",
 ]
 

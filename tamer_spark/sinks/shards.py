@@ -120,17 +120,43 @@ def write_training_shards(
     return manifest
 
 
-def verify_shards(spark, path: str, id_col: str = "doc_id") -> bool:
+def verify_shards(spark, path: str, id_col: str = "doc_id", shard: int | None = None) -> bool:
     """Re-derive the manifest from the written shards and compare — the
-    reader-side integrity check. Raises ValueError on any mismatch."""
+    reader-side integrity check. Raises ValueError on any mismatch.
+
+    ``shard``: verify ONE shard only — the partition filter prunes the
+    read to that directory, so a dataloader can validate just the shards
+    it is about to consume without scanning the export."""
     manifest = json.loads(Path(path, "_manifest.json").read_text())
     df = spark.read.parquet(path)
+    want = {int(k): v for k, v in manifest["shards"].items()}
+    if shard is not None:
+        if shard not in want:
+            raise ValueError(f"shard {shard} not in manifest")
+        df = df.filter(F.col("shard") == shard)
+        want = {shard: want[shard]}
     got = {
         int(r.shard): {"n_rows": int(r.n_rows), "content_digest": int(r.content_digest)}
         for r in shard_manifest(df, id_col).collect()
     }
-    want = {int(k): v for k, v in manifest["shards"].items()}
     if got != want:
         bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
         raise ValueError(f"shard integrity mismatch in shards {sorted(bad)}")
     return True
+
+
+def shard_diff(path_a: str, path_b: str) -> dict:
+    """Manifest-level diff of two exports: which shards changed, appeared,
+    or vanished — the incremental re-publish planner (only changed shards
+    need re-uploading; stable id-hash membership means an append-only
+    corpus change touches only the shards holding new docs). Pure
+    manifest arithmetic — no data read."""
+    ma = json.loads(Path(path_a, "_manifest.json").read_text())["shards"]
+    mb = json.loads(Path(path_b, "_manifest.json").read_text())["shards"]
+    a, b = {int(k): v for k, v in ma.items()}, {int(k): v for k, v in mb.items()}
+    return {
+        "changed": sorted(k for k in a.keys() & b.keys() if a[k] != b[k]),
+        "unchanged": sorted(k for k in a.keys() & b.keys() if a[k] == b[k]),
+        "only_a": sorted(a.keys() - b.keys()),
+        "only_b": sorted(b.keys() - a.keys()),
+    }

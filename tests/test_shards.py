@@ -78,3 +78,31 @@ def test_manifest_digest_is_order_independent(spark):
         assign_shard(_corpus(spark).orderBy(F.col("doc_id").desc()), "doc_id", 4)
     )
     assert {tuple(r) for r in d1.collect()} == {tuple(r) for r in d2.collect()}
+
+
+def test_single_shard_verification_and_diff(spark, tmp_path):
+    import pytest
+
+    from tamer_spark.sinks.shards import shard_diff
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(_corpus(spark, 100), a, n_shards=4)
+    # b: same corpus plus 30 appended docs — stable membership means only
+    # the shards holding new docs change
+    write_training_shards(_corpus(spark, 130), b, n_shards=4)
+    assert verify_shards(spark, a, shard=0)
+    with pytest.raises(ValueError, match="not in manifest"):
+        verify_shards(spark, a, shard=99)
+    d = shard_diff(a, b)
+    assert not d["only_a"] and not d["only_b"]
+    assert set(d["changed"]) | set(d["unchanged"]) == set(range(4))
+    # every doc of the smaller corpus kept its shard, so any UNCHANGED
+    # shard received no new docs — count check per manifest
+    import json
+    from pathlib import Path
+
+    mb = json.loads(Path(b, "_manifest.json").read_text())["shards"]
+    ma = json.loads(Path(a, "_manifest.json").read_text())["shards"]
+    for k in d["unchanged"]:
+        assert ma[str(k)] == mb[str(k)]
+    assert sum(mb[str(k)]["n_rows"] for k in range(4)) == 130
