@@ -428,7 +428,17 @@ def main() -> None:
     grouped = {n for _, names in GROUPS for n in names}
     assert grouped == set(HEADLINE), f"GROUPS/HEADLINE drift: {grouped ^ set(HEADLINE)}"
 
-    for gname, names in GROUPS:
+    # Bisect knob: SPARK_GRAFT_BENCH_GROUPS="semantic,serving" runs only the
+    # named heap-isolated groups (comma-separated). Default = all. Running a
+    # group alone vs in the full sequence is the prescribed first step when a
+    # driver number moves outside its spread with no code change (r6
+    # pq_encode) — it separates host/ambient-heap effects from plan changes.
+    only = os.environ.get("SPARK_GRAFT_BENCH_GROUPS")
+    run_groups = GROUPS if not only else [
+        (g, n) for g, n in GROUPS if g in {s.strip() for s in only.split(",")}
+    ]
+
+    for gname, names in run_groups:
         # per-group warm-up pass: JIT-compile the generated code, prime
         # parquet footers, and run THIS group's memoized setup (persisted
         # pairs, index tables) so the timed iterations measure steady-state

@@ -11,7 +11,10 @@ the dedup_exact cost shape, no window, no second shuffle.
 Determinism: the argmax key is the struct (score, -id), so equal scores
 break toward the SMALLEST id — a total order, same answer in any engine
 at any partitioning (exact-int scores recommended; the repo's scoring
-tier emits them).
+tier emits them). The negation runs in DECIMAL(20,0): every int64 id
+negates exactly (including Long.MIN_VALUE, which would overflow an int64
+negation under ANSI), and NUMERIC ids are a validated requirement — a
+string id raises TypeError at plan time instead of failing in analysis.
 
 No analog in the reference engine; training-data extension surface.
 """
@@ -32,15 +35,29 @@ def select_canonical(
     ties to the smallest id. Input is ``attach_cluster_ids`` output joined
     with a per-doc score. Join the result back on ``keep_id`` (left_semi)
     to materialize the curated survivors."""
+    id_type = dict(clustered.dtypes)[id_col]
+    if id_type not in {"tinyint", "smallint", "int", "bigint"} and not id_type.startswith(
+        "decimal"
+    ):
+        raise TypeError(
+            f"select_canonical requires a numeric id column for the smallest-id "
+            f"tie-break ({id_col} is {id_type}); map string ids to a numeric "
+            "surrogate (e.g. stable_hash64) or pre-rank upstream"
+        )
+    # negate in DECIMAL(20,0): exact for every int64 (Long.MIN_VALUE
+    # included — an int64 negation of it overflows under ANSI)
     pick = F.max(
-        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid"))
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col).cast("decimal(20,0)")).alias("negid"),
+        )
     )
     return (
         clustered.groupBy(F.col(cluster_col).alias("cluster"))
         .agg(pick.alias("_best"))
         .select(
             "cluster",
-            (-F.col("_best.negid")).alias("keep_id"),
+            (-F.col("_best.negid")).cast(id_type).alias("keep_id"),
             F.col("_best.s").alias("keep_score"),
         )
     )

@@ -73,20 +73,25 @@ def funnel_counts(
     counts = per_user.agg(
         *[F.count(f"t{i}").alias(f"c{i}") for i in range(len(stages))]
     )
-    # stage names are caller-supplied and interpolated into SQL text —
-    # escape embedded quotes so a stage like "o'brien" can't break the
-    # stack() expression or inject into the plan
-    stack = ", ".join(
-        f"{i + 1}, '{s.replace(chr(39), chr(92) + chr(39))}', c{i}"
-        for i, s in enumerate(stages)
-    )
-    out = counts.selectExpr(
-        f"stack({len(stages)}, {stack}) AS (stage_idx, stage, users)"
-    ).select(
-        F.col("stage_idx").cast("long"),
-        "stage",
-        F.col("users").cast("long"),
-    )
+    # stage names are caller-supplied: carry them as F.lit() expression
+    # literals (never interpolated into SQL text), so no quoting/escaping
+    # scheme exists to get wrong — a stage named "o'brien" or one ending in
+    # a backslash is just a value. counts is a single row; the explode is
+    # |stages| rows of driver-free plan work.
+    out = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"c{i}").cast("long").alias("users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.stage_idx", "_s.stage", "_s.users")
     if cached is not None:
         from tamer_spark.operators.dedup import _release_on_gc
 

@@ -62,15 +62,22 @@ def temperature_mix(
     # largest terms are (M-1)·_wsum·_n and target·_w·M ≤ target·_wsum·M —
     # both bounded by _wsum·max(_n, target)·M. One tiny agg over the
     # |groups|-sized weights frame (already materialized for the broadcast)
-    # checks the bound; silent wraparound would corrupt sampling unnoticed.
-    hdr = weights.agg(
-        F.max(F.col("_wsum") * F.greatest(F.col("_n"), F.lit(int(target)))).alias("m")
-    ).collect()[0]["m"]
-    if hdr is not None and hdr >= (2**63) // _M:
-        raise ValueError(
-            f"temperature_mix int64 headroom exceeded: max(_wsum*max(n_g, target)) = {hdr} "
-            f">= 2^63/{_M}; rescale the weight quantum (reduce M) or pre-partition the corpus"
-        )
+    # fetches the two maxima SEPARATELY (each int64-safe by construction:
+    # _wsum ≤ |groups|·M·max_n, _n ≤ corpus rows) and the product check runs
+    # in Python's unbounded ints — a guard whose own arithmetic could
+    # overflow (the r6 shape multiplied inside the plan) would surface as
+    # ANSI ARITHMETIC_OVERFLOW or, worse, wrap and silently pass.
+    row = weights.agg(
+        F.max("_wsum").alias("ws"), F.max("_n").alias("n")
+    ).collect()[0]
+    if row["ws"] is not None:
+        hdr = int(row["ws"]) * max(int(row["n"]), int(target))
+        if hdr * _M >= 2**63:
+            raise ValueError(
+                f"temperature_mix int64 headroom exceeded: max(_wsum)*max(n_g, target)*M = "
+                f"{hdr * _M} >= 2^63; rescale the weight quantum (reduce M) or "
+                "pre-partition the corpus"
+            )
     h = (
         stable_hash64(F.concat(F.lit("temp-"), F.col(id_col).cast("string"))) % _M
     )

@@ -3030,14 +3030,40 @@ def lexical_retrieval_docs_q(spark, sf):
 
 @q(
     "approx_distinct_users",
-    None,  # HLL sketches differ across engines — rows-only check by design
-    doc="approx_count_distinct (HyperLogLog++) — sketch estimates are engine-specific, so no SQL oracle; surface coverage for approximate aggregates.",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           COUNT(*) AS n,
+           TRUE AS hll_within_rsd
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "approx_count_distinct (HyperLogLog++) pinned to a fully "
+        "hash-checkable shape (r7; the r6 gate emitted the raw sketch "
+        "estimate, engine-specific → rows-only). Per event_type: the exact "
+        "distinct count, total rows, and a BOOLEAN asserting the HLL++ "
+        "estimate lands within 5×rsd of the exact count — all three "
+        "deterministic (Spark's sketch is deterministic for fixed data, "
+        "and the oracle's TRUE column is the cross-engine contract: the "
+        "sketch must agree with exact within tolerance). The sketch is "
+        "still exercised end-to-end; rsd=0.05 default, 5× headroom "
+        "because the HLL++ bound is probabilistic per-register, not "
+        "worst-case."
+    ),
 )
 def approx_distinct_users(spark, sf):
     e = _t(spark, sf, "events")
+    rsd = 0.05
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd)
+                - F.count_distinct("user_id")
+            )
+            <= 5 * rsd * F.count_distinct("user_id")
+        ).alias("hll_within_rsd"),
     )
 
 
@@ -3835,6 +3861,19 @@ def budget_cap_sources_q(spark, sf):
     ).select("doc_id", "source")
 
 
+# Standalone builder (graded via corpus_curation 'manifest' variant, r7):
+# the shard sink's manifest frame over (doc_id, text) — the exact digest
+# math write_training_shards records and verify_shards re-derives, so the
+# driver oracle pins its cross-engine determinism.
+def shard_manifest_docs_q(spark, sf):
+    from tamer_spark.sinks.shards import assign_shard, shard_manifest
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return shard_manifest(assign_shard(d, "doc_id", 8)).select(
+        F.col("shard").cast("long").alias("shard"), "n_rows", "content_digest"
+    )
+
+
 @q(
     "corpus_curation",
     f"""
@@ -3853,10 +3892,23 @@ def budget_cap_sources_q(spark, sf):
     SELECT 'odds', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), doc_id, score,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_ODDS_ORACLE})
+    UNION ALL
+    SELECT 'manifest', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR), n_rows,
+           content_digest, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH _mr AS (
+        SELECT CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               '{{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":' || to_json(text) || '}}' AS rj
+        FROM documents)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             bit_xor(CAST(('0x' || substr(md5(rj), 1, 15)) AS BIGINT)) AS content_digest
+      FROM _mr GROUP BY shard
+    )
     """,
     doc=(
         "Corpus-curation surface as one tagged union (r6 window re-pack of "
-        "four formerly out-of-window gates — now driver-graded). temp: "
+        "four formerly out-of-window gates — now driver-graded; r7 adds the "
+        "training-shard export manifest as a fifth variant). temp: "
         "temperature resampling (mT5 §3.1, alpha=0.5) — group shares ∝ "
         "sqrt(n_g), integer-exact hash-range keep rule, map-only filter "
         "riding the scan, weights as tiny broadcasts, int64 headroom "
@@ -3869,7 +3921,13 @@ def budget_cap_sources_q(spark, sf):
         "digest shuffle. odds: CCNet/fastText-style reference-vs-crawl "
         "linear odds scoring — smoothed-conditional difference weights "
         "trained on a 1/3 slice, every doc scored, unseen words take the "
-        "smoothing floor; all int64 div arithmetic."
+        "smoothing floor; all int64 div arithmetic. manifest: the shard "
+        "sink's integrity manifest (sinks/shards.py shard_manifest over "
+        "assign_shard, 8 shards) — stable_hash64(id)%8 membership, per-"
+        "shard row counts, and the order-independent bit_xor of row-level "
+        "md5 digests over name-sorted to_json rows; the oracle replays the "
+        "digest byte-for-byte, pinning the cross-engine determinism the "
+        "dataloader-side verify_shards depends on."
     ),
 )
 def corpus_curation_q(spark, sf):
@@ -3909,7 +3967,21 @@ def corpus_curation_q(spark, sf):
         F.lit(None).cast("long").alias("v3"),
         F.lit(None).cast("long").alias("v4"),
     )
-    return temp.unionByName(budget).unionByName(sheet).unionByName(odds)
+    manifest = shard_manifest_docs_q(spark, sf).select(
+        F.lit("manifest").alias("variant"),
+        F.col("shard").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_rows").alias("v1"),
+        F.col("content_digest").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    )
+    return (
+        temp.unionByName(budget)
+        .unionByName(sheet)
+        .unionByName(odds)
+        .unionByName(manifest)
+    )
 
 
 _DQ_ORACLE = """

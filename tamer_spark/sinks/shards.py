@@ -15,9 +15,10 @@ Design constraints (and how each is met):
   training, not sorted by ingest time) that is identical across runs and
   input partitionings.
 - **Verifiable**: manifest.json records per-shard row counts and an
-  order-independent content digest (sum of row-level md5-derived int64s,
-  wrapping mod 2^64) — a reader can validate any shard in isolation, and
-  two exports of the same data produce byte-identical manifests.
+  order-independent content digest (bit_xor of row-level md5-derived
+  int64s — commutative, associative, overflow-free) — a reader can
+  validate any shard in isolation, and two exports of the same data
+  produce byte-identical manifests.
 - **Scale shape**: ONE shuffle (repartition on the shard id) + in-partition
   sort + parquet write; the manifest aggregate is |shards| rows. No driver
   collect beyond the manifest frame.
@@ -42,6 +43,11 @@ def assign_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — assign_shard would silently "
+            "overwrite it; rename or drop it first"
+        )
     return df.withColumn(
         "shard",
         (stable_hash64(F.concat(F.lit("shard-"), F.col(id_col).cast("string"))) % n_shards).cast(
@@ -50,7 +56,7 @@ def assign_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     )
 
 
-def shard_manifest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def shard_manifest(df: DataFrame) -> DataFrame:
     """(shard, n_rows, content_digest): order-independent per-shard digest —
     XOR of per-row digests of the FULL row (all columns, canonical JSON).
     Commutative + associative + overflow-free under ANSI mode (a wrapping
@@ -88,25 +94,33 @@ def write_training_shards(
     ``_manifest.json`` (underscore-prefixed so parquet directory listings skip it, like _SUCCESS) next to them. Returns the manifest dict.
 
     Rows are sorted within each shard by a salted hash of the id — a fixed
-    pseudo-random training order, identical across runs. The manifest is
-    computed from the SAME DataFrame in the same job (one extra tiny agg),
-    so it cannot drift from the written data.
+    pseudo-random training order, identical across runs. The write and the
+    manifest are two actions, but both read the sharded frame PERSISTED
+    after its one shuffle — a nondeterministic upstream is materialized
+    once, so the manifest cannot drift from the written files (released
+    before return; the persist costs nothing extra since the write already
+    materializes every row).
     """
     from tamer_spark.functions.hashing import stable_hash64
 
-    sharded = assign_shard(df, id_col, n_shards)
-    # "shard" leads the sort: the partitioned-file writer requires its input
-    # ordered by the partition columns and INSERTS ITS OWN sort otherwise,
-    # which does not preserve the secondary order — leading with shard
-    # satisfies the requirement so the (salted hash, id) order survives
-    # into the files byte-stably
-    ordered = sharded.repartition(n_shards, "shard").sortWithinPartitions(
-        "shard",
-        stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
-        id_col,
-    )
-    ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifest_rows = shard_manifest(sharded, id_col).collect()
+    # persist sits above the repartition: both actions then share the
+    # shuffled materialization instead of re-running the upstream plan
+    sharded = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard").persist()
+    try:
+        # "shard" leads the sort: the partitioned-file writer requires its
+        # input ordered by the partition columns and INSERTS ITS OWN sort
+        # otherwise, which does not preserve the secondary order — leading
+        # with shard satisfies the requirement so the (salted hash, id)
+        # order survives into the files byte-stably
+        ordered = sharded.sortWithinPartitions(
+            "shard",
+            stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
+            id_col,
+        )
+        ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
+        manifest_rows = shard_manifest(sharded).collect()
+    finally:
+        sharded.unpersist()
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
@@ -120,7 +134,7 @@ def write_training_shards(
     return manifest
 
 
-def verify_shards(spark, path: str, id_col: str = "doc_id", shard: int | None = None) -> bool:
+def verify_shards(spark, path: str, shard: int | None = None) -> bool:
     """Re-derive the manifest from the written shards and compare — the
     reader-side integrity check. Raises ValueError on any mismatch.
 
@@ -137,7 +151,7 @@ def verify_shards(spark, path: str, id_col: str = "doc_id", shard: int | None = 
         want = {shard: want[shard]}
     got = {
         int(r.shard): {"n_rows": int(r.n_rows), "content_digest": int(r.content_digest)}
-        for r in shard_manifest(df, id_col).collect()
+        for r in shard_manifest(df).collect()
     }
     if got != want:
         bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}

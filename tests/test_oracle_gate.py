@@ -57,28 +57,20 @@ def test_registry_fits_driver_correctness_window():
 
 
 def test_approx_distinct_within_hll_error_of_exact(spark):
-    """approx_distinct_users is the one rows-only gate entry (an HLL++ sketch
-    no other engine reproduces bit-for-bit) — pin its VALUES here instead:
-    every per-group estimate must sit within a generous HLL error band of the
-    exact distinct count (default rsd 5%; 3-sigma ≈ 15%, doubled for the
-    small-cardinality regime at test SF)."""
-    from pyspark.sql import functions as F
+    """approx_distinct_users emits (exact_distinct, n, hll_within_rsd) — the
+    r7 reshape that made the HLL++ gate fully hash-checkable (the r6 shape
+    returned the raw engine-specific estimate, forcing a rows-only driver
+    check). The boolean IS the sketch assertion: it must be TRUE for every
+    group, which pins the estimate within 5×rsd of exact inside the plan
+    itself — if the sketch drifted, the driver hash-mismatches AND this
+    fails."""
+    from tamer_spark.queries import REGISTRY
 
-    from tamer_spark.queries import REGISTRY, _t
-
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["approx_distinct_users"].spark(spark, SF_DIR).collect()
-    }
-    exact = {
-        r["event_type"]: r["exact_users"]
-        for r in _t(spark, SF_DIR, "events")
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("exact_users"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for et, est in approx.items():
-        assert abs(est - exact[et]) <= max(3, 0.3 * exact[et]), (
-            f"{et}: approx {est} vs exact {exact[et]}"
+    rows = REGISTRY["approx_distinct_users"].spark(spark, SF_DIR).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r["hll_within_rsd"] is True, (
+            f"{r['event_type']}: HLL estimate outside 5*rsd of exact "
+            f"{r['exact_distinct']}"
         )
+        assert r["exact_distinct"] <= r["n"]

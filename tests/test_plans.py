@@ -288,16 +288,18 @@ def test_bm25_topk_is_takeordered_with_broadcast_folds(spark):
 
 def test_substring_runs_no_cross_product_and_pruned_scans(spark):
     """Exact substring-run dedup: the candidate stage must be a posting-list
-    equi-join on the window hash (never a doc × doc product), the grid
-    persist must keep the corpus to 2 window-hash scans (one per join
-    side — each branch re-deriving the map stage would double the 100 TB
-    scan bill), and the scans read only (doc_id, text)."""
+    equi-join on the window hash (never a doc × doc product), and the
+    posting-table persist (r7) must keep the corpus to ONE window-hash
+    scan — r6 let each join side re-derive the map stage, doubling the
+    dominant ~1 md5/token cost at 100 TB. The surviving scan reads only
+    (doc_id, text)."""
     spark.catalog.clearCache()
     df = _spark_fn("substring_run_pairs")(spark, SF_DIR)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     scans = read_schema_columns(df)
-    assert len([s for s in scans if s == {"doc_id", "text"}]) == 2, scans
+    assert len([s for s in scans if s == {"doc_id", "text"}]) == 1, scans
+    spark.catalog.clearCache()
 
 
 def test_contamination_score_broadcasts_benchmark(spark):
