@@ -434,9 +434,19 @@ def main() -> None:
     # driver number moves outside its spread with no code change (r6
     # pq_encode) — it separates host/ambient-heap effects from plan changes.
     only = os.environ.get("SPARK_GRAFT_BENCH_GROUPS")
-    run_groups = GROUPS if not only else [
-        (g, n) for g, n in GROUPS if g in {s.strip() for s in only.split(",")}
-    ]
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        known = {g for g, _ in GROUPS}
+        # fail loudly on a typo: a silently-empty run_groups would emit a
+        # plausible-looking but empty bench result
+        if not wanted or wanted - known:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_GROUPS: unknown group(s) {sorted(wanted - known)}; "
+                f"valid: {sorted(known)}"
+            )
+        run_groups = [(g, n) for g, n in GROUPS if g in wanted]
+    else:
+        run_groups = GROUPS
 
     for gname, names in run_groups:
         # per-group warm-up pass: JIT-compile the generated code, prime

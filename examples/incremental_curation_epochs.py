@@ -22,8 +22,9 @@ Per-epoch cost is O(batch), never O(history):
   (overwrite-by-epoch = the idempotent replay contract, so a crash
   between write and state commit replays harmlessly).
 
-The run deliberately stops after epoch 1, exports shards, RESUMES from
-the checkpoint (no epoch-1 re-read — exactly-once observable), drains,
+The run deliberately stops after the first epoch (the engine numbers
+epochs from 0), exports shards, RESUMES from the checkpoint (no
+first-epoch re-read — exactly-once observable), drains,
 re-exports, and asserts the shard_diff invariant: changed shards ==
 exactly the shards the new doc ids hash into; every other shard's
 manifest row is byte-identical, so an incremental publisher re-uploads
@@ -69,14 +70,22 @@ def _read_or_empty(path: Path, schema: str):
     return spark.createDataFrame([], schema)
 
 
+def _epochs(path: Path) -> list[int]:
+    """Epoch partition numbers present under ``path``, ascending. The engine
+    numbers epochs from 0 (state.py initializes epoch 0; engine.py writes
+    each batch with the CURRENT doc.epoch before committing epoch+1) — so
+    readers derive epoch numbers from the directory, never hardcode them."""
+    return sorted(int(p.name.split("=", 1)[1]) for p in path.glob("epoch=*"))
+
+
 @dataclass
 class CrawlSource:
-    """Epoch 1: the base slice (ids ≡ 0 mod 3). Epoch 2: a re-crawl built
-    FROM THE CURATED SURVIVORS at iteration time — 30 verbatim re-sends
-    under fresh ids (exact-index fodder), 5 near-dups with a tweaked tail
-    (winnow fodder: same fingerprints, new digest), 10 verbatim benchmark
-    copies (contamination fodder), and 6 genuinely new docs. Epoch 3+:
-    drained."""
+    """First epoch: the base slice (ids ≡ 0 mod 3). Second epoch: a
+    re-crawl built FROM THE CURATED SURVIVORS at iteration time — 20
+    verbatim re-sends under fresh ids (exact-index fodder), 5 near-dups
+    with a tweaked tail (winnow fodder: same fingerprints, new digest),
+    10 verbatim benchmark copies (contamination fodder), and 6 genuinely
+    new docs. Afterwards: drained."""
 
     def initial_state(self):
         return 1
@@ -88,13 +97,15 @@ class CrawlSource:
         if state == 1:
             return raw.filter(F.col("doc_id") % 3 == 0), 2
         if state == 2:
+            # read the LATEST curated epoch partition (the engine numbers
+            # epochs from 0 — derive, don't hardcode)
             base = (
                 spark.read.option("basePath", str(CURATED))
-                .parquet(str(CURATED) + "/epoch=1")
+                .parquet(str(CURATED) + f"/epoch={_epochs(CURATED)[-1]}")
                 .select("doc_id", "text")
                 .orderBy("doc_id")
             )
-            resent = base.limit(30).select(
+            resent = base.limit(20).select(
                 (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
             )
             near = base.limit(5).select(
@@ -200,27 +211,29 @@ d = shard_diff(export_a, export_b)
 # the manifest-diff invariant: stable id-hash membership means an
 # append-only corpus change touches EXACTLY the shards the new ids hash
 # into — compute that set independently and demand equality
+epochs = _epochs(CURATED)
+assert len(epochs) == 2, f"expected exactly two curated epochs, found {epochs}"
 new_docs = (
     spark.read.option("basePath", str(CURATED))
-    .parquet(str(CURATED) + "/epoch=2")
+    .parquet(str(CURATED) + f"/epoch={epochs[-1]}")
     .select("doc_id")
 )
 expected_changed = sorted(
     r.shard for r in assign_shard(new_docs, "doc_id", N_SHARDS).select("shard").distinct().collect()
 )
 
-e1, e2 = sink.stats[1], sink.stats[2]
-print(f"epoch 1: {e1['in']} crawled -> {e1['out']} curated (cold start)")
+e1, e2 = (sink.stats[e] for e in epochs)
+print(f"epoch {epochs[0]}: {e1['in']} crawled -> {e1['out']} curated (cold start)")
 print(
-    f"epoch 2: {e2['in']} crawled -> {e2['out']} curated "
-    f"(30 re-sent + 5 near-dup + 10 contaminated dropped at O(batch) cost)"
+    f"epoch {epochs[-1]}: {e2['in']} crawled -> {e2['out']} curated "
+    f"(20 re-sent + 5 near-dup + 10 contaminated dropped at O(batch) cost)"
 )
 print(
     f"re-publish: shards changed {d['changed']} / unchanged {d['unchanged']} "
     f"(expected changed from the new ids: {expected_changed})"
 )
 
-assert e2["in"] == 51 and e2["out"] == 6, sink.stats
+assert e2["in"] == 41 and e2["out"] == 6, sink.stats
 assert d["only_a"] == [] and d["only_b"] == []
 assert d["changed"] == expected_changed, (d, expected_changed)
 assert len(d["unchanged"]) == N_SHARDS - len(expected_changed)

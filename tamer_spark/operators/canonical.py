@@ -36,13 +36,20 @@ def select_canonical(
     with a per-doc score. Join the result back on ``keep_id`` (left_semi)
     to materialize the curated survivors."""
     id_type = dict(clustered.dtypes)[id_col]
-    if id_type not in {"tinyint", "smallint", "int", "bigint"} and not id_type.startswith(
-        "decimal"
-    ):
+    ok = id_type in {"tinyint", "smallint", "int", "bigint"}
+    if not ok and id_type.startswith("decimal("):
+        # only scale-0 decimals that round-trip through decimal(20,0): a
+        # scaled decimal (1.50) would be ROUNDED by the cast (silent wrong
+        # keep_id) and precision > 20 fails the ANSI cast at runtime —
+        # both are exactly the failure classes this check exists to stop
+        p, s = (int(x) for x in id_type[8:-1].split(","))
+        ok = s == 0 and p <= 20
+    if not ok:
         raise TypeError(
-            f"select_canonical requires a numeric id column for the smallest-id "
-            f"tie-break ({id_col} is {id_type}); map string ids to a numeric "
-            "surrogate (e.g. stable_hash64) or pre-rank upstream"
+            f"select_canonical requires an integral id column (or decimal(p<=20,0)) "
+            f"for the smallest-id tie-break ({id_col} is {id_type}); map string or "
+            "scaled-decimal ids to a numeric surrogate (e.g. stable_hash64) or "
+            "pre-rank upstream"
         )
     # negate in DECIMAL(20,0): exact for every int64 (Long.MIN_VALUE
     # included — an int64 negation of it overflows under ANSI)

@@ -3898,7 +3898,12 @@ def shard_manifest_docs_q(spark, sf):
     FROM (
       WITH _mr AS (
         SELECT CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
-               '{{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":' || to_json(text) || '}}' AS rj
+               -- mirror Spark to_json's ignoreNullFields default: a NULL
+               -- text OMITS the key (string concat would instead NULL the
+               -- whole row expression and bit_xor would silently skip it)
+               '{{"doc_id":' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN text IS NULL THEN '' ELSE ',"text":' || to_json(text) END
+                 || '}}' AS rj
         FROM documents)
       SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
              bit_xor(CAST(('0x' || substr(md5(rj), 1, 15)) AS BIGINT)) AS content_digest

@@ -62,8 +62,9 @@ def shard_manifest(df: DataFrame) -> DataFrame:
     Commutative + associative + overflow-free under ANSI mode (a wrapping
     SUM of 60-bit hashes throws ARITHMETIC_OVERFLOW), so it
     partial-aggregates map-side and never depends on row order or
-    partitioning. XOR cancels duplicate rows pairwise — harmless here
-    because rows carry unique ids, and n_rows is checked alongside."""
+    partitioning. XOR cancels duplicate rows pairwise — safe because
+    ``write_training_shards`` REJECTS duplicate/NULL ids at export time
+    (see its ValueError contract), and n_rows is checked alongside."""
     from tamer_spark.functions.hashing import stable_hash64
 
     # NAME-sorted struct fields: the write side and the verify side see
@@ -95,32 +96,50 @@ def write_training_shards(
 
     Rows are sorted within each shard by a salted hash of the id — a fixed
     pseudo-random training order, identical across runs. The write and the
-    manifest are two actions, but both read the sharded frame PERSISTED
-    after its one shuffle — a nondeterministic upstream is materialized
-    once, so the manifest cannot drift from the written files (released
-    before return; the persist costs nothing extra since the write already
-    materializes every row).
+    manifest are two actions, but both read the sharded frame hard-
+    materialized (``localCheckpoint`` — the repo's stage-boundary
+    convention) after its one shuffle: unlike ``persist``, a checkpoint
+    cannot be evicted and recomputed from a nondeterministic upstream, so
+    the manifest provably cannot drift from the written files. Blocks are
+    released when the local frame is garbage-collected after return.
+
+    Raises ValueError when ``id_col`` has duplicate or NULL values: the
+    manifest's XOR digest cancels even-multiplicity rows pairwise, so two
+    divergent shards with duplicated rows could otherwise verify as equal
+    — pre-dedup corpora must be deduplicated (or given a surrogate unique
+    id) before export.
     """
     from tamer_spark.functions.hashing import stable_hash64
 
-    # persist sits above the repartition: both actions then share the
-    # shuffled materialization instead of re-running the upstream plan
-    sharded = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard").persist()
-    try:
-        # "shard" leads the sort: the partitioned-file writer requires its
-        # input ordered by the partition columns and INSERTS ITS OWN sort
-        # otherwise, which does not preserve the secondary order — leading
-        # with shard satisfies the requirement so the (salted hash, id)
-        # order survives into the files byte-stably
-        ordered = sharded.sortWithinPartitions(
-            "shard",
-            stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
-            id_col,
+    # the checkpoint sits above the repartition: all three actions
+    # (uniqueness gate, file write, manifest) then share the one shuffled
+    # materialization instead of re-running the upstream plan
+    sharded = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard").localCheckpoint()
+    # uniqueness gate: one tiny 1-row agg over the checkpointed frame.
+    # count(lit(1)) counts every row while count_distinct skips NULLs, so
+    # this single comparison catches both duplicate and NULL ids.
+    chk = sharded.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(id_col)).alias("d")
+    ).collect()[0]
+    if chk.n != chk.d:
+        raise ValueError(
+            f"write_training_shards requires unique non-NULL {id_col!r} values "
+            f"({chk.n} rows, {chk.d} distinct non-NULL ids): the XOR content "
+            "digest cancels duplicate rows pairwise, which would blind "
+            "verify_shards — dedup or add a surrogate id before export"
         )
-        ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
-        manifest_rows = shard_manifest(sharded).collect()
-    finally:
-        sharded.unpersist()
+    # "shard" leads the sort: the partitioned-file writer requires its
+    # input ordered by the partition columns and INSERTS ITS OWN sort
+    # otherwise, which does not preserve the secondary order — leading
+    # with shard satisfies the requirement so the (salted hash, id)
+    # order survives into the files byte-stably
+    ordered = sharded.sortWithinPartitions(
+        "shard",
+        stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest_rows = shard_manifest(sharded).collect()
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
