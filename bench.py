@@ -415,38 +415,41 @@ def _teardown_group(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def select_groups(only: str | None) -> list[tuple[str, list[str]]]:
+    """Resolve the SPARK_GRAFT_BENCH_GROUPS bisect knob (comma-separated
+    group names; None/empty-var = all). Raises SystemExit on an unknown
+    name: a silently-empty run list would emit a plausible-looking but
+    empty bench result. Session-free so a typo fails in milliseconds."""
+    if not only:
+        return GROUPS
+    wanted = {s.strip() for s in only.split(",") if s.strip()}
+    known = {g for g, _ in GROUPS}
+    if not wanted or wanted - known:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_GROUPS: unknown group(s) {sorted(wanted - known)}; "
+            f"valid: {sorted(known)}"
+        )
+    return [(g, n) for g, n in GROUPS if g in wanted]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    grouped = {n for _, names in GROUPS for n in names}
+    assert grouped == set(HEADLINE), f"GROUPS/HEADLINE drift: {grouped ^ set(HEADLINE)}"
+    # Bisect knob, validated BEFORE the session spins up. Running a group
+    # alone vs in the full sequence is the prescribed first step when a
+    # driver number moves outside its spread with no code change (r6
+    # pq_encode) — it separates host/ambient-heap effects from plan changes.
+    run_groups = select_groups(os.environ.get("SPARK_GRAFT_BENCH_GROUPS"))
+
     spark = tamer_spark.get_spark("tamer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    grouped = {n for _, names in GROUPS for n in names}
-    assert grouped == set(HEADLINE), f"GROUPS/HEADLINE drift: {grouped ^ set(HEADLINE)}"
-
-    # Bisect knob: SPARK_GRAFT_BENCH_GROUPS="semantic,serving" runs only the
-    # named heap-isolated groups (comma-separated). Default = all. Running a
-    # group alone vs in the full sequence is the prescribed first step when a
-    # driver number moves outside its spread with no code change (r6
-    # pq_encode) — it separates host/ambient-heap effects from plan changes.
-    only = os.environ.get("SPARK_GRAFT_BENCH_GROUPS")
-    if only:
-        wanted = {s.strip() for s in only.split(",") if s.strip()}
-        known = {g for g, _ in GROUPS}
-        # fail loudly on a typo: a silently-empty run_groups would emit a
-        # plausible-looking but empty bench result
-        if not wanted or wanted - known:
-            raise SystemExit(
-                f"SPARK_GRAFT_BENCH_GROUPS: unknown group(s) {sorted(wanted - known)}; "
-                f"valid: {sorted(known)}"
-            )
-        run_groups = [(g, n) for g, n in GROUPS if g in wanted]
-    else:
-        run_groups = GROUPS
 
     for gname, names in run_groups:
         # per-group warm-up pass: JIT-compile the generated code, prime

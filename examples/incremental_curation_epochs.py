@@ -97,11 +97,16 @@ class CrawlSource:
         if state == 1:
             return raw.filter(F.col("doc_id") % 3 == 0), 2
         if state == 2:
-            # read the LATEST curated epoch partition (the engine numbers
-            # epochs from 0 — derive, don't hardcode)
+            # read the EARLIEST curated epoch partition (the engine numbers
+            # epochs from 0 — derive, don't hardcode). Earliest, not latest:
+            # if a crash lands between the second epoch's sink write and its
+            # state commit, the replay re-enters state=2 with its own
+            # epoch=1 partition already on disk — [-1] would rebuild the
+            # batch from the 6 fresh docs it just wrote instead of the
+            # epoch-0 survivors, breaking the idempotent-replay contract
             base = (
                 spark.read.option("basePath", str(CURATED))
-                .parquet(str(CURATED) + f"/epoch={_epochs(CURATED)[-1]}")
+                .parquet(str(CURATED) + f"/epoch={_epochs(CURATED)[0]}")
                 .select("doc_id", "text")
                 .orderBy("doc_id")
             )

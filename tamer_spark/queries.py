@@ -3900,7 +3900,12 @@ def shard_manifest_docs_q(spark, sf):
         SELECT CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
                -- mirror Spark to_json's ignoreNullFields default: a NULL
                -- text OMITS the key (string concat would instead NULL the
-               -- whole row expression and bit_xor would silently skip it)
+               -- whole row expression and bit_xor would silently skip it).
+               -- doc_id deliberately gets NO such CASE: write_training_shards
+               -- REJECTS NULL ids at export time (its ValueError gate), so a
+               -- NULL id is outside the modeled sink's domain — encoding it
+               -- here would claim a digest for an export that cannot exist
+
                '{{"doc_id":' || CAST(doc_id AS VARCHAR)
                  || CASE WHEN text IS NULL THEN '' ELSE ',"text":' || to_json(text) END
                  || '}}' AS rj

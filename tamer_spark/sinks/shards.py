@@ -84,11 +84,19 @@ def shard_manifest(df: DataFrame) -> DataFrame:
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently registered as persisted with the context —
+    localCheckpoint registers its block-backed RDD here, and (unlike a
+    CacheManager entry) ``DataFrame.unpersist()`` can NOT release it."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
     n_shards: int,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic parquet shards under
     ``path`` (hive-partitioned ``shard=K/`` directories) and write
@@ -97,49 +105,86 @@ def write_training_shards(
     Rows are sorted within each shard by a salted hash of the id — a fixed
     pseudo-random training order, identical across runs. The write and the
     manifest are two actions, but both read the sharded frame hard-
-    materialized (``localCheckpoint`` — the repo's stage-boundary
-    convention) after its one shuffle: unlike ``persist``, a checkpoint
+    materialized after its one shuffle: unlike ``persist``, a checkpoint
     cannot be evicted and recomputed from a nondeterministic upstream, so
-    the manifest provably cannot drift from the written files. Blocks are
-    released when the local frame is garbage-collected after return.
+    the manifest provably cannot drift from the written files.
+
+    ``checkpoint_dir`` picks the materialization:
+
+    - ``None`` (default): ``localCheckpoint`` — blocks live in executor
+      storage, zero external dependencies. CAVEAT at cluster scale: an
+      executor loss (incl. dynamic-allocation decommission) makes the
+      checkpointed blocks unrecoverable and ABORTS the export job — the
+      retry is deterministic (same manifest), but for a 100 TB export on
+      preemptible hardware prefer the reliable mode.
+    - a path: reliable ``checkpoint()`` to that directory (HDFS/S3 on a
+      cluster) — survives executor loss; the export job itself becomes
+      fault-tolerant. The caller owns the directory's lifecycle (Spark
+      only auto-deletes it with spark.cleaner.referenceTracking.
+      cleanCheckpoints=true); delete it after the export returns.
+
+    In the local mode the checkpoint blocks are released DETERMINISTICALLY
+    before return (persistent-RDD snapshot diff — back-to-back exports
+    never pin multiple corpus copies waiting for the JVM ContextCleaner).
 
     Raises ValueError when ``id_col`` has duplicate or NULL values: the
-    manifest's XOR digest cancels even-multiplicity rows pairwise, so two
+    manifest's XOR digest cancels duplicate rows pairwise, so two
     divergent shards with duplicated rows could otherwise verify as equal
     — pre-dedup corpora must be deduplicated (or given a surrogate unique
     id) before export.
     """
     from tamer_spark.functions.hashing import stable_hash64
 
+    sc = df.sparkSession.sparkContext
     # the checkpoint sits above the repartition: all three actions
     # (uniqueness gate, file write, manifest) then share the one shuffled
     # materialization instead of re-running the upstream plan
-    sharded = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard").localCheckpoint()
-    # uniqueness gate: one tiny 1-row agg over the checkpointed frame.
-    # count(lit(1)) counts every row while count_distinct skips NULLs, so
-    # this single comparison catches both duplicate and NULL ids.
-    chk = sharded.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(id_col)).alias("d")
-    ).collect()[0]
-    if chk.n != chk.d:
-        raise ValueError(
-            f"write_training_shards requires unique non-NULL {id_col!r} values "
-            f"({chk.n} rows, {chk.d} distinct non-NULL ids): the XOR content "
-            "digest cancels duplicate rows pairwise, which would blind "
-            "verify_shards — dedup or add a surrogate id before export"
+    plan = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard")
+    before: set[int] = set()
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+        sharded = plan.checkpoint()
+    else:
+        before = _persistent_rdd_ids(sc)
+        sharded = plan.localCheckpoint()
+    try:
+        # uniqueness gate: one tiny 1-row agg over the checkpointed frame.
+        # count(lit(1)) counts every row while count_distinct skips NULLs, so
+        # this single comparison catches both duplicate and NULL ids.
+        chk = sharded.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(id_col)).alias("d")
+        ).collect()[0]
+        if chk.n != chk.d:
+            raise ValueError(
+                f"write_training_shards requires unique non-NULL {id_col!r} values "
+                f"({chk.n} rows, {chk.d} distinct non-NULL ids): the XOR content "
+                "digest cancels duplicate rows pairwise, which would blind "
+                "verify_shards — dedup or add a surrogate id before export"
+            )
+        # "shard" leads the sort: the partitioned-file writer requires its
+        # input ordered by the partition columns and INSERTS ITS OWN sort
+        # otherwise, which does not preserve the secondary order — leading
+        # with shard satisfies the requirement so the (salted hash, id)
+        # order survives into the files byte-stably
+        ordered = sharded.sortWithinPartitions(
+            "shard",
+            stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
+            id_col,
         )
-    # "shard" leads the sort: the partitioned-file writer requires its
-    # input ordered by the partition columns and INSERTS ITS OWN sort
-    # otherwise, which does not preserve the secondary order — leading
-    # with shard satisfies the requirement so the (salted hash, id)
-    # order survives into the files byte-stably
-    ordered = sharded.sortWithinPartitions(
-        "shard",
-        stable_hash64(F.concat(F.lit("order-"), F.col(id_col).cast("string"))),
-        id_col,
-    )
-    ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifest_rows = shard_manifest(sharded).collect()
+        ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
+        manifest_rows = shard_manifest(sharded).collect()
+    finally:
+        if checkpoint_dir is None:
+            # release the localCheckpoint blocks NOW (also on the ValueError
+            # path) — DataFrame.unpersist() cannot reach an RDD-level
+            # persist, so diff the context's persistent-RDD registry. Safe
+            # under the repo's single-threaded-driver convention: only ids
+            # that appeared during THIS call are touched.
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in _persistent_rdd_ids(sc) - before:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,

@@ -26,3 +26,49 @@ def test_llm_curation_pipeline_example_runs_green():
     assert "documents: " in out and "decontaminated" in out, out
     assert "train shards: " in out and "verified" in out, out
     assert "hybrid retrieval" in out, out
+
+
+def _run_example(name: str, timeout: int = 600) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, name],
+        cwd=REPO / "examples",
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_incremental_curation_epochs_example_runs_green():
+    # the r7 rot case: this example broke silently because nothing executed
+    # it — its manifest-diff invariant is load-bearing for the incremental
+    # publish story, so it runs INSIDE the suite from r9 on
+    proc = _run_example("incremental_curation_epochs.py")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "manifest-diff invariant holds" in proc.stdout, proc.stdout
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every runnable example is suite-guarded (r9): each is self-
+        # contained (in-process HTTP servers, local object-store fakes,
+        # /root/testdata parquet) and asserts its own invariants — the
+        # suite only demands a clean exit so examples cannot rot unseen
+        "ann_retrieval.py",
+        "database_simple.py",
+        "database_generalized.py",
+        "rest_simple.py",
+        "rest_basic_auth.py",
+        "rest_custom_auth.py",
+        "rest_dynamic_data.py",
+        "s3_simple.py",
+        "s3_generalized.py",
+        "oci_object_storage_simple.py",
+    ],
+)
+def test_example_smoke(name):
+    proc = _run_example(name)
+    assert proc.returncode == 0, f"{name}:\n{proc.stderr[-2000:]}"

@@ -106,3 +106,65 @@ def test_single_shard_verification_and_diff(spark, tmp_path):
     for k in d["unchanged"]:
         assert ma[str(k)] == mb[str(k)]
     assert sum(mb[str(k)]["n_rows"] for k in range(4)) == 130
+
+
+def test_export_rejects_duplicate_and_null_ids(spark, tmp_path):
+    # r8 guard: the XOR manifest digest cancels duplicate rows pairwise, so
+    # the sink must refuse non-unique ids — and the error must name the
+    # count mismatch so the contract text is load-bearing
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(
+        ValueError, match=r"unique non-NULL 'doc_id' values \(3 rows, 2 distinct"
+    ):
+        write_training_shards(dup, str(tmp_path / "d"), 2)
+    # the gate fires BEFORE the file write: nothing lands under the path
+    assert not (tmp_path / "d").exists()
+
+    nulls = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    # count_distinct skips NULLs, so the same single comparison catches them
+    with pytest.raises(ValueError, match=r"\(2 rows, 1 distinct"):
+        write_training_shards(nulls, str(tmp_path / "n"), 2)
+
+
+def test_reliable_checkpoint_mode_manifest_identical(spark, tmp_path):
+    # checkpoint_dir=None (localCheckpoint) and a reliable checkpoint dir
+    # must be observationally identical exports — byte-identical manifests,
+    # verifiable files; only the fault-tolerance story differs
+    m_local = write_training_shards(_corpus(spark), str(tmp_path / "local"), 4)
+    m_rel = write_training_shards(
+        _corpus(spark), str(tmp_path / "rel"), 4, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert m_local == m_rel
+    assert verify_shards(spark, str(tmp_path / "rel"))
+    assert Path(tmp_path / "local", "_manifest.json").read_bytes() == Path(
+        tmp_path / "rel", "_manifest.json"
+    ).read_bytes()
+    # the reliable checkpoint actually materialized in the caller-owned dir
+    assert any((tmp_path / "ckpt").rglob("rdd-*")), "no reliable checkpoint written"
+
+
+def test_localcheckpoint_blocks_released_deterministically(spark, tmp_path):
+    # back-to-back exports must not pin multiple corpus copies waiting for
+    # the JVM ContextCleaner — the sink diffs the persistent-RDD registry
+    # and unpersists its own blocks before returning, on success AND on the
+    # ValueError gate path
+    import pytest
+
+    from tamer_spark.sinks.shards import _persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    write_training_shards(_corpus(spark), str(tmp_path / "s"), 4)
+    assert _persistent_rdd_ids(sc) - before == set()
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id long, text string")
+    before = _persistent_rdd_ids(sc)
+    with pytest.raises(ValueError):
+        write_training_shards(dup, str(tmp_path / "d"), 2)
+    assert _persistent_rdd_ids(sc) - before == set()
