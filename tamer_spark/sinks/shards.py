@@ -87,8 +87,30 @@ def shard_manifest(df: DataFrame) -> DataFrame:
 def _persistent_rdd_ids(sc) -> set[int]:
     """Ids of RDDs currently registered as persisted with the context —
     localCheckpoint registers its block-backed RDD here, and (unlike a
-    CacheManager entry) ``DataFrame.unpersist()`` can NOT release it."""
+    CacheManager entry) ``DataFrame.unpersist()`` can NOT release it.
+    (Kept for tests/diagnostics; the sink itself targets its own RDD —
+    see ``_checkpointed_jrdd``.)"""
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _checkpointed_jrdd(checkpointed_df: DataFrame):
+    """The java RDD backing a just-``localCheckpoint()``-ed frame — its
+    analyzed plan is a ``LogicalRDD`` wrapping exactly the RDD that
+    ``localCheckpoint`` persisted. Targeting THIS RDD (instead of diffing
+    the context's persistent-RDD registry, the pre-r10 approach) cannot
+    touch anything the caller owns: a caller frame built over a
+    cached-but-not-yet-materialized DataFrame registers its
+    InMemoryRelation's backing RDD during the export's materialization,
+    and a registry diff would have silently evicted that cache. Returns
+    None if the plan shape ever changes (release then falls back to the
+    JVM ContextCleaner — correct, just not deterministic)."""
+    try:
+        plan = checkpointed_df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return None
+        return plan.rdd()
+    except Exception:  # pragma: no cover - defensive against plan changes
+        return None
 
 
 def write_training_shards(
@@ -121,11 +143,22 @@ def write_training_shards(
       cluster) — survives executor loss; the export job itself becomes
       fault-tolerant. The caller owns the directory's lifecycle (Spark
       only auto-deletes it with spark.cleaner.referenceTracking.
-      cleanCheckpoints=true); delete it after the export returns.
+      cleanCheckpoints=true); delete it after the export returns. The
+      context's checkpoint dir is saved and RESTORED around the call
+      (including the unset state and every error path), so an export
+      never redirects the session's other ``.checkpoint()`` call sites
+      — e.g. the cc.py reliable-checkpoint seam — into a directory the
+      caller is about to delete. The plan is ``persist()``-ed across the
+      eager checkpoint so its second pass (the checkpoint file write)
+      reads cached blocks instead of recomputing the post-shuffle stage
+      — one data pass, not two, in exactly the 100 TB preemptible
+      scenario this mode exists for.
 
     In the local mode the checkpoint blocks are released DETERMINISTICALLY
-    before return (persistent-RDD snapshot diff — back-to-back exports
-    never pin multiple corpus copies waiting for the JVM ContextCleaner).
+    before return (the sink unpersists ITS OWN LogicalRDD, extracted from
+    the checkpointed frame's plan — back-to-back exports never pin
+    multiple corpus copies waiting for the JVM ContextCleaner, and caller
+    caches that happen to materialize during the export are untouched).
 
     Raises ValueError when ``id_col`` has duplicate or NULL values: the
     manifest's XOR digest cancels duplicate rows pairwise, so two
@@ -140,13 +173,30 @@ def write_training_shards(
     # (uniqueness gate, file write, manifest) then share the one shuffled
     # materialization instead of re-running the upstream plan
     plan = assign_shard(df, id_col, n_shards).repartition(n_shards, "shard")
-    before: set[int] = set()
+    ckpt_jrdd = None
     if checkpoint_dir is not None:
+        # setCheckpointDir mutates process-global SparkContext state: save
+        # the prior value (a scala Option — the UUID-suffixed resolved dir)
+        # and restore it the moment the checkpoint exists, unset included
+        # (Option(null) is None on the scala side)
+        jsc = sc._jsc.sc()
+        prev = jsc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
-        sharded = plan.checkpoint()
+        try:
+            # persist across the eager checkpoint: checkpoint() runs the
+            # action AND a checkpoint-write job that would otherwise
+            # recompute the post-shuffle stage from shuffle files — the
+            # cache turns the second pass into a block read
+            plan.persist()
+            try:
+                sharded = plan.checkpoint()
+            finally:
+                plan.unpersist()
+        finally:
+            jsc.setCheckpointDir(prev.get() if prev.isDefined() else None)
     else:
-        before = _persistent_rdd_ids(sc)
         sharded = plan.localCheckpoint()
+        ckpt_jrdd = _checkpointed_jrdd(sharded)
     try:
         # uniqueness gate: one tiny 1-row agg over the checkpointed frame.
         # count(lit(1)) counts every row while count_distinct skips NULLs, so
@@ -174,17 +224,13 @@ def write_training_shards(
         ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
         manifest_rows = shard_manifest(sharded).collect()
     finally:
-        if checkpoint_dir is None:
+        if ckpt_jrdd is not None:
             # release the localCheckpoint blocks NOW (also on the ValueError
             # path) — DataFrame.unpersist() cannot reach an RDD-level
-            # persist, so diff the context's persistent-RDD registry. Safe
-            # under the repo's single-threaded-driver convention: only ids
-            # that appeared during THIS call are touched.
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in _persistent_rdd_ids(sc) - before:
-                jrdd = jmap.get(rid)
-                if jrdd is not None:
-                    jrdd.unpersist(False)
+            # persist. Only the sink's OWN checkpointed RDD is touched;
+            # caller caches (even ones first materialized inside this call)
+            # are never at risk.
+            ckpt_jrdd.unpersist(False)
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
