@@ -9,6 +9,13 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+# the examples tier is ~12 min of fresh-JVM subprocesses — full suite (the
+# default; what CI/the driver runs) keeps it, the inner dev loop skips it
+# with `-m "not examples"` (marker registered in pytest.ini)
+pytestmark = pytest.mark.examples
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -45,9 +52,6 @@ def test_incremental_curation_epochs_example_runs_green():
     proc = _run_example("incremental_curation_epochs.py")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "manifest-diff invariant holds" in proc.stdout, proc.stdout
-
-
-import pytest  # noqa: E402
 
 
 @pytest.mark.parametrize(
