@@ -19,9 +19,18 @@ one isEmpty). Candidates measured here, all exact (no false convergence):
   v3_combined    — v2 pacing with v1's count-gated cheap test.
 
 Run AFTER the bench-contaminating background work is done, on a quiet host:
-  python scripts/cc_ab_probe.py [sf_dir]
+  python scripts/cc_ab_probe.py [sf_dir]        # LSH-pair graph (shallow: 2 rounds at sf0.1)
+  python scripts/cc_ab_probe.py --deep [log2_n] # synthetic PATH graph (deep: ~log2 n rounds)
 Prints per-variant median-of-3 seconds + rounds; asserts all variants
 produce the identical (node, component) set before timing counts.
+
+The --deep mode (round 10) answers what the LSH graph cannot: the sf0.1
+candidate-pair graph (256 pairs) converges in 2 star rounds, so fused-round
+variants are penalized purely by fixed-point overshoot and the count gate
+never gets a mid-run round to skip the heavy test on. A path graph of 2^k
+nodes (diameter 2^k - 1) forces ~k alternating star rounds — the regime a
+100 TB boilerplate-chain component actually occupies (cc.py claims ~20
+rounds for 1M-doc chains; --deep 16 tests the shape of that claim at 65k).
 """
 
 from __future__ import annotations
@@ -116,20 +125,40 @@ VARIANTS = [
 ]
 
 
+def _path_graph(spark, log2_n: int):
+    """Edges of a path over 2^log2_n nodes — diameter 2^log2_n - 1, ONE
+    component with minimum 0; the deepest star-round regime per edge count."""
+    n = 1 << log2_n
+    return (
+        spark.range(n - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:]]
+    deep = "--deep" in argv
+    if deep:
+        argv.remove("--deep")
     spark = tamer_spark.get_spark("cc-ab-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    d = Q._t(spark, sf_dir, "documents")
-    pairs = (
-        Q.minhash_lsh_pairs(
-            d, k=Q._K, bands=Q._BANDS, n=Q._N, seed=42, max_bucket=Q._MAX_BUCKET
+    if deep:
+        log2_n = int(argv[0]) if argv else 16
+        pairs = _path_graph(spark, log2_n).repartition(32, "doc_a").persist()
+        n_pairs = pairs.count()
+        print(f"# DEEP path graph: nodes=2^{log2_n} edges={n_pairs}", file=sys.stderr)
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+        d = Q._t(spark, sf_dir, "documents")
+        pairs = (
+            Q.minhash_lsh_pairs(
+                d, k=Q._K, bands=Q._BANDS, n=Q._N, seed=42, max_bucket=Q._MAX_BUCKET
+            )
+            .repartition("doc_a")
+            .persist()
         )
-        .repartition("doc_a")
-        .persist()
-    )
-    n_pairs = pairs.count()
-    print(f"# pairs={n_pairs} sf_dir={sf_dir}", file=sys.stderr)
+        n_pairs = pairs.count()
+        print(f"# pairs={n_pairs} sf_dir={sf_dir}", file=sys.stderr)
 
     # correctness first: every variant must emit the identical component set
     def fingerprint(df):
