@@ -62,12 +62,12 @@ OPS = [
 ]
 
 
-def synthesize_10x(spark, src: str, dst: Path) -> None:
-    """Explode documents/embeddings 10×: copies keep the text (so duplicate
-    clusters survive, ×10) but take distinct doc ids; other tables copied."""
+def synthesize_nx(spark, src: str, dst: Path, n: int = 10) -> None:
+    """Explode documents/embeddings n×: copies keep the text (so duplicate
+    clusters survive, ×n) but take distinct doc ids; other tables copied."""
     dst.mkdir(parents=True, exist_ok=True)
     d = spark.read.parquet(f"{src}/documents.parquet")
-    copies = spark.range(10).select(F.col("id").alias("copy"))
+    copies = spark.range(n).select(F.col("id").alias("copy"))
     # repartition(32) before write: the source file is ONE row group, so the
     # crossJoin would otherwise emit a single output file and every map-only
     # probe op would run single-threaded — an artifact, not a measurement. A
@@ -105,10 +105,51 @@ def time_op(spark, name: str, sf_dir: str) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def watch_mode(spark, ops: list[str]) -> None:
+    """Focused 1×/3×/10× linearity run for the named OPS entries only (r10:
+    the standing bench-watch follow-up — an entry sitting above its r6
+    level gets one probe run here to pin flat-vs-linear before anyone
+    touches its plan). Skips the specialty sections; prints the same
+    one-JSON summary shape with per-step ratios."""
+    steps = [("sf0.1", "/root/testdata/sf0.1")]
+    for n in (3, 10):
+        dst = SCRATCH.parent / f"scale_probe_{n}x"
+        synthesize_nx(spark, "/root/testdata/sf0.1", dst, n)
+        steps.append((f"sf0.1x{n}", str(dst)))
+    results: dict[str, dict[str, float]] = {}
+    for name in ops:
+        # untimed sf0.01 warmup: the session's FIRST execution of a plan
+        # pays JIT/codegen/broadcast warmup that would otherwise inflate
+        # the 1× step and fake a sub-linear ratio
+        time_op(spark, name, "/root/testdata/sf0.01")
+        results[name] = {}
+        for label, path in steps:
+            spark.catalog.clearCache()
+            results[name][label] = time_op(spark, name, path)
+            print(f"# {name}@{label}: {results[name][label]}s", file=sys.stderr)
+    summary = {
+        name: {
+            **{f"t_{k}": v for k, v in r.items()},
+            "ratio_3x": round(r["sf0.1x3"] / r["sf0.1"], 2),
+            "ratio_10x": round(r["sf0.1x10"] / r["sf0.1"], 2),
+        }
+        for name, r in results.items()
+    }
+    print(json.dumps(summary, indent=2))
+    for n in (3, 10):
+        shutil.rmtree(SCRATCH.parent / f"scale_probe_{n}x", ignore_errors=True)
+
+
 def main() -> None:
     spark = tamer_spark.get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize_10x(spark, "/root/testdata/sf0.1", SCRATCH)
+    if len(sys.argv) > 1:
+        bad = [a for a in sys.argv[1:] if a not in OPS]
+        if bad:
+            raise SystemExit(f"unknown ops {bad}; choose from {OPS}")
+        watch_mode(spark, sys.argv[1:])
+        return
+    synthesize_nx(spark, "/root/testdata/sf0.1", SCRATCH)
     steps = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
