@@ -133,8 +133,8 @@ def test_jvm_to_avro_parity_with_python_codec(spark):
     spec). Skips when the spark-avro package cannot load in this
     environment — the pure-Python codec remains the exercised path.
 
-    Load attempts on record (2026-08-13, re-attempted rounds 4, 5, 6, and 9
-    [2026-08-14] — unchanged; r9 added the UNGATED org.apache.avro
+    Load attempts on record (2026-08-13, re-attempted rounds 4, 5, 6, 9
+    [2026-08-14], and 10 [2026-08-15] — unchanged; r9 added the UNGATED org.apache.avro
     reference-implementation parity tests below, which cover what this
     skip was standing in for): no spark-avro_2.13 jar anywhere on
     the machine (bundled pyspark jars carry avro/avro-ipc/avro-mapred 1.12.1
