@@ -92,3 +92,20 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_round_count_logarithmic_on_path_graph(spark):
+    # r10: the deep-probe result (scripts/cc_ab_probe.py --deep 16: a
+    # 2^16-node path converges in 17 ≈ log2 n + 1 rounds) pinned as a suite
+    # invariant — star contraction must follow ~log2(n), never the diameter.
+    # A 2^10-node path (diameter 1023) would need 1023 rounds under naive
+    # min-label propagation; large/small-star must stay near 10.
+    n = 1 << 10
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    st: dict = {}
+    out = connected_components(edges, stats=st).collect()
+    assert len(out) == n
+    assert {r.component for r in out} == {0}
+    assert st["rounds"] <= 13, f"round count {st['rounds']} not logarithmic"
