@@ -140,14 +140,22 @@ def watch_mode(spark, ops: list[str]) -> None:
         shutil.rmtree(SCRATCH.parent / f"scale_probe_{n}x", ignore_errors=True)
 
 
+def select_watch_ops(argv: list[str]) -> list[str]:
+    """Validate the watch-mode op names BEFORE any Spark session exists —
+    session-free so the rejection path is unit-testable (the bench GROUPS
+    SystemExit pattern). Empty argv = full-probe mode."""
+    bad = [a for a in argv if a not in OPS]
+    if bad:
+        raise SystemExit(f"unknown ops {bad}; choose from {OPS}")
+    return argv
+
+
 def main() -> None:
+    ops = select_watch_ops(sys.argv[1:])
     spark = tamer_spark.get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if len(sys.argv) > 1:
-        bad = [a for a in sys.argv[1:] if a not in OPS]
-        if bad:
-            raise SystemExit(f"unknown ops {bad}; choose from {OPS}")
-        watch_mode(spark, sys.argv[1:])
+    if ops:
+        watch_mode(spark, ops)
         return
     synthesize_nx(spark, "/root/testdata/sf0.1", SCRATCH)
     steps = [

@@ -27,6 +27,22 @@ def test_scripts_dir_is_nonempty():
     assert SCRIPTS, "scripts/ vanished — update this guard"
 
 
+def test_scale_probe_rejects_unknown_watch_ops():
+    # session-free validation path: a typo'd op name must die fast with the
+    # valid choices listed, before any Spark session spins up
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_scale_probe_smoke", SCRIPTS[0].parent / "scale_probe.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.select_watch_ops([]) == []
+    assert mod.select_watch_ops(["dedup_exact"]) == ["dedup_exact"]
+    with pytest.raises(SystemExit, match="unknown ops.*nonsense_op"):
+        mod.select_watch_ops(["dedup_exact", "nonsense_op"])
+
+
 @pytest.mark.parametrize("script", SCRIPTS, ids=lambda p: p.name)
 def test_script_imports_clean(script):
     # unique module name per script; import executes top-level code only
