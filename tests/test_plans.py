@@ -311,3 +311,22 @@ def test_contamination_score_broadcasts_benchmark(spark):
     plan = explain_str(df)
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_manifest_partial_aggregates_before_exchange(spark):
+    # r10: the export's manifest agg rides map-side combine — the per-row
+    # digest stream collapses to |shards| rows per partition BEFORE any
+    # exchange, so the two tiny exchanges (hash for the final agg, range for
+    # the orderBy) move n_shards x n_partitions rows, not the corpus. A plan
+    # that lost the partial HashAggregate would shuffle every row's digest.
+    from tamer_spark.sinks.shards import assign_shard, shard_manifest
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    )
+    sharded = assign_shard(docs, "doc_id", 8).repartition(8, "shard").localCheckpoint()
+    plan = shard_manifest(sharded)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    # partial aggregation present, and it sits BELOW the first exchange
+    assert "partial_" in plan, plan
+    assert plan.index("Exchange") < plan.index("partial_"), plan
