@@ -19,8 +19,10 @@ one isEmpty). Candidates measured here, all exact (no false convergence):
   v3_combined    — v2 pacing with v1's count-gated cheap test.
 
 Run AFTER the bench-contaminating background work is done, on a quiet host:
-  python scripts/cc_ab_probe.py [sf_dir]        # LSH-pair graph (shallow: 2 rounds at sf0.1)
-  python scripts/cc_ab_probe.py --deep [log2_n] # synthetic PATH graph (deep: ~log2 n rounds)
+  python scripts/cc_ab_probe.py [sf_dir]   # LSH-pair graph (shallow: 2 rounds at sf0.1)
+  python scripts/cc_ab_probe.py --deep [log2_n [n_chains]] [--only v0_baseline,v1_count_gate]
+                                           # synthetic path graph(s): ~log2_n rounds deep,
+                                           # n_chains scales EDGE VOLUME at fixed depth
 Prints per-variant median-of-3 seconds + rounds; asserts all variants
 produce the identical (node, component) set before timing counts.
 
@@ -125,13 +127,22 @@ VARIANTS = [
 ]
 
 
-def _path_graph(spark, log2_n: int):
-    """Edges of a path over 2^log2_n nodes — diameter 2^log2_n - 1, ONE
-    component with minimum 0; the deepest star-round regime per edge count."""
+def _path_graph(spark, log2_n: int, n_chains: int = 1):
+    """Edges of ``n_chains`` disjoint paths of 2^log2_n nodes each (chain c
+    occupies ids [c·2^log2_n, (c+1)·2^log2_n)) — diameter 2^log2_n - 1 per
+    chain, ``n_chains`` components. One chain probes ROUND DEPTH at minimal
+    volume; many chains keep the same depth while scaling EDGE VOLUME, the
+    regime where the per-round fixed-point test's cost model (count = map-side
+    partial agg vs symmetric difference = full shuffle) actually separates."""
     n = 1 << log2_n
+    chains = spark.range(n_chains).select(F.col("id").alias("c"))
     return (
         spark.range(n - 1)
-        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .crossJoin(F.broadcast(chains))
+        .select(
+            (F.col("c") * n + F.col("id")).alias("doc_a"),
+            (F.col("c") * n + F.col("id") + 1).alias("doc_b"),
+        )
     )
 
 
@@ -140,13 +151,25 @@ def main():
     deep = "--deep" in argv
     if deep:
         argv.remove("--deep")
+    variants = VARIANTS
+    for i, a in enumerate(argv):
+        if a == "--only":
+            keep = set(argv[i + 1].split(","))
+            variants = [(n, f) for n, f in VARIANTS if n in keep]
+            argv = argv[:i] + argv[i + 2 :]
+            assert variants, f"--only matched nothing in {[n for n, _ in VARIANTS]}"
+            break
     spark = tamer_spark.get_spark("cc-ab-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if deep:
         log2_n = int(argv[0]) if argv else 16
-        pairs = _path_graph(spark, log2_n).repartition(32, "doc_a").persist()
+        n_chains = int(argv[1]) if len(argv) > 1 else 1
+        pairs = _path_graph(spark, log2_n, n_chains).repartition(32, "doc_a").persist()
         n_pairs = pairs.count()
-        print(f"# DEEP path graph: nodes=2^{log2_n} edges={n_pairs}", file=sys.stderr)
+        print(
+            f"# DEEP path graph: nodes=2^{log2_n} chains={n_chains} edges={n_pairs}",
+            file=sys.stderr,
+        )
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
         d = Q._t(spark, sf_dir, "documents")
@@ -169,13 +192,13 @@ def main():
         return (r.n, r.h)
 
     fps = {}
-    for name, fn in VARIANTS:
+    for name, fn in variants:
         fps[name] = fingerprint(fn(pairs))
     assert len(set(fps.values())) == 1, f"variant mismatch: {fps}"
     print(f"# all variants identical: {fps['v0_baseline']}", file=sys.stderr)
 
     out = {}
-    for name, fn in VARIANTS:
+    for name, fn in variants:
         ts, stats = [], {}
         for _ in range(3):
             t0 = time.perf_counter()

@@ -30,10 +30,13 @@ Scale notes (docs/SCALING.md):
   plan otherwise doubles in depth per round and overwhelms Catalyst); on
   a real cluster with an HDFS checkpoint dir, ``DataFrame.checkpoint``
   is the reliable-storage variant — the seam is the one call site below;
-* the convergence test (symmetric difference via two ``exceptAll`` legs
-  unioned into ONE ``isEmpty`` job) is one extra shuffle on the
-  already-materialized round output, exact (no false convergence on
-  count/sum collisions).
+* the convergence test is count-gated (r10): per round one cheap count
+  (map-side partial agg over the checkpointed blocks); the exact set test
+  — count equality plus ONE ``exceptAll`` leg, which over two distinct
+  sets implies equality — runs only at the candidate fixed point. Exact
+  (no false convergence on count/sum collisions), and the per-round
+  full-shuffle symmetric difference it replaced cost +12 % at 6.5M
+  edges (A/B in docs/SCALING.md round-10 notes).
 
 There is no analog in the reference engine (tamer has no dedup operators);
 this is part of the training-data-pipeline extension surface.
@@ -99,18 +102,28 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    cur_n = cur.count()
     for rounds in range(1, max_iter + 1):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         if stats is not None:
             stats["rounds"] = rounds
-        # exact fixed-point test as ONE job: the symmetric difference of the
-        # two (distinct) edge sets is empty iff they are equal — two isEmpty
-        # actions here would double the per-round job count, which dominates
-        # small-graph wall-clock
-        if nxt.exceptAll(cur).union(cur.exceptAll(nxt)).isEmpty():
+        # count-gated exact fixed-point test (r10, A/B-measured): per round
+        # ONE cheap count — a map-side partial agg over the just-checkpointed
+        # blocks — and the set test runs ONLY when |nxt| == |cur| (star
+        # contraction strictly shrinks the edge set until the fixed point).
+        # The confirm stays exact: both frames are distinct sets, so
+        # |nxt| == |cur| and nxt\cur = ∅ together imply equality — one
+        # exceptAll leg, not two. vs the former per-round symmetric
+        # difference (a full shuffle of the edge set): tied at probe scale,
+        # −12 % at 6.5M edges x 17 rounds (scripts/cc_ab_probe.py --deep
+        # 16 100; docs/SCALING.md round-10 notes), and the saving grows
+        # with |E| — the count is the only per-round full-data job besides
+        # the contraction itself.
+        nxt_n = nxt.count()
+        if nxt_n == cur_n and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, cur_n = nxt, nxt_n
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # fixed point is a star graph: src > dst == component minimum; the
