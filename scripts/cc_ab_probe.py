@@ -1,18 +1,22 @@
 #!/usr/bin/env python
 """A/B probe: connected_components round-cost variants (round-9, VERDICT item 5).
 
-Per round the shipped loop (operators/cc.py) pays 1 eager localCheckpoint
-materialization + 1 exact fixed-point job (two exceptAll legs unioned into
-one isEmpty). Candidates measured here, all exact (no false convergence):
+Per round a CC loop pays 1 eager localCheckpoint materialization + a
+fixed-point test. Candidates measured here, all exact (no false
+convergence). NOTE: as of round 10 the SHIPPED loop (operators/cc.py) is
+v1_count_gate — the volume-mode A/B below separated the test-cost models
+(−12 % at 6.5M edges; docs/SCALING.md) and the gate won. v0 is the r8/r9
+per-round symmetric-difference loop, kept as the reference point:
 
-  v0_baseline    — shipped r8 loop, reference point.
-  v1_count_gate  — cache |cur|; per round ONE cheap count(nxt) job; the
+  v0_baseline    — r8/r9 loop: per round, symmetric difference via two
+                   exceptAll legs unioned into ONE isEmpty job.
+  v1_count_gate  — SHIPPED (r10). Cache |cur|; per round ONE cheap count(nxt) job; the
                    exact set test runs ONLY when |nxt| == |cur| (star
                    contraction strictly shrinks the edge set until the
                    fixed point, so mid-run rounds skip the heavy job).
                    Exact confirm is count-equality + ONE exceptAll leg:
                    |nxt|==|cur| and nxt\\cur==∅ over two distinct sets
-                   implies equality — half the shipped test's legs.
+                   implies equality — half of v0's legs.
   v2_fused2      — two star rounds per materialization + test: checkpoint
                    and test every 2nd round (may run up to 2 extra star
                    rounds past the fixed point, but halves jobs).
@@ -154,10 +158,16 @@ def main():
     variants = VARIANTS
     for i, a in enumerate(argv):
         if a == "--only":
+            if i + 1 >= len(argv):
+                sys.exit("--only needs a comma-separated variant list")
             keep = set(argv[i + 1].split(","))
+            unknown = keep - {n for n, _ in VARIANTS}
+            if unknown:
+                # reject misspellings outright: silently dropping a name would
+                # time a one-variant "A/B" that reads as a completed comparison
+                sys.exit(f"--only unknown variants {sorted(unknown)}; valid: {[n for n, _ in VARIANTS]}")
             variants = [(n, f) for n, f in VARIANTS if n in keep]
             argv = argv[:i] + argv[i + 2 :]
-            assert variants, f"--only matched nothing in {[n for n, _ in VARIANTS]}"
             break
     spark = tamer_spark.get_spark("cc-ab-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -195,7 +205,7 @@ def main():
     for name, fn in variants:
         fps[name] = fingerprint(fn(pairs))
     assert len(set(fps.values())) == 1, f"variant mismatch: {fps}"
-    print(f"# all variants identical: {fps['v0_baseline']}", file=sys.stderr)
+    print(f"# all variants identical: {next(iter(fps.values()))}", file=sys.stderr)
 
     out = {}
     for name, fn in variants:

@@ -112,32 +112,42 @@ def watch_mode(spark, ops: list[str]) -> None:
     touches its plan). Skips the specialty sections; prints the same
     one-JSON summary shape with per-step ratios."""
     steps = [("sf0.1", "/root/testdata/sf0.1")]
-    for n in (3, 10):
-        dst = SCRATCH.parent / f"scale_probe_{n}x"
-        synthesize_nx(spark, "/root/testdata/sf0.1", dst, n)
-        steps.append((f"sf0.1x{n}", str(dst)))
-    results: dict[str, dict[str, float]] = {}
-    for name in ops:
-        # untimed sf0.01 warmup: the session's FIRST execution of a plan
-        # pays JIT/codegen/broadcast warmup that would otherwise inflate
-        # the 1× step and fake a sub-linear ratio
-        time_op(spark, name, "/root/testdata/sf0.01")
-        results[name] = {}
-        for label, path in steps:
-            spark.catalog.clearCache()
-            results[name][label] = time_op(spark, name, path)
-            print(f"# {name}@{label}: {results[name][label]}s", file=sys.stderr)
-    summary = {
-        name: {
-            **{f"t_{k}": v for k, v in r.items()},
-            "ratio_3x": round(r["sf0.1x3"] / r["sf0.1"], 2),
-            "ratio_10x": round(r["sf0.1x10"] / r["sf0.1"], 2),
+    try:
+        for n in (3, 10):
+            dst = SCRATCH.parent / f"scale_probe_{n}x"
+            synthesize_nx(spark, "/root/testdata/sf0.1", dst, n)
+            steps.append((f"sf0.1x{n}", str(dst)))
+        results: dict[str, dict[str, float]] = {}
+        for name in ops:
+            # untimed sf0.01 warmup: the session's FIRST execution of a plan
+            # pays JIT/codegen/broadcast warmup that would otherwise inflate
+            # the 1× step and fake a sub-linear ratio
+            time_op(spark, name, "/root/testdata/sf0.01")
+            results[name] = {}
+            for label, path in steps:
+                spark.catalog.clearCache()
+                # per-op try/except like full-probe main(): one failing op
+                # must not abort the run (and leak the scratch corpora) or
+                # discard the other ops' timings
+                try:
+                    results[name][label] = time_op(spark, name, path)
+                except Exception as e:  # noqa: BLE001
+                    results[name][label] = -1.0
+                    print(f"# {name}@{label}: {type(e).__name__}: {e}", file=sys.stderr)
+                print(f"# {name}@{label}: {results[name][label]}s", file=sys.stderr)
+        summary = {
+            name: {
+                **{f"t_{k}": v for k, v in r.items()},
+                "ratio_3x": round(r["sf0.1x3"] / r["sf0.1"], 2) if min(r.values()) > 0 else None,
+                "ratio_10x": round(r["sf0.1x10"] / r["sf0.1"], 2) if min(r.values()) > 0 else None,
+            }
+            for name, r in results.items()
         }
-        for name, r in results.items()
-    }
-    print(json.dumps(summary, indent=2))
-    for n in (3, 10):
-        shutil.rmtree(SCRATCH.parent / f"scale_probe_{n}x", ignore_errors=True)
+        print(json.dumps(summary, indent=2))
+    finally:
+        # scratch corpora are multi-GB: remove them on EVERY exit path
+        for n in (3, 10):
+            shutil.rmtree(SCRATCH.parent / f"scale_probe_{n}x", ignore_errors=True)
 
 
 def select_watch_ops(argv: list[str]) -> list[str]:

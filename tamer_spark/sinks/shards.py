@@ -177,8 +177,12 @@ def write_training_shards(
     if checkpoint_dir is not None:
         # setCheckpointDir mutates process-global SparkContext state: save
         # the prior value (a scala Option — the UUID-suffixed resolved dir)
-        # and restore it the moment the checkpoint exists, unset included
-        # (Option(null) is None on the scala side)
+        # and restore it the moment the checkpoint exists, unset included.
+        # The restore writes the Option back through the var setter
+        # (checkpointDir_$eq — Scala private[spark] is public in bytecode)
+        # rather than re-calling setCheckpointDir(resolved), which would
+        # RESOLVE AGAIN: mkdirs a fresh UUID subdir UNDER the already-
+        # resolved path, so looped exports would nest one level per call.
         jsc = sc._jsc.sc()
         prev = jsc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
@@ -193,7 +197,7 @@ def write_training_shards(
             finally:
                 plan.unpersist()
         finally:
-            jsc.setCheckpointDir(prev.get() if prev.isDefined() else None)
+            getattr(jsc, "checkpointDir_$eq")(prev)
     else:
         sharded = plan.localCheckpoint()
         ckpt_jrdd = _checkpointed_jrdd(sharded)

@@ -210,15 +210,19 @@ def test_checkpoint_dir_saved_and_restored(spark, tmp_path):
     )
     assert not jsc.getCheckpointDir().isDefined()
 
-    # 2) caller sentinel before -> sentinel (its resolved subdir) after
+    # 2) caller sentinel before -> the EXACT resolved dir after. Byte
+    # identity matters: a restore that re-called setCheckpointDir(resolved)
+    # would resolve AGAIN and nest a fresh UUID subdir per export — looped
+    # exports would grow the path one level per call.
     sentinel = str(tmp_path / "sentinel_ckpt")
     spark.sparkContext.setCheckpointDir(sentinel)
     try:
+        resolved_before = jsc.getCheckpointDir().get()
         write_training_shards(
             _corpus(spark), str(tmp_path / "b"), 2, checkpoint_dir=str(tmp_path / "ck_b")
         )
         restored = jsc.getCheckpointDir()
-        assert restored.isDefined() and "sentinel_ckpt" in restored.get()
+        assert restored.isDefined() and restored.get() == resolved_before
         # a later unrelated checkpoint goes back under the caller's tree,
         # not the export's directory
         spark.range(5).checkpoint()
@@ -231,6 +235,6 @@ def test_checkpoint_dir_saved_and_restored(spark, tmp_path):
                 dup, str(tmp_path / "c"), 2, checkpoint_dir=str(tmp_path / "ck_c")
             )
         restored = jsc.getCheckpointDir()
-        assert restored.isDefined() and "sentinel_ckpt" in restored.get()
+        assert restored.isDefined() and restored.get() == resolved_before
     finally:
         jsc.setCheckpointDir(None)
