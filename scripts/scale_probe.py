@@ -168,6 +168,18 @@ def main() -> None:
         watch_mode(spark, ops)
         return
     synthesize_nx(spark, "/root/testdata/sf0.1", SCRATCH)
+    try:
+        full_probe(spark)
+    finally:
+        # the 10x scratch corpus is multi-GB: remove it on EVERY exit path,
+        # not just success (same fix as watch_mode, r10)
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def full_probe(spark) -> None:
+    """The full probe sweep over OPS plus the specialty sections (incremental
+    dedup, CC rounds, bigram-LM model size, semdedup cap, PQ/ADC, gopher,
+    C4 hot-span skew). Assumes the 10x corpus already exists at SCRATCH."""
     steps = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
@@ -386,7 +398,6 @@ def main() -> None:
                                      "window_over_min": round(t_win / t_min, 2)}
         print(f"# c4_span_skew@{n_docs}: {c4_skew[f'docs={n_docs}']}", file=sys.stderr)
     print(json.dumps({"c4_span_dedup_hot_span": c4_skew}, indent=2))
-    shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
 if __name__ == "__main__":
