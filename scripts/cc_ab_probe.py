@@ -11,12 +11,15 @@ per-round symmetric-difference loop, kept as the reference point:
   v0_baseline    — r8/r9 loop: per round, symmetric difference via two
                    exceptAll legs unioned into ONE isEmpty job.
   v1_count_gate  — SHIPPED (r10). Cache |cur|; per round ONE cheap count(nxt) job; the
-                   exact set test runs ONLY when |nxt| == |cur| (star
-                   contraction strictly shrinks the edge set until the
-                   fixed point, so mid-run rounds skip the heavy job).
-                   Exact confirm is count-equality + ONE exceptAll leg:
+                   exact set test runs ONLY when |nxt| == |cur|. Rounds
+                   that SHRINK the count (early rounds of real pair
+                   graphs, m edges contracting toward one parent edge per
+                   non-root node) skip the heavy job entirely; rounds that
+                   RELABEL at constant count (a k-node tree keeps k-1
+                   edges — a pure path collides EVERY round) fire the
+                   confirm but pay ONE exceptAll leg, not v0's two:
                    |nxt|==|cur| and nxt\\cur==∅ over two distinct sets
-                   implies equality — half of v0's legs.
+                   implies equality. ≤ v0's cost in both regimes.
   v2_fused2      — two star rounds per materialization + test: checkpoint
                    and test every 2nd round (may run up to 2 extra star
                    rounds past the fixed point, but halves jobs).
@@ -31,12 +34,15 @@ Prints per-variant median-of-3 seconds + rounds; asserts all variants
 produce the identical (node, component) set before timing counts.
 
 The --deep mode (round 10) answers what the LSH graph cannot: the sf0.1
-candidate-pair graph (256 pairs) converges in 2 star rounds, so fused-round
-variants are penalized purely by fixed-point overshoot and the count gate
-never gets a mid-run round to skip the heavy test on. A path graph of 2^k
+candidate-pair graph (256 pairs) converges in 2 star rounds — too few
+rounds to expose any per-round test-cost difference. A path graph of 2^k
 nodes (diameter 2^k - 1) forces ~k alternating star rounds — the regime a
 100 TB boilerplate-chain component actually occupies (cc.py claims ~20
 rounds for 1M-doc chains; --deep 16 tests the shape of that claim at 65k).
+Note a path is also the count gate's WORST case: a tree of k nodes holds
+exactly k-1 edges, so every round is a count collision and the gate pays
+count + one-leg confirm each round (its −12 % volume-mode win is therefore
+a lower bound — real graphs' shrinking early rounds skip the confirm).
 """
 
 from __future__ import annotations

@@ -109,16 +109,20 @@ def connected_components(
             stats["rounds"] = rounds
         # count-gated exact fixed-point test (r10, A/B-measured): per round
         # ONE cheap count — a map-side partial agg over the just-checkpointed
-        # blocks — and the set test runs ONLY when |nxt| == |cur| (star
-        # contraction strictly shrinks the edge set until the fixed point).
-        # The confirm stays exact: both frames are distinct sets, so
-        # |nxt| == |cur| and nxt\cur = ∅ together imply equality — one
-        # exceptAll leg, not two. vs the former per-round symmetric
-        # difference (a full shuffle of the edge set): tied at probe scale,
-        # −12 % at 6.5M edges x 17 rounds (scripts/cc_ab_probe.py --deep
-        # 16 100; docs/SCALING.md round-10 notes), and the saving grows
-        # with |E| — the count is the only per-round full-data job besides
-        # the contraction itself.
+        # blocks — and the set test runs only when |nxt| == |cur|. Two cases:
+        # early rounds on real pair graphs SHRINK the count (m raw edges
+        # contract toward one parent edge per non-root node) and skip the
+        # set test entirely; late rounds merely RELABEL at constant count
+        # (a k-node tree keeps exactly k-1 edges — a pure path collides on
+        # EVERY round, see test_count_collision_does_not_false_converge),
+        # where the gate fires the confirm but pays ONE exceptAll leg
+        # instead of the former test's two: both frames are distinct sets,
+        # so |nxt| == |cur| and nxt\cur = ∅ together imply equality. Never
+        # a false convergence, ≤ the old cost in both cases. vs the former
+        # per-round two-leg symmetric difference: tied at probe scale,
+        # −12 % at 6.5M edges x 17 all-collision rounds (scripts/
+        # cc_ab_probe.py --deep 16 100; docs/SCALING.md round-10 notes) —
+        # larger still on real graphs whose early rounds skip the test.
         nxt_n = nxt.count()
         if nxt_n == cur_n and nxt.exceptAll(cur).isEmpty():
             cur = nxt

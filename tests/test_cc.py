@@ -94,6 +94,21 @@ def test_nonconvergence_guard(spark):
         connected_components(df, max_iter=1)
 
 
+def test_count_collision_does_not_false_converge(spark):
+    # r10 count-gate pin: the per-round cheap test is |nxt| == |cur|, which
+    # COLLIDES on rounds that relabel edges without shrinking the set — the
+    # gate must then fall through to the exact exceptAll confirm and keep
+    # iterating, never declare a fixed point early. A 4-node path is such a
+    # graph: {(0,1),(1,2),(2,3)} contracts round 1 to a different 3-edge set
+    # (count unchanged, content changed), so a count-only test would stop a
+    # round early with a star that is NOT the component minimum for node 3.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    st: dict = {}
+    got = {r.node: r.component for r in connected_components(edges, stats=st).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert st["rounds"] >= 2, "gate declared a fixed point on a count collision"
+
+
 def test_round_count_logarithmic_on_path_graph(spark):
     # r10: the deep-probe result (scripts/cc_ab_probe.py --deep 16: a
     # 2^16-node path converges in 17 ≈ log2 n + 1 rounds) pinned as a suite
