@@ -37,6 +37,12 @@ from tamer_spark.operators.gopher import gopher_signals
 from tamer_spark.operators.mixing import stratified_mix
 from tamer_spark.operators.packing import pack_greedy, pack_offsets, with_pack_group
 from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
+from tamer_spark.operators.skew import (
+    heavy_hitters,
+    key_counts,
+    salted_join,
+    skew_summary,
+)
 from tamer_spark.operators.similarity import (
     cosine_knn,
     cosine_knn_lsh,
@@ -101,4 +107,8 @@ __all__ = [
     "cohort_retention",
     "pagerank",
     "exact_percentiles",
+    "salted_join",
+    "key_counts",
+    "heavy_hitters",
+    "skew_summary",
 ]

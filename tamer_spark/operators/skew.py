@@ -1,4 +1,5 @@
-"""Skew-aware join: salting for pathological key distributions.
+"""Skew-aware join: salting for pathological key distributions — plus the
+profiler that tells you WHEN to reach for it.
 
 AQE's skew-join split handles most cases at runtime; salting is the
 explicit tool when one key dominates so badly that even split partitions
@@ -9,6 +10,17 @@ from a row fingerprint; the small side is replicated ``salt``× (one copy per
 salt value). The join key becomes (key, salt) → the hot key's rows spread
 over ``salt`` partitions. Results are identical to the plain join; only the
 physical distribution changes.
+
+``heavy_hitters`` / ``skew_summary``: the measurement step a 100 TB
+pipeline runs BEFORE committing to a join/groupBy strategy on a fact
+table — exact top-k hot keys and a one-row skew report whose
+``suggested_salt`` is the ceil of hottest-key-count over mean-key-count,
+i.e. exactly the ``salt`` that spreads the hot key's rows down to an
+average partition's load. One count shuffle with map-side combine; the
+top-k is a TakeOrdered (never a global sort); the summary is a 1-row agg.
+All arithmetic is integer/decimal-exact so a SQL oracle reproduces it
+bit-for-bit (the skew ratio is reported in ppm as an int64, computed in
+decimal(38,0) so 1e6·max·n_keys cannot overflow at any real scale).
 """
 
 from __future__ import annotations
@@ -41,3 +53,60 @@ def salted_join(
     )
     out = lg.join(sm, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_counts(df: DataFrame, key: str) -> DataFrame:
+    """``(key, n)`` — one hash-agg shuffle with map-side partial counts.
+    NULL keys count as a key of their own: at 100 TB the null bucket IS
+    the classic hot key, so hiding it would defeat the profiler."""
+    return df.groupBy(F.col(key).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def heavy_hitters(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Exact top-``top_k`` hottest keys as ``(key, n, rank)``, rank 1-based.
+
+    (n DESC, key ASC) is a total order, so ranks are deterministic under
+    ties. The sort+limit plans as TakeOrderedAndProject over the count
+    agg — per-partition top-k then a driver-side merge of k·partitions
+    rows, never a global sort of the key space (billions of keys on a
+    fact table). The rank window runs on the ≤ top_k surviving rows."""
+    from pyspark.sql import Window
+
+    top = key_counts(df, key).orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def skew_summary(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew report: ``(n_keys, n_rows, max_n, skew_ppm,
+    suggested_salt)``.
+
+    ``skew_ppm``  = 1e6 · max_n / (n_rows / n_keys) — the hottest key's
+    multiple of the mean key load, in exact integer ppm (1 000 000 =
+    perfectly uniform). ``suggested_salt`` = ceil(max_n · n_keys /
+    n_rows): the ``salted_join(salt=...)`` value that spreads the hot
+    key over enough partitions to match the mean load. Both are computed
+    with decimal(38,0) DIV (int64-exact, engine-portable — Spark DIV on
+    decimal ≡ DuckDB ``//`` on HUGEINT) so the intermediates cannot
+    overflow: 1e6 · max_n · n_keys stays under 1e38 for any corpus that
+    fits in int64 row counts."""
+    big = "CAST({} AS DECIMAL(38,0))"
+    return (
+        key_counts(df, key)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            F.expr(
+                f"({big.format('1000000')} * max_n * n_keys) DIV n_rows"
+            ).alias("skew_ppm"),
+            F.expr(
+                f"({big.format('max_n')} * n_keys + n_rows - 1) DIV n_rows"
+            ).alias("suggested_salt"),
+        )
+    )

@@ -4089,6 +4089,22 @@ def rollup_merge_on_read_q(spark, sf):
     return merged.select("event_type", "n_partials", "n_events", "sum_value_c")
 
 
+_PROFILE_COUNTS = "(SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1)"
+_PROFILE_ORACLE = f"""
+    SELECT 'profile_hh' AS variant, CAST(key AS VARCHAR) AS k, n AS v1,
+           CAST(rnk AS BIGINT) AS v2, 'events.user_id' AS payload
+    FROM (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk
+          FROM {_PROFILE_COUNTS} ORDER BY n DESC, key LIMIT 10)
+    UNION ALL
+    SELECT 'profile_summary', 'events.user_id', n_keys, n_rows,
+           CAST(CAST((1000000::HUGEINT * max_n * n_keys) // n_rows AS BIGINT) AS VARCHAR)
+             || '|' ||
+           CAST(CAST((max_n::HUGEINT * n_keys + n_rows - 1) // n_rows AS BIGINT) AS VARCHAR)
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST(MAX(n) AS BIGINT) AS max_n FROM {_PROFILE_COUNTS})
+    """
+
+
 @q(
     "table_maintenance",
     f"""
@@ -4103,6 +4119,8 @@ def rollup_merge_on_read_q(spark, sf):
     UNION ALL
     SELECT 'rollup', event_type, n_partials, n_events, CAST(sum_value_c AS VARCHAR)
     FROM ({_ROLLUP_ORACLE})
+    UNION ALL
+    {_PROFILE_ORACLE}
     """,
     doc=(
         "Warehouse-maintenance surface as one tagged union (r6 window "
@@ -4117,7 +4135,15 @@ def rollup_merge_on_read_q(spark, sf):
         "versions as 'open'. rollup: continuous-aggregate merge-on-read "
         "(operators/rollup.py merge_partials) — per-event-day partials "
         "merged by the associative SUM fold; reads touch only rollup "
-        "rows, never raw events."
+        "rows, never raw events. profile_hh/profile_summary (r10, "
+        "operators/skew.py): the measurement step before choosing a "
+        "join/groupBy strategy on a fact table — exact top-10 hottest "
+        "events.user_id keys ((n DESC, key) total order, TakeOrdered "
+        "plan — never a global key-space sort) plus a one-row skew "
+        "report whose suggested_salt = ceil(max_n*n_keys/n_rows) is the "
+        "salted_join salt that levels the hot key to the mean load; "
+        "skew_ppm and the salt are decimal(38,0) DIV int64-exact "
+        "(Spark DIV on decimal = DuckDB // on HUGEINT)."
     ),
 )
 def table_maintenance_q(spark, sf):
@@ -4146,7 +4172,26 @@ def table_maintenance_q(spark, sf):
         F.col("n_events").alias("v2"),
         F.col("sum_value_c").cast("string").alias("payload"),
     )
-    return dq.unionByName(scd2).unionByName(roll)
+    from tamer_spark.operators.skew import heavy_hitters, skew_summary
+
+    e = _t(spark, sf, "events")
+    hh = heavy_hitters(e, "user_id", 10).select(
+        F.lit("profile_hh").alias("variant"),
+        F.col("key").cast("string").alias("k"),
+        F.col("n").alias("v1"),
+        F.col("rank").alias("v2"),
+        F.lit("events.user_id").alias("payload"),
+    )
+    summ = skew_summary(e, "user_id").select(
+        F.lit("profile_summary").alias("variant"),
+        F.lit("events.user_id").alias("k"),
+        F.col("n_keys").alias("v1"),
+        F.col("n_rows").alias("v2"),
+        F.concat_ws(
+            "|", F.col("skew_ppm").cast("string"), F.col("suggested_salt").cast("string")
+        ).alias("payload"),
+    )
+    return dq.unionByName(scd2).unionByName(roll).unionByName(hh).unionByName(summ)
 
 
 _RUN_L = 12

@@ -71,3 +71,60 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts == 8
+
+
+def test_heavy_hitters_exact_and_tie_deterministic(spark):
+    # key 7: 6 rows; key 3: 4 rows; keys 10..13: 2 rows each (4-way tie
+    # broken by key ASC); keys 100..119: 1 row each
+    rows = (
+        [(7,)] * 6 + [(3,)] * 4 + [(k,) for k in (10, 11, 12, 13) for _ in range(2)]
+        + [(k,) for k in range(100, 120)]
+    )
+    df = spark.createDataFrame(rows, "user long")
+    from tamer_spark.operators.skew import heavy_hitters
+
+    got = [(r.key, r.n, r.rank) for r in heavy_hitters(df, "user", 6).orderBy("rank").collect()]
+    assert got == [(7, 6, 1), (3, 4, 2), (10, 2, 3), (11, 2, 4), (12, 2, 5), (13, 2, 6)]
+
+
+def test_skew_summary_values_and_salt_suggestion(spark):
+    # 1 hot key with 100 rows + 99 singleton keys: n_keys=100, n_rows=199,
+    # mean = 1.99 -> skew_ppm = 1e6*100*100 div 199 = 50_251_256,
+    # suggested_salt = ceil(100*100/199) = ceil(50.25) = 51
+    rows = [(0,)] * 100 + [(k,) for k in range(1, 100)]
+    df = spark.createDataFrame(rows, "user long")
+    from tamer_spark.operators.skew import skew_summary
+
+    r = skew_summary(df, "user").collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_n) == (100, 199, 100)
+    assert r.skew_ppm == (1_000_000 * 100 * 100) // 199 == 50_251_256
+    assert r.suggested_salt == -(-100 * 100 // 199) == 51
+    # uniform frame: skew_ppm == 1e6 exactly, salt 1 (no salting needed)
+    uni = spark.createDataFrame([(k,) for k in range(32)], "user long")
+    u = skew_summary(uni, "user").collect()[0]
+    assert (u.skew_ppm, u.suggested_salt) == (1_000_000, 1)
+
+
+def test_skew_profile_counts_nulls_as_a_key(spark):
+    # the null bucket is the classic 100 TB hot key — it must be PROFILED,
+    # not silently dropped (F.count("col") semantics would hide it)
+    df = spark.createDataFrame([(None,), (None,), (None,), (5,)], "user long")
+    from tamer_spark.operators.skew import heavy_hitters, skew_summary
+
+    s = skew_summary(df, "user").collect()[0]
+    assert (s.n_keys, s.n_rows, s.max_n) == (2, 4, 3)
+    hh = heavy_hitters(df, "user", 1).collect()[0]
+    assert hh.key is None and hh.n == 3 and hh.rank == 1
+
+
+def test_heavy_hitters_plans_take_ordered_with_partial_agg(spark):
+    # scale pin: the top-k must plan as TakeOrderedAndProject over a
+    # partial-aggregated count (map-side combine before the key exchange) —
+    # never a global Sort of the key space
+    from tamer_spark.operators.skew import heavy_hitters
+
+    df = spark.range(1000).select((F.col("id") % 50).alias("user"))
+    plan = heavy_hitters(df, "user", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
