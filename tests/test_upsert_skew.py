@@ -128,3 +128,39 @@ def test_heavy_hitters_plans_take_ordered_with_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_skew_profile_matches_counter_on_random_multisets(spark):
+    # differential fuzz: heavy_hitters/skew_summary vs collections.Counter on
+    # random multisets (bounded examples — each runs a Spark job). Pins the
+    # tie-break total order and the exact ppm/salt arithmetic on shapes the
+    # handwritten cases don't sample.
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tamer_spark.operators.skew import heavy_hitters, skew_summary
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(keys=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "user long")
+        cnt = Counter(keys)
+        expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = [
+            (r.key, r.n)
+            for r in heavy_hitters(df, "user", 3).orderBy("rank").collect()
+        ]
+        assert got == expect
+        s = skew_summary(df, "user").collect()[0]
+        n_keys, n_rows, max_n = len(cnt), len(keys), max(cnt.values())
+        assert (s.n_keys, s.n_rows, s.max_n) == (n_keys, n_rows, max_n)
+        assert s.skew_ppm == (1_000_000 * max_n * n_keys) // n_rows
+        assert s.suggested_salt == -(-max_n * n_keys // n_rows)
+
+    check()
