@@ -164,3 +164,14 @@ def test_skew_profile_matches_counter_on_random_multisets(spark):
         assert s.suggested_salt == -(-max_n * n_keys // n_rows)
 
     check()
+
+
+def test_skew_profile_empty_input(spark):
+    # empty-corpus contract (probed equal in DuckDB): summary is ONE row
+    # (n_keys=0, everything else NULL — SUM/MAX of nothing), hitters empty
+    from tamer_spark.operators.skew import heavy_hitters, skew_summary
+
+    e = spark.createDataFrame([], "user long")
+    r = skew_summary(e, "user").collect()
+    assert len(r) == 1 and (r[0].n_keys, r[0].n_rows, r[0].skew_ppm) == (0, None, None)
+    assert heavy_hitters(e, "user", 3).count() == 0
