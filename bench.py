@@ -432,6 +432,24 @@ def select_groups(only: str | None) -> list[tuple[str, list[str]]]:
     return [(g, n) for g, n in GROUPS if g in wanted]
 
 
+def host_calibration() -> float:
+    """Seconds for a FIXED pure-CPU loop (md5 chain + int sum) — a Spark-free
+    host-speed reference emitted with every bench so round-over-round query
+    deltas can be attributed: if host_calib moved by the same factor as the
+    queries, it's the machine (the r7/r8/r10 pattern — whole-bench ~1.5×
+    shifts with untouched code), not a plan change. Single-threaded by
+    design: it tracks per-core speed (clock/steal/shares), which is what
+    uniformly scales every query's task time."""
+    t0 = time.perf_counter()
+    h = b"x" * 64
+    for _ in range(120_000):
+        h = __import__("hashlib").md5(h).digest()
+    s = 0
+    for i in range(6_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
@@ -525,6 +543,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Spark-free single-core host-speed reference (see host_calibration):
+        # divide round-over-round query ratios by the calib ratio before
+        # reading anything as a plan regression. Measured AFTER the queries
+        # (same ambient conditions), ~0.5 s on the r10 reference host.
+        "host_calib_s": host_calibration(),
     }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
