@@ -440,10 +440,13 @@ def host_calibration() -> float:
     shifts with untouched code), not a plan change. Single-threaded by
     design: it tracks per-core speed (clock/steal/shares), which is what
     uniformly scales every query's task time."""
+    import hashlib
+
+    md5 = hashlib.md5
     t0 = time.perf_counter()
     h = b"x" * 64
     for _ in range(120_000):
-        h = __import__("hashlib").md5(h).digest()
+        h = md5(h).digest()
     s = 0
     for i in range(6_000_000):
         s += i

@@ -167,8 +167,11 @@ def main() -> None:
     if ops:
         watch_mode(spark, ops)
         return
-    synthesize_nx(spark, "/root/testdata/sf0.1", SCRATCH)
     try:
+        # synthesis INSIDE the try: a mid-write failure (disk full is the
+        # likely mode for a multi-GB parquet write) must also clean up the
+        # partial scratch corpus, not just a failing probe op
+        synthesize_nx(spark, "/root/testdata/sf0.1", SCRATCH)
         full_probe(spark)
     finally:
         # the 10x scratch corpus is multi-GB: remove it on EVERY exit path,

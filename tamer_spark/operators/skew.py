@@ -62,22 +62,32 @@ def key_counts(df: DataFrame, key: str) -> DataFrame:
     return df.groupBy(F.col(key).alias("key")).agg(F.count(F.lit(1)).alias("n"))
 
 
-def heavy_hitters(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+def heavy_hitters(
+    df: DataFrame, key: str, top_k: int = 10, counts: DataFrame | None = None
+) -> DataFrame:
     """Exact top-``top_k`` hottest keys as ``(key, n, rank)``, rank 1-based.
 
-    (n DESC, key ASC) is a total order, so ranks are deterministic under
-    ties. The sort+limit plans as TakeOrderedAndProject over the count
-    agg — per-partition top-k then a driver-side merge of k·partitions
-    rows, never a global sort of the key space (billions of keys on a
-    fact table). The rank window runs on the ≤ top_k surviving rows."""
+    (n DESC, key ASC NULLS LAST) is a total order, so ranks are
+    deterministic under ties — NULLS LAST explicitly, because Spark's ASC
+    default is NULLS FIRST while ANSI/DuckDB default to NULLS LAST, and a
+    NULL key tied on count with a real key would otherwise rank (and at
+    the top-k boundary, SELECT) differently across engines. The
+    sort+limit plans as TakeOrderedAndProject over the count agg —
+    per-partition top-k then a driver-side merge of k·partitions rows,
+    never a global sort of the key space (billions of keys on a fact
+    table). The rank window runs on the ≤ top_k surviving rows.
+
+    ``counts``: pass a precomputed ``key_counts`` frame to share ONE
+    count shuffle with ``skew_summary`` over the same input."""
     from pyspark.sql import Window
 
-    top = key_counts(df, key).orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_k)
-    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    order = [F.col("n").desc(), F.col("key").asc_nulls_last()]
+    top = (key_counts(df, key) if counts is None else counts).orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-def skew_summary(df: DataFrame, key: str) -> DataFrame:
+def skew_summary(df: DataFrame, key: str, counts: DataFrame | None = None) -> DataFrame:
     """One-row skew report: ``(n_keys, n_rows, max_n, skew_ppm,
     suggested_salt)``.
 
@@ -87,12 +97,20 @@ def skew_summary(df: DataFrame, key: str) -> DataFrame:
     n_rows): the ``salted_join(salt=...)`` value that spreads the hot
     key over enough partitions to match the mean load. Both are computed
     with decimal(38,0) DIV (int64-exact, engine-portable — Spark DIV on
-    decimal ≡ DuckDB ``//`` on HUGEINT) so the intermediates cannot
-    overflow: 1e6 · max_n · n_keys stays under 1e38 for any corpus that
-    fits in int64 row counts."""
+    decimal ≡ DuckDB ``//`` on HUGEINT). Overflow bound, stated
+    precisely: the widest intermediate is 1e6 · max_n · n_keys, which
+    fits decimal(38,0) while max_n · n_keys < 1e32 — always true when
+    n_rows < 2e16 (the hot key's rows and the other keys' ≥1 row each
+    are disjoint, so max_n + n_keys ≤ n_rows + 1, and by AM-GM the
+    product is ≤ ((n_rows+1)/2)²), i.e. for any corpus countable in
+    tens of quadrillions of rows; a synthetic int64-extreme shape
+    beyond that raises (ANSI) rather than silently wrapping.
+
+    ``counts``: pass a precomputed ``key_counts`` frame to share ONE
+    count shuffle with ``heavy_hitters`` over the same input."""
     big = "CAST({} AS DECIMAL(38,0))"
     return (
-        key_counts(df, key)
+        (key_counts(df, key) if counts is None else counts)
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("n").alias("n_rows"),

@@ -4093,8 +4093,9 @@ _PROFILE_COUNTS = "(SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1)
 _PROFILE_ORACLE = f"""
     SELECT 'profile_hh' AS variant, CAST(key AS VARCHAR) AS k, n AS v1,
            CAST(rnk AS BIGINT) AS v2, 'events.user_id' AS payload
-    FROM (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk
-          FROM {_PROFILE_COUNTS} ORDER BY n DESC, key LIMIT 10)
+    FROM (SELECT key, n,
+                 row_number() OVER (ORDER BY n DESC, key NULLS LAST) AS rnk
+          FROM {_PROFILE_COUNTS} ORDER BY n DESC, key NULLS LAST LIMIT 10)
     UNION ALL
     SELECT 'profile_summary', 'events.user_id', n_keys, n_rows,
            CAST(CAST((1000000::HUGEINT * max_n * n_keys) // n_rows AS BIGINT) AS VARCHAR)
@@ -4172,17 +4173,19 @@ def table_maintenance_q(spark, sf):
         F.col("n_events").alias("v2"),
         F.col("sum_value_c").cast("string").alias("payload"),
     )
-    from tamer_spark.operators.skew import heavy_hitters, skew_summary
+    from tamer_spark.operators.skew import heavy_hitters, key_counts, skew_summary
 
     e = _t(spark, sf, "events")
-    hh = heavy_hitters(e, "user_id", 10).select(
+    # ONE count shuffle feeds both profile variants
+    counts = key_counts(e, "user_id")
+    hh = heavy_hitters(e, "user_id", 10, counts=counts).select(
         F.lit("profile_hh").alias("variant"),
         F.col("key").cast("string").alias("k"),
         F.col("n").alias("v1"),
         F.col("rank").alias("v2"),
         F.lit("events.user_id").alias("payload"),
     )
-    summ = skew_summary(e, "user_id").select(
+    summ = skew_summary(e, "user_id", counts=counts).select(
         F.lit("profile_summary").alias("variant"),
         F.lit("events.user_id").alias("k"),
         F.col("n_keys").alias("v1"),

@@ -166,6 +166,36 @@ def test_skew_profile_matches_counter_on_random_multisets(spark):
     check()
 
 
+def test_heavy_hitters_null_key_tie_ranks_nulls_last(spark):
+    # cross-engine tie pin: Spark ASC defaults NULLS FIRST, DuckDB (and the
+    # profile_hh oracle) NULLS LAST — the operator must pin NULLS LAST or a
+    # NULL-vs-key count tie ranks (and at the top-k boundary, SELECTS)
+    # differently across engines
+    rows = [(None,)] * 3 + [(5,)] * 3 + [(1,)] * 7
+    df = spark.createDataFrame(rows, "user long")
+    from tamer_spark.operators.skew import heavy_hitters
+
+    got = [(r.key, r.n, r.rank) for r in heavy_hitters(df, "user", 3).orderBy("rank").collect()]
+    assert got == [(1, 7, 1), (5, 3, 2), (None, 3, 3)]
+    # top-k boundary: k=2 must keep the real key and CUT the tied NULL
+    got2 = [(r.key, r.n) for r in heavy_hitters(df, "user", 2).orderBy("rank").collect()]
+    assert got2 == [(1, 7), (5, 3)]
+
+
+def test_skew_profile_shared_counts_frame_matches(spark):
+    # the counts= seam (one shuffle feeding both variants, as the gate uses
+    # it) must be value-identical to the self-computed path
+    from tamer_spark.operators.skew import heavy_hitters, key_counts, skew_summary
+
+    df = spark.createDataFrame([(k % 7,) for k in range(50)], "user long")
+    counts = key_counts(df, "user")
+    assert (
+        heavy_hitters(df, "user", 5, counts=counts).collect()
+        == heavy_hitters(df, "user", 5).collect()
+    )
+    assert skew_summary(df, "user", counts=counts).collect() == skew_summary(df, "user").collect()
+
+
 def test_skew_profile_empty_input(spark):
     # empty-corpus contract (probed equal in DuckDB): summary is ONE row
     # (n_keys=0, everything else NULL — SUM/MAX of nothing), hitters empty
