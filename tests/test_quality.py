@@ -1,0 +1,65 @@
+"""Direct unit tests for operators/quality.py — the dq gate variant covers
+run_checks/referential/uniqueness end-to-end via the oracle, but matches()
+and the NULL/empty edge semantics had no direct pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.quality import (
+    in_range,
+    matches,
+    not_null,
+    referential_check,
+    run_checks,
+    uniqueness_check,
+)
+
+
+def _rows(df):
+    return {r.check: r.n_bad for r in df.collect()}
+
+
+def test_matches_counts_malformed_and_passes_null(spark):
+    # NULL semantics pin: rlike(NULL) is NULL, so ~NULL is NULL and the
+    # when() counts it as NOT bad — NULLs pass matches() by design and must
+    # be caught by an explicit not_null() check alongside
+    df = spark.createDataFrame(
+        [("a@x.io",), ("nope",), (None,), ("b@y.dev",)], "email string"
+    )
+    got = _rows(run_checks(df, [matches("email", r"^[^@]+@[^@]+$"), not_null("email")]))
+    assert got == {"email_malformed": 1, "email_null": 1}
+
+
+def test_run_checks_is_one_aggregate_pass(spark):
+    # the module contract: N checks compile to ONE scan + ONE agg, never
+    # per-check jobs — pin no Exchange below the aggregate's partial stage
+    # beyond the single final one
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+    )
+    plan = (
+        run_checks(df, [not_null("a"), in_range("b", lo=2, hi=8), matches("a", "1")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial agg over the single source, one SinglePartition exchange,
+    # all three checks fused into the same HashAggregate
+    assert plan.count("Exchange") == 1
+    assert plan.count("Range") == 1
+    assert "partial_sum" in plan
+
+
+def test_in_range_bounds_inclusive(spark):
+    df = spark.createDataFrame([(0,), (5,), (10,), (11,), (-1,)], "v long")
+    got = _rows(run_checks(df, [in_range("v", lo=0, hi=10)]))
+    assert got == {"v_out_of_range": 2}  # 11 and -1; bounds themselves pass
+
+
+def test_referential_and_uniqueness_empty_inputs(spark):
+    child = spark.createDataFrame([], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    assert _rows(referential_check(child, parent, "fk", "pk")) == {"fk_orphaned": 0}
+    empty = spark.createDataFrame([], "k long")
+    assert _rows(uniqueness_check(empty, ["k"])) == {"k_duplicated": 0}
