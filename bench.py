@@ -549,7 +549,9 @@ def main() -> None:
         # Spark-free single-core host-speed reference (see host_calibration):
         # divide round-over-round query ratios by the calib ratio before
         # reading anything as a plan regression. Measured AFTER the queries
-        # (same ambient conditions), ~0.5 s on the r10 reference host.
+        # (same ambient conditions); BENCH_r10 recorded 0.244 s and the
+        # shipped loop measures ~0.24-0.26 s on the r10 reference host
+        # (SCALING.md host-calibration note) — that is the r11 anchor.
         "host_calib_s": host_calibration(),
     }
     if errors:

@@ -121,8 +121,14 @@ def watch_mode(spark, ops: list[str]) -> None:
         for name in ops:
             # untimed sf0.01 warmup: the session's FIRST execution of a plan
             # pays JIT/codegen/broadcast warmup that would otherwise inflate
-            # the 1× step and fake a sub-linear ratio
-            time_op(spark, name, "/root/testdata/sf0.01")
+            # the 1× step and fake a sub-linear ratio. Same per-op isolation
+            # as the timed steps: a warmup failure logs and moves on rather
+            # than aborting the whole watch run (the timed step will record
+            # -1.0 for this op and the others keep their timings).
+            try:
+                time_op(spark, name, "/root/testdata/sf0.01")
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name}@warmup: {type(e).__name__}: {e}", file=sys.stderr)
             results[name] = {}
             for label, path in steps:
                 spark.catalog.clearCache()

@@ -8,8 +8,12 @@ overwhelm an executor (the classic null-key / megauser problem at 100 TB).
 ``salted_join``: the skewed (large) side gets a deterministic salt derived
 from a row fingerprint; the small side is replicated ``salt``× (one copy per
 salt value). The join key becomes (key, salt) → the hot key's rows spread
-over ``salt`` partitions. Results are identical to the plain join; only the
-physical distribution changes.
+over ``salt`` partitions. For every *large-side-preserving* join mode
+(inner/left/left_semi/left_anti) the result is identical to the plain
+join; only the physical distribution changes. Small-side-preserving modes
+(right/full) are REJECTED: an unmatched small-side row survives once per
+salt replica, i.e. ``salt``× duplicated output — see ``salted_join``'s
+validation.
 
 ``heavy_hitters`` / ``skew_summary``: the measurement step a 100 TB
 pipeline runs BEFORE committing to a join/groupBy strategy on a fact
@@ -28,6 +32,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Join modes where every output row is driven by a LARGE-side row (which
+# carries exactly one salt value), so replicating the small side cannot
+# duplicate output. Small-side-preserving modes (right/full) would emit each
+# unmatched small-side row once per salt replica — salt× duplication.
+_SAFE_JOIN_MODES = frozenset({"inner", "left", "leftsemi", "leftanti"})
+_MODE_ALIASES = {"leftouter": "left", "semi": "leftsemi", "anti": "leftanti"}
+
 
 def salted_join(
     large: DataFrame,
@@ -39,9 +50,26 @@ def salted_join(
 ) -> DataFrame:
     """Join with the large side salted and the small side replicated.
 
+    ``how`` must be a large-side-preserving mode — ``inner``, ``left``,
+    ``left_semi``, or ``left_anti`` (plus Spark's spelling aliases). For
+    ``right``/``full`` the salting construction is WRONG, not just slow:
+    an unmatched small-side row matches no (key, salt) pair and would be
+    null-extended once per salt replica, duplicating it ``salt``×. Those
+    modes raise ``ValueError`` — swap the operands (right ≡ left with
+    sides flipped) or use a plain join with AQE skew handling.
+
     ``salt_by``: expression whose md5 spreads the hot key's rows (default: a
     fingerprint of all large-side columns — deterministic, no rand()).
     """
+    mode = how.lower().replace("_", "")
+    mode = _MODE_ALIASES.get(mode, mode)
+    if mode not in _SAFE_JOIN_MODES:
+        raise ValueError(
+            f"salted_join: join mode {how!r} is not large-side-preserving; "
+            "replicating the small side would duplicate its unmatched rows "
+            f"{salt}x (once per salt). Use one of inner/left/left_semi/"
+            "left_anti, or swap the operands for a right join."
+        )
     if salt_by is None:
         salt_by = F.concat_ws("\x00", *[F.col(c).cast("string") for c in large.columns])
     lg = large.withColumn(

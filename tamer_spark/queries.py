@@ -4190,8 +4190,12 @@ def table_maintenance_q(spark, sf):
         F.lit("events.user_id").alias("k"),
         F.col("n_keys").alias("v1"),
         F.col("n_rows").alias("v2"),
-        F.concat_ws(
-            "|", F.col("skew_ppm").cast("string"), F.col("suggested_salt").cast("string")
+        # F.concat, NOT concat_ws: the oracle joins with '||' which
+        # NULL-propagates, while concat_ws skips NULLs — on a degenerate
+        # empty events table (skew_ppm/suggested_salt NULL) the payloads
+        # must agree (both NULL), not diverge ('' vs NULL)
+        F.concat(
+            F.col("skew_ppm").cast("string"), F.lit("|"), F.col("suggested_salt").cast("string")
         ).alias("payload"),
     )
     return dq.unionByName(scd2).unionByName(roll).unionByName(hh).unionByName(summ)

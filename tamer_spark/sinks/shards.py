@@ -113,6 +113,38 @@ def _checkpointed_jrdd(checkpointed_df: DataFrame):
         return None
 
 
+def _restore_checkpoint_dir(sc, jsc, prev) -> None:
+    """Write the saved scala ``Option`` checkpoint dir back via the bytecode
+    var setter ``checkpointDir_$eq`` (exact restore, no re-resolution).
+
+    The setter is ``private[spark]``: if a Spark upgrade ever renames it, an
+    exception raised from the caller's ``finally`` would MASK the original
+    error and leave the session's checkpoint dir pointed at the export
+    directory the caller is told to delete — so fall back to the public
+    ``setCheckpointDir`` (accepting one re-resolved UUID nesting level,
+    which only widens the path, never dangles it) and warn."""
+    try:
+        getattr(jsc, "checkpointDir_$eq")(prev)
+    except Exception as restore_err:  # noqa: BLE001
+        import warnings
+
+        if prev.isDefined():
+            sc.setCheckpointDir(prev.get())
+        warnings.warn(
+            "write_training_shards: exact checkpoint-dir restore via "
+            f"checkpointDir_$eq failed ({restore_err!r}); "
+            + (
+                "restored via setCheckpointDir (re-resolved — one extra "
+                "UUID nesting level)"
+                if prev.isDefined()
+                else "prior dir was unset and could not be cleared — the "
+                "session checkpoint dir remains the export dir"
+            ),
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -197,7 +229,7 @@ def write_training_shards(
             finally:
                 plan.unpersist()
         finally:
-            getattr(jsc, "checkpointDir_$eq")(prev)
+            _restore_checkpoint_dir(sc, jsc, prev)
     else:
         sharded = plan.localCheckpoint()
         ckpt_jrdd = _checkpointed_jrdd(sharded)

@@ -238,3 +238,68 @@ def test_checkpoint_dir_saved_and_restored(spark, tmp_path):
         assert restored.isDefined() and restored.get() == resolved_before
     finally:
         jsc.setCheckpointDir(None)
+
+
+def test_checkpoint_dir_restore_falls_back_when_setter_missing():
+    # r11 (ADVICE): if a Spark upgrade renames the private bytecode setter,
+    # the restore must NOT raise from the caller's finally (masking the real
+    # error + leaving the checkpoint dir pointed at the export dir) — it
+    # falls back to the public setCheckpointDir and warns. Pure-fake test:
+    # the helper only delegates, so no JVM objects are needed.
+    import warnings
+
+    from tamer_spark.sinks.shards import _restore_checkpoint_dir
+
+    class FakeOpt:
+        def __init__(self, val):
+            self._val = val
+
+        def isDefined(self):
+            return self._val is not None
+
+        def get(self):
+            return self._val
+
+    class FakeSC:
+        def __init__(self):
+            self.set_calls = []
+
+        def setCheckpointDir(self, d):
+            self.set_calls.append(d)
+
+    class GoodJsc:
+        def __init__(self):
+            self.restored = None
+
+        def checkpointDir_(self):  # pragma: no cover - name mangled below
+            pass
+
+    # happy path: setter exists -> exact restore, no warning, no fallback
+    good = GoodJsc()
+    setattr(good, "checkpointDir_$eq", lambda prev: setattr(good, "restored", prev))
+    sc = FakeSC()
+    prev = FakeOpt("/ckpt/base-uuid")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _restore_checkpoint_dir(sc, good, prev)
+    assert good.restored is prev and sc.set_calls == []
+
+    class BrokenJsc:
+        pass  # no checkpointDir_$eq attribute at all -> getattr raises
+
+    # defined prev: falls back to the public API with the unwrapped value
+    sc = FakeSC()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _restore_checkpoint_dir(sc, BrokenJsc(), FakeOpt("/ckpt/base-uuid"))
+    assert sc.set_calls == ["/ckpt/base-uuid"]
+    assert len(w) == 1 and issubclass(w[0].category, RuntimeWarning)
+    assert "re-resolved" in str(w[0].message)
+
+    # unset prev: nothing to restore through the public API; warn only
+    sc = FakeSC()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _restore_checkpoint_dir(sc, BrokenJsc(), FakeOpt(None))
+    assert sc.set_calls == []
+    assert len(w) == 1 and "could not be cleared" in str(w[0].message)

@@ -47,6 +47,35 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_matches_plain_join_all_safe_modes(spark):
+    # large-side-preserving modes must be value-identical to the plain join,
+    # including unmatched-large-row preservation (left) and the projection-
+    # only modes (semi/anti). Keys 60..64 exist only in large (exercise the
+    # left null-extension + anti survival), 90..93 only in small.
+    rows = [(1, i) for i in range(500)] + [(u, 0) for u in range(2, 65)]
+    large = spark.createDataFrame(rows, "user long, x long")
+    small = spark.createDataFrame(
+        [(u, f"u{u}") for u in range(1, 60)] + [(u, f"u{u}") for u in range(90, 94)],
+        "user long, name string",
+    )
+    for how in ("inner", "left", "left_semi", "left_anti", "leftouter", "semi", "anti"):
+        plain = sorted(map(tuple, large.join(small, "user", how).collect()))
+        salted = sorted(map(tuple, salted_join(large, small, "user", salt=8, how=how).collect()))
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    # right/full would duplicate each unmatched small-side row salt x
+    # (one survivor per replica) — the contract rejects them outright
+    import pytest
+
+    large = spark.createDataFrame([(1, 0)], "user long, x long")
+    small = spark.createDataFrame([(1, "a"), (99, "unmatched")], "user long, name string")
+    for how in ("right", "full", "outer", "full_outer", "rightouter", "cross"):
+        with pytest.raises(ValueError, match="not large-side-preserving"):
+            salted_join(large, small, "user", salt=4, how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     large = spark.createDataFrame([(1, i) for i in range(1000)], "user long, x long")
     small = spark.createDataFrame([(1, "hot")], "user long, name string")
@@ -205,3 +234,30 @@ def test_skew_profile_empty_input(spark):
     r = skew_summary(e, "user").collect()
     assert len(r) == 1 and (r[0].n_keys, r[0].n_rows, r[0].skew_ppm) == (0, None, None)
     assert heavy_hitters(e, "user", 3).count() == 0
+
+
+def test_profile_summary_payload_null_semantics_match_oracle(spark):
+    # r11 (ADVICE): the gate's profile_summary payload joins skew_ppm and
+    # suggested_salt with NULL-PROPAGATING concat (Spark F.concat ≡ DuckDB
+    # '||'), not concat_ws (skips NULLs -> ''). On a degenerate empty table
+    # both engines must emit payload NULL, not '' vs NULL.
+    import duckdb
+
+    from tamer_spark.operators.skew import skew_summary
+
+    e = spark.createDataFrame([], "user long")
+    row = (
+        skew_summary(e, "user")
+        .select(
+            F.concat(
+                F.col("skew_ppm").cast("string"),
+                F.lit("|"),
+                F.col("suggested_salt").cast("string"),
+            ).alias("payload")
+        )
+        .collect()[0]
+    )
+    oracle = duckdb.sql(
+        "SELECT CAST(NULL AS VARCHAR) || '|' || CAST(NULL AS VARCHAR) AS payload"
+    ).fetchone()[0]
+    assert row.payload is None and oracle is None
