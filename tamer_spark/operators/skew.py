@@ -4,6 +4,15 @@ profiler that tells you WHEN to reach for it.
 AQE's skew-join split handles most cases at runtime; salting is the
 explicit tool when one key dominates so badly that even split partitions
 overwhelm an executor (the classic null-key / megauser problem at 100 TB).
+Measured (scripts/skew_ab.py, 20M rows, SCALING.md r11): AQE's split
+matches or beats salting at every local skew level up to a key owning
+80 % of the table — reach for ``salted_join`` only where AQE can't act
+(non-join key skew, joins inside cached boundaries, build-side rows of
+one key exceeding a task even after splits). When you do, cap the salt at
+~2× the shuffle-partition count: ``suggested_salt`` levels the hot key to
+the MEAN key load, which on a megauser can exceed the cluster's
+parallelism by orders of magnitude while each extra unit replicates the
+whole small side once for nothing.
 
 ``salted_join``: the skewed (large) side gets a deterministic salt derived
 from a row fingerprint; the small side is replicated ``salt``× (one copy per
@@ -123,7 +132,10 @@ def skew_summary(df: DataFrame, key: str, counts: DataFrame | None = None) -> Da
     multiple of the mean key load, in exact integer ppm (1 000 000 =
     perfectly uniform). ``suggested_salt`` = ceil(max_n · n_keys /
     n_rows): the ``salted_join(salt=...)`` value that spreads the hot
-    key over enough partitions to match the mean load. Both are computed
+    key over enough partitions to match the mean load — cap it at ~2×
+    the shuffle-partition count before use (module docstring / SCALING.md
+    r11): past the task count extra salt buys no parallelism and
+    replicates the small side once per unit. Both are computed
     with decimal(38,0) DIV (int64-exact, engine-portable — Spark DIV on
     decimal ≡ DuckDB ``//`` on HUGEINT). Overflow bound, stated
     precisely: the widest intermediate is 1e6 · max_n · n_keys, which

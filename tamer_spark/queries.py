@@ -1039,6 +1039,74 @@ def dedup_exact_q(spark, sf):
     return raw.unionByName(norm).unionByName(sent)
 
 
+@q(
+    "dedup_incremental",
+    """
+    WITH e0 AS (SELECT DISTINCT md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 0),
+         e1 AS (SELECT doc_id, md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 1),
+         s1 AS (SELECT doc_id, content_hash FROM (
+                  SELECT doc_id, content_hash,
+                         row_number() OVER (PARTITION BY content_hash
+                                            ORDER BY doc_id) AS rn
+                  FROM e1) t
+                WHERE rn = 1
+                  AND NOT EXISTS (SELECT 1 FROM e0
+                                  WHERE e0.content_hash = t.content_hash)),
+         i1 AS (SELECT content_hash FROM e0
+                UNION SELECT content_hash FROM s1),
+         e2 AS (SELECT doc_id, md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 2),
+         s2 AS (SELECT doc_id, content_hash FROM (
+                  SELECT doc_id, content_hash,
+                         row_number() OVER (PARTITION BY content_hash
+                                            ORDER BY doc_id) AS rn
+                  FROM e2) t
+                WHERE rn = 1
+                  AND NOT EXISTS (SELECT 1 FROM i1
+                                  WHERE i1.content_hash = t.content_hash))
+    SELECT CAST(1 AS BIGINT) AS epoch, CAST(doc_id AS BIGINT) AS doc_id, content_hash
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
+    """,
+    doc=(
+        "Incremental exact dedup over three ingest epochs (documents split "
+        "by doc_id % 3): epoch 0 seeds the digest index, epoch 1's survivors "
+        "(in-batch min-id representative, then anti-join vs the index) "
+        "advance it, epoch 2 dedups against the advanced index. Per-epoch "
+        "cost is O(batch) — one window shuffle over the batch reused by the "
+        "anti-join key; the index side is exchange-free when bucketed "
+        "(operators/dedup_incremental.py). The replayed-epoch semantics "
+        "mirror the reference's fold-new-data-into-state loop "
+        "(core/src/main/scala/tamer/Tamer.scala run loop) in the dedup domain."
+    ),
+)
+def dedup_incremental_q(spark, sf):
+    from tamer_spark.operators.dedup_incremental import (
+        append_keys,
+        dedup_exact_incremental,
+        exact_index,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    e0 = d.filter(F.col("doc_id") % 3 == 0)
+    e1 = d.filter(F.col("doc_id") % 3 == 1)
+    e2 = d.filter(F.col("doc_id") % 3 == 2)
+    idx0 = exact_index(e0)
+    s1 = dedup_exact_incremental(e1, idx0)
+    idx1 = append_keys(idx0, s1.select("content_hash"))
+    s2 = dedup_exact_incremental(e2, idx1)
+    one = s1.select(
+        F.lit(1).cast("long").alias("epoch"), F.col("doc_id").cast("long").alias("doc_id"), "content_hash"
+    )
+    two = s2.select(
+        F.lit(2).cast("long").alias("epoch"), F.col("doc_id").cast("long").alias("doc_id"), "content_hash"
+    )
+    return one.unionByName(two)
+
+
 def _stats_oracle() -> str:
     stop_terms = " + ".join(
         f"len(regexp_extract_all(' ' || text || ' ', '[^A-Za-z]{w}[^A-Za-z]'))" for w in STOPWORDS

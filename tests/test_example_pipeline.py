@@ -62,6 +62,10 @@ def test_incremental_curation_epochs_example_runs_green():
         # /root/testdata parquet) and asserts its own invariants — the
         # suite only demands a clean exit so examples cannot rot unseen
         "ann_retrieval.py",
+        # r11: the profile -> suggested_salt -> salted_join loop the skew
+        # profiler's docs describe (SURVEY §2B "joins ... salted"), with the
+        # plain-vs-salted equality asserted at the profiler-suggested salt
+        "skew_profile.py",
         "database_simple.py",
         "database_generalized.py",
         "rest_simple.py",
