@@ -1,7 +1,10 @@
 from tamer_spark.operators.asof import asof_join
 from tamer_spark.operators.bloom import (
     bloom_build,
+    bloom_merge,
+    bloom_merge_df,
     bloom_might_contain,
+    bloom_words_df,
     decontaminate_with_bloom,
 )
 from tamer_spark.operators.bm25 import bm25_topk
@@ -29,7 +32,10 @@ from tamer_spark.operators.dedup import (
 from tamer_spark.operators.dedup_incremental import (
     append_keys,
     dedup_exact_incremental,
+    dedup_exact_incremental_bloom,
     dedup_minhash_incremental,
+    exact_bloom_index,
+    exact_bloom_index_df,
     exact_index,
     minhash_band_index,
 )
@@ -64,6 +70,9 @@ __all__ = [
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_exact_incremental",
+    "dedup_exact_incremental_bloom",
+    "exact_bloom_index",
+    "exact_bloom_index_df",
     "dedup_minhash_incremental",
     "exact_index",
     "minhash_band_index",
@@ -90,7 +99,10 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "bloom_build",
+    "bloom_merge",
+    "bloom_merge_df",
     "bloom_might_contain",
+    "bloom_words_df",
     "decontaminate_with_bloom",
     "decontaminate_substrings",
     "take_token_budget",

@@ -34,38 +34,132 @@ def _to_signed(word: int) -> int:
     return word - (1 << 64) if word >= (1 << 63) else word
 
 
-def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> list[int]:
-    """Build bloom bit words (list of int64) over the values of ``col``.
+def bloom_words_df(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> DataFrame:
+    """Distributed bloom build: ``(w, word)`` rows — NEVER collected.
 
-    One distributed pass: per-value probe positions, distinct, collect —
-    at most ``m_bits`` distinct positions come back regardless of input
-    size, so the driver transfer is bounded by the filter size itself.
+    Per-value probe positions fold into their word via a ``bit_or``
+    aggregate (map-side combine), so the shuffle is bounded by the word
+    count ``m_bits/64``, never by the input. This is the index-scale form
+    of the filter: persist it as parquet (m_bits/64 rows ≈ 16 B each),
+    merge epochs with ``bloom_merge_df``, probe with
+    ``bloom_might_contain`` — the words frame stays JVM-side end to end
+    (a multi-MB filter routed through a driver-side Python list costs
+    tens of seconds PER ACTION in local-relation re-serialization,
+    measured r11). Absent ``w`` rows are implicit zero words.
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     probes = F.array(
         *[F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits)) for i in range(k)]
     )
-    positions = [
-        r.pos for r in df.select(F.explode(probes).alias("pos")).distinct().collect()
-    ]
+    return (
+        df.select(F.explode(probes).alias("pos"))
+        .select(
+            F.expr("CAST(pos DIV 64 AS BIGINT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_merge_df(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two distributed blooms of the SAME (m_bits, k): bit_or per
+    word index. Bloom union is exact, so an index sidecar advances one
+    O(m_bits/64)-row merge per epoch — history is never rebuilt."""
+    return a.unionByName(b).groupBy("w").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> list[int]:
+    """Build bloom bit words (list of int64) over the values of ``col``.
+
+    The driver-side materialization of ``bloom_words_df`` — the collect is
+    bounded by the word count ``m_bits/64``. Right for SMALL filters whose
+    words inline as plan literals (decontamination-style benchmark sets);
+    for index-scale filters keep the words distributed
+    (``bloom_words_df``) instead of round-tripping them through Python.
+    """
+    rows = bloom_words_df(df, col, m_bits=m_bits, k=k).collect()
     words = [0] * (m_bits // 64)
-    for p in positions:
-        words[p // 64] |= 1 << (p % 64)
-    return [_to_signed(w) for w in words]
+    for r in rows:
+        words[r.w] = r.word
+    return words
+
+
+def bloom_merge(a: list[int], b: list[int]) -> list[int]:
+    """Union two blooms built with the SAME (m_bits, k): bitwise OR of the
+    words. Bloom union is exact — ``bloom_build(A ∪ B) == merge(build(A),
+    build(B))`` because positions are per-value — which is what makes a
+    bloom INDEX incrementally maintainable: each epoch ORs its surviving
+    batch's words in, O(m_bits) per epoch, never rebuilding over history.
+    """
+    if len(a) != len(b):
+        raise ValueError(f"bloom word counts differ ({len(a)} vs {len(b)}): same m_bits required")
+    return [_to_signed((x & _MASK64) | (y & _MASK64)) for x, y in zip(a, b)]
+
+
+# Words lists up to this many int64s (8 KB) inline as a plan literal; past
+# it, routing a Python list through the plan costs tens of seconds per
+# action (measured r11: a 2M-word local relation re-serializes on EVERY
+# job) — large filters must stay distributed (bloom_words_df) and probe
+# via the broadcast-join path below.
+_LITERAL_WORDS_MAX = 1024
 
 
 def bloom_might_contain(
-    df: DataFrame, col: str, words: list[int], m_bits: int, k: int = 5, out: str = "bloom_hit"
+    df: DataFrame,
+    col: str,
+    words: list[int] | DataFrame,
+    m_bits: int,
+    k: int = 5,
+    out: str = "bloom_hit",
 ) -> DataFrame:
     """Attach boolean ``out``: bloom membership test of ``col``.
 
-    All-JVM: the words array is a foldable literal; each probe is an
-    xxhash64 + pmod + element_at + variable-amount shiftrightunsigned.
+    All-JVM, two delivery forms by filter size:
+
+    - ``words`` as ``list[int]`` (small filters): a foldable plan-literal
+      array; each probe is xxhash64 + pmod + element_at +
+      variable-amount shiftrightunsigned. Lists past
+      ``_LITERAL_WORDS_MAX`` are rejected — convert to the distributed
+      form (``bloom_words_df`` / one ``createDataFrame`` via Arrow)
+      rather than bloating every serialized plan copy.
+    - ``words`` as a ``(w, word)`` DataFrame (index-scale filters): k
+      broadcast hash joins on the word index — map-side lookups, no
+      shuffle of ``df``, no driver round-trip of the words. Missing
+      ``w`` rows are zero words (left join + coalesce).
+
     Guaranteed no false negatives (build and probe share the hash exprs).
     """
+    if isinstance(words, DataFrame):
+        d = df
+        cond: Column | None = None
+        drops = []
+        for i in range(k):
+            d = d.withColumn(
+                f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
+            )
+            wi = words.select(F.col("w").alias(f"_w{i}"), F.col("word").alias(f"_wd{i}"))
+            d = d.join(
+                F.broadcast(wi),
+                F.expr(f"CAST(_bp{i} DIV 64 AS BIGINT)") == F.col(f"_w{i}"),
+                "left",
+            )
+            c = F.expr(
+                f"(shiftrightunsigned(coalesce(_wd{i}, CAST(0 AS BIGINT)),"
+                f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
+            )
+            cond = c if cond is None else (cond & c)
+            drops += [f"_bp{i}", f"_w{i}", f"_wd{i}"]
+        return d.withColumn(out, cond).drop(*drops)
+    if len(words) > _LITERAL_WORDS_MAX:
+        raise ValueError(
+            f"bloom_might_contain: {len(words)} words exceed the plan-literal "
+            f"budget ({_LITERAL_WORDS_MAX}); keep index-scale filters "
+            "distributed — build with bloom_words_df and pass the DataFrame"
+        )
     d = df.withColumn("_bw", F.array(*[F.lit(w).cast("long") for w in words]))
-    cond: Column | None = None
+    cond = None
     for i in range(k):
         d = d.withColumn(
             f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))

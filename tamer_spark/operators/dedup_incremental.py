@@ -189,6 +189,116 @@ def dedup_minhash_incremental(
     )
 
 
+def exact_bloom_index(
+    index_or_df: DataFrame,
+    col: str = "content_hash",
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> list[int]:
+    """Bloom words (plan-literal form, small filters — ≤1024 words) over
+    an exact-dedup index's digests: the sidecar that frees later epochs
+    from scanning the exact index at all (probabilistic mode) or from
+    shuffling more than the batch's bloom-positive sliver (verify mode) —
+    see ``dedup_exact_incremental_bloom``.
+
+    Maintain it incrementally: ``bloom_merge(words,
+    exact_bloom_index(surviving_batch_keys))`` per epoch — bloom union is
+    exact, so the sidecar never needs rebuilding over history. Size
+    ``m_bits`` at ~10-14 bits/key for ~1-0.1 % FP. Past the plan-literal
+    budget (~6k keys at 10 bits/key) use ``exact_bloom_index_df`` — the
+    distributed form that never round-trips the words through the driver
+    and scales to ~1e9 index keys (the broadcast-join build side,
+    ~1-10 GB, is the binding constraint; beyond that shard the bloom by
+    digest prefix or fall back to the exact bucketed path).
+    """
+    from tamer_spark.operators.bloom import bloom_build
+
+    return bloom_build(index_or_df, col, m_bits=m_bits, k=k)
+
+
+def exact_bloom_index_df(
+    index_or_df: DataFrame,
+    col: str = "content_hash",
+    m_bits: int = 1 << 27,
+    k: int = 5,
+) -> DataFrame:
+    """Distributed bloom sidecar: ``(w, word)`` rows, never collected —
+    the index-scale form (see ``exact_bloom_index``). Persist as parquet
+    (m_bits/64 rows); advance per epoch with ``bloom_merge_df(words_df,
+    exact_bloom_index_df(surviving_batch_keys, m_bits=...))``. Probe-side
+    it feeds ``dedup_exact_incremental_bloom`` directly — k broadcast
+    hash joins, no shuffle of the batch, no driver transfer (a 2M-word
+    filter routed through a Python list costs ~25 s PER ACTION in
+    local-relation re-serialization, measured r11).
+    """
+    from tamer_spark.operators.bloom import bloom_words_df
+
+    return bloom_words_df(index_or_df, col, m_bits=m_bits, k=k)
+
+
+def dedup_exact_incremental_bloom(
+    new_df: DataFrame,
+    words: list[int] | DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup against a bloom sidecar of the index.
+
+    The exact path (``dedup_exact_incremental``) shuffles only the batch,
+    but its anti-join still SCANS the whole digest index every epoch —
+    ~24 B/doc, which at a 1e12-doc corpus is a 24 TB read per epoch that
+    dwarfs any real batch (measured: scripts/incremental_scale_probe.py).
+    The bloom sidecar removes it:
+
+    - ``index=None`` (probabilistic): keep only bloom-NEGATIVE rows.
+      A bloom has no false negatives, so every true duplicate is
+      guaranteed dropped (zero false keeps — the dedup-critical
+      direction); the cost is dropping novel docs at the bloom's FP rate
+      (~0.1-1 % when sized, acceptable loss for corpus curation — the
+      same stance bloom.py's decontamination takes). Per-epoch cost is
+      O(batch) with NO index access of any kind.
+    - ``index`` given (verify): bloom-positive rows get the exact
+      anti-join; output is bit-identical to ``dedup_exact_incremental``
+      but the verify join's batch side is only the positive sliver
+      (true dups + FP·novel). The index scan returns, so this mode buys
+      shuffle reduction, not scan elimination.
+
+    In-batch dedup (min-id representative) is identical to the exact
+    path, so the two modes differ only in cross-epoch membership.
+
+    ``words``: the plan-literal list (small sidecars,
+    ``exact_bloom_index``) or the distributed ``(w, word)`` frame
+    (index scale, ``exact_bloom_index_df``) — ``bloom_might_contain``
+    dispatches on the type; semantics are identical.
+    """
+    from pyspark.sql import Window
+
+    from tamer_spark.operators.bloom import bloom_might_contain
+
+    text = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = new_df.withColumn("content_hash", F.md5(text))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    batch = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    probed = bloom_might_contain(batch, "content_hash", words, m_bits, k=k)
+    # column order pinned to dedup_exact_incremental's output (its key join
+    # leads with content_hash) so the two paths are drop-in interchangeable
+    cols = ["content_hash", *new_df.columns]
+    negatives = probed.filter(~F.col("bloom_hit")).select(cols)
+    if index is None:
+        return negatives
+    positives = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
+    verified = positives.join(index, "content_hash", "left_anti").select(cols)
+    return negatives.unionByName(verified)
+
+
 def append_keys(index: DataFrame, new_keys: DataFrame) -> DataFrame:
     """Advance an index by a surviving batch's keys (plan form).
 

@@ -1066,10 +1066,15 @@ def dedup_exact_q(spark, sf):
                 WHERE rn = 1
                   AND NOT EXISTS (SELECT 1 FROM i1
                                   WHERE i1.content_hash = t.content_hash))
-    SELECT CAST(1 AS BIGINT) AS epoch, CAST(doc_id AS BIGINT) AS doc_id, content_hash
+    SELECT 'exact' AS variant, CAST(1 AS BIGINT) AS epoch,
+           CAST(doc_id AS BIGINT) AS doc_id, content_hash
     FROM s1
     UNION ALL
-    SELECT CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
+    SELECT 'exact', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
+    UNION ALL
+    SELECT 'bloom_verify', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s1
+    UNION ALL
+    SELECT 'bloom_verify', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
     """,
     doc=(
         "Incremental exact dedup over three ingest epochs (documents split "
@@ -1078,15 +1083,23 @@ def dedup_exact_q(spark, sf):
         "advance it, epoch 2 dedups against the advanced index. Per-epoch "
         "cost is O(batch) — one window shuffle over the batch reused by the "
         "anti-join key; the index side is exchange-free when bucketed "
-        "(operators/dedup_incremental.py). The replayed-epoch semantics "
-        "mirror the reference's fold-new-data-into-state loop "
-        "(core/src/main/scala/tamer/Tamer.scala run loop) in the dedup domain."
+        "(operators/dedup_incremental.py). The bloom_verify variant replays "
+        "both epochs through the bloom-sidecar path (verify mode), which is "
+        "bit-identical to the exact path by construction — the oracle "
+        "replays the SAME survivor SQL under the second tag, so a bloom "
+        "false-negative or a broken sidecar merge shows up as a hash "
+        "mismatch. The replayed-epoch semantics mirror the reference's "
+        "fold-new-data-into-state loop (core/src/main/scala/tamer/"
+        "Tamer.scala run loop) in the dedup domain."
     ),
 )
 def dedup_incremental_q(spark, sf):
+    from tamer_spark.operators.bloom import bloom_merge
     from tamer_spark.operators.dedup_incremental import (
         append_keys,
         dedup_exact_incremental,
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
         exact_index,
     )
 
@@ -1098,13 +1111,29 @@ def dedup_incremental_q(spark, sf):
     s1 = dedup_exact_incremental(e1, idx0)
     idx1 = append_keys(idx0, s1.select("content_hash"))
     s2 = dedup_exact_incremental(e2, idx1)
-    one = s1.select(
-        F.lit(1).cast("long").alias("epoch"), F.col("doc_id").cast("long").alias("doc_id"), "content_hash"
+
+    # bloom-sidecar replay (verify mode: bit-identical to exact) with the
+    # sidecar maintained incrementally via bloom_merge, as a real loop would
+    m = 1 << 16
+    w0 = exact_bloom_index(idx0, m_bits=m)
+    b1 = dedup_exact_incremental_bloom(e1, w0, m_bits=m, index=idx0)
+    w1 = bloom_merge(w0, exact_bloom_index(b1.select("content_hash"), m_bits=m))
+    b2 = dedup_exact_incremental_bloom(e2, w1, m_bits=m, index=idx1)
+
+    def tag(df, variant, epoch):
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "content_hash",
+        )
+
+    return (
+        tag(s1, "exact", 1)
+        .unionByName(tag(s2, "exact", 2))
+        .unionByName(tag(b1, "bloom_verify", 1))
+        .unionByName(tag(b2, "bloom_verify", 2))
     )
-    two = s2.select(
-        F.lit(2).cast("long").alias("epoch"), F.col("doc_id").cast("long").alias("doc_id"), "content_hash"
-    )
-    return one.unionByName(two)
 
 
 def _stats_oracle() -> str:

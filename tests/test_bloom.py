@@ -60,3 +60,74 @@ def test_bitwise_identical_to_exact_anti_join(spark, m_bits):
         ).collect()
     }
     assert got == expected
+
+
+def test_distributed_words_frame_matches_literal_path(spark):
+    # r11: index-scale filters keep the words DISTRIBUTED — (w, word) rows
+    # probed via k broadcast hash joins. Membership answers must be
+    # identical bit for bit to the small-filter plan-literal path.
+    from tamer_spark.operators import bloom as B
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)], "s string")
+    probe = spark.createDataFrame(
+        [(f"v{i}",) for i in range(150, 250)] + [(f"miss{i}",) for i in range(50)], "s string"
+    )
+    m = 1 << 14
+    words = B.bloom_build(vals, "s", m_bits=m)
+    words_df = B.bloom_words_df(vals, "s", m_bits=m)
+    via_df = {
+        (r.s, r.bloom_hit) for r in B.bloom_might_contain(probe, "s", words_df, m).collect()
+    }
+    via_literal = {
+        (r.s, r.bloom_hit) for r in B.bloom_might_contain(probe, "s", words, m).collect()
+    }
+    assert via_df == via_literal
+    # no false negatives on the df path (v150..v199 are in the built set)
+    assert all(hit for s, hit in via_df if s.startswith("v") and int(s[1:]) < 200)
+
+
+def test_oversized_literal_list_is_rejected(spark):
+    # a multi-MB plan-literal words array re-serializes on every job
+    # (~25 s/action measured at 2M words) — the list path refuses past the
+    # budget and names the distributed alternative
+    import pytest
+
+    from tamer_spark.operators import bloom as B
+
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="bloom_words_df"):
+        B.bloom_might_contain(df, "s", [0] * (B._LITERAL_WORDS_MAX + 1), 1 << 17)
+
+
+def test_merge_df_equals_build_over_union(spark):
+    from tamer_spark.operators import bloom as B
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(30)], "v string")
+    m = 1 << 12
+    merged = {
+        (r.w, r.word)
+        for r in B.bloom_merge_df(
+            B.bloom_words_df(a, "v", m_bits=m), B.bloom_words_df(b, "v", m_bits=m)
+        ).collect()
+    }
+    want = {(r.w, r.word) for r in B.bloom_words_df(a.unionByName(b), "v", m_bits=m).collect()}
+    assert merged == want
+
+
+def test_df_probe_plan_is_broadcast_joins_no_shuffle_of_probe_side(spark):
+    # scale pin: the distributed-words probe must be k BroadcastHashJoins —
+    # the probe (fact) side must NOT shuffle for the bloom test
+    from tamer_spark.operators import bloom as B
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], "s string")
+    probe = spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
+    words_df = B.bloom_words_df(vals, "s", m_bits=1 << 12)
+    plan = (
+        B.bloom_might_contain(probe, "s", words_df, 1 << 12, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

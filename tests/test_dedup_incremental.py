@@ -184,3 +184,134 @@ def test_exact_incremental_three_epoch_equivalence(spark):
     full = _docs(spark, rows)
     want = sorted(r.keep_id for r in dedup_exact(full).collect())
     assert sorted(survivors) == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom-sidecar incremental dedup (r11): O(batch) epochs with no index scan
+# ---------------------------------------------------------------------------
+
+_M = 1 << 12  # 4096 bits for tens of keys: FP ~0 at test scale
+
+
+def _bloom_fixture(spark):
+    old = _docs(
+        spark,
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "unique old doc")],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox"),   # dup of index
+            (11, "novel text one"),
+            (12, "novel text one"),        # in-batch dup of 11
+            (13, "lorem ipsum dolor"),     # dup of index
+            (14, "novel text two"),
+        ],
+    )
+    return old, new
+
+
+def test_bloom_probabilistic_never_false_keeps(spark):
+    # the dedup-critical direction: a bloom has NO false negatives, so every
+    # true duplicate (in-index digest) must be dropped in probabilistic mode
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    words = exact_bloom_index(exact_index(old), m_bits=_M)
+    got = sorted(r.doc_id for r in dedup_exact_incremental_bloom(new, words, m_bits=_M).collect())
+    # exact survivors are {11, 14}; probabilistic may FALSE-DROP novel docs
+    # (never keep a dup), so got ⊆ {11, 14} and 10/12/13 are never present
+    assert set(got) <= {11, 14}
+    # at 4096 bits / 4 keys FP≈0: deterministic hashing makes this stable
+    assert got == [11, 14]
+
+
+def test_bloom_verify_mode_is_bit_identical_to_exact(spark):
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = exact_index(old)
+    words = exact_bloom_index(idx, m_bits=_M)
+    exact = dedup_exact_incremental(new, idx)
+    bloom = dedup_exact_incremental_bloom(new, words, m_bits=_M, index=idx)
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_bloom_merge_equals_build_over_union(spark):
+    # bloom union is EXACT: merge(build(A), build(B)) == build(A ∪ B) —
+    # the property that makes the sidecar incrementally maintainable
+    from tamer_spark.operators.bloom import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "v string")
+    u = a.unionByName(b)
+    merged = bloom_merge(bloom_build(a, "v", m_bits=_M), bloom_build(b, "v", m_bits=_M))
+    assert merged == bloom_build(u, "v", m_bits=_M)
+    # and mismatched sizes are rejected, not silently mangled
+    import pytest
+
+    with pytest.raises(ValueError, match="same m_bits"):
+        bloom_merge([0] * 4, [0] * 8)
+
+
+def test_bloom_epoch_loop_with_incremental_sidecar_matches_exact(spark):
+    """Three epochs maintaining ONLY the bloom sidecar (verify mode carries
+    the exact index too): per-epoch sidecar update is bloom_merge of the
+    surviving batch's words — and verify mode tracks the exact loop
+    bit-for-bit across every epoch."""
+    import random
+
+    from tamer_spark.operators.bloom import bloom_merge
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, f"text variant {rng.randrange(40)}") for i in range(120)]
+    epochs = [rows[0:40], rows[40:80], rows[80:120]]
+
+    idx = spark.createDataFrame([], "content_hash string")
+    words = exact_bloom_index(idx, m_bits=_M)
+    got: list[int] = []
+    for ep in epochs:
+        batch = _docs(spark, ep)
+        s = dedup_exact_incremental_bloom(batch, words, m_bits=_M, index=idx)
+        got.extend(r.doc_id for r in s.collect())
+        keys = s.select("content_hash")
+        words = bloom_merge(words, exact_bloom_index(keys, m_bits=_M))
+        idx = append_keys(idx, keys)
+
+    want: list[int] = []
+    idx2 = spark.createDataFrame([], "content_hash string")
+    for ep in epochs:
+        batch = _docs(spark, ep)
+        s = dedup_exact_incremental(batch, idx2)
+        want.extend(r.doc_id for r in s.collect())
+        idx2 = append_keys(idx2, s.select("content_hash"))
+    assert sorted(got) == sorted(want)
+
+
+def test_bloom_probabilistic_plan_has_no_join_at_all(spark):
+    # the whole point of probabilistic mode: NO index access — the plan must
+    # contain no join operator of any kind (the bloom is a plan literal)
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    words = exact_bloom_index(exact_index(old), m_bits=_M)
+    plan = (
+        dedup_exact_incremental_bloom(new, words, m_bits=_M)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
