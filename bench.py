@@ -260,6 +260,30 @@ def _dedup_exact_incremental_epoch(spark, sf_dir):
     return dedup_exact_incremental(batch, spark.table("bench_dedup_idx").hint("merge"))
 
 
+def _dedup_bloom_incremental_epoch(spark, sf_dir):
+    # r11 counterpart of _dedup_exact_incremental_epoch: the same 10 % epoch
+    # batch deduped against a DISTRIBUTED bloom sidecar of the other 90 %
+    # (built once in warm-up, persisted — a real loop advances it by
+    # bloom_merge_df, never rebuilds). Probabilistic mode: the flat-vs-index
+    # path whose whole point is touching NO exact index — what this entry
+    # times is the k-broadcast-join probe cost per epoch.
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index_df,
+        exact_index,
+    )
+
+    m = 1 << 22
+    key = ("dedup_bloom_words", sf_dir)
+    if key not in _MEMO:
+        hist = Q._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+        words = exact_bloom_index_df(exact_index(hist), m_bits=m).persist()
+        words.count()
+        _MEMO[key] = words
+    batch = Q._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup_exact_incremental_bloom(batch, _MEMO[key], m_bits=m)
+
+
 # Headline set: mix of heavy relational (scan/join/agg/window), ingestion-
 # shaped, and LLM-data operators — the queries whose 100 TB behavior matters.
 # Values: None → run the registry entry; callable → a hot-path subset of a
@@ -282,6 +306,7 @@ HEADLINE = {
     # north star cares most about, tracked round-over-round
     "connected_components": _cc_clusters_only,
     "dedup_exact_incremental": _dedup_exact_incremental_epoch,
+    "dedup_bloom_incremental": _dedup_bloom_incremental_epoch,
     "pack_sequences": None,
     # semantic tier (round 4+): SemDeDup / PQ / ADC search / CCNet buckets
     # under frozen models (training happens once in warm-up — the
@@ -343,6 +368,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ("dedup", [
         "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
         "connected_components", "dedup_exact_incremental",
+        "dedup_bloom_incremental",
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
@@ -375,6 +401,7 @@ SERIES = {
     "dedup_minhash_lsh": "r3-cold-path",
     "connected_components": "r3",
     "dedup_exact_incremental": "r3",
+    "dedup_bloom_incremental": "r11-prob-sidecar",
     "pack_sequences": "r3",
     "semdedup": "r4-frozen-model",
     "pq_encode": "r4-frozen-model",

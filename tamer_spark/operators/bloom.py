@@ -187,7 +187,13 @@ def decontaminate_with_bloom(
 
     Returns the surviving ``corpus_docs`` ids.
     """
-    words = bloom_build(bench_shingles, shingle_col, m_bits=m_bits, k=k)
+    # past the plan-literal budget the words stay a distributed (w, word)
+    # frame probed by broadcast joins — same answers, no driver round-trip
+    words: list[int] | DataFrame
+    if m_bits // 64 <= _LITERAL_WORDS_MAX:
+        words = bloom_build(bench_shingles, shingle_col, m_bits=m_bits, k=k)
+    else:
+        words = bloom_words_df(bench_shingles, shingle_col, m_bits=m_bits, k=k)
     candidates = bloom_might_contain(
         corpus_shingled, shingle_col, words, m_bits, k=k
     ).filter(F.col("bloom_hit"))

@@ -131,3 +131,18 @@ def test_df_probe_plan_is_broadcast_joins_no_shuffle_of_probe_side(spark):
     )
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_decontaminate_large_m_routes_to_distributed_words(spark):
+    # r11: decontaminate_with_bloom past the plan-literal budget must keep
+    # working (distributed words) and stay bit-identical to a small-m run
+    from tamer_spark.operators.bloom import decontaminate_with_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "aaa"), (1, "bbb"), (2, "ccc"), (3, "ddd"), (3, "eee")], "doc_id long, s string"
+    )
+    bench = spark.createDataFrame([("bbb",), ("eee",)], "s string")
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    small = {r.doc_id for r in decontaminate_with_bloom(corpus, bench, docs, m_bits=1 << 12).collect()}
+    large = {r.doc_id for r in decontaminate_with_bloom(corpus, bench, docs, m_bits=1 << 17).collect()}
+    assert small == large == {2}
