@@ -34,10 +34,12 @@ from tamer_spark.operators.dedup_incremental import (
     dedup_exact_incremental,
     dedup_exact_incremental_bloom,
     dedup_minhash_incremental,
+    dedup_minhash_incremental_bloom,
     exact_bloom_index,
     exact_bloom_index_df,
     exact_index,
     minhash_band_index,
+    minhash_bloom_index,
 )
 from tamer_spark.operators.gopher import gopher_signals
 from tamer_spark.operators.mixing import stratified_mix
@@ -74,8 +76,10 @@ __all__ = [
     "exact_bloom_index",
     "exact_bloom_index_df",
     "dedup_minhash_incremental",
+    "dedup_minhash_incremental_bloom",
     "exact_index",
     "minhash_band_index",
+    "minhash_bloom_index",
     "append_keys",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -299,6 +299,84 @@ def dedup_exact_incremental_bloom(
     return negatives.unionByName(verified)
 
 
+def _band_key(df: DataFrame) -> DataFrame:
+    """(band_id, band_sig) → one string probe key. NULL-free by
+    construction (band_sig is a concat_ws product, band_id a posexplode
+    ordinal), so concat never nulls out a key."""
+    return df.withColumn(
+        "_bk", F.concat(F.col("band_id").cast("string"), F.lit(":"), F.col("band_sig"))
+    )
+
+
+def minhash_bloom_index(
+    index: DataFrame, m_bits: int = 1 << 27, k: int = 5
+) -> DataFrame:
+    """Distributed bloom sidecar over an LSH band index's (band_id,
+    band_sig) bucket keys — the near-dup analog of
+    ``exact_bloom_index_df``. Build once over the persisted index, advance
+    per epoch with ``bloom_merge_df`` over the surviving batch's bands.
+    MATERIALIZE the result (parquet / persist) before probing: a lazy
+    words frame embeds the index-banding plan and re-executes it inside
+    every probe, silently restoring the per-epoch index cost the sidecar
+    exists to remove (same rule for ``exact_bloom_index_df``).
+    """
+    from tamer_spark.operators.bloom import bloom_words_df
+
+    return bloom_words_df(_band_key(index), "_bk", m_bits=m_bits, k=k)
+
+
+def dedup_minhash_incremental_bloom(
+    new_df: DataFrame,
+    words: DataFrame,
+    m_bits: int = 1 << 27,
+    bloom_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup incremental dedup against a bloom sidecar of the LSH band
+    index: drop a doc when ANY of its band keys bloom-hits.
+
+    Same decision rule as ``dedup_minhash_incremental`` (any-full-band
+    collision), same error direction as the exact-dedup sidecar: a bloom
+    has no false negatives, so every doc that WOULD have collided with the
+    index is guaranteed dropped (zero false keeps of near-dups); bloom FPs
+    drop novel docs at the sized FP rate — and since a doc is dropped on
+    ANY of its ``bands`` keys hitting, the per-doc false-drop rate is
+    ≤ bands × the per-key rate (size ``m_bits`` accordingly). The index
+    itself is never touched: per-epoch cost is banding the batch
+    (map-only) + k broadcast-join probes + one batch-keyed anti join.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    from tamer_spark.operators.bloom import bloom_might_contain
+
+    r = k // bands
+    sigs = minhash_signatures(new_df, text_col, id_col, k, n, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(F.col("signature"), b * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    probed = bloom_might_contain(_band_key(banded), "_bk", words, m_bits, k=bloom_k)
+    collided = probed.filter(F.col("bloom_hit")).select("doc_id").distinct()
+    return new_df.join(
+        collided, new_df[id_col] == collided["doc_id"], "left_anti"
+    )
+
+
 def append_keys(index: DataFrame, new_keys: DataFrame) -> DataFrame:
     """Advance an index by a surviving batch's keys (plan form).
 

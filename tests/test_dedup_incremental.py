@@ -315,3 +315,105 @@ def test_bloom_probabilistic_plan_has_no_join_at_all(spark):
         .toString()
     )
     assert "Join" not in plan, plan
+
+
+def test_minhash_bloom_drops_every_index_collider_keeps_most_novel(spark):
+    # zero false keeps: every doc dedup_minhash_incremental would drop (an
+    # index band collision) must ALSO be dropped by the bloom path — blooms
+    # have no false negatives. Novel docs survive except bloom-FP drops,
+    # which at 2^14 bits for a handful of band keys is ~0.
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_minhash_incremental,
+        dedup_minhash_incremental_bloom,
+        minhash_bloom_index,
+    )
+
+    old = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "spark sql catalyst optimizer rewrites logical plans into physical plans"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),  # exact ⇒ all bands collide
+            (11, "completely unrelated text about cooking pasta with fresh tomatoes"),
+            (12, "spark sql catalyst optimizer rewrites logical plans into physical plans"),
+            (13, "another unrelated document mentioning mountains and winter hiking trails"),
+        ],
+    )
+    idx = minhash_band_index(old)
+    m = 1 << 14
+    words = minhash_bloom_index(idx, m_bits=m)
+    exact = {r.doc_id for r in dedup_minhash_incremental(new, idx).collect()}
+    bloom = {r.doc_id for r in dedup_minhash_incremental_bloom(new, words, m_bits=m).collect()}
+    # bloom survivors ⊆ exact survivors (bloom can only drop MORE)
+    assert bloom <= exact
+    # the guaranteed drops (10, 12) are dropped by both
+    assert 10 not in bloom and 12 not in bloom
+    # at this bloom size FP≈0, deterministic hashing: survivors identical
+    assert bloom == exact == {11, 13}
+
+
+def test_minhash_bloom_sidecar_epoch_loop_advances_by_merge(spark):
+    # the sidecar advances by bloom_merge_df over the surviving batch's
+    # bands — a doc near-dup'd against an EARLIER EPOCH's survivor (not the
+    # seed index) must be dropped too
+    from tamer_spark.operators.bloom import bloom_merge_df
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_minhash_incremental_bloom,
+        minhash_band_index,
+        minhash_bloom_index,
+    )
+
+    m = 1 << 14
+    seed_docs = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    words = minhash_bloom_index(minhash_band_index(seed_docs), m_bits=m)
+
+    ep1 = _docs(spark, [(10, "iota kappa lambda mu nu xi omicron pi rho sigma")])
+    s1 = dedup_minhash_incremental_bloom(ep1, words, m_bits=m)
+    assert {r.doc_id for r in s1.collect()} == {10}
+    words = bloom_merge_df(words, minhash_bloom_index(minhash_band_index(s1), m_bits=m))
+
+    ep2 = _docs(
+        spark,
+        [
+            (20, "iota kappa lambda mu nu xi omicron pi rho sigma"),  # dup of epoch-1 survivor
+            (21, "tau upsilon phi chi psi omega one two three four"),
+        ],
+    )
+    s2 = {r.doc_id for r in dedup_minhash_incremental_bloom(ep2, words, m_bits=m).collect()}
+    assert s2 == {21}
+
+
+def test_minhash_bloom_plan_probes_are_broadcast_joins(spark):
+    # scale pin: the word probes must be bloom_k BroadcastHashJoins (the
+    # sidecar never shuffles the batch); the only other join is the final
+    # batch-keyed anti join (both sides batch-derived — SMJ there is fine,
+    # its shuffle volume is the batch's doc_ids). No cartesian anywhere.
+    # NOTE the words frame is read from parquet as production would (a lazy
+    # words plan would re-execute the index banding inside every probe).
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_minhash_incremental_bloom,
+        minhash_bloom_index,
+    )
+
+    old = _docs(spark, [(1, "some historical document text for the index")])
+    new = _docs(spark, [(10, "a new batch document to probe")])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        minhash_bloom_index(minhash_band_index(old), m_bits=1 << 14).write.mode(
+            "overwrite"
+        ).parquet(td + "/w")
+        words = spark.read.parquet(td + "/w")
+        plan = (
+            dedup_minhash_incremental_bloom(new, words, m_bits=1 << 14)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert plan.count("BroadcastHashJoin") == 5  # bloom_k probes
+    assert "Cartesian" not in plan
