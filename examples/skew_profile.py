@@ -56,21 +56,32 @@ def main() -> None:
     assert summ.suggested_salt > 1, "a hot key this heavy must warrant salting"
     assert summ.skew_ppm > 1_000_000, "ppm > 1e6 means hotter than uniform"
 
-    # -- 2. act on the advice: salted join with the SUGGESTED salt --------
+    # -- 2. act on the advice: salted join with the CAPPED suggestion -----
+    # suggested_salt levels the hot key to the MEAN key load; past the task
+    # count each extra unit replicates the dim once for zero parallelism
+    # gain, so cap at ~2x the shuffle partitions (skew.py docstring /
+    # SCALING.md r11 — the same rule scripts/skew_ab.py applies)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salt = max(2, min(int(summ.suggested_salt), 2 * n_parts))
     dim = (
         spark.read.parquet(f"{SF_DIR}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
     plain = fact.join(dim, "user_id")
-    salted = salted_join(fact, dim, "user_id", salt=int(summ.suggested_salt))
+    salted = salted_join(fact, dim, "user_id", salt=salt)
 
-    # contract: identical results, physical distribution only
-    assert salted.count() == plain.count(), "salted join must not change row count"
+    # contract: identical results, physical distribution only (each join
+    # runs once: counts cached in locals, equality checked on aggregates)
+    n_plain, n_salted = plain.count(), salted.count()
+    assert n_salted == n_plain, "salted join must not change row count"
     agg = lambda df: sorted(  # noqa: E731
         map(tuple, df.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect())
     )
     assert agg(salted) == agg(plain), "salted join must match the plain join's aggregates"
-    print(f"salted_join(salt={summ.suggested_salt}) == plain join: {plain.count()} rows — OK")
+    print(
+        f"salted_join(salt={salt}, suggested {summ.suggested_salt} capped at "
+        f"2x{n_parts} partitions) == plain join: {n_plain} rows — OK"
+    )
 
     spark.stop()
 

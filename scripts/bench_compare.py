@@ -44,11 +44,16 @@ def main() -> None:
 
     old, new = load(args.old), load(args.new)
     c_old, c_new = old.get("host_calib_s"), new.get("host_calib_s")
-    if c_old and c_new:
+    calib_missing = c_old is None or c_new is None or not c_old or not c_new
+    if not calib_missing:
         calib = c_new / c_old
     else:
         calib = 1.0
-        print("# WARNING: host_calib_s missing in one record; calib ratio = 1.0", file=sys.stderr)
+        print(
+            "# WARNING: host_calib_s missing/zero in one record — ratios below "
+            "are RAW, not normalized (calib_ratio: null in the summary)",
+            file=sys.stderr,
+        )
 
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
@@ -77,7 +82,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "calib_ratio": round(calib, 3),
+                # null calib_ratio = normalization DID NOT HAPPEN (pre-r10
+                # record without host_calib_s): every "norm" value is raw
+                "calib_ratio": None if calib_missing else round(calib, 3),
+                "calib_missing": calib_missing,
                 "total_raw_ratio": round(total_ratio, 3) if total_ratio else None,
                 "total_norm_ratio": round(total_ratio / calib, 3) if total_ratio else None,
                 "n_compared": len(shared),

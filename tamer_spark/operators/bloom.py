@@ -34,8 +34,33 @@ def _to_signed(word: int) -> int:
     return word - (1 << 64) if word >= (1 << 63) else word
 
 
+def _word_col(m_bits: int, k: int) -> str:
+    """The word column's name carries (m_bits, k): ``word_m{m_bits}k{k}``.
+    A mismatched build/probe or a mixed-modulus merge then fails LOUDLY
+    at plan time (unresolved column / explicit ValueError) instead of
+    silently answering with the wrong bit positions — the df form's
+    structural analog of ``bloom_merge``'s word-count check. The encoding
+    survives parquet round-trips, which a Python-side attribute would not.
+    """
+    return f"word_m{m_bits}k{k}"
+
+
+def _parse_word_col(words: DataFrame) -> tuple[str, int, int]:
+    import re
+
+    for c in words.columns:
+        m = re.fullmatch(r"word_m(\d+)k(\d+)", c)
+        if m:
+            return c, int(m.group(1)), int(m.group(2))
+    raise ValueError(
+        f"not a bloom words frame (columns {words.columns}): expected a "
+        "'word_m{m_bits}k{k}' column from bloom_words_df"
+    )
+
+
 def bloom_words_df(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> DataFrame:
-    """Distributed bloom build: ``(w, word)`` rows — NEVER collected.
+    """Distributed bloom build: ``(w, word_m{m_bits}k{k})`` rows — NEVER
+    collected.
 
     Per-value probe positions fold into their word via a ``bit_or``
     aggregate (map-side combine), so the shuffle is bounded by the word
@@ -45,7 +70,9 @@ def bloom_words_df(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -
     ``bloom_might_contain`` — the words frame stays JVM-side end to end
     (a multi-MB filter routed through a driver-side Python list costs
     tens of seconds PER ACTION in local-relation re-serialization,
-    measured r11). Absent ``w`` rows are implicit zero words.
+    measured r11). Absent ``w`` rows are implicit zero words. The word
+    column name encodes (m_bits, k) so build/probe/merge mismatches fail
+    loudly (see ``_word_col``).
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
@@ -59,15 +86,26 @@ def bloom_words_df(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
         )
         .groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
+        .agg(F.bit_or("bit").alias(_word_col(m_bits, k)))
     )
 
 
 def bloom_merge_df(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two distributed blooms of the SAME (m_bits, k): bit_or per
     word index. Bloom union is exact, so an index sidecar advances one
-    O(m_bits/64)-row merge per epoch — history is never rebuilt."""
-    return a.unionByName(b).groupBy("w").agg(F.bit_or("word").alias("word"))
+    O(m_bits/64)-row merge per epoch — history is never rebuilt. Frames
+    built at different (m_bits, k) carry different word column names and
+    are rejected — a silent mixed-modulus merge would corrupt the filter
+    into false NEGATIVES (kept duplicates), the failure direction blooms
+    must never have."""
+    wc_a, *_ = _parse_word_col(a)
+    wc_b, *_ = _parse_word_col(b)
+    if wc_a != wc_b:
+        raise ValueError(
+            f"bloom_merge_df: word columns differ ({wc_a} vs {wc_b}): "
+            "same (m_bits, k) required"
+        )
+    return a.unionByName(b).groupBy("w").agg(F.bit_or(wc_a).alias(wc_a))
 
 
 def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> list[int]:
@@ -79,10 +117,11 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -> l
     for index-scale filters keep the words distributed
     (``bloom_words_df``) instead of round-tripping them through Python.
     """
+    wc = _word_col(m_bits, k)
     rows = bloom_words_df(df, col, m_bits=m_bits, k=k).collect()
     words = [0] * (m_bits // 64)
     for r in rows:
-        words[r.w] = r.word
+        words[r.w] = r[wc]
     return words
 
 
@@ -124,14 +163,25 @@ def bloom_might_contain(
       ``_LITERAL_WORDS_MAX`` are rejected — convert to the distributed
       form (``bloom_words_df`` / one ``createDataFrame`` via Arrow)
       rather than bloating every serialized plan copy.
-    - ``words`` as a ``(w, word)`` DataFrame (index-scale filters): k
+    - ``words`` as a ``bloom_words_df`` frame (index-scale filters): k
       broadcast hash joins on the word index — map-side lookups, no
       shuffle of ``df``, no driver round-trip of the words. Missing
-      ``w`` rows are zero words (left join + coalesce).
+      ``w`` rows are zero words (left join + coalesce). The frame's
+      encoded (m_bits, k) must match the arguments — a mismatch raises
+      instead of probing the wrong bit positions (which would produce
+      false negatives, the direction blooms must never fail in).
 
     Guaranteed no false negatives (build and probe share the hash exprs).
     """
     if isinstance(words, DataFrame):
+        wc, frame_m, frame_k = _parse_word_col(words)
+        if (frame_m, frame_k) != (m_bits, k):
+            raise ValueError(
+                f"bloom_might_contain: words frame was built at m_bits="
+                f"{frame_m}, k={frame_k} but the probe asked for m_bits="
+                f"{m_bits}, k={k} — probing at a different modulus would "
+                "silently yield false negatives"
+            )
         d = df
         cond: Column | None = None
         drops = []
@@ -139,7 +189,7 @@ def bloom_might_contain(
             d = d.withColumn(
                 f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
             )
-            wi = words.select(F.col("w").alias(f"_w{i}"), F.col("word").alias(f"_wd{i}"))
+            wi = words.select(F.col("w").alias(f"_w{i}"), F.col(wc).alias(f"_wd{i}"))
             d = d.join(
                 F.broadcast(wi),
                 F.expr(f"CAST(_bp{i} DIV 64 AS BIGINT)") == F.col(f"_w{i}"),

@@ -93,6 +93,38 @@ def dedup_exact_incremental(
     return survivors.join(index, "content_hash", "left_anti")
 
 
+def _banded_sigs(
+    df: DataFrame, text_col: str, id_col: str, k: int, bands: int, n: int, seed: int
+) -> DataFrame:
+    """(doc_id, band_id, band_sig) for every doc × band — THE banding
+    expression, in exactly one place: the index build, the exact
+    incremental probe, and the bloom-sidecar probe must produce
+    bit-identical band keys or the no-false-negative guarantee silently
+    breaks, so they all call this instead of carrying copies (same
+    banding as minhash_lsh_pairs: k minhashes, ``bands`` bands of k/bands
+    rows, '-'-joined string signature). Map-only (row-local staged
+    arrays, see minhash_signatures)."""
+    if k % bands:
+        raise ValueError("k must divide into equal bands")
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
+    return sigs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(F.col("signature"), b * r + 1, r),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
 def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",
@@ -104,30 +136,13 @@ def minhash_band_index(
 ) -> DataFrame:
     """Distinct (band_id, band_sig) bucket keys of a corpus: the LSH index.
 
-    Same banding as minhash_lsh_pairs (k minhashes, ``bands`` bands of
-    k/bands rows, '-'-joined string signature) so index and batch agree
-    bit-for-bit. Signature computation is MAP-ONLY (row-local staged
-    arrays, see minhash_signatures); distinct is one shuffle of
+    Banding via ``_banded_sigs`` (shared with both incremental probes so
+    index and batch agree bit-for-bit); distinct is one shuffle of
     docs × bands short rows. Persist bucketed on (band_id, band_sig).
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
     return (
-        sigs.select(
-            F.posexplode_outer(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(F.col("signature"), b * r + 1, r),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                )
-            ).alias("band_id", "band_sig")
-        )
+        _banded_sigs(df, text_col, id_col, k, bands, n, seed)
+        .select("band_id", "band_sig")
         .distinct()
     )
 
@@ -161,24 +176,7 @@ def dedup_minhash_incremental(
     because the batch is epoch-sized, then append the final survivors'
     bands to the index.
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-    sigs = minhash_signatures(new_df, text_col, id_col, k, n, seed)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "-",
-                    F.transform(
-                        F.slice(F.col("signature"), b * r + 1, r),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    banded = _banded_sigs(new_df, text_col, id_col, k, bands, n, seed)
     collided = (
         banded.join(index, ["band_id", "band_sig"], "left_semi")
         .select("doc_id")
@@ -239,8 +237,8 @@ def exact_bloom_index_df(
 def dedup_exact_incremental_bloom(
     new_df: DataFrame,
     words: list[int] | DataFrame,
-    m_bits: int = 1 << 16,
-    k: int = 5,
+    m_bits: int | None = None,
+    k: int | None = None,
     index: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -271,14 +269,30 @@ def dedup_exact_incremental_bloom(
     path, so the two modes differ only in cross-epoch membership.
 
     ``words``: the plan-literal list (small sidecars,
-    ``exact_bloom_index``) or the distributed ``(w, word)`` frame
+    ``exact_bloom_index``) or the distributed ``bloom_words_df`` frame
     (index scale, ``exact_bloom_index_df``) — ``bloom_might_contain``
-    dispatches on the type; semantics are identical.
+    dispatches on the type; semantics are identical. For a frame,
+    ``m_bits``/``k`` default to the values encoded in its schema (pass
+    them only to ASSERT a sizing — a mismatch raises); for a list they
+    are REQUIRED, since a bare word list cannot carry its modulus.
     """
     from pyspark.sql import Window
 
-    from tamer_spark.operators.bloom import bloom_might_contain
+    from tamer_spark.operators.bloom import _parse_word_col, bloom_might_contain
 
+    if isinstance(words, DataFrame):
+        _, frame_m, frame_k = _parse_word_col(words)
+        m_bits = frame_m if m_bits is None else m_bits
+        k = frame_k if k is None else k
+    else:
+        if m_bits is None:
+            raise ValueError(
+                "dedup_exact_incremental_bloom: m_bits is required with a "
+                "plan-literal word list — a bare list cannot carry its "
+                "modulus (the DataFrame form from exact_bloom_index_df "
+                "encodes both m_bits and k)"
+            )
+        k = 5 if k is None else k  # exact_bloom_index's default
     text = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(text))
     w = Window.partitionBy("content_hash").orderBy(id_col)
@@ -290,7 +304,9 @@ def dedup_exact_incremental_bloom(
     probed = bloom_might_contain(batch, "content_hash", words, m_bits, k=k)
     # column order pinned to dedup_exact_incremental's output (its key join
     # leads with content_hash) so the two paths are drop-in interchangeable
-    cols = ["content_hash", *new_df.columns]
+    # — including when new_df ALREADY carries a content_hash column (e.g. a
+    # previous survivor frame), which must not be listed twice
+    cols = ["content_hash", *[c for c in new_df.columns if c != "content_hash"]]
     negatives = probed.filter(~F.col("bloom_hit")).select(cols)
     if index is None:
         return negatives
@@ -328,8 +344,8 @@ def minhash_bloom_index(
 def dedup_minhash_incremental_bloom(
     new_df: DataFrame,
     words: DataFrame,
-    m_bits: int = 1 << 27,
-    bloom_k: int = 5,
+    m_bits: int | None = None,
+    bloom_k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
@@ -349,27 +365,17 @@ def dedup_minhash_incremental_bloom(
     ≤ bands × the per-key rate (size ``m_bits`` accordingly). The index
     itself is never touched: per-epoch cost is banding the batch
     (map-only) + k broadcast-join probes + one batch-keyed anti join.
-    """
-    assert k % bands == 0, "k must divide into equal bands"
-    from tamer_spark.operators.bloom import bloom_might_contain
 
-    r = k // bands
-    sigs = minhash_signatures(new_df, text_col, id_col, k, n, seed)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "-",
-                    F.transform(
-                        F.slice(F.col("signature"), b * r + 1, r),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    ``m_bits``/``bloom_k`` default to the values encoded in ``words``'s
+    schema (the ``bloom_words_df`` contract) — pass them explicitly only
+    to ASSERT a particular sizing; a mismatch raises.
+    """
+    from tamer_spark.operators.bloom import _parse_word_col, bloom_might_contain
+
+    _, frame_m, frame_k = _parse_word_col(words)
+    m_bits = frame_m if m_bits is None else m_bits
+    bloom_k = frame_k if bloom_k is None else bloom_k
+    banded = _banded_sigs(new_df, text_col, id_col, k, bands, n, seed)
     probed = bloom_might_contain(_band_key(banded), "_bk", words, m_bits, k=bloom_k)
     collided = probed.filter(F.col("bloom_hit")).select("doc_id").distinct()
     return new_df.join(

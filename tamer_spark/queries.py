@@ -1107,17 +1107,26 @@ def dedup_incremental_q(spark, sf):
     e0 = d.filter(F.col("doc_id") % 3 == 0)
     e1 = d.filter(F.col("doc_id") % 3 == 1)
     e2 = d.filter(F.col("doc_id") % 3 == 2)
-    idx0 = exact_index(e0)
-    s1 = dedup_exact_incremental(e1, idx0)
+    # localCheckpoint the frames every later stage re-reads (idx0: s1 + b1
+    # + the w0 collect; s1: its gate branch + idx1 + the w1 collect) — the
+    # bloom builds COLLECT at construction time, so without the checkpoints
+    # each epoch's full plan would execute once during construction and
+    # again when the gate is graded (repo convention: stage boundaries
+    # localCheckpoint, see operators/cc.py)
+    idx0 = exact_index(e0).localCheckpoint()
+    s1 = dedup_exact_incremental(e1, idx0).localCheckpoint()
     idx1 = append_keys(idx0, s1.select("content_hash"))
     s2 = dedup_exact_incremental(e2, idx1)
 
     # bloom-sidecar replay (verify mode: bit-identical to exact) with the
-    # sidecar maintained incrementally via bloom_merge, as a real loop would
+    # sidecar maintained incrementally via bloom_merge, as a real loop
+    # would. w1 advances from s1's keys — b1 ≡ s1 by the verify-mode
+    # contract (asserted by this very gate), so building the merge input
+    # from s1 avoids executing b1's plan twice
     m = 1 << 16
     w0 = exact_bloom_index(idx0, m_bits=m)
     b1 = dedup_exact_incremental_bloom(e1, w0, m_bits=m, index=idx0)
-    w1 = bloom_merge(w0, exact_bloom_index(b1.select("content_hash"), m_bits=m))
+    w1 = bloom_merge(w0, exact_bloom_index(s1.select("content_hash"), m_bits=m))
     b2 = dedup_exact_incremental_bloom(e2, w1, m_bits=m, index=idx1)
 
     def tag(df, variant, epoch):

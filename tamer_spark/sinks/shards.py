@@ -128,18 +128,27 @@ def _restore_checkpoint_dir(sc, jsc, prev) -> None:
     except Exception as restore_err:  # noqa: BLE001
         import warnings
 
+        # the fallback must ALSO not raise — this helper runs in the
+        # caller's finally, where any exception replaces the original one
+        # (e.g. setCheckpointDir mkdirs against a now-unreachable fs)
         if prev.isDefined():
-            sc.setCheckpointDir(prev.get())
+            try:
+                sc.setCheckpointDir(prev.get())
+                detail = "restored via setCheckpointDir (re-resolved — one extra UUID nesting level)"
+            except Exception as fallback_err:  # noqa: BLE001
+                detail = (
+                    f"fallback setCheckpointDir ALSO failed ({fallback_err!r}) — "
+                    "the session checkpoint dir remains the export dir; set it "
+                    "manually before the next checkpoint"
+                )
+        else:
+            detail = (
+                "prior dir was unset and could not be cleared — the "
+                "session checkpoint dir remains the export dir"
+            )
         warnings.warn(
             "write_training_shards: exact checkpoint-dir restore via "
-            f"checkpointDir_$eq failed ({restore_err!r}); "
-            + (
-                "restored via setCheckpointDir (re-resolved — one extra "
-                "UUID nesting level)"
-                if prev.isDefined()
-                else "prior dir was unset and could not be cleared — the "
-                "session checkpoint dir remains the export dir"
-            ),
+            f"checkpointDir_$eq failed ({restore_err!r}); " + detail,
             RuntimeWarning,
             stacklevel=3,
         )

@@ -105,14 +105,34 @@ def test_merge_df_equals_build_over_union(spark):
     a = spark.createDataFrame([(f"a{i}",) for i in range(30)], "v string")
     b = spark.createDataFrame([(f"b{i}",) for i in range(30)], "v string")
     m = 1 << 12
+    wc = B._word_col(m, 5)
     merged = {
-        (r.w, r.word)
+        (r.w, r[wc])
         for r in B.bloom_merge_df(
             B.bloom_words_df(a, "v", m_bits=m), B.bloom_words_df(b, "v", m_bits=m)
         ).collect()
     }
-    want = {(r.w, r.word) for r in B.bloom_words_df(a.unionByName(b), "v", m_bits=m).collect()}
+    want = {(r.w, r[wc]) for r in B.bloom_words_df(a.unionByName(b), "v", m_bits=m).collect()}
     assert merged == want
+
+
+def test_mismatched_sizing_is_structurally_rejected(spark):
+    # r11 review: the df form encodes (m_bits, k) in the word column name,
+    # so a mixed-modulus merge or a wrong-modulus probe fails LOUDLY — a
+    # silent mismatch would produce false NEGATIVES (kept duplicates)
+    import pytest
+
+    from tamer_spark.operators import bloom as B
+
+    vals = spark.createDataFrame([("x",), ("y",)], "v string")
+    w12 = B.bloom_words_df(vals, "v", m_bits=1 << 12)
+    w14 = B.bloom_words_df(vals, "v", m_bits=1 << 14)
+    with pytest.raises(ValueError, match="same \\(m_bits, k\\)"):
+        B.bloom_merge_df(w12, w14)
+    with pytest.raises(ValueError, match="different modulus|false negatives"):
+        B.bloom_might_contain(vals, "v", w12, 1 << 14)
+    with pytest.raises(ValueError, match="not a bloom words frame"):
+        B.bloom_merge_df(vals, w12)
 
 
 def test_df_probe_plan_is_broadcast_joins_no_shuffle_of_probe_side(spark):
@@ -122,7 +142,7 @@ def test_df_probe_plan_is_broadcast_joins_no_shuffle_of_probe_side(spark):
 
     vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], "s string")
     probe = spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
-    words_df = B.bloom_words_df(vals, "s", m_bits=1 << 12)
+    words_df = B.bloom_words_df(vals, "s", m_bits=1 << 12, k=3)
     plan = (
         B.bloom_might_contain(probe, "s", words_df, 1 << 12, k=3)
         ._jdf.queryExecution()

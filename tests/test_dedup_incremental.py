@@ -417,3 +417,36 @@ def test_minhash_bloom_plan_probes_are_broadcast_joins(spark):
         )
     assert plan.count("BroadcastHashJoin") == 5  # bloom_k probes
     assert "Cartesian" not in plan
+
+
+def test_bloom_frame_defaults_derive_from_schema_and_existing_hash_col_ok(spark):
+    # r11 review fixes, pinned: (a) m_bits/k default from the words frame's
+    # encoded schema — no silent build/probe modulus mismatch is possible;
+    # (b) a new_df that ALREADY carries content_hash (a prior survivor
+    # frame) round-trips without duplicate columns in either mode
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index_df,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = exact_index(old)
+    words = exact_bloom_index_df(idx, m_bits=1 << 12)
+    # no m_bits/k passed: derived from the frame
+    got = sorted(r.doc_id for r in dedup_exact_incremental_bloom(new, words).collect())
+    assert got == [11, 14]
+    # feed a survivor frame (has content_hash) back through both modes
+    survivors = dedup_exact_incremental_bloom(new, words)
+    again_prob = dedup_exact_incremental_bloom(survivors, words)
+    assert again_prob.columns.count("content_hash") == 1
+    again_verify = dedup_exact_incremental_bloom(survivors, words, index=idx)
+    assert again_verify.columns.count("content_hash") == 1
+    assert sorted(r.doc_id for r in again_verify.collect()) == [11, 14]
+    # list form without m_bits is rejected (a bare list carries no modulus)
+    import pytest
+
+    from tamer_spark.operators.dedup_incremental import exact_bloom_index
+
+    wl = exact_bloom_index(idx, m_bits=1 << 12)
+    with pytest.raises(ValueError, match="m_bits is required"):
+        dedup_exact_incremental_bloom(new, wl)
