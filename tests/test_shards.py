@@ -303,3 +303,31 @@ def test_checkpoint_dir_restore_falls_back_when_setter_missing():
         _restore_checkpoint_dir(sc, BrokenJsc(), FakeOpt(None))
     assert sc.set_calls == []
     assert len(w) == 1 and "could not be cleared" in str(w[0].message)
+
+
+def test_checkpoint_dir_restore_survives_fallback_failure():
+    # r11 review: the fallback setCheckpointDir can itself fail (fs down) —
+    # nothing may raise out of the caller's finally; the warning carries
+    # both failures instead
+    import warnings
+
+    from tamer_spark.sinks.shards import _restore_checkpoint_dir
+
+    class FakeOpt:
+        def isDefined(self):
+            return True
+
+        def get(self):
+            return "/ckpt/base"
+
+    class BrokenJsc:
+        pass
+
+    class BrokenSC:
+        def setCheckpointDir(self, d):
+            raise RuntimeError("fs unreachable")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _restore_checkpoint_dir(BrokenSC(), BrokenJsc(), FakeOpt())  # must not raise
+    assert len(w) == 1 and "ALSO failed" in str(w[0].message)
