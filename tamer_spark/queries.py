@@ -1039,110 +1039,6 @@ def dedup_exact_q(spark, sf):
     return raw.unionByName(norm).unionByName(sent)
 
 
-@q(
-    "dedup_incremental",
-    """
-    WITH e0 AS (SELECT DISTINCT md5(text) AS content_hash
-                FROM documents WHERE doc_id % 3 = 0),
-         e1 AS (SELECT doc_id, md5(text) AS content_hash
-                FROM documents WHERE doc_id % 3 = 1),
-         s1 AS (SELECT doc_id, content_hash FROM (
-                  SELECT doc_id, content_hash,
-                         row_number() OVER (PARTITION BY content_hash
-                                            ORDER BY doc_id) AS rn
-                  FROM e1) t
-                WHERE rn = 1
-                  AND NOT EXISTS (SELECT 1 FROM e0
-                                  WHERE e0.content_hash = t.content_hash)),
-         i1 AS (SELECT content_hash FROM e0
-                UNION SELECT content_hash FROM s1),
-         e2 AS (SELECT doc_id, md5(text) AS content_hash
-                FROM documents WHERE doc_id % 3 = 2),
-         s2 AS (SELECT doc_id, content_hash FROM (
-                  SELECT doc_id, content_hash,
-                         row_number() OVER (PARTITION BY content_hash
-                                            ORDER BY doc_id) AS rn
-                  FROM e2) t
-                WHERE rn = 1
-                  AND NOT EXISTS (SELECT 1 FROM i1
-                                  WHERE i1.content_hash = t.content_hash))
-    SELECT 'exact' AS variant, CAST(1 AS BIGINT) AS epoch,
-           CAST(doc_id AS BIGINT) AS doc_id, content_hash
-    FROM s1
-    UNION ALL
-    SELECT 'exact', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
-    UNION ALL
-    SELECT 'bloom_verify', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s1
-    UNION ALL
-    SELECT 'bloom_verify', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
-    """,
-    doc=(
-        "Incremental exact dedup over three ingest epochs (documents split "
-        "by doc_id % 3): epoch 0 seeds the digest index, epoch 1's survivors "
-        "(in-batch min-id representative, then anti-join vs the index) "
-        "advance it, epoch 2 dedups against the advanced index. Per-epoch "
-        "cost is O(batch) — one window shuffle over the batch reused by the "
-        "anti-join key; the index side is exchange-free when bucketed "
-        "(operators/dedup_incremental.py). The bloom_verify variant replays "
-        "both epochs through the bloom-sidecar path (verify mode), which is "
-        "bit-identical to the exact path by construction — the oracle "
-        "replays the SAME survivor SQL under the second tag, so a bloom "
-        "false-negative or a broken sidecar merge shows up as a hash "
-        "mismatch. The replayed-epoch semantics mirror the reference's "
-        "fold-new-data-into-state loop (core/src/main/scala/tamer/"
-        "Tamer.scala run loop) in the dedup domain."
-    ),
-)
-def dedup_incremental_q(spark, sf):
-    from tamer_spark.operators.bloom import bloom_merge
-    from tamer_spark.operators.dedup_incremental import (
-        append_keys,
-        dedup_exact_incremental,
-        dedup_exact_incremental_bloom,
-        exact_bloom_index,
-        exact_index,
-    )
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    e0 = d.filter(F.col("doc_id") % 3 == 0)
-    e1 = d.filter(F.col("doc_id") % 3 == 1)
-    e2 = d.filter(F.col("doc_id") % 3 == 2)
-    # localCheckpoint the frames every later stage re-reads (idx0: s1 + b1
-    # + the w0 collect; s1: its gate branch + idx1 + the w1 collect) — the
-    # bloom builds COLLECT at construction time, so without the checkpoints
-    # each epoch's full plan would execute once during construction and
-    # again when the gate is graded (repo convention: stage boundaries
-    # localCheckpoint, see operators/cc.py)
-    idx0 = exact_index(e0).localCheckpoint()
-    s1 = dedup_exact_incremental(e1, idx0).localCheckpoint()
-    idx1 = append_keys(idx0, s1.select("content_hash"))
-    s2 = dedup_exact_incremental(e2, idx1)
-
-    # bloom-sidecar replay (verify mode: bit-identical to exact) with the
-    # sidecar maintained incrementally via bloom_merge, as a real loop
-    # would. w1 advances from s1's keys — b1 ≡ s1 by the verify-mode
-    # contract (asserted by this very gate), so building the merge input
-    # from s1 avoids executing b1's plan twice
-    m = 1 << 16
-    w0 = exact_bloom_index(idx0, m_bits=m)
-    b1 = dedup_exact_incremental_bloom(e1, w0, m_bits=m, index=idx0)
-    w1 = bloom_merge(w0, exact_bloom_index(s1.select("content_hash"), m_bits=m))
-    b2 = dedup_exact_incremental_bloom(e2, w1, m_bits=m, index=idx1)
-
-    def tag(df, variant, epoch):
-        return df.select(
-            F.lit(variant).alias("variant"),
-            F.lit(epoch).cast("long").alias("epoch"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "content_hash",
-        )
-
-    return (
-        tag(s1, "exact", 1)
-        .unionByName(tag(s2, "exact", 2))
-        .unionByName(tag(b1, "bloom_verify", 1))
-        .unionByName(tag(b2, "bloom_verify", 2))
-    )
 
 
 def _stats_oracle() -> str:
@@ -1494,6 +1390,148 @@ def dedup_minhash_lsh_q(spark, sf):
         F.col("cluster_size").cast("long").alias("n"),
     )
     return _release_on_gc(s_out.unionByName(p_out).unionByName(c_out), sigs)
+
+
+_MH_INCR_ORACLE_TAIL = f"""
+    mh_banded AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(list_transform(mh[b*{_K // _BANDS}+1:b*{_K // _BANDS}+{_K // _BANDS}], x -> CAST(x AS VARCHAR)), '-') AS band_sig
+      FROM sig, range({_BANDS}) t(b)
+    ),
+    mh_idx AS (SELECT DISTINCT band_id, band_sig FROM mh_banded WHERE doc_id % 3 = 0),
+    mh_coll AS (SELECT DISTINCT doc_id FROM mh_banded b
+                WHERE doc_id % 3 = 1
+                  AND EXISTS (SELECT 1 FROM mh_idx i
+                              WHERE i.band_id = b.band_id AND i.band_sig = b.band_sig))
+"""
+
+
+@q(
+    "dedup_incremental",
+    f"""
+    WITH {_minhash_sig_ctes()},
+         e0 AS (SELECT DISTINCT md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 0),
+         e1 AS (SELECT doc_id, md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 1),
+         s1 AS (SELECT doc_id, content_hash FROM (
+                  SELECT doc_id, content_hash,
+                         row_number() OVER (PARTITION BY content_hash
+                                            ORDER BY doc_id) AS rn
+                  FROM e1) t
+                WHERE rn = 1
+                  AND NOT EXISTS (SELECT 1 FROM e0
+                                  WHERE e0.content_hash = t.content_hash)),
+         i1 AS (SELECT content_hash FROM e0
+                UNION SELECT content_hash FROM s1),
+         e2 AS (SELECT doc_id, md5(text) AS content_hash
+                FROM documents WHERE doc_id % 3 = 2),
+         s2 AS (SELECT doc_id, content_hash FROM (
+                  SELECT doc_id, content_hash,
+                         row_number() OVER (PARTITION BY content_hash
+                                            ORDER BY doc_id) AS rn
+                  FROM e2) t
+                WHERE rn = 1
+                  AND NOT EXISTS (SELECT 1 FROM i1
+                                  WHERE i1.content_hash = t.content_hash)),
+         {_MH_INCR_ORACLE_TAIL}
+    SELECT 'exact' AS variant, CAST(1 AS BIGINT) AS epoch,
+           CAST(doc_id AS BIGINT) AS doc_id, content_hash
+    FROM s1
+    UNION ALL
+    SELECT 'exact', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
+    UNION ALL
+    SELECT 'bloom_verify', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s1
+    UNION ALL
+    SELECT 'bloom_verify', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), content_hash FROM s2
+    UNION ALL
+    SELECT 'minhash', CAST(1 AS BIGINT), CAST(d.doc_id AS BIGINT), md5(d.text)
+    FROM documents d
+    WHERE d.doc_id % 3 = 1
+      AND NOT EXISTS (SELECT 1 FROM mh_coll c WHERE c.doc_id = d.doc_id)
+    """,
+    doc=(
+        "Incremental dedup over three ingest epochs (documents split by "
+        "doc_id % 3), one tagged union. exact: epoch 0 seeds the digest "
+        "index, epoch 1's survivors (in-batch min-id representative, then "
+        "anti-join vs the index) advance it, epoch 2 dedups against the "
+        "advanced index — per-epoch SHUFFLE is O(batch), one window "
+        "shuffle over the batch reused by the anti-join key; index side "
+        "exchange-free when bucketed (operators/dedup_incremental.py). "
+        "bloom_verify: both epochs replayed through the bloom-sidecar "
+        "path (verify mode), bit-identical to exact by construction — the "
+        "oracle replays the SAME survivor SQL under the second tag, so a "
+        "bloom false-negative or broken sidecar merge is a hash mismatch. "
+        "minhash: epoch 1's NEAR-dup survivors vs epoch 0's LSH band "
+        "index (any-full-band collision drops, same k/bands/n/seed and "
+        "banding expression as the dedup_minhash_lsh gate) — the DuckDB "
+        "oracle recomputes the signatures and band collisions "
+        "independently. Replayed-epoch semantics mirror the reference's "
+        "fold-new-data-into-state loop (core/src/main/scala/tamer/"
+        "Tamer.scala run loop) in the dedup domain."
+    ),
+)
+def dedup_incremental_q(spark, sf):
+    from tamer_spark.operators.bloom import bloom_merge
+    from tamer_spark.operators.dedup_incremental import (
+        append_keys,
+        dedup_exact_incremental,
+        dedup_exact_incremental_bloom,
+        dedup_minhash_incremental,
+        exact_bloom_index,
+        exact_index,
+        minhash_band_index,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    e0 = d.filter(F.col("doc_id") % 3 == 0)
+    e1 = d.filter(F.col("doc_id") % 3 == 1)
+    e2 = d.filter(F.col("doc_id") % 3 == 2)
+    # localCheckpoint the frames every later stage re-reads (idx0: s1 + b1
+    # + the w0 collect; s1: its gate branch + idx1 + the w1 collect) — the
+    # bloom builds COLLECT at construction time, so without the checkpoints
+    # each epoch's full plan would execute once during construction and
+    # again when the gate is graded (repo convention: stage boundaries
+    # localCheckpoint, see operators/cc.py)
+    idx0 = exact_index(e0).localCheckpoint()
+    s1 = dedup_exact_incremental(e1, idx0).localCheckpoint()
+    idx1 = append_keys(idx0, s1.select("content_hash"))
+    s2 = dedup_exact_incremental(e2, idx1)
+
+    # bloom-sidecar replay (verify mode: bit-identical to exact) with the
+    # sidecar maintained incrementally via bloom_merge, as a real loop
+    # would. w1 advances from s1's keys — b1 ≡ s1 by the verify-mode
+    # contract (asserted by this very gate), so building the merge input
+    # from s1 avoids executing b1's plan twice
+    m = 1 << 16
+    w0 = exact_bloom_index(idx0, m_bits=m)
+    b1 = dedup_exact_incremental_bloom(e1, w0, m_bits=m, index=idx0)
+    w1 = bloom_merge(w0, exact_bloom_index(s1.select("content_hash"), m_bits=m))
+    b2 = dedup_exact_incremental_bloom(e2, w1, m_bits=m, index=idx1)
+
+    # near-dup tier: epoch 1 vs epoch 0's band index, operator defaults ==
+    # the gate constants (k=_K, bands=_BANDS, n=_N, seed=42) so the oracle's
+    # independent signature recomputation agrees bit-for-bit
+    mh_idx = minhash_band_index(e0, k=_K, bands=_BANDS, n=_N, seed=42)
+    m1 = dedup_minhash_incremental(e1, mh_idx, k=_K, bands=_BANDS, n=_N, seed=42).withColumn(
+        "content_hash", F.md5("text")
+    )
+
+    def tag(df, variant, epoch):
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "content_hash",
+        )
+
+    return (
+        tag(s1, "exact", 1)
+        .unionByName(tag(s2, "exact", 2))
+        .unionByName(tag(b1, "bloom_verify", 1))
+        .unionByName(tag(b2, "bloom_verify", 2))
+        .unionByName(tag(m1, "minhash", 1))
+    )
 
 
 def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
