@@ -93,7 +93,7 @@ def main() -> None:
             index = spark.read.parquet(idx_path)
             # sidecar build time is reported but NOT epoch cost: a real loop
             # merges per-epoch words (O(m_bits/64) rows), it never rebuilds
-            # history. DISTRIBUTED form (r11): the words stay a (w, word)
+            # history. DISTRIBUTED form (r11): the words stay a sizing-encoded
             # frame persisted to parquet — a Python-list sidecar at this
             # size re-serializes ~25 s per action (measured; bloom.py)
             words_path = str(SCRATCH / f"bloom_{s}x")

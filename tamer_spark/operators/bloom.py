@@ -11,11 +11,14 @@ bit-identical to the plain anti-join at a fraction of the shuffle.
 
 Both the build and the probe hash with the SAME Spark-side expression
 (``xxhash64(lit(i), col)``), so there is no cross-implementation hash to
-keep in sync: the filter is built by a Spark job (positions explode +
-distinct, collected driver-side — bounded by k x |values|, the same scale
-class as broadcasting the set itself would be at build time) and probed by
+keep in sync: the filter is built by a Spark job (positions explode →
+per-word ``bit_or`` aggregate, so shuffle AND any collect are bounded by
+the word count ``m_bits/64``, never the input) and probed by
 whole-stage-codegen bit tests (``shiftrightunsigned`` with a column shift
-amount via F.expr — the SQL form accepts non-literal shifts).
+amount via F.expr — the SQL form accepts non-literal shifts). Two
+delivery forms: small filters inline as plan literals; index-scale ones
+stay a distributed sizing-encoded words frame probed via broadcast hash
+joins (r11 — see ``bloom_words_df``).
 No analog in the reference engine (tamer has no text/retrieval
 operators); part of the training-data-pipeline extension surface.
 
@@ -237,7 +240,7 @@ def decontaminate_with_bloom(
 
     Returns the surviving ``corpus_docs`` ids.
     """
-    # past the plan-literal budget the words stay a distributed (w, word)
+    # past the plan-literal budget the words stay a distributed words
     # frame probed by broadcast joins — same answers, no driver round-trip
     words: list[int] | DataFrame
     if m_bits // 64 <= _LITERAL_WORDS_MAX:

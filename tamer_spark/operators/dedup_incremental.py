@@ -220,7 +220,8 @@ def exact_bloom_index_df(
     m_bits: int = 1 << 27,
     k: int = 5,
 ) -> DataFrame:
-    """Distributed bloom sidecar: ``(w, word)`` rows, never collected —
+    """Distributed bloom sidecar: ``(w, word_m{m_bits}k{k})`` rows (the
+    column name encodes the sizing — see bloom._word_col), never collected —
     the index-scale form (see ``exact_bloom_index``). Persist as parquet
     (m_bits/64 rows); advance per epoch with ``bloom_merge_df(words_df,
     exact_bloom_index_df(surviving_batch_keys, m_bits=...))``. Probe-side
