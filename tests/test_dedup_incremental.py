@@ -450,3 +450,62 @@ def test_bloom_frame_defaults_derive_from_schema_and_existing_hash_col_ok(spark)
     wl = exact_bloom_index(idx, m_bits=1 << 12)
     with pytest.raises(ValueError, match="m_bits is required"):
         dedup_exact_incremental_bloom(new, wl)
+
+
+def test_incremental_trio_differential_fuzz(spark):
+    # differential fuzz over random duplicate-heavy corpora: the exact
+    # incremental path, the bloom-VERIFY path, and one-shot batch dedup
+    # must agree on the survivor set for every epoch split; the bloom
+    # PROBABILISTIC path may only under-keep (drop extra novel docs),
+    # never keep a duplicate. Bounded examples — each runs Spark jobs.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tamer_spark.operators.dedup_incremental import (
+        dedup_exact_incremental_bloom,
+        exact_bloom_index,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        variants=st.lists(st.integers(min_value=0, max_value=12), min_size=4, max_size=40),
+        split=st.integers(min_value=1, max_value=3),
+    )
+    def check(variants, split):
+        rows = [(i, f"doc body {v}") for i, v in enumerate(variants)]
+        cut = max(1, len(rows) * split // 4)
+        old, new = rows[:cut], rows[cut:]
+        if not new:
+            return
+        old_df, new_df = _docs(spark, old), _docs(spark, new)
+        idx = exact_index(old_df)
+        m = 1 << 12
+        wl = exact_bloom_index(idx, m_bits=m)
+
+        exact = {r.doc_id for r in dedup_exact_incremental(new_df, idx).collect()}
+        verify = {
+            r.doc_id
+            for r in dedup_exact_incremental_bloom(new_df, wl, m_bits=m, index=idx).collect()
+        }
+        prob = {
+            r.doc_id for r in dedup_exact_incremental_bloom(new_df, wl, m_bits=m).collect()
+        }
+        # ground truth: batch dedup over old ∪ new, survivors restricted to new
+        want = {
+            r.keep_id for r in dedup_exact(old_df.unionByName(new_df)).collect()
+        } & {i for i, _ in new}
+        assert exact == want
+        assert verify == want
+        assert prob <= want  # may false-drop, never false-keep
+        # dropped-by-bloom docs must all be bloom FPs on NOVEL texts —
+        # i.e. every true duplicate in `new` is outside prob
+        dup_texts = {t for _, t in old}
+        for i, t in new:
+            if t in dup_texts:
+                assert i not in prob
+
+    check()
