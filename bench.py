@@ -348,6 +348,11 @@ HEADLINE = {
     # and fractional contamination scoring (scan-shaped, broadcast lookup)
     "substring_run_pairs": None,
     "contamination_score_docs": None,
+    # r11: DSIR importance-resampling selection — hashed n-gram featurize
+    # (both corpora) + broadcast ratio join + weight agg + TakeOrdered,
+    # timed cold via the standalone shape (its raw-feature persist is
+    # plan-lifetime, released by the GC finalizer like semdedup's)
+    "dsir_select_docs": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -381,6 +386,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "temperature_mix_langs", "pagerank_cust_supp",
         "funnel_view_click_purchase", "cohort_retention_weekly",
         "substring_run_pairs", "contamination_score_docs",
+        "dsir_select_docs",
     ]),
 ]
 
@@ -389,7 +395,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -424,6 +430,7 @@ SERIES = {
     "cohort_retention_weekly": "r6",
     "substring_run_pairs": "r6-cold",  # internal grid persist released per iter
     "contamination_score_docs": "r6",
+    "dsir_select_docs": "r11-cold",  # raw-feature persist released per iter
 }
 
 

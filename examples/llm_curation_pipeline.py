@@ -145,6 +145,18 @@ capped = capped.join(
 ).localCheckpoint()
 n4c = capped.count()
 
+# 4d. DSIR domain selection: from the curated pool, keep the 400 docs most
+#     distributionally similar to the 'src0' target domain — hashed n-gram
+#     bucket ratios (broadcast), integer importance weights, and a
+#     priority sample ∝ weight (never top-k: that over-selects
+#     near-duplicates of the target).
+from tamer_spark.operators.dsir import dsir_select
+
+dsir_target = raw_docs.filter(F.col("source") == "src0").select("doc_id", "text")
+picked = dsir_select(capped, dsir_target, k=400)
+capped = capped.join(picked.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+n4d = capped.count()
+
 # 5. stable train/val/test split (hash-range membership — never reshuffles
 #    docs between splits as the corpus grows)
 h = stable_hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
@@ -277,7 +289,8 @@ print(
     f"hybrid retrieval (3 queries): {n_hybrid} fused results "
     f"(BM25 top-20 + cosine top-20 → RRF top-5 per query)"
 )
-assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c > 0 and n_bins > 0
+assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
+assert n4d == min(400, n4c)  # DLT sample: exactly k docs (or all, if fewer)
 assert manifest["total_rows"] > 0
 assert n_hybrid == 15  # 3 queries x top-5
 assert n_spans_dropped > 0  # the tiny shared vocabulary guarantees cross-doc spans

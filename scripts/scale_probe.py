@@ -59,6 +59,9 @@ OPS = [
     # artifact of the synthetic duplication, not of the posting-capped
     # join; its scale posture is pinned by plan tests instead.
     "contamination_score_docs",
+    # r11 continuation: DSIR selection is featurize (map + one bounded
+    # count shuffle) + broadcast ratio join + TakeOrdered — expect ~linear
+    "dsir_select_docs",
 ]
 
 

@@ -1,0 +1,263 @@
+"""DSIR — Data Selection via Importance Resampling, as Catalyst plans.
+
+Selects raw-corpus documents that *distributionally resemble* a small
+high-quality target corpus (Xie et al., "Data Selection for Language Models
+via Importance Resampling", NeurIPS 2023, arXiv 2302.03169 — public
+literature). The pipeline is the paper's:
+
+1. featurize every document into **hashed n-gram bucket counts** (word
+   unigrams + bigrams hashed into ``buckets`` buckets — the paper's 10k-
+   bucket hashed feature space);
+2. fit two bag-of-buckets distributions — target ``p`` and raw ``q`` — and
+   score each raw document by an importance weight built from the
+   per-bucket ``p/q`` ratios;
+3. sample ``k`` documents *proportionally to weight* (not top-k — the
+   paper shows top-k over-selects near-duplicates of the target).
+
+Two deliberate deviations, both following standing repo conventions:
+
+* **Linear-space ratios, not log-space.** The paper's weight is
+  ``sum_b c_b·(log p_b − log q_b)``; this module uses
+  ``sum_b c_b · r_b`` with ``r_b`` the add-one-smoothed ratio scaled to
+  parts-per-``scale`` and floored to an integer (exactly the
+  ``operators/lm.py`` stance and for the same reason: a log score hinges
+  on last-ulp ``ln`` agreement between libm implementations, while integer
+  arithmetic is bit-identical on any engine/partitioning, so the driver's
+  DuckDB oracle can replay the whole pipeline including "training").
+* **Priority sampling instead of Gumbel top-k.** Weighted sampling without
+  replacement runs as Duffield–Lund–Thorup priority sampling ("Priority
+  Sampling", IEEE Trans. Inf. Theory 2007 — public literature): priority
+  ``q_i = w_i / u_i`` with ``u_i`` uniform on (0,1], keep the ``k`` largest.
+  ``u_i`` here is a salted ``stable_hash64`` of the doc id mapped to
+  ``{1..u_mod}`` — deterministic, content-independent, reproducible on any
+  engine — and the division is integer (``w·u_mod div u``), so selection is
+  exact cross-engine. Inclusion probability is ∝ weight in the DLT sense;
+  change ``seed`` for an independent replicate.
+
+Shuffle profile (the 100 TB posture, docs/SCALING.md):
+
+* featurize: map-only staged arrays (no exploded self-join), then ONE
+  partial-aggregated ``groupBy(doc_id, bucket)`` — shuffle rows bounded by
+  docs × min(buckets, doc n-gram types), i.e. ≤ ``buckets`` rows per doc
+  regardless of document length;
+* bucket totals: ``groupBy(bucket)`` over those counts — ≤ ``buckets``
+  rows out, partial-aggregated;
+* ratio table: ``buckets`` rows, built once, **broadcast** onto the
+  per-doc counts (plan-pinned) — never a shuffled join of the corpus
+  against a tiny table. Beyond ~1e8 buckets, pre-partition both sides by
+  bucket instead;
+* weight: one partial-aggregated ``groupBy(doc_id)``;
+* selection: ``orderBy(priority).limit(k)`` plans as
+  TakeOrderedAndProject — per-partition top-k + a k·partitions driver
+  merge, never a global sort of the corpus (plan-pinned).
+
+Overflow posture: all ratio/weight/priority arithmetic runs in
+``DECIMAL(38,0)`` (Spark ``DIV`` on decimal ≡ DuckDB ``//`` on HUGEINT —
+the ``operators/skew.py`` convention). Widest intermediate is
+``scale · (ct_b+1) · (N_raw+buckets)`` ≤ 1e6 · N_target · N_raw ≲ 1e32 for
+corpora up to ~1e13 tokens a side — inside decimal(38,0); beyond that ANSI
+raises rather than silently wrapping.
+
+No analog in the reference engine (tamer has no text operators —
+/root/reference/core/src/main/scala/tamer/Tamer.scala is an ingestion
+loop); part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tamer_spark.functions.hashing import stable_hash64
+from tamer_spark.operators.dedup import normalize_text
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "dsir_ratio_table",
+    "dsir_importance_weights",
+    "dsir_priority_sample",
+    "dsir_select",
+]
+
+_DEC = "CAST({} AS DECIMAL(38,0))"
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-document hashed n-gram features: ``(doc_id, b, c)`` — bucket id
+    and count of word unigram+bigram instances hashing into it.
+
+    Word split is over :func:`normalize_text` (the corpus-wide convention, so
+    DSIR features agree with the dedup/LM operators' token stream). Bigrams
+    are built row-locally with the staged-array pattern from
+    ``operators/lm.py`` — a when-guard keeps ``sequence(1, size-1)`` from
+    going descending on 1-word docs, and the explode is ``_outer`` so
+    InferFiltersFromGenerate can't re-inline the staged arrays into a
+    pushed-down filter. Map-only until the single (doc, bucket) count
+    shuffle.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    staged = words.select(
+        "doc_id",
+        F.concat(
+            F.col("_ws"),
+            F.when(
+                F.size("_ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_ws"), i),
+                        F.element_at(F.col("_ws"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("_ngs"),
+    )
+    ng = staged.select(
+        "doc_id", F.explode_outer("_ngs").alias("_ng")
+    )
+    return (
+        ng.select(
+            "doc_id", F.pmod(stable_hash64(F.col("_ng")), F.lit(buckets)).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_ratio_table(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-bucket importance ratio ``(b, r)`` where::
+
+        r_b = (scale · (ct_b+1) · (N_raw+buckets)) div ((cr_b+1) · (N_tgt+buckets))
+
+    — the add-one-smoothed ``p_target/p_raw`` ratio in parts-per-``scale``,
+    floored (exact integer, engine-portable). Inputs are
+    :func:`hashed_ngram_buckets` frames; buckets absent from one corpus get
+    the smoothed count 1. The output is ≤ ``buckets`` rows — broadcast it
+    (``dsir_importance_weights`` does).
+    """
+    tt = target_counts.groupBy("b").agg(F.sum("c").alias("ct"))
+    rr = raw_counts.groupBy("b").agg(F.sum("c").alias("cr"))
+    # grand totals: two 1-row aggregates, crossed on (tiny ⋈ tiny)
+    nt = tt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    nr = rr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    joined = (
+        tt.join(rr, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    r = F.expr(
+        f"({_DEC.format(scale)} * (ct + 1) * (nr + {buckets})) "
+        f"DIV ((cr + 1) * (nt + {buckets}))"
+    )
+    return joined.select("b", r.cast("decimal(38,0)").alias("r"))
+
+
+def dsir_importance_weights(
+    doc_counts: DataFrame, ratios: DataFrame
+) -> DataFrame:
+    """Per-document weight ``(doc_id, weight)`` =
+    ``sum_b c_b · r_b`` as decimal(38,0) — an order-independent integer sum,
+    so bit-identical under any partitioning. The ratio table is broadcast
+    (≤ buckets rows); the only shuffle is the partial-aggregated
+    ``groupBy(doc_id)``."""
+    return (
+        doc_counts.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r"))
+            .cast("decimal(38,0)")
+            .alias("weight")
+        )
+    )
+
+
+def dsir_priority_sample(
+    weights: DataFrame,
+    k: int,
+    u_mod: int = 65_536,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Duffield–Lund–Thorup priority sample of ``k`` docs ∝ weight:
+    ``(doc_id, weight, sel_rank)``, rank 1-based by priority.
+
+    ``u = (stable_hash64(seed||'-'||doc_id) mod u_mod) + 1`` stands in for
+    the uniform (0,1] draw (deterministic, content-independent — the
+    split/sample-membership convention of ``split_sample_docs``);
+    ``priority = (weight · u_mod) div u``. ``orderBy(priority DESC, doc_id)
+    .limit(k)`` plans as TakeOrderedAndProject — never a global sort. The
+    (priority, doc_id) order is total, so the selected set and ranks are
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    u = (
+        F.pmod(
+            stable_hash64(F.concat(F.lit(f"{seed}-"), F.col("doc_id").cast("string"))),
+            F.lit(u_mod),
+        )
+        + 1
+    )
+    pri = weights.select(
+        "doc_id",
+        "weight",
+        F.expr(f"(weight * {_DEC.format(u_mod)})").alias("_wu"),
+        u.alias("_u"),
+    ).select(
+        "doc_id",
+        "weight",
+        F.expr("_wu DIV _u").cast("decimal(38,0)").alias("_q"),
+    )
+    order = [F.col("_q").desc(), F.col("doc_id").asc()]
+    top = pri.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("sel_rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "weight", "sel_rank"
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+    u_mod: int = 65_536,
+    seed: str = "dsir",
+) -> DataFrame:
+    """End-to-end DSIR: featurize both corpora, fit the bucket-ratio table,
+    weight every raw doc, priority-sample ``k`` ∝ weight. Returns
+    ``(doc_id, weight, sel_rank)`` for the selected docs.
+
+    Cost shape: one map+count-shuffle pass per corpus, one broadcast of the
+    ≤ ``buckets``-row ratio table, one ``groupBy(doc_id)`` weight shuffle,
+    one TakeOrdered — nothing quadratic, no driver-side corpus state. The
+    raw feature frame feeds two plan branches (the ratio table's ``q`` side
+    and the weight join), so it is persisted for the plan's lifetime and
+    released when the result is dropped (the ``semdedup`` pattern)."""
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    raw_counts = hashed_ngram_buckets(raw_docs, text_col, id_col, buckets).persist()
+    tgt_counts = hashed_ngram_buckets(target_docs, text_col, id_col, buckets)
+    ratios = dsir_ratio_table(tgt_counts, raw_counts, buckets, scale)
+    weights = dsir_importance_weights(raw_counts, ratios)
+    out = dsir_priority_sample(weights, k, u_mod, seed)
+    return _release_on_gc(out, raw_counts)

@@ -3452,6 +3452,55 @@ def stratified_mix_sources_q(spark, sf):
     return stratified_mix(d, w)
 
 
+_DSIR_BUCKETS, _DSIR_K, _DSIR_UMOD, _DSIR_SCALE = 1024, 100, 65_536, 1_000_000
+_DSIR_TARGET = "src0"  # the "high-quality domain" the raw corpus is matched to
+
+
+_DSIR_ORACLE = f"""
+    WITH dnorm AS (SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    dws AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM dnorm),
+    dng AS (SELECT doc_id, source, list_concat(w,
+              CASE WHEN len(w) >= 2 THEN list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS ngs FROM dws),
+    dtok AS (SELECT doc_id, source, unnest(ngs) AS ng FROM dng),
+    dbkt AS (SELECT doc_id, source, ('0x' || substr(md5(ng),1,15))::BIGINT % {_DSIR_BUCKETS} AS b FROM dtok),
+    docb AS (SELECT doc_id, source, b, COUNT(*) AS c FROM dbkt GROUP BY doc_id, source, b),
+    tt AS (SELECT b, SUM(c) AS ct FROM docb WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    rw AS (SELECT b, SUM(c) AS cr FROM docb WHERE source <> '{_DSIR_TARGET}' GROUP BY b),
+    tot AS (SELECT (SELECT COALESCE(SUM(ct),0) FROM tt) AS nt, (SELECT COALESCE(SUM(cr),0) FROM rw) AS nr),
+    ratio AS (SELECT COALESCE(tt.b, rw.b) AS b,
+               ({_DSIR_SCALE}::HUGEINT * (COALESCE(ct,0)+1) * (nr+{_DSIR_BUCKETS}))
+               // ((COALESCE(cr,0)+1) * (nt+{_DSIR_BUCKETS})) AS r
+              FROM tt FULL JOIN rw ON tt.b = rw.b CROSS JOIN tot),
+    wts AS (SELECT doc_id, SUM(c::HUGEINT * r) AS w
+            FROM (SELECT * FROM docb WHERE source <> '{_DSIR_TARGET}') d JOIN ratio USING (b)
+            GROUP BY doc_id),
+    dpri AS (SELECT doc_id, w,
+             (w * {_DSIR_UMOD}::HUGEINT)
+             // (((('0x' || substr(md5('dsir-' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT) % {_DSIR_UMOD}) + 1) AS q
+             FROM wts),
+    dtopk AS (SELECT doc_id, w, row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rn FROM dpri)
+    SELECT doc_id, CAST(w AS VARCHAR) AS weight, CAST(rn AS BIGINT) AS sel_rank
+    FROM dtopk WHERE rn <= {_DSIR_K}
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# mix_pack_sources gate's 'dsir' variant).
+def dsir_select_docs_q(spark, sf):
+    from tamer_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf, "documents")
+    return dsir_select(
+        d.filter(F.col("source") != _DSIR_TARGET),
+        d.filter(F.col("source") == _DSIR_TARGET),
+        k=_DSIR_K,
+        buckets=_DSIR_BUCKETS,
+        scale=_DSIR_SCALE,
+        u_mod=_DSIR_UMOD,
+    )
+
+
 _PACK_BUDGET, _PACK_GROUPS = 512, 8
 
 
@@ -3510,6 +3559,9 @@ def pack_sequences_q(spark, sf):
     SELECT 'pack', CAST(NULL AS VARCHAR), doc_id, pack_group,
            concat_ws('|', n_tokens, start_off, seq_first, seq_last, greedy_bin)
     FROM ({_PACK_ORACLE})
+    UNION ALL
+    SELECT 'dsir', CAST(NULL AS VARCHAR), doc_id, sel_rank, weight
+    FROM ({_DSIR_ORACLE})
     """,
     doc=(
         "Dataset layout construction as one tagged union (r6 window "
@@ -3525,7 +3577,15 @@ def pack_sequences_q(spark, sf):
         "applyInPandas recurrence (a closed bin resets the fill — not a "
         "prefix sum); the pack columns travel as one '|'-joined payload "
         "string, int64-rendered identically in both engines. Oracle "
-        "reproduces the greedy recurrence with a recursive CTE."
+        "reproduces the greedy recurrence with a recursive CTE. dsir "
+        "(r11): DSIR importance-resampling data selection (Xie et al. "
+        "2023) — hashed unigram+bigram bucket counts, add-one-smoothed "
+        "integer-scaled target/raw bucket ratios (broadcast), per-doc "
+        "decimal(38,0) weights, and Duffield–Lund–Thorup priority "
+        "sampling of the top-100 docs proportional to weight via a salted "
+        "hash uniform; every step exact integer arithmetic, so the oracle "
+        "replays featurization, 'training', weighting, and the sample "
+        "itself (weight travels as the payload string)."
     ),
 )
 def mix_pack_sources_q(spark, sf):
@@ -3545,7 +3605,14 @@ def mix_pack_sources_q(spark, sf):
             "|", "n_tokens", "start_off", "seq_first", "seq_last", "greedy_bin"
         ).alias("payload"),
     )
-    return mix.unionByName(pack)
+    dsir = dsir_select_docs_q(spark, sf).select(
+        F.lit("dsir").alias("variant"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("doc_id").alias("v1"),
+        F.col("sel_rank").alias("v2"),
+        F.col("weight").cast("string").alias("payload"),
+    )
+    return mix.unionByName(pack).unionByName(dsir)
 
 
 _DECON_SHINGLE_ORACLE = f"""
@@ -4464,6 +4531,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf_q,
     "stratified_mix_sources": stratified_mix_sources_q,
     "pack_sequences": pack_sequences_q,
+    "dsir_select_docs": dsir_select_docs_q,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "decontaminate_bloom_prefilter": decontaminate_bloom_prefilter_q,
     "decontaminate_substrings": decontaminate_substrings_q,
