@@ -16,14 +16,29 @@ literature). The pipeline is the paper's:
 
 Two deliberate deviations, both following standing repo conventions:
 
-* **Linear-space ratios, not log-space.** The paper's weight is
+* **Centered linear ratios, not log-space.** The paper's weight is
   ``sum_b c_b·(log p_b − log q_b)``; this module uses
-  ``sum_b c_b · r_b`` with ``r_b`` the add-one-smoothed ratio scaled to
-  parts-per-``scale`` and floored to an integer (exactly the
-  ``operators/lm.py`` stance and for the same reason: a log score hinges
-  on last-ulp ``ln`` agreement between libm implementations, while integer
-  arithmetic is bit-identical on any engine/partitioning, so the driver's
-  DuckDB oracle can replay the whole pipeline including "training").
+  ``sum_b c_b·(r_b − scale)`` with ``r_b`` the add-one-smoothed ratio
+  scaled to parts-per-``scale`` and floored to an integer — the
+  first-order Taylor expansion of the log weight
+  (``scale·log(r/scale) ≈ r − scale`` near ``r = scale``), kept integer
+  for the ``operators/lm.py`` reason: a log score hinges on last-ulp
+  ``ln`` agreement between libm implementations, while integer arithmetic
+  is bit-identical on any engine/partitioning, so the driver's DuckDB
+  oracle replays the whole pipeline including "training". The centering
+  is load-bearing, not cosmetic: an UNcentered linear sum makes every
+  token contribute a positive term, so document length swamps affinity —
+  measured on the planted-target protocol (scripts/dsir_quality.py), the
+  uncentered form ranks planted target-like docs BELOW random (top-k
+  recall 0.0–0.08 vs 0.15 random) while the centered form recovers
+  0.64–0.80; far from ``r = scale`` the linearization overweights very
+  target-specific n-grams relative to true log, a documented bias toward
+  strong evidence. Pick ``buckets`` well below the target corpus's token
+  count: once ``buckets`` is comparable to it, add-one smoothing under
+  unequal corpus sizes pushes even unseen buckets' ratios above ``scale``
+  and the length bias returns (the sweep in scripts/dsir_quality.py
+  makes this visible — recall collapses at the 4096-bucket setting on
+  the ~8.5k-token sf0.01 target).
 * **Priority sampling instead of Gumbel top-k.** Weighted sampling without
   replacement runs as Duffield–Lund–Thorup priority sampling ("Priority
   Sampling", IEEE Trans. Inf. Theory 2007 — public literature): priority
@@ -99,6 +114,8 @@ def hashed_ngram_buckets(
     pushed-down filter. Map-only until the single (doc, bucket) count
     shuffle.
     """
+    if buckets < 1:
+        raise ValueError(f"hashed_ngram_buckets: buckets must be >= 1, got {buckets}")
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
@@ -148,6 +165,8 @@ def dsir_ratio_table(
     the smoothed count 1. The output is ≤ ``buckets`` rows — broadcast it
     (``dsir_importance_weights`` does).
     """
+    if scale < 1:
+        raise ValueError(f"dsir_ratio_table: scale must be >= 1, got {scale}")
     tt = target_counts.groupBy("b").agg(F.sum("c").alias("ct"))
     rr = raw_counts.groupBy("b").agg(F.sum("c").alias("cr"))
     # grand totals: two 1-row aggregates, crossed on (tiny ⋈ tiny)
@@ -171,18 +190,32 @@ def dsir_ratio_table(
 
 
 def dsir_importance_weights(
-    doc_counts: DataFrame, ratios: DataFrame
+    doc_counts: DataFrame, ratios: DataFrame, scale: int = 1_000_000
 ) -> DataFrame:
     """Per-document weight ``(doc_id, weight)`` =
-    ``sum_b c_b · r_b`` as decimal(38,0) — an order-independent integer sum,
-    so bit-identical under any partitioning. The ratio table is broadcast
-    (≤ buckets rows); the only shuffle is the partial-aggregated
-    ``groupBy(doc_id)``."""
+    ``sum_b c_b · (r_b − scale)`` as decimal(38,0) — an order-independent
+    integer sum, bit-identical under any partitioning, possibly NEGATIVE
+    (a doc whose n-grams are anti-target-like). The centering makes an
+    uninformative bucket (``r_b ≈ scale``) contribute ~0, so the weight
+    measures net affinity rather than document length (module docstring —
+    the first-order-Taylor log form; the uncentered sum ranks planted
+    target docs below random). ``scale`` and the featurize ``buckets`` must
+    match the :func:`dsir_ratio_table` call that built ``ratios``. The
+    join is LEFT so a frozen ratio table can score a LATER epoch (the
+    incremental posture): a bucket the table has never seen is
+    uninformative and contributes exactly 0 — an inner join would silently
+    drop it, and a doc with no overlapping buckets entirely. The ratio
+    table is broadcast (≤ buckets rows); the only shuffle is the
+    partial-aggregated ``groupBy(doc_id)``."""
+    centered = F.coalesce(
+        F.col("r") - F.lit(scale).cast("decimal(38,0)"),
+        F.lit(0).cast("decimal(38,0)"),
+    )
     return (
-        doc_counts.join(F.broadcast(ratios), "b")
+        doc_counts.join(F.broadcast(ratios), "b", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r"))
+            F.sum(F.col("c").cast("decimal(38,0)") * centered)
             .cast("decimal(38,0)")
             .alias("weight")
         )
@@ -201,10 +234,15 @@ def dsir_priority_sample(
     ``u = (stable_hash64(seed||'-'||doc_id) mod u_mod) + 1`` stands in for
     the uniform (0,1] draw (deterministic, content-independent — the
     split/sample-membership convention of ``split_sample_docs``);
-    ``priority = (weight · u_mod) div u``. ``orderBy(priority DESC, doc_id)
+    ``priority = (greatest(weight, 1) · u_mod) div u`` — DLT needs positive
+    weights, so non-positive (anti-target-like) docs are floored to weight
+    1: they compete only on the uniform draw, a uniform-random tail behind
+    every positively-weighted doc. ``orderBy(priority DESC, doc_id)
     .limit(k)`` plans as TakeOrderedAndProject — never a global sort. The
     (priority, doc_id) order is total, so the selected set and ranks are
     deterministic cross-engine."""
+    if u_mod < 1:
+        raise ValueError(f"dsir_priority_sample: u_mod must be >= 1, got {u_mod}")
     from pyspark.sql import Window
 
     u = (
@@ -217,7 +255,9 @@ def dsir_priority_sample(
     pri = weights.select(
         "doc_id",
         "weight",
-        F.expr(f"(weight * {_DEC.format(u_mod)})").alias("_wu"),
+        F.expr(
+            f"(greatest(weight, {_DEC.format(1)}) * {_DEC.format(u_mod)})"
+        ).alias("_wu"),
         u.alias("_u"),
     ).select(
         "doc_id",
@@ -258,6 +298,6 @@ def dsir_select(
     raw_counts = hashed_ngram_buckets(raw_docs, text_col, id_col, buckets).persist()
     tgt_counts = hashed_ngram_buckets(target_docs, text_col, id_col, buckets)
     ratios = dsir_ratio_table(tgt_counts, raw_counts, buckets, scale)
-    weights = dsir_importance_weights(raw_counts, ratios)
+    weights = dsir_importance_weights(raw_counts, ratios, scale)
     out = dsir_priority_sample(weights, k, u_mod, seed)
     return _release_on_gc(out, raw_counts)

@@ -56,9 +56,13 @@ def _py_dsir(raw: dict[int, str], tgt: dict[int, str], k: int):
         // ((rc.get(b, 0) + 1) * (nt + BUCKETS))
         for b in set(tc) | set(rc)
     }
-    wts = {i: sum(c * ratio[b] for b, c in cb.items()) for i, cb in docb.items()}
+    wts = {
+        i: sum(c * (ratio[b] - SCALE) for b, c in cb.items())
+        for i, cb in docb.items()
+    }
     pri = {
-        i: (w * UMOD) // ((_h64(f"dsir-{i}") % UMOD) + 1) for i, w in wts.items()
+        i: (max(w, 1) * UMOD) // ((_h64(f"dsir-{i}") % UMOD) + 1)
+        for i, w in wts.items()
     }
     order = sorted(pri, key=lambda i: (-pri[i], i))[:k]
     return wts, {i: r + 1 for r, i in enumerate(order)}
@@ -197,6 +201,69 @@ def test_registry_variant_matches_standalone(spark):
         for r in dsir_select_docs_q(spark, SF_DIR).collect()
     }
     assert union_rows == standalone
+
+
+def test_frozen_ratio_table_scores_unseen_epoch(spark):
+    """Incremental posture: a ratio table trained on epoch 0 scores a later
+    epoch whose vocabulary it never saw — unseen buckets contribute exactly
+    0 (left join), and a fully-disjoint doc still surfaces with weight 0
+    rather than vanishing."""
+    e0 = _mk_docs(spark, RAW)
+    tgt = _mk_docs(spark, TGT)
+    ratios = dsir_ratio_table(
+        hashed_ngram_buckets(tgt, buckets=BUCKETS),
+        hashed_ngram_buckets(e0, buckets=BUCKETS),
+        BUCKETS, SCALE,
+    )
+    later = _mk_docs(spark, {50: "völlig neues vokabular überall", 51: "the quick brown fox"})
+    w = {
+        r.doc_id: int(r.weight)
+        for r in dsir_importance_weights(
+            hashed_ngram_buckets(later, buckets=BUCKETS), ratios, SCALE
+        ).collect()
+    }
+    assert set(w) == {50, 51}
+    assert w[51] > 0  # target-affine doc scores positive against the frozen table
+
+
+def test_planted_target_recovery_beats_random(spark):
+    """The selection-quality floor (scripts/dsir_quality.py protocol at
+    sf0.001, buckets=256): plants — target docs with every 5th word dropped
+    — must be recovered well above the random-sampling rate k/|pool|."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "dsir_quality",
+        Path(__file__).resolve().parent.parent / "scripts" / "dsir_quality.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    pool, target, plants = mod.planted_pool(spark, "/root/testdata/sf0.001")
+    plant_ids = {r.doc_id for r in plants.select("doc_id").collect()}
+    k = len(plant_ids) * 3
+    out = dsir_select(pool, target, k=k, buckets=256)
+    got = {r.doc_id for r in out.collect()}
+    recall = len(got & plant_ids) / len(plant_ids)
+    random_rate = k / pool.count()
+    assert recall >= 2 * random_rate, (recall, random_rate)
+
+
+def test_invalid_params_raise(spark):
+    d = _mk_docs(spark, RAW)
+    with pytest.raises(ValueError, match="buckets"):
+        hashed_ngram_buckets(d, buckets=0)
+    with pytest.raises(ValueError, match="scale"):
+        dsir_ratio_table(
+            hashed_ngram_buckets(d, buckets=8),
+            hashed_ngram_buckets(d, buckets=8),
+            buckets=8, scale=0,
+        )
+    with pytest.raises(ValueError, match="u_mod"):
+        dsir_priority_sample(
+            spark.createDataFrame([(1, 5)], "doc_id long, weight long"), k=1, u_mod=0
+        )
 
 
 def test_k_zero_returns_empty(spark):
