@@ -41,7 +41,6 @@ from tamer_spark.operators.dsir import (
     dsir_importance_weights,
     dsir_priority_sample,
     dsir_ratio_table,
-    dsir_select,
     hashed_ngram_buckets,
 )
 
@@ -90,19 +89,24 @@ def main() -> None:
 
     rows = []
     for buckets in BUCKET_SWEEP:
-        sampled = dsir_select(pool, target, k=k, buckets=buckets)
-        got = {r.doc_id for r in sampled.select("doc_id").collect()}
-        # the paper's top-k ablation: same weights, no priority draw
+        # one featurize pass per corpus per setting, shared by BOTH
+        # selectors (dsir_select would re-featurize internally — drive the
+        # exported building blocks instead)
         pc = hashed_ngram_buckets(pool, buckets=buckets).persist()
         tc = hashed_ngram_buckets(target, buckets=buckets)
-        wts = dsir_importance_weights(pc, dsir_ratio_table(tc, pc, buckets))
-        # (centered weights — the operator default; scale left at 1e6)
+        wts = dsir_importance_weights(
+            pc, dsir_ratio_table(tc, pc, buckets)
+        ).persist()
+        sampled = dsir_priority_sample(wts, k=k)
+        got = {r.doc_id for r in sampled.select("doc_id").collect()}
+        # the paper's top-k ablation: same weights, no priority draw
         topk = {
             r.doc_id
             for r in wts.orderBy(F.col("weight").desc(), F.col("doc_id"))
             .limit(k)
             .collect()
         }
+        wts.unpersist()
         pc.unpersist()
         row = {
             "buckets": buckets,

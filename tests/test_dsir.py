@@ -33,7 +33,11 @@ def _h64(s: str) -> int:
 
 
 def _norm(t: str) -> str:
-    return re.sub(r"\s+", " ", t.lower()).strip()
+    # re.ASCII is load-bearing: Python's Unicode \s also matches NBSP and
+    # the   series, which neither Spark's Java regex (no
+    # UNICODE_CHARACTER_CLASS) nor DuckDB's RE2 treats as whitespace — the
+    # reference must tokenize exactly like the engines (doc 10 pins this)
+    return re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
 
 
 def _doc_buckets(text: str, buckets: int) -> Counter:
@@ -84,6 +88,9 @@ RAW = {
     7: "",
     8: "single",
     9: "Mixed   CASE    and\twhitespace   text here",
+    # NBSP is NOT whitespace to Java regex / RE2: 'nb\xa0sp' must stay ONE
+    # token in all three engines (a Unicode-aware reference would split it)
+    10: "nb\xa0sp joined token",
 }
 TGT = {
     100: "the quick brown fox and the quick brown cat",
@@ -138,11 +145,38 @@ def test_k_larger_than_corpus_returns_all(spark):
 
 
 def test_seed_changes_sample_not_weights(spark):
-    """DLT replicates: a different seed redraws the uniforms (new sample,
-    generally) but never the weights."""
-    a = dsir_select(_mk_docs(spark, RAW), _mk_docs(spark, TGT), k=9,
+    """DLT replicates: a different seed redraws the uniforms — at k <
+    corpus the SAMPLE must actually change (this is what pins that the
+    seed reaches the hash; a hard-coded salt would pass an equality-only
+    test) — but never the weights. Seeds chosen so the equal-weight draw
+    provably differs (verified against the same hash arithmetic)."""
+    weights = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, weight long"
+    )
+    picks = {}
+    for seed in ("a", "b"):
+        got = {
+            r.doc_id
+            for r in dsir_priority_sample(weights, k=10, u_mod=UMOD, seed=seed).collect()
+        }
+        # replicate the exact priority arithmetic (q ties broken by id —
+        # sorting on raw u would order tied-q docs differently)
+        expect = set(
+            sorted(
+                range(40),
+                key=lambda i: (
+                    -((100 * UMOD) // ((_h64(f"{seed}-{i}") % UMOD) + 1)),
+                    i,
+                ),
+            )[:10]
+        )
+        assert got == expect, (seed, got, expect)
+        picks[seed] = got
+    assert picks["a"] != picks["b"]  # the draw moved with the seed
+
+    a = dsir_select(_mk_docs(spark, RAW), _mk_docs(spark, TGT), k=len(RAW),
                     buckets=BUCKETS, u_mod=UMOD, seed="a")
-    b = dsir_select(_mk_docs(spark, RAW), _mk_docs(spark, TGT), k=9,
+    b = dsir_select(_mk_docs(spark, RAW), _mk_docs(spark, TGT), k=len(RAW),
                     buckets=BUCKETS, u_mod=UMOD, seed="b")
     wa = {r.doc_id: int(r.weight) for r in a.collect()}
     wb = {r.doc_id: int(r.weight) for r in b.collect()}
