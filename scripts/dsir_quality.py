@@ -76,6 +76,22 @@ def recall_at(selected_ids: set[int], plant_ids: set[int]) -> float:
     return round(len(selected_ids & plant_ids) / max(len(plant_ids), 1), 3)
 
 
+def kl_to_target(tgt_counts: dict[int, int], other: dict[int, int], buckets: int) -> float:
+    """KL(target ‖ other) over the hashed-bucket space, add-one smoothed —
+    the paper's distributional-alignment metric (diagnostic only: floats
+    are fine in a script, never in a gate)."""
+    import math
+
+    nt = sum(tgt_counts.values()) + buckets
+    no = sum(other.values()) + buckets
+    kl = 0.0
+    for b in range(buckets):
+        pt = (tgt_counts.get(b, 0) + 1) / nt
+        po = (other.get(b, 0) + 1) / no
+        kl += pt * math.log(pt / po)
+    return round(kl, 4)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = tamer_spark.get_spark("dsir-quality")
@@ -106,6 +122,19 @@ def main() -> None:
             .limit(k)
             .collect()
         }
+        # the paper's alignment metric: KL(target ‖ selected) must drop vs
+        # KL(target ‖ pool) — selection moved the bucket distribution
+        # toward the target, not just recovered plants
+        tgt_d = {r.b: r.s for r in tc.groupBy("b").agg(F.sum("c").alias("s")).collect()}
+        pool_d = {r.b: r.s for r in pc.groupBy("b").agg(F.sum("c").alias("s")).collect()}
+        sel_rows = pc.join(
+            pc.sparkSession.createDataFrame(
+                [(i,) for i in got], "doc_id long"
+            ),
+            "doc_id",
+            "left_semi",
+        ).groupBy("b").agg(F.sum("c").alias("s")).collect()
+        sel_d = {r.b: r.s for r in sel_rows}
         wts.unpersist()
         pc.unpersist()
         row = {
@@ -115,16 +144,18 @@ def main() -> None:
             "recall_sampled": recall_at(got, plant_ids),
             "recall_topk": recall_at(topk, plant_ids),
             "random_baseline": random_baseline,
+            "kl_selected": kl_to_target(tgt_d, sel_d, buckets),
+            "kl_pool": kl_to_target(tgt_d, pool_d, buckets),
         }
         rows.append(row)
         print(json.dumps(row))
 
-    print("\n| buckets | planted recall (DLT sample) | planted recall (top-k) | random |")
-    print("|---|---|---|---|")
+    print("\n| buckets | planted recall (DLT sample) | planted recall (top-k) | random | KL(t‖sel) | KL(t‖pool) |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['buckets']} | {r['recall_sampled']} | {r['recall_topk']} "
-            f"| {r['random_baseline']} |"
+            f"| {r['random_baseline']} | {r['kl_selected']} | {r['kl_pool']} |"
         )
     spark.stop()
 

@@ -237,6 +237,49 @@ def test_registry_variant_matches_standalone(spark):
     assert union_rows == standalone
 
 
+def test_dsir_differential_fuzz(spark):
+    # differential fuzz over random small-vocabulary corpora (collisions in
+    # the 64-bucket space guaranteed): the full Spark pipeline — weights,
+    # selected set, AND ranks — must equal the pure-Python reference for
+    # every random target/raw split. Bounded examples — each runs Spark
+    # jobs (the incremental-dedup fuzz convention).
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.lists(st.integers(min_value=0, max_value=15), min_size=0, max_size=12),
+            min_size=3,
+            max_size=25,
+        ),
+        n_tgt=st.integers(min_value=1, max_value=4),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    def check(texts, n_tgt, k):
+        docs = {i: " ".join(f"w{n}" for n in ws) for i, ws in enumerate(texts)}
+        tgt = {i: t for i, t in docs.items() if i < n_tgt}
+        raw = {i: t for i, t in docs.items() if i >= n_tgt}
+        if not raw:
+            return
+        wts, ranks = _py_dsir(raw, tgt, k=k)
+        out = dsir_select(
+            _mk_docs(spark, raw), _mk_docs(spark, tgt),
+            k=k, buckets=BUCKETS, scale=SCALE, u_mod=UMOD,
+        ).collect()
+        assert len(out) == min(k, len(raw))
+        assert {r.doc_id for r in out} == set(ranks)
+        for r in out:
+            assert int(r.weight) == wts[r.doc_id], (r, wts)
+            assert r.sel_rank == ranks[r.doc_id], (r, ranks)
+
+    check()
+
+
 def test_frozen_ratio_table_scores_unseen_epoch(spark):
     """Incremental posture: a ratio table trained on epoch 0 scores a later
     epoch whose vocabulary it never saw — unseen buckets contribute exactly
