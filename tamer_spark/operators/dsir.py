@@ -236,8 +236,11 @@ def dsir_priority_sample(
     split/sample-membership convention of ``split_sample_docs``);
     ``priority = (greatest(weight, 1) · u_mod) div u`` — DLT needs positive
     weights, so non-positive (anti-target-like) docs are floored to weight
-    1: they compete only on the uniform draw, a uniform-random tail behind
-    every positively-weighted doc. ``orderBy(priority DESC, doc_id)
+    1 and compete as minimum-weight items. Note the DLT property (not a
+    defect): ANY item can outrank a heavier one on a lucky small ``u`` —
+    inclusion probability, not rank, is what tracks weight, so a floored
+    doc occasionally enters the sample (the uniform-exploration tail the
+    paper's Gumbel sampling also has). ``orderBy(priority DESC, doc_id)
     .limit(k)`` plans as TakeOrderedAndProject — never a global sort. The
     (priority, doc_id) order is total, so the selected set and ranks are
     deterministic cross-engine."""

@@ -343,6 +343,17 @@ def test_invalid_params_raise(spark):
         )
 
 
+def test_empty_target_still_selects(spark):
+    """A degenerate (empty) target corpus must not error: every bucket's
+    ratio falls back to the smoothed global prior and selection degrades
+    toward the uniform draw — still k docs out."""
+    out = dsir_select(
+        _mk_docs(spark, RAW), _mk_docs(spark, {}), k=4,
+        buckets=BUCKETS, u_mod=UMOD,
+    )
+    assert out.count() == 4
+
+
 def test_k_zero_returns_empty(spark):
     out = dsir_select(
         _mk_docs(spark, RAW), _mk_docs(spark, TGT), k=0,
