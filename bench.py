@@ -324,6 +324,9 @@ HEADLINE = {
     # PII scrubbing (round 5): map-only email/IP redaction over structured
     # text — times the regexp_replace scan path
     "scrub_pii_docs": None,
+    # markup stripping (r11): WET-style tag-soup strip over markup-wrapped
+    # text — the other map-only regexp scan path (9-step chain + entities)
+    "strip_markup_docs": None,
     # BM25 retrieval (round 5): map-only tokenize + vocab-filtered tf shuffle
     # + broadcast folds + TakeOrdered top-k — the lexical retrieval scan path
     "bm25_topk_docs": None,
@@ -378,7 +381,7 @@ GROUPS: list[tuple[str, list[str]]] = [
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
-        "bm25_topk_docs",
+        "strip_markup_docs", "bm25_topk_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf"]),
     ("analytics", [
@@ -431,6 +434,7 @@ SERIES = {
     "substring_run_pairs": "r6-cold",  # internal grid persist released per iter
     "contamination_score_docs": "r6",
     "dsir_select_docs": "r11-cold",  # raw-feature persist released per iter
+    "strip_markup_docs": "r11",
 }
 
 

@@ -62,6 +62,8 @@ OPS = [
     # r11 continuation: DSIR selection is featurize (map + one bounded
     # count shuffle) + broadcast ratio join + TakeOrdered — expect ~linear
     "dsir_select_docs",
+    # r11 continuation: markup stripping is pure map — expect ~linear
+    "strip_markup_docs",
 ]
 
 

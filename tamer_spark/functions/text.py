@@ -116,6 +116,57 @@ def doc_fingerprint_col(text: Column, p: int = 1_000_000_007, base: int = 31) ->
     ).alias("fingerprint")
 
 
+# Markup stripping — the WET-extraction stage every web-corpus pipeline
+# runs FIRST (C4/CCNet/RefinedWeb all consume tag-stripped text; Raffel et
+# al. 2020 §2.2, Penedo et al. 2023 — public literature). This is the
+# tag-soup HEURISTIC those pipelines use at scale, not an HTML parser:
+# comments and script/style blocks are dropped wholesale (non-greedy to
+# the first closer), block-level boundaries become newlines so the line
+# structure downstream line filters need survives, every remaining tag
+# becomes a space, then the six core entities decode and whitespace
+# canonicalizes. Known tag-soup limits (documented, shared with the
+# production heuristics): an unclosed `<div` with no `>` survives as
+# text; a literal `</script>` inside a JS string still closes the block;
+# attributes containing `>` end the tag early. Patterns are pinned to the
+# Java-regex/RE2 common subset (inline (?is) flags, non-greedy `.*?`,
+# character classes — no lookarounds, no backreferences); entity decode
+# runs AFTER tag stripping (decoded `&lt;b&gt;` is CONTENT, not markup)
+# and `&amp;` decodes LAST so double-escapes resolve one level only.
+MARKUP_COMMENT_RE = r"(?s)<!--.*?-->"
+MARKUP_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+MARKUP_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+MARKUP_BLOCK_RE = r"(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/blockquote)>"
+MARKUP_TAG_RE = r"<[^>]*>"
+# order is load-bearing: &amp; last (see module comment)
+MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+MARKUP_WS_NL_RE = r"\s*\n\s*"  # any ws run containing a newline → one \n
+MARKUP_WS_H_RE = r"[ \t\x0B\f\r]+"  # horizontal runs → one space
+MARKUP_TRIM_RE = r"^\s+|\s+$"
+
+
+def strip_markup_col(text: Column) -> Column:
+    """Tag-soup markup stripping as one map-only regexp chain (constants
+    above; the DuckDB oracle replays the identical chain). Runs at
+    parquet-scan rate — zero shuffles, whole-stage codegen."""
+    s = F.regexp_replace(text, MARKUP_COMMENT_RE, "")
+    s = F.regexp_replace(s, MARKUP_SCRIPT_RE, "")
+    s = F.regexp_replace(s, MARKUP_STYLE_RE, "")
+    s = F.regexp_replace(s, MARKUP_BLOCK_RE, "\n")
+    s = F.regexp_replace(s, MARKUP_TAG_RE, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, MARKUP_WS_NL_RE, "\n")
+    s = F.regexp_replace(s, MARKUP_WS_H_RE, " ")
+    return F.regexp_replace(s, MARKUP_TRIM_RE, "")
+
+
 # PII scrubbing (anonymization) — the FineWeb-style redaction stage
 # (Penedo et al. 2024 anonymize emails/IPs before release; public
 # literature). Patterns are pinned to the syntax BOTH regex engines (Java

@@ -2806,14 +2806,108 @@ def scrub_pii_docs_q(spark, sf):
     )
 
 
+# Markup-wrapped derivation of the fixture text (the _C4_STRUCTURE
+# pattern: pinned literal replaces mirrored in the oracle) — each replace
+# plants one stripping behavior so the markup variant exercises every rule
+# on real fixture text: inline tag, entity decode, script block swallowing
+# a fake `</p>` closer, block-boundary newline, multi-line comment, angle
+# entities that must survive as CONTENT, and a void tag.
+_MARKUP_STRUCTURE = (
+    (" merge", " <b>merge</b>"),
+    (" order", " &amp; order"),
+    (" batch", " <script>var batch='</p>';</script>batch"),
+    (" window", "</p><p>window"),
+    (" line", " <!-- line\nhidden --> line"),
+    (" slow", " &lt;slow&gt;"),
+    (" big", " <img src='big.png'/> big"),
+)
+
+
+def _markup_structured_col(col):
+    for search, repl in _MARKUP_STRUCTURE:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return F.concat(
+        F.lit("<html><head><title>doc</title><style>p {color:red}</style>"
+              "</head><body><h1>"),
+        col,
+        F.lit("</h1><footer>&copy; corp</footer></body></html>"),
+    )
+
+
+def _markup_structured_sql(col: str = "text") -> str:
+    out = col
+    for search, repl in _MARKUP_STRUCTURE:
+        r = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        s = search.replace("'", "''")
+        out = f"replace({out}, '{s}', '{r}')"
+    head = "<html><head><title>doc</title><style>p {color:red}</style></head><body><h1>"
+    tail = "</h1><footer>&copy; corp</footer></body></html>"
+    return f"'{head}' || {out} || '{tail}'"
+
+
+def _markup_strip_sql(col: str) -> str:
+    """DuckDB replay of functions/text.strip_markup_col — the SAME constant
+    table drives both engines, so the chains cannot silently diverge."""
+    from tamer_spark.functions import text as T
+
+    out = col
+    for pat, rep in (
+        (T.MARKUP_COMMENT_RE, "''"),
+        (T.MARKUP_SCRIPT_RE, "''"),
+        (T.MARKUP_STYLE_RE, "''"),
+        (T.MARKUP_BLOCK_RE, "chr(10)"),
+        (T.MARKUP_TAG_RE, "' '"),
+    ):
+        out = f"regexp_replace({out}, '{pat}', {rep}, 'g')"
+    for ent, ch in T.MARKUP_ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    out = f"regexp_replace({out}, '{T.MARKUP_WS_NL_RE}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{T.MARKUP_WS_H_RE}', ' ', 'g')"
+    return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+
+
+_MARKUP_ORACLE = f"""
+    WITH mdocs AS (SELECT doc_id, {_markup_structured_sql()} AS m FROM documents),
+    mstrip AS (SELECT doc_id, m, {_markup_strip_sql("m")} AS s FROM mdocs)
+    SELECT doc_id, s AS text_stripped,
+           CAST(len(m) - len(s) AS BIGINT) AS n_removed,
+           CAST(len(string_split(s, chr(10))) AS BIGINT) AS n_lines
+    FROM mstrip
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# text_cleaning_docs gate's 'markup' variant).
+def strip_markup_docs_q(spark, sf):
+    from tamer_spark.functions.text import strip_markup_col
+
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id", _markup_structured_col(F.col("text")).alias("_m")
+    )
+    # CollapseProject re-inlines `_s` into each consumer (deterministic
+    # scalar — no generator trick applies), so the chain evaluates once per
+    # output column; still map-only at scan rate, the shape this stage has
+    # in every web pipeline
+    stripped = strip_markup_col(F.col("_m"))
+    return staged.select(
+        "doc_id",
+        stripped.alias("text_stripped"),
+        (F.length("_m") - F.length(stripped)).cast("long").alias("n_removed"),
+        F.size(F.split(stripped, "\n")).cast("long").alias("n_lines"),
+    )
+
+
 @q(
     "text_cleaning_docs",
     f"""
     SELECT * FROM ({_C4_CLEAN_ORACLE})
     UNION ALL
     SELECT 'pii', doc_id, text_scrubbed, n_emails, n_ips FROM ({_SCRUB_PII_ORACLE})
+    UNION ALL
+    SELECT 'markup', doc_id, text_stripped, n_removed, n_lines FROM ({_MARKUP_ORACLE})
     """,
-    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate.",
+    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles.",
 )
 def text_cleaning_docs_q(spark, sf):
     pii = scrub_pii_docs_q(spark, sf).select(
@@ -2823,7 +2917,14 @@ def text_cleaning_docs_q(spark, sf):
         F.col("n_emails").alias("a"),
         F.col("n_ips").alias("b"),
     )
-    return c4_clean_docs_q(spark, sf).unionByName(pii)
+    markup = strip_markup_docs_q(spark, sf).select(
+        F.lit("markup").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_stripped").alias("txt"),
+        F.col("n_removed").alias("a"),
+        F.col("n_lines").alias("b"),
+    )
+    return c4_clean_docs_q(spark, sf).unionByName(pii).unionByName(markup)
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -4529,6 +4630,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "c4_clean_docs": c4_clean_docs_q,
     "scrub_pii_docs": scrub_pii_docs_q,
+    "strip_markup_docs": strip_markup_docs_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,
     "bm25_topk_docs": bm25_topk_docs_q,
