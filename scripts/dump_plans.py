@@ -26,6 +26,8 @@ SHOW = [
     ("budget_cap_sources", "Two-phase prefix sum: every corpus-side window partitions by (source, bucket) — the group-only window exists solely over the tiny groups×buckets totals frame."),
     ("substring_run_pairs", "Exact substring runs: posting-list equi-join on the rolling window hash (never doc×doc), grid persisted so the corpus is scanned exactly twice, run lengths via keyed diagonal windows."),
     ("contamination_score_docs", "Contamination scoring: benchmark n-gram set broadcast against the corpus shingle stream; one per-doc aggregation — scan-dominated."),
+    ("dsir_select_docs", "DSIR selection: one (doc, bucket) count shuffle per corpus; the ≤buckets-row ratio table broadcast (LeftOuter BuildRight); weight agg partial; the sample is TakeOrderedAndProject — never a corpus sort."),
+    ("strip_markup_docs", "Markup stripping: pure map — zero exchanges, the whole 9-step regexp chain inside one WholeStageCodegen span at parquet-scan rate."),
 ]
 
 def main() -> None:
