@@ -327,3 +327,82 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# URL canonicalization — the URL-level dedup key every web-crawl pipeline
+# computes BEFORE content dedup (CCNet, Wenzek et al. 2019 §2 dedup-by-URL;
+# RefinedWeb, Penedo et al. 2023 §3.2 exact URL dedup against previously
+# crawled pages). Steps are pinned, in this order, and every pattern sits in
+# the Java-regex/RE2 common subset so the DuckDB oracle replays the chain
+# byte-identically:
+#   1. strip the scheme (case-insensitive via the explicit class),
+#   2. lowercase host[:port] ONLY (path/query case is meaningful and kept),
+#   3. strip a leading "www." and an explicit default port (:80/:443 —
+#      stripped regardless of scheme: after step 1 the scheme is gone, and
+#      a mismatched explicit default port is a dedup-equivalent URL anyway),
+#   4. drop the #fragment (client-side only, never a distinct resource),
+#   5. strip trailing slashes from the path,
+#   6. drop tracking query params (utm_*, gclid, fbclid, msclkid, ref,
+#      ref_src), sort the survivors bytewise, rejoin with '&' (param order
+#      never distinguishes resources; tracking params never do).
+URL_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+URL_HOSTPORT_RE = r"^[^/?#]*"
+URL_WWW_RE = r"^www\."
+URL_DEFAULT_PORT_RE = r":(80|443)$"
+URL_FRAGMENT_RE = r"#.*$"
+URL_PATH_RE = r"^[^?]*"
+URL_QUERY_RE = r"^[^?]*\?(.*)$"
+URL_TRAILING_SLASH_RE = r"/+$"
+URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)="
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical dedup key for a URL column (constants/steps above).
+
+    Pure Catalyst expression chain — map-only, whole-stage codegen, zero
+    shuffles; the groupBy in url-level dedup shuffles only the 16-byte
+    md5 of THIS string. Returns '' for NULL-safe composition the same way
+    both engines' regexp_extract returns '' on no match.
+    """
+    s = F.regexp_replace(url, URL_SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(s, URL_HOSTPORT_RE, 0))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, URL_WWW_RE, ""), URL_DEFAULT_PORT_RE, ""
+    )
+    rest = F.regexp_replace(
+        s.substr(F.length(hostport) + 1, F.length(s)), URL_FRAGMENT_RE, ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(rest, URL_PATH_RE, 0), URL_TRAILING_SLASH_RE, ""
+    )
+    kept = F.filter(
+        F.split(F.regexp_extract(rest, URL_QUERY_RE, 1), "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(URL_TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Pure-Python reference of canonicalize_url_col for differential tests
+    (stdlib re only — a third engine besides Spark and DuckDB)."""
+    import re
+
+    s = re.sub(URL_SCHEME_RE, "", url)
+    m = re.match(URL_HOSTPORT_RE, s)
+    hostport = (m.group(0) if m else "").lower()
+    host = re.sub(URL_DEFAULT_PORT_RE, "", re.sub(URL_WWW_RE, "", hostport))
+    rest = re.sub(URL_FRAGMENT_RE, "", s[len(hostport):])
+    pm = re.match(URL_PATH_RE, rest)
+    path = re.sub(URL_TRAILING_SLASH_RE, "", pm.group(0) if pm else "")
+    qm = re.match(URL_QUERY_RE, rest)
+    kept = sorted(
+        p
+        for p in (qm.group(1) if qm else "").split("&")
+        if p and not re.match(URL_TRACKING_PARAM_RE, p)
+    )
+    return host + path + ("?" + "&".join(kept) if kept else "")

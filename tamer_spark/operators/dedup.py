@@ -58,6 +58,33 @@ def dedup_exact_normalized(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def url_dedup_counts(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup — the FIRST dedup stage of a web-crawl pipeline
+    (CCNet dedups by URL before content; RefinedWeb §3.2 drops re-crawled
+    URLs before any text processing, because it needs no text read at all).
+
+    Canonicalization (functions/text.canonicalize_url_col: scheme/www/
+    default-port/fragment/trailing-slash stripped, tracking params dropped,
+    survivors sorted) is a map-only Catalyst chain at scan rate; the only
+    shuffle is the groupBy on md5(canonical) — 16 bytes/row with map-side
+    combine, identical cost shape to dedup_exact but over the URL column
+    only (the text column is never scanned — at 100 TB that is the entire
+    point of running this stage first).
+    Returns (content_hash, keep_id, dup_count).
+    """
+    from tamer_spark.functions.text import canonicalize_url_col
+
+    return (
+        df.select(
+            F.col(id_col), F.md5(canonicalize_url_col(F.col(url_col))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
 def sentence_dedup_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_len: int = 1
 ) -> DataFrame:

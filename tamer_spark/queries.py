@@ -1006,9 +1006,101 @@ def sessionize_events(spark, sf):
 # LLM-data operators: dedup / text analysis / similarity (north star)
 # ---------------------------------------------------------------------------
 
+# URL derivation for the url-dedup variant: documents carry no URL column,
+# so one is derived from doc_id with PINNED variation (mirrored literally in
+# the oracle) planting every trap the canonicalizer must survive: scheme
+# case (http/HTTPS), host case + www. prefix, explicit default ports (:443
+# on an http URL included — stripped regardless, see functions/text.py),
+# trailing slash, tracking params (utm_*, gclid, fbclid) in varying
+# positions, kept params (id, lang) in varying ORDER, and a #fragment. The
+# canonical key collapses to (host = f(doc_id%40), path = f(doc_id%160),
+# id = f(doc_id%80)) — i.e. doc_id % 160 — so every canonical group unions
+# docs that differ in all six surface dimensions.
+def _derived_url_col():
+    d = F.col("doc_id")
+    idq = F.concat(F.lit("id="), (d % 80).cast("string"))
+    scheme = F.when(d % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTPS://"))
+    host = F.when(
+        d % 4 < 2,
+        F.concat(F.lit("WWW.Site"), (d % 40).cast("string"), F.lit(".Example.COM")),
+    ).otherwise(
+        F.concat(F.lit("site"), (d % 40).cast("string"), F.lit(".example.com"))
+    )
+    port = (
+        F.when(d % 8 == 3, F.lit(":443")).when(d % 8 == 5, F.lit(":80")).otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/Docs/"),
+        (d % 160).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&"), idq, F.lit("&lang=en&utm_campaign=x")))
+        .when(d % 5 == 1, F.concat(F.lit("?lang=en&"), idq, F.lit("&gclid=x1")))
+        .when(d % 5 == 2, F.concat(F.lit("?fbclid=z&"), idq, F.lit("&lang=en")))
+        .when(d % 5 == 3, F.concat(F.lit("?"), idq, F.lit("&lang=en")))
+        .otherwise(F.concat(F.lit("?lang=en&utm_medium=email&"), idq))
+    )
+    frag = F.when(d % 6 == 0, F.concat(F.lit("#sec-"), d.cast("string"))).otherwise(F.lit(""))
+    return F.concat(scheme, host, port, path, query, frag)
+
+
+_URL_DERIVE_SQL = """
+    SELECT doc_id,
+      (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+      || (CASE WHEN doc_id % 4 < 2
+            THEN 'WWW.Site' || (doc_id % 40) || '.Example.COM'
+            ELSE 'site' || (doc_id % 40) || '.example.com' END)
+      || (CASE WHEN doc_id % 8 = 3 THEN ':443'
+               WHEN doc_id % 8 = 5 THEN ':80' ELSE '' END)
+      || '/Docs/' || (doc_id % 160)
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || (CASE doc_id % 5
+            WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 80) || '&lang=en&utm_campaign=x'
+            WHEN 1 THEN '?lang=en&id=' || (doc_id % 80) || '&gclid=x1'
+            WHEN 2 THEN '?fbclid=z&id=' || (doc_id % 80) || '&lang=en'
+            WHEN 3 THEN '?id=' || (doc_id % 80) || '&lang=en'
+            ELSE '?lang=en&utm_medium=email&id=' || (doc_id % 80) END)
+      || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || doc_id ELSE '' END) AS url
+    FROM documents
+    """
+
+
+def _url_canon_sql() -> str:
+    """The oracle's canonicalization chain, generated from the SAME pinned
+    constants functions/text.canonicalize_url_col compiles to Catalyst —
+    the two engines cannot silently diverge."""
+    import tamer_spark.functions.text as T
+
+    return f"""
+    WITH u AS ({_URL_DERIVE_SQL}),
+    s1 AS (SELECT doc_id, regexp_replace(url, '{T.URL_SCHEME_RE}', '') AS s FROM u),
+    s2 AS (SELECT doc_id, s, lower(regexp_extract(s, '{T.URL_HOSTPORT_RE}')) AS hp FROM s1),
+    s3 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(hp, '{T.URL_WWW_RE}', ''), '{T.URL_DEFAULT_PORT_RE}', '') AS host,
+           regexp_replace(substr(s, length(hp) + 1), '{T.URL_FRAGMENT_RE}', '') AS rest FROM s2),
+    s4 AS (SELECT doc_id, host,
+           regexp_replace(regexp_extract(rest, '{T.URL_PATH_RE}'), '{T.URL_TRAILING_SLASH_RE}', '') AS path,
+           array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(rest, '{T.URL_QUERY_RE}', 1), '&'),
+               p -> length(p) > 0 AND NOT regexp_matches(p, '{T.URL_TRACKING_PARAM_RE}'))), '&') AS q
+           FROM s3)
+    SELECT doc_id, host || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS c FROM s4
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# dedup_exact gate's 'url' variant).
+def url_dedup_docs_q(spark, sf):
+    from tamer_spark.operators.dedup import url_dedup_counts
+
+    d = _t(spark, sf, "documents").select("doc_id", _derived_url_col().alias("url"))
+    return url_dedup_counts(d)
+
+
 @q(
     "dedup_exact",
-    """
+    f"""
     SELECT 'raw' AS variant, md5(text) AS content_hash,
            CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
     FROM documents GROUP BY md5(text)
@@ -1020,8 +1112,11 @@ def sessionize_events(spark, sf):
     SELECT 'sentence', md5(s), CAST(min(doc_id) AS BIGINT), COUNT(*)
     FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
     WHERE length(s) >= 1 GROUP BY md5(s)
+    UNION ALL
+    SELECT 'url', md5(c), CAST(min(doc_id) AS BIGINT), COUNT(*)
+    FROM ({_url_canon_sql()}) GROUP BY md5(c)
     """,
-    doc="Exact dedup at three granularities tagged in one result: raw document, whitespace/case-normalized document, and corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents). Single md5-digest shuffle per variant, map-side combine.",
+    doc="Exact dedup at four granularities tagged in one result: raw document, whitespace/case-normalized document, corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents), and URL-level dedup (r11: the CCNet/RefinedWeb stage run FIRST, before any text read — canonicalize scheme/www/default-port/fragment/trailing-slash/tracking-params over a pinned six-dimension URL derivation of doc_id, then one digest shuffle; the text column never enters the url variant's scan). Single md5-digest shuffle per variant, map-side combine.",
 )
 def dedup_exact_q(spark, sf):
     from tamer_spark.operators.dedup import sentence_dedup_counts
@@ -1036,7 +1131,10 @@ def dedup_exact_q(spark, sf):
     sent = sentence_dedup_counts(d).select(
         F.lit("sentence").alias("variant"), "content_hash", "keep_id", "dup_count"
     )
-    return raw.unionByName(norm).unionByName(sent)
+    url = url_dedup_docs_q(spark, sf).select(
+        F.lit("url").alias("variant"), "content_hash", "keep_id", "dup_count"
+    )
+    return raw.unionByName(norm).unionByName(sent).unionByName(url)
 
 
 
@@ -4631,6 +4729,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean_docs": c4_clean_docs_q,
     "scrub_pii_docs": scrub_pii_docs_q,
     "strip_markup_docs": strip_markup_docs_q,
+    "url_dedup_docs": url_dedup_docs_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,
     "bm25_topk_docs": bm25_topk_docs_q,

@@ -1,0 +1,132 @@
+"""URL canonicalization (functions/text.canonicalize_url_col) and URL-level
+dedup (operators/dedup.url_dedup_counts) — the CCNet/RefinedWeb first-stage
+dedup key. Handcrafted behavior pins for every canonicalization step, a
+three-way differential (Spark = pure-Python reference; the DuckDB leg runs
+in the dedup_exact gate's 'url' variant), and the plan posture."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.functions.text import canonicalize_url_col, canonicalize_url_py
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r.c for r in df.select(canonicalize_url_col(F.col("u")).alias("c")).collect()]
+
+
+def test_scheme_www_port_fragment_stripped(spark):
+    got = _canon(spark, [
+        "http://www.example.com/a",
+        "HTTPS://WWW.EXAMPLE.COM:443/a",
+        "https://example.com:80/a#frag",
+        "ftp+ssh://example.com/a",
+    ])
+    assert got == ["example.com/a"] * 4
+
+
+def test_host_lowercased_path_case_kept(spark):
+    # the host is case-insensitive by spec; the path is NOT — /Docs and
+    # /docs are distinct resources and must stay distinct
+    got = _canon(spark, ["http://ExAmPle.COM/Docs/X", "http://example.com/docs/x"])
+    assert got[0] == "example.com/Docs/X"
+    assert got[0] != got[1]
+
+
+def test_tracking_params_dropped_survivors_sorted(spark):
+    got = _canon(spark, [
+        "http://e.com/p?utm_source=a&id=5&lang=en&utm_campaign=b",
+        "http://e.com/p?lang=en&gclid=xyz&id=5",
+        "http://e.com/p?fbclid=1&msclkid=2&ref=tw&ref_src=x&id=5&lang=en",
+        "http://e.com/p?id=5&lang=en",
+    ])
+    assert got == ["e.com/p?id=5&lang=en"] * 4
+
+
+def test_all_params_tracking_means_no_query(spark):
+    got = _canon(spark, ["http://e.com/p?utm_source=a&utm_medium=b", "http://e.com/p"])
+    assert got == ["e.com/p", "e.com/p"]
+
+
+def test_trailing_slash_and_empty_path(spark):
+    got = _canon(spark, [
+        "http://e.com/a/b/",
+        "http://e.com/a/b",
+        "http://e.com/",
+        "http://e.com",
+    ])
+    assert got[0] == got[1] == "e.com/a/b"
+    assert got[2] == got[3] == "e.com"
+
+
+def test_fragment_dropped_before_query_parse(spark):
+    # a fragment after the query must not leak into the last param
+    got = _canon(spark, ["http://e.com/p?id=5&lang=en#sec-2", "http://e.com/p?lang=en&id=5"])
+    assert got == ["e.com/p?id=5&lang=en"] * 2
+
+
+def test_non_tracking_ref_like_params_kept(spark):
+    # 'referrer=' is NOT in the tracking list (anchored match) — kept
+    got = _canon(spark, ["http://e.com/p?referrer=x&id=1"])
+    assert got == ["e.com/p?id=1&referrer=x"]
+
+
+def test_differential_spark_matches_python_reference(spark):
+    """Spark chain == pure-Python re reference over the gate's full derived
+    six-dimension URL space (doc_id 0..479 covers every residue combo of
+    2/3/4/5/6/8 and the 160-cycle canonical key)."""
+    from tamer_spark.queries import _derived_url_col
+
+    df = (
+        spark.range(480)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", _derived_url_col().alias("url"))
+        .select("doc_id", "url", canonicalize_url_col(F.col("url")).alias("c"))
+    )
+    rows = df.collect()
+    assert len(rows) == 480
+    for r in rows:
+        assert r.c == canonicalize_url_py(r.url), (r.url, r.c)
+    # the pinned collapse property: canonical key is a function of
+    # doc_id % 160 and NOTHING else
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.doc_id % 160, set()).add(r.c)
+    assert all(len(v) == 1 for v in by_mod.values())
+    assert len({next(iter(v)) for v in by_mod.values()}) == 160
+
+
+def test_url_dedup_counts_groups_and_keeps_min(spark):
+    from tamer_spark.operators.dedup import url_dedup_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.a.com/x?utm_source=z"),
+            (2, "HTTPS://A.COM:443/x/"),
+            (7, "http://a.com/x"),
+            (9, "http://b.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.content_hash: r for r in url_dedup_counts(df).collect()}
+    a_hash = hashlib.md5(b"a.com/x").hexdigest()
+    b_hash = hashlib.md5(b"b.com/x").hexdigest()
+    assert set(out) == {a_hash, b_hash}
+    assert out[a_hash].keep_id == 1 and out[a_hash].dup_count == 3
+    assert out[b_hash].keep_id == 9 and out[b_hash].dup_count == 1
+
+
+def test_url_dedup_plan_single_shuffle_no_text_scan(spark):
+    """The whole point of URL-first dedup at 100 TB: one digest shuffle and
+    the text column NEVER read."""
+    from tamer_spark.plans import explain_str, read_schema_columns, shuffle_count
+    from tamer_spark.queries import url_dedup_docs_q
+
+    df = url_dedup_docs_q(spark, "/root/testdata/sf0.001")
+    assert shuffle_count(df) == 1, explain_str(df)
+    scans = read_schema_columns(df)
+    assert scans and all(s <= {"doc_id"} for s in scans), scans
