@@ -327,6 +327,12 @@ HEADLINE = {
     # markup stripping (r11): WET-style tag-soup strip over markup-wrapped
     # text — the other map-only regexp scan path (9-step chain + entities)
     "strip_markup_docs": None,
+    # encoding repair (r11): ftfy-lite mojibake/debris chain over
+    # damage-derived text — times the replace+regexp scan path
+    "fix_encoding_docs": None,
+    # url-level dedup (r11): canonicalize (map-only regexp/array chain over
+    # a doc_id-derived URL) + one digest shuffle — the text-free dedup stage
+    "url_dedup_docs": None,
     # BM25 retrieval (round 5): map-only tokenize + vocab-filtered tf shuffle
     # + broadcast folds + TakeOrdered top-k — the lexical retrieval scan path
     "bm25_topk_docs": None,
@@ -376,12 +382,12 @@ GROUPS: list[tuple[str, list[str]]] = [
     ("dedup", [
         "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
         "connected_components", "dedup_exact_incremental",
-        "dedup_bloom_incremental",
+        "dedup_bloom_incremental", "url_dedup_docs",
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
-        "strip_markup_docs", "bm25_topk_docs",
+        "strip_markup_docs", "fix_encoding_docs", "bm25_topk_docs",
     ]),
     ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf"]),
     ("analytics", [
@@ -435,6 +441,8 @@ SERIES = {
     "contamination_score_docs": "r6",
     "dsir_select_docs": "r11-cold",  # raw-feature persist released per iter
     "strip_markup_docs": "r11",
+    "url_dedup_docs": "r11",
+    "fix_encoding_docs": "r11",
 }
 
 

@@ -406,3 +406,70 @@ def canonicalize_url_py(url: str) -> str:
         if p and not re.match(URL_TRACKING_PARAM_RE, p)
     )
     return host + path + ("?" + "&".join(kept) if kept else "")
+
+
+# Encoding repair (ftfy-lite; Speer 2019, "ftfy: fixes text for you" — the
+# mojibake-repair pass web pipelines run on extracted text before any
+# filtering, since quality scores and dedup keys computed over broken
+# encodings are themselves broken). Scope here is the dominant real-world
+# failure plus transport debris, each a pinned constant-driven step:
+#   1. mojibake: UTF-8 bytes mis-decoded as cp1252 (latin-1 fallback for
+#      the five undefined cp1252 bytes) — the table below is GENERATED from
+#      the intended characters, so the broken sequences can never drift
+#      from their fixes; longest sequences first (pinned order),
+#   2. NBSP (U+00A0) → plain space,
+#   3. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed,
+#   4. CRLF → LF, then stray CR → LF,
+#   5. control characters removed (C0 except tab/newline, DEL, and the C1
+#      range — what survives step 1's mojibake repairs is debris).
+def _mojibake(ch: str) -> str:
+    """The cp1252 mis-decoding of ``ch``'s UTF-8 bytes (latin-1 for the
+    five bytes cp1252 leaves undefined — exactly what lenient decoders
+    emit)."""
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+MOJIBAKE_CHARS = (
+    "é", "è", "à", "ç", "ä", "ö", "ü", "ñ",
+    "’", "‘", "“", "”", "—", "–", "…", "€",
+)
+MOJIBAKE_FIXES: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((_mojibake(c), c) for c in MOJIBAKE_CHARS),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
+ENC_NBSP = " "
+ENC_ZERO_WIDTH_RE = r"[​‌‍﻿]"
+ENC_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]"
+ENC_NONASCII_RE = r"[^\x00-\x7f]"
+
+
+def fix_encoding_col(text: Column) -> Column:
+    """Encoding repair as one map-only chain (constants/steps above; the
+    DuckDB oracle replays the identical chain from the same constants).
+    Scan-rate, zero shuffles, whole-stage codegen.
+
+    Step order is load-bearing twice: mojibake BEFORE the NBSP fold (the
+    mojibake of 'à' is 'Ã' + NBSP — folding NBSP first would orphan it
+    forever), and mojibake BEFORE control removal (the mojibake of '”'
+    carries the C1 byte U+009D — removing controls first would likewise
+    orphan it). Idempotent over its own output for contiguous broken
+    sequences (pinned in tests/test_encoding.py); the known non-fixpoint:
+    a zero-width char INSIDE a mojibake sequence re-exposes it only after
+    debris removal — ftfy handles that by looping, callers with
+    adversarial input can apply the column twice."""
+    s = text
+    for broken, fixed in MOJIBAKE_FIXES:
+        s = F.replace(s, F.lit(broken), F.lit(fixed))
+    s = F.replace(s, F.lit(ENC_NBSP), F.lit(" "))
+    s = F.regexp_replace(s, ENC_ZERO_WIDTH_RE, "")
+    s = F.replace(s, F.lit("\r\n"), F.lit("\n"))
+    s = F.replace(s, F.lit("\r"), F.lit("\n"))
+    return F.regexp_replace(s, ENC_CTRL_RE, "")

@@ -2996,6 +2996,106 @@ def strip_markup_docs_q(spark, sf):
     )
 
 
+# Encoding-damage derivation for the encoding-repair variant: pinned literal
+# replaces planting the real-world failure modes fix_encoding_col must
+# survive — mojibake built FROM the fix table (so plant and fix can't
+# drift), including the two order traps ('à' whose mojibake ends in NBSP,
+# '”' whose mojibake carries the C1 byte U+009D), a paired-quote plant, a
+# zero-width space, an NBSP-for-space swap, a BEL control, a CRLF, plus a
+# BOM prefix and an ESC suffix on every document.
+def _enc_structure() -> tuple[tuple[str, str], ...]:
+    from tamer_spark.functions.text import _mojibake
+
+    return (
+        (" value", " v" + _mojibake("ä") + "lue"),
+        (" table", " t" + _mojibake("’") + "able"),
+        (" fast", " fast" + _mojibake("…")),
+        (" merge", " " + _mojibake("“") + "merge" + _mojibake("”")),
+        (" agg", " " + _mojibake("à") + "gg"),
+        (" key", " ​key"),
+        (" sort", " sort"),
+        (" row", " row\x07"),
+        (" scan", " scan\r\n"),
+    )
+
+
+def _enc_structured_col(col):
+    for search, repl in _enc_structure():
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return F.concat(F.lit("﻿"), col, F.lit("\x1b"))
+
+
+def _sql_lit(s: str) -> str:
+    """DuckDB string literal for ``s``: printable text stays inline (UTF-8),
+    quotes doubled, C0/C1/DEL rendered as chr(n) legs so the generated SQL
+    carries no raw control bytes."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        o = ord(ch)
+        if o < 0x20 or o == 0x7F or 0x80 <= o <= 0x9F:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({o})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _enc_structured_sql(col: str = "text") -> str:
+    out = col
+    for search, repl in _enc_structure():
+        out = f"replace({out}, {_sql_lit(search)}, {_sql_lit(repl)})"
+    return f"{_sql_lit(chr(0xFEFF))} || {out} || {_sql_lit(chr(0x1B))}"
+
+
+def _fix_encoding_sql(col: str) -> str:
+    """The oracle's repair chain, generated from the SAME constants
+    functions/text.fix_encoding_col compiles to Catalyst."""
+    import tamer_spark.functions.text as T
+
+    out = col
+    for broken, fixed in T.MOJIBAKE_FIXES:
+        out = f"replace({out}, {_sql_lit(broken)}, {_sql_lit(fixed)})"
+    out = f"replace({out}, {_sql_lit(T.ENC_NBSP)}, ' ')"
+    out = f"regexp_replace({out}, {_sql_lit(T.ENC_ZERO_WIDTH_RE)}, '', 'g')"
+    out = f"replace({out}, chr(13) || chr(10), chr(10))"
+    out = f"replace({out}, chr(13), chr(10))"
+    return f"regexp_replace({out}, '{_T_ENC_CTRL_RE}', '', 'g')"
+
+
+from tamer_spark.functions.text import ENC_CTRL_RE as _T_ENC_CTRL_RE  # noqa: E402
+from tamer_spark.functions.text import ENC_NONASCII_RE as _T_ENC_NONASCII_RE  # noqa: E402
+
+_ENC_ORACLE = f"""
+    WITH edocs AS (SELECT doc_id, {_enc_structured_sql("text")} AS e FROM documents),
+    efix AS (SELECT doc_id, e, {_fix_encoding_sql("e")} AS fx FROM edocs)
+    SELECT doc_id, fx AS text_fixed,
+           CAST(len(e) - len(fx) AS BIGINT) AS n_removed,
+           CAST(len(regexp_extract_all(fx, '{_T_ENC_NONASCII_RE}')) AS BIGINT) AS n_nonascii
+    FROM efix
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# text_cleaning_docs gate's 'encoding' variant).
+def fix_encoding_docs_q(spark, sf):
+    from tamer_spark.functions.text import fix_encoding_col
+
+    d = _t(spark, sf, "documents")
+    staged = d.select("doc_id", _enc_structured_col(F.col("text")).alias("_e"))
+    fixed = fix_encoding_col(F.col("_e"))
+    return staged.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        (F.length("_e") - F.length(fixed)).cast("long").alias("n_removed"),
+        F.regexp_count(fixed, F.lit(_T_ENC_NONASCII_RE)).cast("long").alias("n_nonascii"),
+    )
+
+
 @q(
     "text_cleaning_docs",
     f"""
@@ -3004,8 +3104,10 @@ def strip_markup_docs_q(spark, sf):
     SELECT 'pii', doc_id, text_scrubbed, n_emails, n_ips FROM ({_SCRUB_PII_ORACLE})
     UNION ALL
     SELECT 'markup', doc_id, text_stripped, n_removed, n_lines FROM ({_MARKUP_ORACLE})
+    UNION ALL
+    SELECT 'encoding', doc_id, text_fixed, n_removed, n_nonascii FROM ({_ENC_ORACLE})
     """,
-    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles.",
+    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles. encoding (r11): ftfy-style encoding repair (Speer 2019; functions/text.py fix_encoding_col — run before any filter, since quality scores over mojibake are themselves mojibake) over a damage derivation planting table-generated mojibake (incl. the two order traps: 'à' whose broken form ends in NBSP, '”' whose broken form carries C1 U+009D), a zero-width space, an NBSP-for-space swap, a BEL, a CRLF, a BOM prefix and an ESC suffix; the FIXED string is hashed plus removed-char and surviving-non-ASCII audits; the oracle replays the identical table-driven chain; map-only, zero shuffles.",
 )
 def text_cleaning_docs_q(spark, sf):
     pii = scrub_pii_docs_q(spark, sf).select(
@@ -3022,7 +3124,19 @@ def text_cleaning_docs_q(spark, sf):
         F.col("n_removed").alias("a"),
         F.col("n_lines").alias("b"),
     )
-    return c4_clean_docs_q(spark, sf).unionByName(pii).unionByName(markup)
+    encoding = fix_encoding_docs_q(spark, sf).select(
+        F.lit("encoding").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_fixed").alias("txt"),
+        F.col("n_removed").alias("a"),
+        F.col("n_nonascii").alias("b"),
+    )
+    return (
+        c4_clean_docs_q(spark, sf)
+        .unionByName(pii)
+        .unionByName(markup)
+        .unionByName(encoding)
+    )
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -4730,6 +4844,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii_docs": scrub_pii_docs_q,
     "strip_markup_docs": strip_markup_docs_q,
     "url_dedup_docs": url_dedup_docs_q,
+    "fix_encoding_docs": fix_encoding_docs_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,
     "bm25_topk_docs": bm25_topk_docs_q,
