@@ -357,6 +357,9 @@ HEADLINE = {
     # and fractional contamination scoring (scan-shaped, broadcast lookup)
     "substring_run_pairs": None,
     "contamination_score_docs": None,
+    # seeded shuffle (r11): deterministic training-order materialization —
+    # one shard hash-exchange + per-shard sort (the product itself)
+    "seeded_shuffle_docs": None,
     # r11: DSIR importance-resampling selection — hashed n-gram featurize
     # (both corpora) + broadcast ratio join + weight agg + TakeOrdered,
     # timed cold via the standalone shape (its raw-feature persist is
@@ -395,7 +398,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "temperature_mix_langs", "pagerank_cust_supp",
         "funnel_view_click_purchase", "cohort_retention_weekly",
         "substring_run_pairs", "contamination_score_docs",
-        "dsir_select_docs",
+        "dsir_select_docs", "seeded_shuffle_docs",
     ]),
 ]
 
@@ -443,6 +446,7 @@ SERIES = {
     "strip_markup_docs": "r11",
     "url_dedup_docs": "r11",
     "fix_encoding_docs": "r11",
+    "seeded_shuffle_docs": "r11",
 }
 
 

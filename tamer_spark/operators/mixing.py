@@ -66,3 +66,37 @@ def stratified_mix(
         .filter(F.col("mix_rank") <= F.col("quota"))
         .select(id_col, source_col, "mix_rank")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic seeded global shuffle — the training-order
+    materialization step (every LLM run globally shuffles its corpus once
+    per epoch seed; a re-run with the same seed MUST reproduce the exact
+    same order, so ``rand()`` is out).
+
+    Key = md5(seed:id) (cross-engine, cross-run stable); shard = first 15
+    hex chars of the key mod ``n_shards``; position = row_number within the
+    shard ordered by (key, id). Changing ``seed`` permutes everything;
+    keeping it reproduces the order bit-for-bit on any engine.
+
+    Scale shape: ONE hash shuffle on ``shard`` plus a per-shard sort — and
+    that sort is not overhead, it IS the product (a shard's sorted run is
+    exactly what a shard writer streams out). No global row_number: a
+    single-partition window would serialize the corpus through one task;
+    instead position is per-shard and the total order is (shard, pos) —
+    equally deterministic, embarrassingly parallel. Size ``n_shards`` so
+    one shard ≈ one output file (1-4 GB); at 100 TB that is tens of
+    thousands of shards, each an independent sort.
+    """
+    k = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), k.alias("shuffle_key")).withColumn(
+        "shard",
+        F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("long") % n_shards,
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return keyed.withColumn("pos", F.row_number().over(w).cast("long"))

@@ -3862,6 +3862,32 @@ def pack_sequences_q(spark, sf):
     return off.join(gre, "doc_id")
 
 
+# Seeded-shuffle gate constants (pinned: the oracle interpolates them).
+_SHUF_SEED = "r11-shuffle"
+_SHUF_SHARDS = 8
+
+_SHUF_ORACLE = f"""
+    WITH keyed AS (SELECT doc_id, md5('{_SHUF_SEED}' || ':' || doc_id) AS k
+                   FROM documents),
+    sharded AS (SELECT doc_id, k,
+                ('0x' || substr(k, 1, 15))::BIGINT % {_SHUF_SHARDS} AS shard
+                FROM keyed)
+    SELECT doc_id, k, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM sharded
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# mix_pack_sources gate's 'shuffle' variant).
+def seeded_shuffle_docs_q(spark, sf):
+    from tamer_spark.operators.mixing import seeded_shuffle
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return seeded_shuffle(d, seed=_SHUF_SEED, n_shards=_SHUF_SHARDS)
+
+
 @q(
     "mix_pack_sources",
     f"""
@@ -3875,6 +3901,9 @@ def pack_sequences_q(spark, sf):
     UNION ALL
     SELECT 'dsir', CAST(NULL AS VARCHAR), doc_id, sel_rank, weight
     FROM ({_DSIR_ORACLE})
+    UNION ALL
+    SELECT 'shuffle', k, doc_id, shard, CAST(pos AS VARCHAR)
+    FROM ({_SHUF_ORACLE})
     """,
     doc=(
         "Dataset layout construction as one tagged union (r6 window "
@@ -3902,7 +3931,14 @@ def pack_sequences_q(spark, sf):
         "proportional to max(weight,1) via a salted hash uniform; every "
         "step exact integer arithmetic, so the oracle replays "
         "featurization, 'training', weighting, and the sample itself "
-        "(weight travels as the payload string, negatives included)."
+        "(weight travels as the payload string, negatives included). "
+        "shuffle (r11): deterministic seeded global shuffle — the "
+        "training-order materialization step; key = md5(seed:id), shard = "
+        "key-prefix mod 8, position = row_number within shard ordered by "
+        "(key, id). NO single-partition window: order is (shard, pos), "
+        "per-shard and embarrassingly parallel — one hash shuffle plus the "
+        "per-shard sort that IS the product (a shard writer streams it "
+        "out); same seed reproduces the order bit-for-bit on both engines."
     ),
 )
 def mix_pack_sources_q(spark, sf):
@@ -3929,7 +3965,14 @@ def mix_pack_sources_q(spark, sf):
         F.col("sel_rank").alias("v2"),
         F.col("weight").cast("string").alias("payload"),
     )
-    return mix.unionByName(pack).unionByName(dsir)
+    shuf = seeded_shuffle_docs_q(spark, sf).select(
+        F.lit("shuffle").alias("variant"),
+        F.col("shuffle_key").alias("k1"),
+        F.col("doc_id").alias("v1"),
+        F.col("shard").alias("v2"),
+        F.col("pos").cast("string").alias("payload"),
+    )
+    return mix.unionByName(pack).unionByName(dsir).unionByName(shuf)
 
 
 _DECON_SHINGLE_ORACLE = f"""
@@ -4845,6 +4888,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_markup_docs": strip_markup_docs_q,
     "url_dedup_docs": url_dedup_docs_q,
     "fix_encoding_docs": fix_encoding_docs_q,
+    "seeded_shuffle_docs": seeded_shuffle_docs_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,
     "bm25_topk_docs": bm25_topk_docs_q,
