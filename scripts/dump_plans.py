@@ -28,6 +28,9 @@ SHOW = [
     ("contamination_score_docs", "Contamination scoring: benchmark n-gram set broadcast against the corpus shingle stream; one per-doc aggregation — scan-dominated."),
     ("dsir_select_docs", "DSIR selection: one (doc, bucket) count shuffle per corpus; the ≤buckets-row ratio table broadcast (LeftOuter BuildRight); weight agg partial; the sample is TakeOrderedAndProject — never a corpus sort."),
     ("strip_markup_docs", "Markup stripping: pure map — zero exchanges, the whole 9-step regexp chain inside one WholeStageCodegen span at parquet-scan rate."),
+    ("url_dedup_docs", "URL-level dedup: map-only canonicalizer over a doc_id-derived URL, then ONE digest shuffle; the documents scan reads doc_id only — text never touched."),
+    ("fix_encoding_docs", "Encoding repair: table-driven replace + regexp chain, zero exchanges — mojibake fixed before the NBSP/control passes that would orphan it."),
+    ("seeded_shuffle_docs", "Seeded shuffle: one hash exchange on shard + per-shard sort (the training-order product itself); no SinglePartition window anywhere."),
 ]
 
 def main() -> None:
