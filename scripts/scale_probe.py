@@ -64,6 +64,12 @@ OPS = [
     "dsir_select_docs",
     # r11 continuation: markup stripping is pure map — expect ~linear
     "strip_markup_docs",
+    # r11 continuation: url dedup is map-canonicalize + one digest shuffle
+    # (doc_id-only scan); encoding repair is pure map; seeded shuffle is
+    # one shard exchange + per-shard sort — all expect ~linear
+    "url_dedup_docs",
+    "fix_encoding_docs",
+    "seeded_shuffle_docs",
 ]
 
 
