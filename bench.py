@@ -344,6 +344,9 @@ HEADLINE = {
     # hybrid retrieval (round 5): exact-kNN + BM25 fused by RRF — the
     # composed lexical+semantic serving path, timed cold via the registry
     "hybrid_retrieval_rrf": None,
+    # hard-negative mining (r11): LSH-bucket self-join with label-mismatch
+    # riding the join + per-anchor top-k — the contrastive-data serving path
+    "hard_negatives": None,
     # analytics/curation tier (round 6): the r5 extension operators the
     # judge asked to bench — each timed as its STANDALONE shape (the
     # registry unions them into tagged gates, which would blur the numbers)
@@ -392,7 +395,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
         "strip_markup_docs", "fix_encoding_docs", "bm25_topk_docs",
     ]),
-    ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf"]),
+    ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf", "hard_negatives"]),
     ("analytics", [
         "winnow_overlap_pairs_docs", "budget_cap_sources",
         "temperature_mix_langs", "pagerank_cust_supp",
@@ -447,6 +450,7 @@ SERIES = {
     "url_dedup_docs": "r11",
     "fix_encoding_docs": "r11",
     "seeded_shuffle_docs": "r11",
+    "hard_negatives": "r11",
 }
 
 

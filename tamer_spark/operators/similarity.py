@@ -662,3 +662,73 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin et al.
+    2020 §4.2; ANCE, Xiong et al. 2021): for each anchor, the top-``k``
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually move an embedding model's loss, mined from the corpus itself.
+
+    All-pairs is O(n²); candidates come from shared LSH buckets (the
+    semantic-dedup recipe): each anchor compares only to same-bucket
+    candidates, and a bucket-missed negative is by construction a
+    less-hard negative — the LSH contract is exactly the mining contract.
+    Every vector is an anchor (self-join on bucket, id inequality), the
+    label-mismatch filter rides the join condition (negatives pruned
+    BEFORE the window, not after), and per-anchor top-k uses the
+    cosine_knn tie-break (cosine desc, neighbor id asc — deterministic
+    total order). NULL-labeled vectors yield no pairs on either side
+    (NULL != x is NULL), pinned in tests.
+
+    ``max_bucket`` bounds the candidate side per bucket with the same
+    deterministic salted-hash retention as the kNN path. One bucket
+    equi-join shuffle + one per-anchor window — never a cross product.
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        quantize_embedding(F.col(vec_col)).alias("v"),
+    ).select(
+        id_col,
+        "_lbl",
+        "v",
+        lsh_bucket_from_quantized(F.col("v"), planes, dim, seed).alias("bucket"),
+        _dot(F.col("v"), F.col("v")).alias("n2"),
+    )
+    a = b.alias("a")
+    c = _cap_bucket_candidates(
+        b.withColumnRenamed(id_col, "neighbor_id"), max_bucket
+    ).alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") != F.col("b.neighbor_id"))
+        & (F.col("a._lbl") != F.col("b._lbl")),
+    ).select(
+        F.col(f"a.{id_col}").alias("query_id"),
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2216,6 +2216,52 @@ def ivf_cluster_assign_q(spark, sf):
     )
 
 
+# Standalone builder kept for plan pins / bench (graded via the merged
+# ann_search gate's 'hardneg' variant).
+def hard_negatives_q(spark, sf):
+    from tamer_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf, "embeddings")
+    # max_bucket=None: the oracle replays uncapped bucket semantics (the
+    # semdedup/ADVICE-r4 precedent); the cap path is pinned in pytest
+    return hard_negatives(emb, k=3, max_bucket=None)
+
+
+def _lsh_bucket_sql(v: str, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The oracle-side LSH bucket id — the same sha256-derived ±1
+    hyperplanes operators/similarity._planes_literal compiles into the
+    Spark plan; shared by every gate that buckets embeddings."""
+    import hashlib as _hl
+
+    terms = []
+    for p in range(planes):
+        coeff = ", ".join(
+            ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
+            for i in range(dim)
+        )
+        terms.append(f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+               FROM embeddings),
+         b AS (SELECT vec_id, label, v, ({_lsh_bucket_sql("v", planes, dim, seed)}) AS bucket FROM e),
+         p AS (SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+                      list_dot_product(a.v, bb.v)
+                        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(bb.v, bb.v)) AS cos
+               FROM b a JOIN b bb
+                 ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id AND a.label <> bb.label),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM p)
+    SELECT query_id, neighbor_id, round(cos, 6) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
 @q(
     "ann_search",
     f"""
@@ -2224,8 +2270,10 @@ def ivf_cluster_assign_q(spark, sf):
     SELECT 'adc', * FROM ({_pq_adc_oracle(m=4, k=16, iters=3, dim=64, topk=5)})
     UNION ALL
     SELECT 'ivfadc', * FROM ({_ivfadc_oracle(n_centroids=8, iters=3, nprobe=2, m=4, k=16, pq_iters=3, dim=64, shortlist=20, topk=5)})
+    UNION ALL
+    SELECT 'hardneg', * FROM ({_hardneg_oracle(planes=8, dim=64, seed=42, k=3)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines.",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest).",
 )
 def ann_search_q(spark, sf):
     from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
@@ -2260,6 +2308,14 @@ def ann_search_q(spark, sf):
     ).unionByName(
         comp.select(
             F.lit("ivfadc").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("score"),
+            "rank",
+        )
+    ).unionByName(
+        hard_negatives_q(spark, sf).select(
+            F.lit("hardneg").alias("variant"),
             "query_id",
             "neighbor_id",
             F.col("cosine").alias("score"),
@@ -3140,17 +3196,8 @@ def text_cleaning_docs_q(spark, sf):
 
 
 def _embedding_neardup_oracle(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    import hashlib as _hl
-
     def bucket_expr(v: str) -> str:
-        terms = []
-        for p in range(planes):
-            coeff = ", ".join(
-                ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
-                for i in range(dim)
-            )
-            terms.append(f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END")
-        return " + ".join(terms)
+        return _lsh_bucket_sql(v, planes, dim, seed)
 
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
@@ -4889,6 +4936,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup_docs": url_dedup_docs_q,
     "fix_encoding_docs": fix_encoding_docs_q,
     "seeded_shuffle_docs": seeded_shuffle_docs_q,
+    "hard_negatives": hard_negatives_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,
     "bm25_topk_docs": bm25_topk_docs_q,
