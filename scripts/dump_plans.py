@@ -31,6 +31,7 @@ SHOW = [
     ("url_dedup_docs", "URL-level dedup: map-only canonicalizer over a doc_id-derived URL, then ONE digest shuffle; the documents scan reads doc_id only — text never touched."),
     ("fix_encoding_docs", "Encoding repair: table-driven replace + regexp chain, zero exchanges — mojibake fixed before the NBSP/control passes that would orphan it."),
     ("seeded_shuffle_docs", "Seeded shuffle: one hash exchange on shard + per-shard sort (the training-order product itself); no SinglePartition window anywhere."),
+    ("hard_negatives", "Hard-negative mining: LSH-bucket self-equi-join (never a cross product), label filter riding the join, per-anchor top-k window."),
 ]
 
 def main() -> None:
