@@ -1,13 +1,16 @@
 """End-to-end LLM training-data curation pipeline over the documents table:
 
+    URL-level dedup (text never read) → encoding repair →
     C4 line cleaning + cross-doc span dedup → quality gate → exact dedup →
     MinHash-LSH near-dup removal → exact substring-run dedup →
     stratified source mixing → token-budget capping →
     graded decontamination (dirty-fraction threshold) →
-    train/val/test split → context-window chunking → token counting →
+    DSIR domain selection → train/val/test split →
+    context-window chunking → token counting →
     sequence packing → incremental next-epoch dedup →
-    SemDeDup + IVFADC semantic index → hybrid BM25+ANN retrieval (RRF) →
-    verified training-shard export
+    SemDeDup + IVFADC semantic index → hard-negative mining →
+    hybrid BM25+ANN retrieval (RRF) →
+    seeded-shuffle training order → verified training-shard export
 
 Every stage is a Catalyst plan from tamer_spark's operator library — the
 composition stays lazy until the final write, so Catalyst prunes/pushes
@@ -32,6 +35,50 @@ spark = session("llm-curation")
 ws = workspace()
 raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 n0 = raw_docs.count()
+
+# -1. URL-level dedup FIRST — the only stage that needs no text at all
+#     (CCNet/RefinedWeb run it before extraction for exactly that reason).
+#     The fixture carries no url column, so derive one with re-crawl-shaped
+#     variation (scheme/www/port/tracking-param noise over a shared
+#     canonical target); production reads its real url column. Keep the
+#     min-id member of each canonical group.
+from tamer_spark.operators.dedup import url_dedup_counts
+
+_d = F.col("doc_id")
+_url = F.concat(
+    F.when(_d % 2 == 0, F.lit("http://www.")).otherwise(F.lit("HTTPS://")),
+    F.lit("crawl"), (_d % 100).cast("string"), F.lit(".example.com"),
+    F.when(_d % 8 == 3, F.lit(":443")).otherwise(F.lit("")),
+    F.lit("/page/"), (_d % 200).cast("string"),
+    F.when(_d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    F.when(_d % 5 == 0, F.lit("?utm_source=feed&v=1")).otherwise(F.lit("?v=1")),
+)
+url_keep = url_dedup_counts(raw_docs.select("doc_id", _url.alias("url"))).select(
+    F.col("keep_id").alias("doc_id")
+)
+raw_docs = raw_docs.join(url_keep, "doc_id", "left_semi").localCheckpoint()
+n_url = raw_docs.count()
+
+# -0.5. encoding repair BEFORE any text processing — quality scores over
+#       mojibake are themselves mojibake. The fixture is clean ASCII, so
+#       plant transport damage first (BOM + a mojibake word + a CRLF);
+#       production text arrives pre-damaged.
+from tamer_spark.functions.text import _mojibake, fix_encoding_col
+
+damaged = raw_docs.withColumn(
+    "text",
+    F.concat(
+        F.lit("﻿"),
+        F.replace(F.col("text"), F.lit(" value"), F.lit(" v" + _mojibake("ä") + "lue")),
+        F.lit("\r\n"),
+    ),
+)
+repaired = damaged.withColumn("text", fix_encoding_col(F.col("text")))
+n_damage_chars = (
+    damaged.select(F.sum(F.length("text")).alias("s")).collect()[0].s
+    - repaired.select(F.sum(F.length("text")).alias("s")).collect()[0].s
+)
+raw_docs = repaired
 
 # 0. C4 cleaning (Raffel et al. 2020 §2.2): line-level filter, then the
 #    cross-document 3-sentence-span dedup, BEFORE any scoring — cleaning is
@@ -180,15 +227,26 @@ n_bins = packed.select("pack_group", "bin_id").distinct().count()
 
 # 8. next epoch: the curated corpus is now a persisted dedup INDEX; a new
 #    day's batch folds in at O(batch) cost — history is never re-hashed.
-#    (Simulated batch: 50 re-sent docs under fresh ids + 50 genuinely new.)
+#    (Simulated batch: up to 50 re-sent docs under fresh ids + as many
+#    genuinely new. localCheckpoint freezes each limit()'s row choice —
+#    an unordered limit re-evaluates nondeterministically otherwise.)
 from tamer_spark.operators.dedup_incremental import dedup_exact_incremental, exact_index
 
 idx = exact_index(mixed)
-resent = mixed.limit(50).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-fresh = mixed.limit(50).select(
-    (F.col("doc_id") + 2_000_000).alias("doc_id"),
-    F.concat(F.lit("day2 update: "), F.col("text")).alias("text"),
+resent = (
+    mixed.limit(50)
+    .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    .localCheckpoint()
 )
+fresh = (
+    mixed.limit(50)
+    .select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("day2 update: "), F.col("text")).alias("text"),
+    )
+    .localCheckpoint()
+)
+n_fresh, n_batch = fresh.count(), resent.count() + fresh.count()
 batch = resent.unionByName(fresh)
 survivors = dedup_exact_incremental(batch, idx)
 n_new = survivors.count()
@@ -236,6 +294,15 @@ epoch_index = epoch_assigned.select("vec_id", "cluster").join(
 n_epoch = epoch_index.count()
 n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 
+# 10b. hard-negative mining: per anchor, the top-3 most-similar vectors
+#      with a DIFFERENT label — contrastive-training pairs mined from the
+#      same LSH buckets the near-dup tier uses (a bucket-missed negative
+#      is a less-hard negative, which is the point).
+from tamer_spark.operators.similarity import hard_negatives
+
+negatives = hard_negatives(emb, k=3)
+n_neg_anchors = negatives.select("query_id").distinct().count()
+
 # 11. serving: hybrid retrieval over the curated corpus — BM25 lexical
 #     top-20 fused with exact-cosine ANN top-20 by reciprocal-rank fusion.
 #     At 100 TB swap cosine_knn for ivfadc_search over stage 9's index:
@@ -253,6 +320,28 @@ lex_per_q = F.broadcast(
 hybrid = rrf_fuse([sem_rank, lex_per_q], k0=60, k=5)
 n_hybrid = hybrid.count()
 
+# 11b. training order: the epoch's global shuffle is a SEED, not a rand()
+#      — same seed reproduces the order bit-for-bit; the total order is
+#      (shard, pos), per-shard and parallel (never a single-partition
+#      window). A dataloader reads shards in id order, rows in pos order.
+from tamer_spark.operators.mixing import seeded_shuffle
+
+train_order = seeded_shuffle(
+    split.filter(F.col("split") == "train").select("doc_id"),
+    seed="epoch-0",
+    n_shards=4,
+)
+order_a = train_order.orderBy("shard", "pos").collect()
+order_b = (
+    seeded_shuffle(
+        split.filter(F.col("split") == "train").select("doc_id"),
+        seed="epoch-0",
+        n_shards=4,
+    )
+    .orderBy("shard", "pos")
+    .collect()
+)
+
 # 12. export: the curated split ships as deterministic parquet shards +
 #     an integrity manifest a dataloader can verify in isolation —
 #     membership and in-shard order are both stable hashes, so
@@ -267,10 +356,16 @@ verify_shards(spark, str(ws / "train_shards"))
 
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(
-    f"documents: {n0} → c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
+    f"documents: {n0} → url-dedup {n_url} (encoding repair: "
+    f"{n_damage_chars} damage chars removed) "
+    f"→ c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
     f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} "
     f"→ substring-run-dedup {n3b} → mixed {n4} "
     f"→ budget-capped {n4b} → decontaminated {n4c}"
+)
+print(
+    f"hard negatives: {n_neg_anchors} anchors mined (top-3 different-label); "
+    f"training order: {len(order_a)} rows, seed-reproducible: {order_a == order_b}"
 )
 print(
     f"train shards: {manifest['n_shards']} verified, "
@@ -278,7 +373,7 @@ print(
 )
 print(f"chunks: {out.count()}, tokens: {out.agg(F.sum('n_tokens')).collect()[0][0]}")
 print(f"train sequences (512-token greedy bins): {n_bins}")
-print(f"next-epoch batch: 100 docs → {n_new} survive the corpus index")
+print(f"next-epoch batch: {n_batch} docs → {n_new} survive the corpus index")
 print(f"embeddings: {n_vec} → semdedup {n_sem}; IVFADC entries: {index.count()} (cluster + 2 B PQ code)")
 print(
     f"next-epoch vectors: 100 in → {n_epoch} survive semantic prune vs the "
@@ -289,12 +384,16 @@ print(
     f"hybrid retrieval (3 queries): {n_hybrid} fused results "
     f"(BM25 top-20 + cosine top-20 → RRF top-5 per query)"
 )
-assert n0 >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
+assert n0 >= n_url >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
+assert n_url < n0  # the derived re-crawl noise guarantees url-level groups
+assert n_damage_chars > 0  # BOM/CRLF/mojibake all removed or shrunk
+assert n_neg_anchors > 0
+assert order_a == order_b and len(order_a) > 0  # same seed, same order
 assert n4d == min(400, n4c)  # DLT sample: exactly k docs (or all, if fewer)
 assert manifest["total_rows"] > 0
 assert n_hybrid == 15  # 3 queries x top-5
 assert n_spans_dropped > 0  # the tiny shared vocabulary guarantees cross-doc spans
-assert n_new == 50  # every re-sent duplicate caught, every novel doc kept
+assert n_new == n_fresh > 0  # every re-sent duplicate caught, every novel doc kept
 assert 0 < n_sem <= n_vec and index.count() == n_sem
 assert n_resent_survived == 0  # semantic copies of history all pruned
 assert n_epoch > 0  # novel directions survive
