@@ -100,3 +100,45 @@ def seeded_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "csplit-",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate CLUSTERS never
+    straddle a split boundary.
+
+    Hashing each doc independently (the split_sample_docs 'doc' rule) leaks
+    every near-dup cluster that straddles train/test — the exact
+    contamination Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", §6) measure: eval examples with a near-copy in
+    train. Here the split hash is computed over the cluster REPRESENTATIVE
+    (min id in the transitive near-dup cluster, operators/cc.py), so every
+    member inherits its rep's assignment; singletons hash themselves,
+    making this a strict generalization of the per-doc rule.
+
+    Scale shape: pairs → connected components (O(log n) groupBy-min
+    rounds, the dedup-clustering path) + ONE map-only hash over the
+    result. Returns (id, cluster_rep, cluster_size, split).
+    """
+    from tamer_spark.operators.cc import attach_cluster_ids
+
+    clustered = attach_cluster_ids(df.select(id_col), pairs, id_col=id_col)
+    h = (
+        stable_hash64(F.concat(F.lit(salt), F.col("cluster_rep").cast("string")))
+        % 100
+    )
+    return clustered.select(
+        id_col,
+        "cluster_rep",
+        "cluster_size",
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -71,7 +71,9 @@ def test_text_profile_is_map_only(spark):
 
 
 def test_split_sample_docs_is_map_only(spark):
-    df = _spark_fn("split_sample_docs")(spark, SF_DIR)
+    # the per-doc rule (the r11 union's 'doc' variant keeps this shape; the
+    # cluster variant rides the CC path, pinned by tests/test_cc.py)
+    df = Q.doc_split_sample_q(spark, SF_DIR)
     assert shuffle_count(df) == 0, explain_str(df)
 
 
