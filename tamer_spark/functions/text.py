@@ -361,16 +361,24 @@ def canonicalize_url_col(url: Column) -> Column:
 
     Pure Catalyst expression chain — map-only, whole-stage codegen, zero
     shuffles; the groupBy in url-level dedup shuffles only the 16-byte
-    md5 of THIS string. Returns '' for NULL-safe composition the same way
-    both engines' regexp_extract returns '' on no match.
+    md5 of THIS string. NULL input propagates to NULL (concat semantics,
+    matching the oracle's ``||``) — url_dedup_counts excludes NULL urls
+    up front, since a one-NULL-key dup group would silently merge every
+    url-less document (pinned in tests/test_url_dedup.py).
+
+    The rest-of-URL slice uses the RAW hostport's length: lowercasing can
+    change a string's length (İ → i̇ is 1 → 2 chars), and slicing with
+    the lowered length would swallow the path's leading '/' — collapsing
+    distinct resources into one dedup key.
     """
     s = F.regexp_replace(url, URL_SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(s, URL_HOSTPORT_RE, 0))
+    hostport_raw = F.regexp_extract(s, URL_HOSTPORT_RE, 0)
+    hostport = F.lower(hostport_raw)
     host = F.regexp_replace(
         F.regexp_replace(hostport, URL_WWW_RE, ""), URL_DEFAULT_PORT_RE, ""
     )
     rest = F.regexp_replace(
-        s.substr(F.length(hostport) + 1, F.length(s)), URL_FRAGMENT_RE, ""
+        s.substr(F.length(hostport_raw) + 1, F.length(s)), URL_FRAGMENT_RE, ""
     )
     path = F.regexp_replace(
         F.regexp_extract(rest, URL_PATH_RE, 0), URL_TRAILING_SLASH_RE, ""
@@ -394,9 +402,9 @@ def canonicalize_url_py(url: str) -> str:
 
     s = re.sub(URL_SCHEME_RE, "", url)
     m = re.match(URL_HOSTPORT_RE, s)
-    hostport = (m.group(0) if m else "").lower()
-    host = re.sub(URL_DEFAULT_PORT_RE, "", re.sub(URL_WWW_RE, "", hostport))
-    rest = re.sub(URL_FRAGMENT_RE, "", s[len(hostport):])
+    hostport_raw = m.group(0) if m else ""
+    host = re.sub(URL_DEFAULT_PORT_RE, "", re.sub(URL_WWW_RE, "", hostport_raw.lower()))
+    rest = re.sub(URL_FRAGMENT_RE, "", s[len(hostport_raw):])
     pm = re.match(URL_PATH_RE, rest)
     path = re.sub(URL_TRAILING_SLASH_RE, "", pm.group(0) if pm else "")
     qm = re.match(URL_QUERY_RE, rest)

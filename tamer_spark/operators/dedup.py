@@ -73,11 +73,18 @@ def url_dedup_counts(
     only (the text column is never scanned — at 100 TB that is the entire
     point of running this stage first).
     Returns (content_hash, keep_id, dup_count).
+
+    Rows with a NULL url are EXCLUDED: URL-level dedup is undefined
+    without a URL, and grouping them would silently merge every url-less
+    document into one NULL-key dup group (keeping a single survivor — a
+    data-loss trap). Callers keep url-less docs unconditionally and route
+    them to the content-dedup tiers instead.
     """
     from tamer_spark.functions.text import canonicalize_url_col
 
     return (
-        df.select(
+        df.filter(F.col(url_col).isNotNull())
+        .select(
             F.col(id_col), F.md5(canonicalize_url_col(F.col(url_col))).alias("content_hash")
         )
         .groupBy("content_hash")

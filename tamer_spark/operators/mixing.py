@@ -93,7 +93,11 @@ def seeded_shuffle(
     one shard ≈ one output file (1-4 GB); at 100 TB that is tens of
     thousands of shards, each an independent sort.
     """
-    k = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    # F.concat, NOT concat_ws: concat_ws SKIPS a NULL id, silently giving
+    # every NULL-id row the constant key md5(seed) — concat propagates
+    # NULL, matching the oracle's NULL-propagating `||` (a NULL id yields
+    # NULL key/shard on both engines instead of diverging)
+    k = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
     keyed = df.select(F.col(id_col), k.alias("shuffle_key")).withColumn(
         "shard",
         F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("long") % n_shards,

@@ -694,6 +694,11 @@ def hard_negatives(
     ``max_bucket`` bounds the candidate side per bucket with the same
     deterministic salted-hash retention as the kNN path. One bucket
     equi-join shuffle + one per-anchor window — never a cross product.
+
+    Zero-norm vectors (every component quantizing to 0 — dead or padded
+    embeddings) are dropped up front: they have no direction, so cosine
+    is undefined, and under Spark 4's default ANSI mode the division
+    would raise DIVIDE_BY_ZERO and kill the whole mining job.
     """
     b = df.select(
         F.col(id_col),
@@ -705,7 +710,7 @@ def hard_negatives(
         "v",
         lsh_bucket_from_quantized(F.col("v"), planes, dim, seed).alias("bucket"),
         _dot(F.col("v"), F.col("v")).alias("n2"),
-    )
+    ).filter(F.col("n2") > 0)
     a = b.alias("a")
     c = _cap_bucket_candidates(
         b.withColumnRenamed(id_col, "neighbor_id"), max_bucket

@@ -1075,10 +1075,10 @@ def _url_canon_sql() -> str:
     return f"""
     WITH u AS ({_URL_DERIVE_SQL}),
     s1 AS (SELECT doc_id, regexp_replace(url, '{T.URL_SCHEME_RE}', '') AS s FROM u),
-    s2 AS (SELECT doc_id, s, lower(regexp_extract(s, '{T.URL_HOSTPORT_RE}')) AS hp FROM s1),
+    s2 AS (SELECT doc_id, s, regexp_extract(s, '{T.URL_HOSTPORT_RE}') AS hp_raw FROM s1),
     s3 AS (SELECT doc_id,
-           regexp_replace(regexp_replace(hp, '{T.URL_WWW_RE}', ''), '{T.URL_DEFAULT_PORT_RE}', '') AS host,
-           regexp_replace(substr(s, length(hp) + 1), '{T.URL_FRAGMENT_RE}', '') AS rest FROM s2),
+           regexp_replace(regexp_replace(lower(hp_raw), '{T.URL_WWW_RE}', ''), '{T.URL_DEFAULT_PORT_RE}', '') AS host,
+           regexp_replace(substr(s, length(hp_raw) + 1), '{T.URL_FRAGMENT_RE}', '') AS rest FROM s2),
     s4 AS (SELECT doc_id, host,
            regexp_replace(regexp_extract(rest, '{T.URL_PATH_RE}'), '{T.URL_TRAILING_SLASH_RE}', '') AS path,
            array_to_string(list_sort(list_filter(

@@ -100,3 +100,15 @@ def test_plan_single_bucket_join_no_cross_product(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     # bucket-join exchanges (both sides) + the per-anchor window exchange
     assert shuffle_count(df) <= 3, plan
+
+
+def test_zero_norm_vectors_dropped_not_crashing(spark):
+    """Review fix: a pair of zero-quantizing vectors (dead/padded
+    embeddings) divided by zero norm — DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode. They carry no direction, so they are dropped."""
+    z = [0.0] * 8
+    v = [1.0] * 8
+    df = _emb(spark, [(1, z, 0), (2, z, 1), (3, v, 0), (4, v, 1)])
+    out = hard_negatives(df, k=5, dim=8).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert ids == {3, 4}  # zero vectors neither anchor nor negative

@@ -78,3 +78,13 @@ def test_plan_one_shuffle_no_single_partition(spark):
     df = seeded_shuffle_docs_q(spark, "/root/testdata/sf0.001")
     assert shuffle_count(df) == 1, explain_str(df)
     assert "SinglePartition" not in explain_str(df)
+
+
+def test_null_id_propagates_null_key_not_constant(spark):
+    """Review fix: concat_ws SKIPS a NULL id (constant md5(seed) key);
+    concat propagates NULL like the oracle's `||` — pinned here."""
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id long")
+    rows = {r.doc_id: r for r in seeded_shuffle(df, seed="s1").collect()}
+    assert rows[None].shuffle_key is None and rows[None].shard is None
+    expect = hashlib.md5(b"s1:1").hexdigest()
+    assert rows[1].shuffle_key == expect

@@ -130,3 +130,30 @@ def test_url_dedup_plan_single_shuffle_no_text_scan(spark):
     assert shuffle_count(df) == 1, explain_str(df)
     scans = read_schema_columns(df)
     assert scans and all(s <= {"doc_id"} for s in scans), scans
+
+
+def test_null_urls_excluded_not_merged(spark):
+    """Review fix: NULL urls must not collapse into one NULL-key dup group
+    (silent data loss — one survivor per corpus of url-less docs)."""
+    from tamer_spark.operators.dedup import url_dedup_counts
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, None), (3, None), (4, "http://a.com/x/")],
+        "doc_id long, url string",
+    )
+    out = url_dedup_counts(df).collect()
+    assert len(out) == 1  # only the a.com/x group; NULLs excluded entirely
+    assert out[0].keep_id == 1 and out[0].dup_count == 2
+
+
+def test_lowercase_length_change_does_not_eat_path_slash(spark):
+    """Review fix: lower('İ') is 2 chars — slicing rest-of-URL with the
+    LOWERED hostport length swallowed the path's '/', merging distinct
+    resources. The slice now uses the raw length (all three engines)."""
+    urls = ["http://İ.com/a", "http://İ.coma", "http://İ.com/ab"]
+    got = _canon(spark, urls)
+    # the path separator survives, so host/path keep their boundary
+    assert got[0].endswith("/a") and got[2].endswith("/ab")
+    assert len(set(got)) == 3  # three distinct resources stay distinct
+    for u, c in zip(urls, got):
+        assert c == canonicalize_url_py(u)
