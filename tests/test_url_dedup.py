@@ -157,3 +157,27 @@ def test_lowercase_length_change_does_not_eat_path_slash(spark):
     assert len(set(got)) == 3  # three distinct resources stay distinct
     for u, c in zip(urls, got):
         assert c == canonicalize_url_py(u)
+
+
+def test_hypothesis_fuzz_spark_matches_python(spark):
+    """Adversarial URL-shaped strings (multiple '?'/'#', empty params,
+    repeated separators, userinfo-ish '@', stray ports): the Spark chain
+    and the pure-Python reference must agree on every input — they are
+    mirrored step-for-step, so any divergence is a real regex-semantics
+    drift between engines."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abXY019./?#&=:@_-~%+"))
+    urlish = st.text(alphabet=alphabet, min_size=0, max_size=40).map(
+        lambda t: "http://" + t
+    )
+
+    @given(st.lists(urlish, min_size=1, max_size=30, unique=True))
+    @settings(max_examples=15, deadline=None)
+    def check(urls):
+        got = _canon(spark, urls)
+        for u, c in zip(urls, got):
+            assert c == canonicalize_url_py(u), u
+
+    check()
