@@ -700,6 +700,57 @@ def hard_negatives(
     is undefined, and under Spark 4's default ANSI mode the division
     would raise DIVIDE_BY_ZERO and kill the whole mining job.
     """
+    return _mined_pairs(
+        df, id_col, vec_col, label_col, k, planes, dim, seed, max_bucket,
+        same_label=False, hardest_is_lowest_cosine=False,
+    )
+
+
+def hard_positives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """The other half of contrastive pair construction: per anchor, the
+    ``k`` LEAST-similar SAME-label vectors among its LSH-bucket candidates
+    — the positives a metric-learning loss has to work to pull together
+    (an identical-twin positive teaches nothing).
+
+    Honest contract: true global hard positives (same label, maximally
+    far) cannot come from an LSH bucket join — far pairs rarely share
+    buckets, which is the LSH point. What this mines is the hardest
+    positives WITHIN each anchor's similarity neighborhood (rank by
+    cosine ASC over same-bucket same-label candidates) — the
+    batch-construction form, sharing one candidate join with
+    hard_negatives so a triple miner pays one shuffle for both sides.
+    Everything else (zero-norm drop, NULL labels, max_bucket cap,
+    deterministic tie-break — cosine ASC then id) matches hard_negatives.
+    """
+    return _mined_pairs(
+        df, id_col, vec_col, label_col, k, planes, dim, seed, max_bucket,
+        same_label=True, hardest_is_lowest_cosine=True,
+    )
+
+
+def _mined_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    planes: int,
+    dim: int,
+    seed: int,
+    max_bucket: int | None,
+    same_label: bool,
+    hardest_is_lowest_cosine: bool,
+) -> DataFrame:
     b = df.select(
         F.col(id_col),
         F.col(label_col).alias("_lbl"),
@@ -716,17 +767,28 @@ def hard_negatives(
         b.withColumnRenamed(id_col, "neighbor_id"), max_bucket
     ).alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    # eqNullSafe is deliberately NOT used: a NULL label must yield no pairs
+    # in EITHER mode (an unlabeled vector is neither a positive nor a
+    # negative of anything) — plain =/!= propagate NULL to false
+    label_pred = (
+        (F.col("a._lbl") == F.col("b._lbl"))
+        if same_label
+        else (F.col("a._lbl") != F.col("b._lbl"))
+    )
     pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") != F.col("b.neighbor_id"))
-        & (F.col("a._lbl") != F.col("b._lbl")),
+        & label_pred,
     ).select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col("b.neighbor_id").alias("neighbor_id"),
         cos.alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    order = (
+        F.col("cosine").asc() if hardest_is_lowest_cosine else F.col("cosine").desc()
+    )
+    w = Window.partitionBy("query_id").orderBy(order, "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

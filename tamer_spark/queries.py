@@ -2227,6 +2227,15 @@ def hard_negatives_q(spark, sf):
     return hard_negatives(emb, k=3, max_bucket=None)
 
 
+# Standalone builder kept for plan pins / bench (graded via the merged
+# ann_search gate's 'hardpos' variant).
+def hard_positives_q(spark, sf):
+    from tamer_spark.operators.similarity import hard_positives
+
+    emb = _t(spark, sf, "embeddings")
+    return hard_positives(emb, k=3, max_bucket=None)
+
+
 def _lsh_bucket_sql(v: str, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     """The oracle-side LSH bucket id — the same sha256-derived ±1
     hyperplanes operators/similarity._planes_literal compiles into the
@@ -2243,7 +2252,14 @@ def _lsh_bucket_sql(v: str, planes: int = 8, dim: int = 64, seed: int = 42) -> s
     return " + ".join(terms)
 
 
-def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) -> str:
+def _mining_oracle(
+    same_label: bool, planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3
+) -> str:
+    """Contrastive-pair mining replay: hard negatives (different label,
+    cosine DESC) or hard positives (same label, cosine ASC) over the same
+    LSH-bucket candidate join the Spark operators share."""
+    lbl_op = "=" if same_label else "<>"
+    order = "ASC" if same_label else "DESC"
     return f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
@@ -2253,13 +2269,17 @@ def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) 
                       list_dot_product(a.v, bb.v)
                         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(bb.v, bb.v)) AS cos
                FROM b a JOIN b bb
-                 ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id AND a.label <> bb.label),
+                 ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id AND a.label {lbl_op} bb.label),
          r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos {order}, neighbor_id) AS rnk
                FROM p)
     SELECT query_id, neighbor_id, round(cos, 6) AS score, CAST(rnk AS BIGINT) AS rank
     FROM r WHERE rnk <= {k}
     """
+
+
+def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) -> str:
+    return _mining_oracle(False, planes, dim, seed, k)
 
 
 @q(
@@ -2272,8 +2292,10 @@ def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) 
     SELECT 'ivfadc', * FROM ({_ivfadc_oracle(n_centroids=8, iters=3, nprobe=2, m=4, k=16, pq_iters=3, dim=64, shortlist=20, topk=5)})
     UNION ALL
     SELECT 'hardneg', * FROM ({_hardneg_oracle(planes=8, dim=64, seed=42, k=3)})
+    UNION ALL
+    SELECT 'hardpos', * FROM ({_mining_oracle(True, planes=8, dim=64, seed=42, k=3)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest).",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point) and sharing the negative miner's candidate join so a triple miner pays one shuffle for both sides.",
 )
 def ann_search_q(spark, sf):
     from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
@@ -2316,6 +2338,14 @@ def ann_search_q(spark, sf):
     ).unionByName(
         hard_negatives_q(spark, sf).select(
             F.lit("hardneg").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("score"),
+            "rank",
+        )
+    ).unionByName(
+        hard_positives_q(spark, sf).select(
+            F.lit("hardpos").alias("variant"),
             "query_id",
             "neighbor_id",
             F.col("cosine").alias("score"),
@@ -4969,6 +4999,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fix_encoding_docs": fix_encoding_docs_q,
     "seeded_shuffle_docs": seeded_shuffle_docs_q,
     "hard_negatives": hard_negatives_q,
+    "hard_positives": hard_positives_q,
     "doc_split_sample": doc_split_sample_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,

@@ -112,3 +112,31 @@ def test_zero_norm_vectors_dropped_not_crashing(spark):
     out = hard_negatives(df, k=5, dim=8).collect()
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert ids == {3, 4}  # zero vectors neither anchor nor negative
+
+
+def test_hard_positives_rank_least_similar_same_label_first(spark):
+    # same bucket (verified family — see test_hardest_negative_ranks_first):
+    # base, near (cos ~0.995), far (cos ~0.894), all label 0, plus a
+    # different-label decoy that must never appear as a positive
+    base = [1.0] + [0.0] * 7
+    near = [1.0, 0.1] + [0.0] * 6
+    far = [1.0, 0.5] + [0.0] * 6
+    from tamer_spark.operators.similarity import hard_positives
+
+    df = _emb(spark, [(1, base, 0), (2, near, 0), (3, far, 0), (4, near, 1)])
+    out = {(r.query_id, r.rank): r.neighbor_id for r in hard_positives(df, k=2, dim=8).collect()}
+    # hardest positive first = LOWEST cosine: far before near
+    assert out[(1, 1)] == 3 and out[(1, 2)] == 2
+    assert 4 not in {v for v in out.values()}
+
+
+def test_hard_positives_share_negative_miners_contracts(spark):
+    # NULL labels and zero-norm vectors excluded exactly like hard_negatives
+    from tamer_spark.operators.similarity import hard_positives
+
+    v = [1.0] * 8
+    z = [0.0] * 8
+    df = _emb(spark, [(1, v, 0), (2, v, 0), (3, v, None), (4, z, 0)])
+    out = hard_positives(df, k=5, dim=8).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert ids == {1, 2}
