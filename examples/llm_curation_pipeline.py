@@ -294,14 +294,18 @@ epoch_index = epoch_assigned.select("vec_id", "cluster").join(
 n_epoch = epoch_index.count()
 n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 
-# 10b. hard-negative mining: per anchor, the top-3 most-similar vectors
-#      with a DIFFERENT label — contrastive-training pairs mined from the
-#      same LSH buckets the near-dup tier uses (a bucket-missed negative
-#      is a less-hard negative, which is the point).
-from tamer_spark.operators.similarity import hard_negatives
+# 10b. contrastive pair mining: per anchor, the top-3 most-similar
+#      DIFFERENT-label vectors (hard negatives) and the top-3
+#      LEAST-similar SAME-label bucket-mates (hard positives) — both
+#      sides of a metric-learning triple, mined from the same LSH
+#      buckets the near-dup tier uses (a bucket-missed negative is a
+#      less-hard negative, which is the point).
+from tamer_spark.operators.similarity import hard_negatives, hard_positives
 
 negatives = hard_negatives(emb, k=3)
+positives = hard_positives(emb, k=3)
 n_neg_anchors = negatives.select("query_id").distinct().count()
+n_pos_anchors = positives.select("query_id").distinct().count()
 
 # 11. serving: hybrid retrieval over the curated corpus — BM25 lexical
 #     top-20 fused with exact-cosine ANN top-20 by reciprocal-rank fusion.
@@ -364,7 +368,8 @@ print(
     f"→ budget-capped {n4b} → decontaminated {n4c}"
 )
 print(
-    f"hard negatives: {n_neg_anchors} anchors mined (top-3 different-label); "
+    f"contrastive pairs: {n_neg_anchors} anchors with hard negatives, "
+    f"{n_pos_anchors} with hard positives; "
     f"training order: {len(order_a)} rows, seed-reproducible: {order_a == order_b}"
 )
 print(
@@ -387,7 +392,7 @@ print(
 assert n0 >= n_url >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
 assert n_url < n0  # the derived re-crawl noise guarantees url-level groups
 assert n_damage_chars > 0  # BOM/CRLF/mojibake all removed or shrunk
-assert n_neg_anchors > 0
+assert n_neg_anchors > 0 and n_pos_anchors > 0
 assert order_a == order_b and len(order_a) > 0  # same seed, same order
 assert n4d == min(400, n4c)  # DLT sample: exactly k docs (or all, if fewer)
 assert manifest["total_rows"] > 0
