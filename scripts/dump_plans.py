@@ -32,6 +32,7 @@ SHOW = [
     ("fix_encoding_docs", "Encoding repair: table-driven replace + regexp chain, zero exchanges — mojibake fixed before the NBSP/control passes that would orphan it."),
     ("seeded_shuffle_docs", "Seeded shuffle: one hash exchange on shard + per-shard sort (the training-order product itself); no SinglePartition window anywhere."),
     ("hard_negatives", "Hard-negative mining: LSH-bucket self-equi-join (never a cross product), label filter riding the join, per-anchor top-k window."),
+    ("hard_positives", "Hard-positive mining: same candidate join as the negatives (shared _mined_pairs core), label equality + cosine-ASC ranking."),
 ]
 
 def main() -> None:
