@@ -345,7 +345,11 @@ HEADLINE = {
     # composed lexical+semantic serving path, timed cold via the registry
     "hybrid_retrieval_rrf": None,
     # hard-negative mining (r11): LSH-bucket self-join with label-mismatch
-    # riding the join + per-anchor top-k — the contrastive-data serving path
+    # riding the join + per-anchor top-k — the contrastive-data serving
+    # path. hard_positives is deliberately NOT a separate entry: it shares
+    # this exact candidate join (_mined_pairs) and differs only in the
+    # label predicate + sort direction — timing it would double-count the
+    # same physical shape.
     "hard_negatives": None,
     # analytics/curation tier (round 6): the r5 extension operators the
     # judge asked to bench — each timed as its STANDALONE shape (the
