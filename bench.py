@@ -346,10 +346,11 @@ HEADLINE = {
     "hybrid_retrieval_rrf": None,
     # hard-negative mining (r11): LSH-bucket self-join with label-mismatch
     # riding the join + per-anchor top-k — the contrastive-data serving
-    # path. hard_positives is deliberately NOT a separate entry: it shares
-    # this exact candidate join (_mined_pairs) and differs only in the
-    # label predicate + sort direction — timing it would double-count the
-    # same physical shape.
+    # path. hard_positives is deliberately NOT a separate entry: same
+    # physical shape (shared _mined_pairs core), differing only in label
+    # predicate + sort direction — timing it would double-count; the
+    # one-join both-sides form is contrastive_pairs (equivalence pinned
+    # in pytest).
     "hard_negatives": None,
     # analytics/curation tier (round 6): the r5 extension operators the
     # judge asked to bench — each timed as its STANDALONE shape (the

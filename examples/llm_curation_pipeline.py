@@ -297,15 +297,15 @@ n_resent_survived = epoch_index.filter(F.col("vec_id") < 2_000_000).count()
 # 10b. contrastive pair mining: per anchor, the top-3 most-similar
 #      DIFFERENT-label vectors (hard negatives) and the top-3
 #      LEAST-similar SAME-label bucket-mates (hard positives) — both
-#      sides of a metric-learning triple, mined from the same LSH
-#      buckets the near-dup tier uses (a bucket-missed negative is a
-#      less-hard negative, which is the point).
-from tamer_spark.operators.similarity import hard_negatives, hard_positives
+#      sides of a metric-learning triple off ONE candidate join
+#      (contrastive_pairs: one LSH bucket self-join, one (anchor, side)
+#      window — a bucket-missed negative is a less-hard negative, which
+#      is the point).
+from tamer_spark.operators.similarity import contrastive_pairs
 
-negatives = hard_negatives(emb, k=3)
-positives = hard_positives(emb, k=3)
-n_neg_anchors = negatives.select("query_id").distinct().count()
-n_pos_anchors = positives.select("query_id").distinct().count()
+triples = contrastive_pairs(emb, k=3).localCheckpoint()
+n_neg_anchors = triples.filter(F.col("side") == "neg").select("query_id").distinct().count()
+n_pos_anchors = triples.filter(F.col("side") == "pos").select("query_id").distinct().count()
 
 # 11. serving: hybrid retrieval over the curated corpus — BM25 lexical
 #     top-20 fused with exact-cosine ANN top-20 by reciprocal-rank fusion.

@@ -74,19 +74,23 @@ def url_dedup_counts(
     point of running this stage first).
     Returns (content_hash, keep_id, dup_count).
 
-    Rows with a NULL url are EXCLUDED: URL-level dedup is undefined
-    without a URL, and grouping them would silently merge every url-less
-    document into one NULL-key dup group (keeping a single survivor — a
-    data-loss trap). Callers keep url-less docs unconditionally and route
-    them to the content-dedup tiers instead.
+    Rows with a NULL url form SINGLETON groups (key ``nullurl-<id>``, not
+    an md5): URL-level dedup is undefined without a URL, so nothing may
+    merge them — but they must still appear as their own keep_id, because
+    the standard consumption pattern is a keep_id semi-join (see
+    examples/llm_curation_pipeline.py) and an output that simply dropped
+    NULL-url rows would silently delete every url-less document from the
+    corpus. Both traps (merge-all under one NULL key; drop-all via
+    exclusion) are pinned in tests/test_url_dedup.py.
     """
     from tamer_spark.functions.text import canonicalize_url_col
 
+    key = F.coalesce(
+        F.md5(canonicalize_url_col(F.col(url_col))),
+        F.concat(F.lit("nullurl-"), F.col(id_col).cast("string")),
+    )
     return (
-        df.filter(F.col(url_col).isNotNull())
-        .select(
-            F.col(id_col), F.md5(canonicalize_url_col(F.col(url_col))).alias("content_hash")
-        )
+        df.select(F.col(id_col), key.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
     )

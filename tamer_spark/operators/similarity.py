@@ -727,14 +727,89 @@ def hard_positives(
     buckets, which is the LSH point. What this mines is the hardest
     positives WITHIN each anchor's similarity neighborhood (rank by
     cosine ASC over same-bucket same-label candidates) — the
-    batch-construction form, sharing one candidate join with
-    hard_negatives so a triple miner pays one shuffle for both sides.
+    batch-construction form. For a triple miner that genuinely pays ONE
+    candidate join for both sides, use ``contrastive_pairs`` — calling
+    this and hard_negatives separately builds two independent joins.
     Everything else (zero-norm drop, NULL labels, max_bucket cap,
     deterministic tie-break — cosine ASC then id) matches hard_negatives.
     """
     return _mined_pairs(
         df, id_col, vec_col, label_col, k, planes, dim, seed, max_bucket,
         same_label=True, hardest_is_lowest_cosine=True,
+    )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Both halves of the contrastive triple off ONE candidate join — the
+    one-shuffle miner the hard_negatives/hard_positives docstrings point
+    at. A single LSH-bucket self-join produces every (anchor, candidate)
+    pair; each is tagged ``side`` ('neg' when labels differ, 'pos' when
+    they match), and ONE window partitioned by (anchor, side) ranks both
+    tiers at once — the sort key is the cosine sign-flipped per side
+    (negatives hardest-first = cosine DESC, positives hardest-first =
+    cosine ASC), so no second exchange exists anywhere. Per (anchor,
+    side), top-``k`` survive. Semantics per side are identical to the
+    dedicated miners (pinned by an equivalence test).
+
+    Returns (query_id, neighbor_id, side, cosine, rank).
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        quantize_embedding(F.col(vec_col)).alias("v"),
+    ).select(
+        id_col,
+        "_lbl",
+        "v",
+        lsh_bucket_from_quantized(F.col("v"), planes, dim, seed).alias("bucket"),
+        _dot(F.col("v"), F.col("v")).alias("n2"),
+    ).filter(F.col("n2") > 0)
+    a = b.alias("a")
+    c = _cap_bucket_candidates(
+        b.withColumnRenamed(id_col, "neighbor_id"), max_bucket
+    ).alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") != F.col("b.neighbor_id"))
+        # NULL labels yield no pairs on either side: both predicates below
+        # are NULL (→ false) when either label is NULL
+        & (F.col("a._lbl").isNotNull() & F.col("b._lbl").isNotNull()),
+    ).select(
+        F.col(f"a.{id_col}").alias("query_id"),
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        F.when(F.col("a._lbl") == F.col("b._lbl"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("side"),
+        cos.alias("cosine"),
+    )
+    # one window for both tiers: negatives rank by -cosine ASC (= cosine
+    # DESC), positives by +cosine ASC — the per-side hardest-first order
+    signed = F.when(F.col("side") == "pos", F.col("cosine")).otherwise(
+        -F.col("cosine")
+    )
+    w = Window.partitionBy("query_id", "side").orderBy(signed.asc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "side",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

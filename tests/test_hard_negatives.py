@@ -140,3 +140,48 @@ def test_hard_positives_share_negative_miners_contracts(spark):
     out = hard_positives(df, k=5, dim=8).collect()
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert ids == {1, 2}
+
+
+def test_contrastive_pairs_equals_both_standalone_miners(spark):
+    """The one-join triple miner is semantically identical to running the
+    two dedicated miners — per side, same pairs, same cosines, same
+    ranks (review follow-up: the one-shuffle claim now names a real API)."""
+    from tamer_spark.operators.similarity import (
+        contrastive_pairs,
+        hard_positives,
+    )
+
+    base = [1.0] + [0.0] * 7
+    near = [1.0, 0.1] + [0.0] * 6
+    far = [1.0, 0.5] + [0.0] * 6
+    df = _emb(spark, [
+        (1, base, 0), (2, near, 0), (3, far, 0),
+        (4, near, 1), (5, far, 1), (6, base, 1),
+        (7, [0.0] * 8, 0),  # zero-norm: dropped by all three
+    ])
+    both = contrastive_pairs(df, k=2, dim=8)
+    neg = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in hard_negatives(df, k=2, dim=8).collect()}
+    pos = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in hard_positives(df, k=2, dim=8).collect()}
+    got_neg = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+               for r in both.collect() if r.side == "neg"}
+    got_pos = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+               for r in both.collect() if r.side == "pos"}
+    assert got_neg == neg and got_pos == pos
+    assert neg and pos  # both tiers live
+
+
+def test_contrastive_pairs_single_window(spark):
+    """One (anchor, side) window ranks both tiers — the plan must contain
+    exactly ONE Window node (two would mean the join is paid twice)."""
+    from tamer_spark.plans import explain_str
+    from tamer_spark.operators.similarity import contrastive_pairs
+
+    import re
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = explain_str(contrastive_pairs(emb, k=3, max_bucket=None))
+    # formatted plans list each node in the tree AND a detail section —
+    # count detail entries ("(N) Window"), which appear exactly once per node
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, plan

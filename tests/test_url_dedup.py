@@ -132,18 +132,26 @@ def test_url_dedup_plan_single_shuffle_no_text_scan(spark):
     assert scans and all(s <= {"doc_id"} for s in scans), scans
 
 
-def test_null_urls_excluded_not_merged(spark):
-    """Review fix: NULL urls must not collapse into one NULL-key dup group
-    (silent data loss — one survivor per corpus of url-less docs)."""
+def test_null_urls_singleton_not_merged_not_dropped(spark):
+    """Review fix (two traps): NULL urls must neither collapse into one
+    NULL-key dup group (one survivor per corpus of url-less docs) NOR be
+    excluded from the output (the keep_id semi-join pattern would then
+    drop every url-less doc). Each becomes its own singleton group."""
     from tamer_spark.operators.dedup import url_dedup_counts
 
     df = spark.createDataFrame(
         [(1, "http://a.com/x"), (2, None), (3, None), (4, "http://a.com/x/")],
         "doc_id long, url string",
     )
-    out = url_dedup_counts(df).collect()
-    assert len(out) == 1  # only the a.com/x group; NULLs excluded entirely
-    assert out[0].keep_id == 1 and out[0].dup_count == 2
+    out = {r.content_hash: r for r in url_dedup_counts(df).collect()}
+    assert len(out) == 3  # one url group + two NULL singletons
+    a_hash = hashlib.md5(b"a.com/x").hexdigest()
+    assert out[a_hash].keep_id == 1 and out[a_hash].dup_count == 2
+    assert out["nullurl-2"].keep_id == 2 and out["nullurl-2"].dup_count == 1
+    assert out["nullurl-3"].keep_id == 3 and out["nullurl-3"].dup_count == 1
+    # the semi-join keep pattern retains every url-less doc
+    keeps = {r.keep_id for r in out.values()}
+    assert {2, 3} <= keeps
 
 
 def test_lowercase_length_change_does_not_eat_path_slash(spark):
