@@ -339,12 +339,24 @@ def winnow_overlap_pairs(
 #   2. lowercase host[:port] ONLY (path/query case is meaningful and kept),
 #   3. strip a leading "www." and an explicit default port (:80/:443 —
 #      stripped regardless of scheme: after step 1 the scheme is gone, and
-#      a mismatched explicit default port is a dedup-equivalent URL anyway),
+#      a mismatched explicit default port is a dedup-equivalent URL anyway;
+#      documented caveat: http://host:443/x and https://host/x collapse to
+#      one key, distinct only on misconfigured hosts serving different
+#      content per port — accepted, scheme-aware stripping would need the
+#      scheme kept through step 3 in all three engines),
 #   4. drop the #fragment (client-side only, never a distinct resource),
 #   5. strip trailing slashes from the path,
-#   6. drop tracking query params (utm_*, gclid, fbclid, msclkid, ref,
-#      ref_src), sort the survivors bytewise, rejoin with '&' (param order
-#      never distinguishes resources; tracking params never do).
+#   6. drop tracking query params (utm_*, gclid, fbclid, msclkid, ref_src),
+#      sort the survivors bytewise, rejoin with '&' (param order never
+#      distinguishes resources; tracking params never do). Bare 'ref' is
+#      deliberately NOT in the list (r11 ADVICE): it is a common CONTENT
+#      parameter (?ref=<branch> on code hosts, ?ref=<product> on shops), so
+#      treating it as tracking would merge genuinely distinct resources
+#      into one dedup key and the keep_id semi-join would then silently
+#      drop real documents — overcollapse is the asymmetric failure (a
+#      kept tracking param only splits a dup group; a dropped content
+#      param destroys data). Callers with a corpus where 'ref' IS pure
+#      tracking can pre-strip it before canonicalize_url_col.
 URL_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 URL_HOSTPORT_RE = r"^[^/?#]*"
 URL_WWW_RE = r"^www\."
@@ -353,7 +365,7 @@ URL_FRAGMENT_RE = r"#.*$"
 URL_PATH_RE = r"^[^?]*"
 URL_QUERY_RE = r"^[^?]*\?(.*)$"
 URL_TRAILING_SLASH_RE = r"/+$"
-URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)="
+URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref_src)="
 
 
 def canonicalize_url_col(url: Column) -> Column:

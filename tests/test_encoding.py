@@ -28,11 +28,34 @@ def test_fix_table_generated_from_intended_chars():
         assert len(fixed) == 1 and len(broken) in (2, 3)
     lens = [len(b) for b, _ in MOJIBAKE_FIXES]
     assert lens == sorted(lens, reverse=True)
-    # no broken sequence is a prefix of another (sequential replace safety)
+    # sequential-replace safety, the full contract (r11 ADVICE strengthened
+    # the pin from prefix-only). Two corruption channels:
+    #   1. one broken sequence appears INSIDE another (prefix, suffix, or
+    #      interior) — an earlier replace would chew a hole in the longer
+    #      pattern. Must be impossible at ANY position: full `a in b`.
     seqs = [b for b, _ in MOJIBAKE_FIXES]
-    assert not any(
-        a != b and b.startswith(a) for a in seqs for b in seqs
-    )
+    assert not any(a != b and a in b for a in seqs for b in seqs)
+    #   2. a FIXED output re-creates match material for a LATER entry
+    #      (i < j and fixed_i substring of broken_j): replace i's output
+    #      can recombine with adjacent text into broken_j. The real table
+    #      is NOT free of these — '€' (fix of 'â‚¬') and '“'/'”' are the
+    #      cp1252 tail chars of the other 'â€x' sequences — but every such
+    #      pair is benign-by-construction: it fires only on inputs like
+    #      'â' + 'â‚¬' + '¦' (literal debris + mojibake), where the later
+    #      replace performs the DOUBLE-decode repair ftfy's loop would
+    #      (both engines replay the same ordered chain, so no divergence).
+    #      Freeze the exact ordered hazard set so a future table addition
+    #      that introduces a NEW channel-2 pair fails loudly here and must
+    #      be adjudicated, not slipped in.
+    hazards = {
+        (fi, bj)
+        for i, (_, fi) in enumerate(MOJIBAKE_FIXES)
+        for j, (bj, _) in enumerate(MOJIBAKE_FIXES)
+        if i < j and fi in bj
+    }
+    assert hazards == {
+        ("€", b) for b, _ in MOJIBAKE_FIXES if b.startswith("â€") and b != "â‚¬"
+    } | {("”", "â€”"), ("“", "â€“")}
 
 
 def test_common_mojibake_repaired(spark):

@@ -41,10 +41,25 @@ def test_tracking_params_dropped_survivors_sorted(spark):
     got = _canon(spark, [
         "http://e.com/p?utm_source=a&id=5&lang=en&utm_campaign=b",
         "http://e.com/p?lang=en&gclid=xyz&id=5",
-        "http://e.com/p?fbclid=1&msclkid=2&ref=tw&ref_src=x&id=5&lang=en",
+        "http://e.com/p?fbclid=1&msclkid=2&ref_src=x&id=5&lang=en",
         "http://e.com/p?id=5&lang=en",
     ])
     assert got == ["e.com/p?id=5&lang=en"] * 4
+
+
+def test_bare_ref_is_content_not_tracking(spark):
+    # r11 ADVICE: 'ref' is a common content param (?ref=<branch> on code
+    # hosts) — it must SURVIVE canonicalization so distinct resources keep
+    # distinct dedup keys; only ref_src (the social-share tracker) drops
+    got = _canon(spark, [
+        "http://e.com/repo/file?ref=main",
+        "http://e.com/repo/file?ref=dev",
+        "http://e.com/repo/file?ref=main&ref_src=twsrc",
+    ])
+    assert got[0] == "e.com/repo/file?ref=main"
+    assert got[1] == "e.com/repo/file?ref=dev"
+    assert got[0] != got[1]  # distinct branches stay distinct resources
+    assert got[2] == got[0]  # ref_src still stripped
 
 
 def test_all_params_tracking_means_no_query(spark):
