@@ -2236,6 +2236,16 @@ def hard_positives_q(spark, sf):
     return hard_positives(emb, k=3, max_bucket=None)
 
 
+# The gate's mining legs since r12: one call feeds BOTH the 'hardneg' and
+# 'hardpos' variants, so the one-join/one-window production plan is the
+# thing the oracle hashes. Same uncapped-bucket convention as above.
+def contrastive_pairs_q(spark, sf):
+    from tamer_spark.operators.similarity import contrastive_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return contrastive_pairs(emb, k=3, max_bucket=None)
+
+
 def _lsh_bucket_sql(v: str, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     """The oracle-side LSH bucket id — the same sha256-derived ±1
     hyperplanes operators/similarity._planes_literal compiles into the
@@ -2297,7 +2307,7 @@ def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) 
     UNION ALL
     SELECT 'hardpos', * FROM ({_mining_oracle(True, planes=8, dim=64, seed=42, k=3)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); the gate grades each side standalone, and operators/similarity.contrastive_pairs is the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key — equivalence with the two standalone miners pinned in pytest).",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); since r12 BOTH mining variants are produced by operators/similarity.contrastive_pairs — the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key) — so the one-join plan is itself oracle-hash-pinned against the per-side DuckDB replays; the standalone miners remain for plan pins/bench, with per-side equivalence to contrastive_pairs pinned in pytest.",
 )
 def ann_search_q(spark, sf):
     from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
@@ -2338,16 +2348,14 @@ def ann_search_q(spark, sf):
             "rank",
         )
     ).unionByName(
-        hard_negatives_q(spark, sf).select(
-            F.lit("hardneg").alias("variant"),
-            "query_id",
-            "neighbor_id",
-            F.col("cosine").alias("score"),
-            "rank",
-        )
-    ).unionByName(
-        hard_positives_q(spark, sf).select(
-            F.lit("hardpos").alias("variant"),
+        # r12: BOTH mining variants come off ONE contrastive_pairs call —
+        # the production triple miner's one-candidate-join plan is now
+        # itself the oracle-hash-pinned object (not just pytest-equivalent
+        # to the standalone miners, which remain for plan pins / bench)
+        contrastive_pairs_q(spark, sf).select(
+            F.when(F.col("side") == "neg", F.lit("hardneg"))
+            .otherwise(F.lit("hardpos"))
+            .alias("variant"),
             "query_id",
             "neighbor_id",
             F.col("cosine").alias("score"),
