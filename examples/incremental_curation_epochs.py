@@ -18,9 +18,16 @@ Per-epoch cost is O(batch), never O(history):
   dropped);
 - contamination gate: exact 3-gram dirty fraction vs the broadcast
   benchmark set (GPT-3 appendix-C class), drop >= 20 %;
+- DSIR frozen-table scoring (r12): the importance-ratio table is trained
+  ONCE at cold start (held-out target domain vs the first crawl's raw
+  distribution) and every later epoch is scored against the SAME frozen
+  table — the left-join posture means a bucket the table never saw
+  contributes exactly 0, so brand-new vocabulary scores low instead of
+  crashing or vanishing (operators/dsir.py incremental contract);
 - survivors + their index/posting entries land under epoch=N partitions
   (overwrite-by-epoch = the idempotent replay contract, so a crash
-  between write and state commit replays harmlessly).
+  between write and state commit replays harmlessly; the frozen ratio
+  table and per-epoch weight frames replay idempotently the same way).
 
 The run deliberately stops after the first epoch (the engine numbers
 epochs from 0), exports shards, RESUMES from the checkpoint (no
@@ -45,12 +52,18 @@ from tamer_spark.engine import Pipeline
 from tamer_spark.functions.text import winnow_fingerprints
 from tamer_spark.operators.contamination import contamination_score
 from tamer_spark.operators.dedup_incremental import dedup_exact_incremental
+from tamer_spark.operators.dsir import (
+    dsir_importance_weights,
+    dsir_ratio_table,
+    hashed_ngram_buckets,
+)
 from tamer_spark.sinks.shards import assign_shard, shard_diff, write_training_shards
 
 SF_DIR = "/root/testdata/sf0.01"
 N_SHARDS = 8
 WINNOW_MIN_SHARED = 3
 CONTAM_PPM = 200_000
+DSIR_BUCKETS = 1024
 
 spark = session("incremental-curation")
 ws = workspace()
@@ -62,6 +75,11 @@ raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
 # benchmark slice: ids ≡ 2 (mod 3) — never fed through the loop, so the
 # contamination gate is the ONLY thing that can reject a copy of one
 benchmark = raw.filter(F.col("doc_id") % 3 == 2)
+# DSIR target domain: ids ≡ 1 (mod 3) — held out from both the crawl and
+# the benchmark; the ratio table is trained ONCE at cold start and FROZEN
+dsir_target = raw.filter(F.col("doc_id") % 3 == 1)
+DSIR_RATIO = ws / "dsir_ratio"
+DSIR_WEIGHTS = ws / "dsir_weights"
 
 
 def _read_or_empty(path: Path, schema: str):
@@ -176,6 +194,23 @@ class CurationSink:
         fps.join(s3.select("doc_id"), "doc_id", "left_semi").select(
             "doc_id", F.explode_outer("fingerprints").alias("fp")
         ).write.mode("overwrite").parquet(str(POSTING / f"epoch={epoch}"))
+        # DSIR frozen-table epoch scoring (operators/dsir.py incremental
+        # posture): the ratio table is trained ONCE — cold start only, from
+        # the target domain vs THIS epoch's raw crawl distribution — and
+        # every epoch (including later ones with never-seen n-grams, e.g.
+        # the qx* gibberish docs) is scored against the SAME frozen table.
+        # The weights join is LEFT, so an unseen bucket contributes exactly
+        # 0 instead of dropping the doc: every survivor gets a weight row.
+        if not DSIR_RATIO.exists():
+            dsir_ratio_table(
+                hashed_ngram_buckets(dsir_target, buckets=DSIR_BUCKETS),
+                hashed_ngram_buckets(df, buckets=DSIR_BUCKETS),
+                buckets=DSIR_BUCKETS,
+            ).write.parquet(str(DSIR_RATIO))
+        frozen = spark.read.parquet(str(DSIR_RATIO))
+        dsir_importance_weights(
+            hashed_ngram_buckets(s3, buckets=DSIR_BUCKETS), frozen
+        ).write.mode("overwrite").parquet(str(DSIR_WEIGHTS / f"epoch={epoch}"))
         self.stats[epoch] = {"in": n_in, "out": n_out}
 
 
@@ -244,3 +279,34 @@ assert d["changed"] == expected_changed, (d, expected_changed)
 assert len(d["unchanged"]) == N_SHARDS - len(expected_changed)
 assert len(d["unchanged"]) > 0, "probe geometry: 6 new docs must miss some shard"
 print("manifest-diff invariant holds: only the shards holding new docs re-upload")
+
+# DSIR frozen-table invariants: one ratio table (no epoch partitions — it
+# was trained at cold start and never retrained), and EVERY curated doc in
+# EVERY epoch has exactly one weight row — the left-join posture means the
+# second epoch's unseen-bucket docs score (contributing 0 per unseen
+# bucket) instead of vanishing from the frame.
+assert not any(DSIR_RATIO.glob("epoch=*")), "ratio table must be frozen, not per-epoch"
+ratio_rows = spark.read.parquet(str(DSIR_RATIO)).count()
+assert 0 < ratio_rows <= DSIR_BUCKETS
+for e in epochs:
+    curated_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(CURATED / f"epoch={e}")).select("doc_id").collect()
+    }
+    w = spark.read.parquet(str(DSIR_WEIGHTS / f"epoch={e}")).collect()
+    assert {r.doc_id for r in w} == curated_ids, f"epoch {e}: weights != curated"
+    assert len(w) == len(curated_ids)
+# the 6 qx* gibberish docs are all-unseen-bigram by construction relative
+# to the target: their net affinity must not exceed the best real doc's
+w2 = spark.read.parquet(str(DSIR_WEIGHTS / f"epoch={epochs[-1]}"))
+gib_max = w2.filter(F.col("doc_id") >= 4_000_000).agg(F.max("weight")).collect()[0][0]
+w1_max = (
+    spark.read.parquet(str(DSIR_WEIGHTS / f"epoch={epochs[0]}"))
+    .agg(F.max("weight"))
+    .collect()[0][0]
+)
+assert gib_max <= w1_max, (gib_max, w1_max)
+print(
+    f"dsir frozen-table scoring: {ratio_rows} ratio rows trained once at cold "
+    f"start scored both epochs (gibberish max {gib_max} <= corpus max {w1_max})"
+)

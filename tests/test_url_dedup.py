@@ -182,6 +182,81 @@ def test_lowercase_length_change_does_not_eat_path_slash(spark):
         assert c == canonicalize_url_py(u)
 
 
+def test_url_incremental_epoch_loop_matches_batch(spark):
+    """The CURATION.md §0 incremental recipe, driven end to end: canonical
+    url keys folded through dedup_exact_incremental against an advancing
+    index keep EXACTLY the docs one full-corpus url_dedup_counts keeps.
+    Derived six-dimension URL space (canonical key = doc_id % 160); epochs
+    split so dups occur both WITHIN a batch (ids 160-199 dup ids 0-39
+    inside epoch 1) and ACROSS batches (epoch 2/3 keys re-hit the index).
+    Ids increase over time, so first-occurrence-wins agrees between the
+    two formulations — the same invariant the text-tier epoch tests pin."""
+    from tamer_spark.operators.dedup import url_dedup_counts
+    from tamer_spark.operators.dedup_incremental import (
+        append_keys,
+        dedup_exact_incremental,
+    )
+    from tamer_spark.queries import _derived_url_col
+
+    full = (
+        spark.range(480)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", _derived_url_col().alias("url"))
+    )
+    want = sorted(r.keep_id for r in url_dedup_counts(full).collect())
+
+    bounds = [(0, 200), (200, 400), (400, 480)]
+    idx = spark.createDataFrame([], "content_hash string")
+    survivors: list[int] = []
+    for lo, hi in bounds:
+        batch = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+            "doc_id", "url", canonicalize_url_col(F.col("url")).alias("curl")
+        )
+        s = dedup_exact_incremental(batch, idx, text_col="curl")
+        survivors.extend(r.doc_id for r in s.collect())
+        idx = append_keys(idx, s.select("content_hash"))
+    assert sorted(survivors) == want
+
+
+def test_url_incremental_null_urls_bypass_fold(spark):
+    """NULL-url docs never enter the epoch fold (md5(NULL) is a NULL key:
+    the in-batch window would collapse ALL url-less docs to one survivor —
+    the exact trap the batch operator's nullurl-singleton rule exists for).
+    The recipe splits them out per epoch and keeps every one, matching
+    url_dedup_counts' singleton semantics on the full corpus."""
+    from tamer_spark.operators.dedup import url_dedup_counts
+    from tamer_spark.operators.dedup_incremental import (
+        append_keys,
+        dedup_exact_incremental,
+    )
+
+    rows = [
+        (1, "http://a.com/x"),
+        (2, None),
+        (3, "http://www.a.com/x/"),   # dup of 1 after canonicalization
+        (4, None),
+        (5, "http://b.com/y"),
+        (6, "HTTPS://A.COM:443/x"),   # dup of 1, later epoch
+        (7, None),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, url string")
+    want = sorted(r.keep_id for r in url_dedup_counts(full).collect())
+
+    idx = spark.createDataFrame([], "content_hash string")
+    survivors: list[int] = []
+    for lo, hi in [(1, 5), (5, 8)]:
+        batch = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        nulls = batch.filter(F.col("url").isNull())
+        survivors.extend(r.doc_id for r in nulls.collect())  # always kept
+        withkey = batch.filter(F.col("url").isNotNull()).select(
+            "doc_id", canonicalize_url_col(F.col("url")).alias("curl")
+        )
+        s = dedup_exact_incremental(withkey, idx, text_col="curl")
+        survivors.extend(r.doc_id for r in s.collect())
+        idx = append_keys(idx, s.select("content_hash"))
+    assert sorted(survivors) == want == [1, 2, 4, 5, 7]
+
+
 def test_hypothesis_fuzz_spark_matches_python(spark):
     """Adversarial URL-shaped strings (multiple '?'/'#', empty params,
     repeated separators, userinfo-ish '@', stray ports): the Spark chain
