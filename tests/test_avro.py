@@ -134,7 +134,7 @@ def test_jvm_to_avro_parity_with_python_codec(spark):
     environment — the pure-Python codec remains the exercised path.
 
     Load attempts on record (2026-08-13, re-attempted rounds 4, 5, 6, 9
-    [2026-08-14], and 10-11 [2026-08-15, r11: repo1.maven.org DNS still unresolvable] — unchanged; r9 added the UNGATED org.apache.avro
+    [2026-08-14], and 10-12 [2026-08-15, r12: repo1.maven.org DNS still unresolvable] — unchanged; r9 added the UNGATED org.apache.avro
     reference-implementation parity tests below, which cover what this
     skip was standing in for): no spark-avro_2.13 jar anywhere on
     the machine (bundled pyspark jars carry avro/avro-ipc/avro-mapred 1.12.1
