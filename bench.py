@@ -333,6 +333,10 @@ HEADLINE = {
     # url-level dedup (r11): canonicalize (map-only regexp/array chain over
     # a doc_id-derived URL) + one digest shuffle — the text-free dedup stage
     "url_dedup_docs": None,
+    # cross-doc boilerplate-line removal (r12): count-distinct doc-freq agg,
+    # tiny post-threshold set broadcast onto the un-shuffled probe stream,
+    # one doc_id rebuild regroup
+    "line_dedup_docs": None,
     # BM25 retrieval (round 5): map-only tokenize + vocab-filtered tf shuffle
     # + broadcast folds + TakeOrdered top-k — the lexical retrieval scan path
     "bm25_topk_docs": None,
@@ -348,10 +352,13 @@ HEADLINE = {
     # riding the join + per-anchor top-k — the contrastive-data serving
     # path. hard_positives is deliberately NOT a separate entry: same
     # physical shape (shared _mined_pairs core), differing only in label
-    # predicate + sort direction — timing it would double-count; the
-    # one-join both-sides form is contrastive_pairs (equivalence pinned
-    # in pytest).
+    # predicate + sort direction — timing it would double-count.
     "hard_negatives": None,
+    # contrastive_pairs (r12): the one-join both-sides triple miner that now
+    # PRODUCES the gate's hardneg+hardpos variants — timed separately from
+    # hard_negatives because its physical shape differs (no label predicate
+    # in the join, ONE (anchor, side) window ranks both tiers)
+    "contrastive_pairs": None,
     # analytics/curation tier (round 6): the r5 extension operators the
     # judge asked to bench — each timed as its STANDALONE shape (the
     # registry unions them into tagged gates, which would blur the numbers)
@@ -393,14 +400,14 @@ GROUPS: list[tuple[str, list[str]]] = [
     ("dedup", [
         "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
         "connected_components", "dedup_exact_incremental",
-        "dedup_bloom_incremental", "url_dedup_docs",
+        "dedup_bloom_incremental", "url_dedup_docs", "line_dedup_docs",
     ]),
     ("semantic", [
         "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
         "strip_markup_docs", "fix_encoding_docs", "bm25_topk_docs",
     ]),
-    ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf", "hard_negatives"]),
+    ("serving", ["ivfadc_search", "semdedup_incremental", "hybrid_retrieval_rrf", "hard_negatives", "contrastive_pairs"]),
     ("analytics", [
         "winnow_overlap_pairs_docs", "budget_cap_sources",
         "temperature_mix_langs", "pagerank_cust_supp",
@@ -456,6 +463,8 @@ SERIES = {
     "fix_encoding_docs": "r11",
     "seeded_shuffle_docs": "r11",
     "hard_negatives": "r11",
+    "contrastive_pairs": "r12",
+    "line_dedup_docs": "r12",
 }
 
 

@@ -33,6 +33,8 @@ SHOW = [
     ("seeded_shuffle_docs", "Seeded shuffle: one hash exchange on shard + per-shard sort (the training-order product itself); no SinglePartition window anywhere."),
     ("hard_negatives", "Hard-negative mining: LSH-bucket self-equi-join (never a cross product), label filter riding the join, per-anchor top-k window."),
     ("hard_positives", "Hard-positive mining: same candidate join as the negatives (shared _mined_pairs core), label equality + cosine-ASC ranking."),
+    ("contrastive_pairs", "The graded production triple miner (r12): ONE LSH-bucket candidate join and ONE (anchor, side) window rank BOTH contrastive tiers — the sort key flips sign per side, so no second exchange exists."),
+    ("line_dedup_docs", "Cross-document boilerplate-line removal (r12): the post-threshold set broadcasts onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter); three shuffles total — count-distinct dedup, freq agg, one doc_id rebuild regroup."),
 ]
 
 def main() -> None:

@@ -163,6 +163,139 @@ def dedup_lines_in_doc(
     )
 
 
+def _doc_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, idx, line, h): the corpus line stream under the pinned
+    corpus-wide line convention (split on '\\n', space-trimmed, empties
+    dropped — the same trim_nonempty every line operator shares), with
+    ``h`` = md5(line) so downstream shuffles move a 16-byte digest key,
+    not arbitrary-width line text, and ``idx`` the line's position among
+    the SURVIVING (nonempty) lines — the rebuild order."""
+    from tamer_spark.functions.text import trim_nonempty
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        trim_nonempty(F.split(F.col(text_col), "\n")).alias("_lines"),
+    )
+    return staged.select(
+        "doc_id",
+        # each exploded row carries its doc's line total so the rebuild agg
+        # never needs a second doc_id regroup of the stream for totals
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.posexplode_outer("_lines").alias("idx", "line"),
+    ).withColumn("h", F.md5("line"))
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines appearing in ≥ ``min_doc_freq`` DISTINCT documents:
+    ``(h, line, doc_freq)`` — the cross-document boilerplate set (cookie
+    banners, nav menus, footers: Dolma, Soldaini et al. 2024 §4.1
+    paragraph-level dedup; RefinedWeb, Penedo et al. 2023 §3.2 — a line
+    shared by thousands of pages is template, not content, in ANY of
+    them). Doc frequency counts documents, never occurrences — a line
+    repeated inside one page (the dedup_lines_in_doc case) contributes 1.
+
+    Plan: explode the line stream, ONE (doc_id, h) dedup + (h) count —
+    the exchange on h is shared with :func:`dedup_lines_across_docs`'s
+    probe side (ReusedExchange). The output is corpus_lines/min_doc_freq
+    at most and tiny for real thresholds — persist it once per corpus
+    snapshot and broadcast it against every future epoch (the incremental
+    posture: stripping NEW batches against a FROZEN boilerplate set is a
+    broadcast anti-join, no corpus re-scan)."""
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"boilerplate_lines: min_doc_freq must be >= 2, got {min_doc_freq}"
+        )
+    return (
+        _doc_lines(df, text_col, id_col)
+        .groupBy("h", "line")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def dedup_lines_across_docs(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """ACROSS-document boilerplate-line removal: every occurrence of a line
+    whose document frequency is ≥ ``min_doc_freq`` is dropped from every
+    document (remove-ALL, not keep-first — the complement of
+    ``c4_span_dedup``: a span duplicated once is content someone copied,
+    kept at its first home; a line in ≥K documents is template chrome that
+    is content in NONE of them). Within-doc repeats of a below-threshold
+    line survive untouched — that's ``dedup_lines_in_doc``'s job.
+
+    Pinned semantics (cross-engine): the corpus line convention (split on
+    '\\n', trim, drop empties), doc_freq = COUNT(DISTINCT doc) per exact
+    line value, survivors re-join with '\\n' in original order; a doc whose
+    every line is boilerplate yields ``text_clean = ''`` (the row stays —
+    dropping documents is a downstream verdict, same contract as the C4
+    cleaner). Returns (doc_id, text_clean, n_lines, n_dropped).
+
+    Shuffle profile at 100 TB (plan-pinned): the POST-THRESHOLD
+    boilerplate set is tiny, so Catalyst broadcasts it back onto the
+    un-shuffled probe stream (BroadcastHashJoin LeftOuter — the full line
+    stream never exchanges on ``h``); the only line-stream shuffles are
+    the count-distinct's (h, doc_id) dedup + (h) freq aggregate and the
+    ONE doc_id regroup that rebuilds the text. Nothing doc×doc; a
+    permissive threshold that outgrows the broadcast limit degrades to an
+    AQE sort-merge join, not a failure. Steady-state epochs skip the freq
+    pass entirely: pass a persisted ``boilerplate`` frame (from
+    :func:`boilerplate_lines` over the historical corpus) and the batch
+    pays only its own map-side probe + rebuild."""
+    lines = _doc_lines(df, text_col, id_col)
+    if boilerplate is None:
+        if min_doc_freq < 2:
+            raise ValueError(
+                f"dedup_lines_across_docs: min_doc_freq must be >= 2, got {min_doc_freq}"
+            )
+        freq = (
+            lines.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("doc_freq"))
+            .filter(F.col("doc_freq") >= min_doc_freq)
+            .select("h", F.lit(True).alias("_bp"))
+        )
+        tagged = lines.join(freq, "h", "left")
+    else:
+        tagged = lines.join(
+            F.broadcast(
+                boilerplate.select("h").dropDuplicates(["h"]).withColumn(
+                    "_bp", F.lit(True)
+                )
+            ),
+            "h",
+            "left",
+        )
+    # a LEFT join tag, never an anti-join: an all-boilerplate doc must
+    # still reach the rebuild (text_clean = '') — anti would erase it from
+    # the output entirely. posexplode_outer keeps line-less docs in the
+    # stream as (idx NULL, line NULL); both ride to the ONE doc_id regroup
+    # (every exploded row carries n_lines, so totals need no extra pass).
+    kept_struct = F.when(
+        F.col("_bp").isNull() & F.col("line").isNotNull(),
+        F.struct("idx", "line"),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.max("n_lines").alias("n_lines"),
+        (F.max("n_lines") - F.count(kept_struct)).cast("long").alias("n_dropped"),
+    )
+
+
 def shingle_string_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

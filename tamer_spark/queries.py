@@ -3192,6 +3192,40 @@ def fix_encoding_docs_q(spark, sf):
     )
 
 
+_LINEX_MIN_DF = 3
+
+# Cross-document boilerplate-line removal over the SAME c4-structured
+# derivation: its ' hash'-planted banner line repeats verbatim across many
+# documents (live high-df boilerplate), while content lines stay unique.
+# The oracle needs no ordinality trick: list_filter preserves order, and
+# the boilerplate set (small by construction) rides along as ONE list value.
+_LINEX_ORACLE = f"""
+    WITH ldocs AS (SELECT doc_id, {_c4_structured_sql()} AS text FROM documents),
+    llin AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+      FROM ldocs),
+    lfreq AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(lines) AS line FROM llin)
+              GROUP BY line HAVING COUNT(*) >= {_LINEX_MIN_DF}),
+    lbp AS (SELECT COALESCE(list(line), []) AS bp FROM lfreq)
+    SELECT doc_id,
+           array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)) AS text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(list_filter(lines, x -> NOT list_contains(bp, x))) AS BIGINT) AS n_dropped
+    FROM llin CROSS JOIN lbp
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# text_cleaning_docs gate's 'linexdoc' variant).
+def line_dedup_docs_q(spark, sf):
+    from tamer_spark.operators.dedup import dedup_lines_across_docs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _c4_structured_col(F.col("text")).alias("text")
+    )
+    return dedup_lines_across_docs(d, min_doc_freq=_LINEX_MIN_DF)
+
+
 @q(
     "text_cleaning_docs",
     f"""
@@ -3202,8 +3236,10 @@ def fix_encoding_docs_q(spark, sf):
     SELECT 'markup', doc_id, text_stripped, n_removed, n_lines FROM ({_MARKUP_ORACLE})
     UNION ALL
     SELECT 'encoding', doc_id, text_fixed, n_removed, n_nonascii FROM ({_ENC_ORACLE})
+    UNION ALL
+    SELECT 'linexdoc', doc_id, text_clean, n_lines, n_dropped FROM ({_LINEX_ORACLE})
     """,
-    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles. encoding (r11): ftfy-style encoding repair (Speer 2019; functions/text.py fix_encoding_col — run before any filter, since quality scores over mojibake are themselves mojibake) over a damage derivation planting table-generated mojibake (incl. the two order traps: 'à' whose broken form ends in NBSP, '”' whose broken form carries C1 U+009D), a zero-width space, an NBSP-for-space swap, a BEL, a CRLF, a BOM prefix and an ESC suffix; the FIXED string is hashed plus removed-char and surviving-non-ASCII audits; the oracle replays the identical table-driven chain; map-only, zero shuffles.",
+    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles. encoding (r11): ftfy-style encoding repair (Speer 2019; functions/text.py fix_encoding_col — run before any filter, since quality scores over mojibake are themselves mojibake) over a damage derivation planting table-generated mojibake (incl. the two order traps: 'à' whose broken form ends in NBSP, '”' whose broken form carries C1 U+009D), a zero-width space, an NBSP-for-space swap, a BEL, a CRLF, a BOM prefix and an ESC suffix; the FIXED string is hashed plus removed-char and surviving-non-ASCII audits; the oracle replays the identical table-driven chain; map-only, zero shuffles. linexdoc (r12): ACROSS-document boilerplate-line removal (Dolma §4.1 paragraph dedup / RefinedWeb §3.2 — operators/dedup.dedup_lines_across_docs): every occurrence of a line whose doc frequency ≥ 3 is dropped from every doc (remove-ALL — template chrome is content in NONE of its hosts; the complement of c4_span_dedup's keep-first), run over the same c4-structured derivation whose planted banner line IS live high-df boilerplate; doc_freq = COUNT(DISTINCT doc), rebuilt text hashed with line/drop audits; plan: the post-threshold boilerplate set broadcasts back onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter — the line stream never exchanges on h; three shuffles total: count-distinct dedup, freq agg, one doc_id rebuild regroup) — all-boilerplate docs survive as '' via the LEFT tag join (anti would erase them); steady-state epochs broadcast a frozen boilerplate_lines set instead and skip the freq pass.",
 )
 def text_cleaning_docs_q(spark, sf):
     pii = scrub_pii_docs_q(spark, sf).select(
@@ -3227,11 +3263,19 @@ def text_cleaning_docs_q(spark, sf):
         F.col("n_removed").alias("a"),
         F.col("n_nonascii").alias("b"),
     )
+    linexdoc = line_dedup_docs_q(spark, sf).select(
+        F.lit("linexdoc").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_clean").alias("txt"),
+        F.col("n_lines").alias("a"),
+        F.col("n_dropped").alias("b"),
+    )
     return (
         c4_clean_docs_q(spark, sf)
         .unionByName(pii)
         .unionByName(markup)
         .unionByName(encoding)
+        .unionByName(linexdoc)
     )
 
 
@@ -5005,11 +5049,13 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean_docs": c4_clean_docs_q,
     "scrub_pii_docs": scrub_pii_docs_q,
     "strip_markup_docs": strip_markup_docs_q,
+    "line_dedup_docs": line_dedup_docs_q,
     "url_dedup_docs": url_dedup_docs_q,
     "fix_encoding_docs": fix_encoding_docs_q,
     "seeded_shuffle_docs": seeded_shuffle_docs_q,
     "hard_negatives": hard_negatives_q,
     "hard_positives": hard_positives_q,
+    "contrastive_pairs": contrastive_pairs_q,
     "doc_split_sample": doc_split_sample_q,
     "pivot_status_by_priority": pivot_status_by_priority,
     "agg_ordered_string_concat": agg_ordered_string_concat,

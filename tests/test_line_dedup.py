@@ -1,0 +1,160 @@
+"""Cross-document boilerplate-line removal (operators/dedup.py
+boilerplate_lines + dedup_lines_across_docs — Dolma §4.1 / RefinedWeb §3.2
+remove-ALL line dedup, the complement of c4_span_dedup's keep-first and of
+dedup_lines_in_doc's within-page scope). Pins the doc-frequency contract,
+the remove-all semantics, the all-boilerplate/'' survival rule, the frozen
+boilerplate-set epoch mode, and the two-shuffle/ReusedExchange plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.dedup import boilerplate_lines, dedup_lines_across_docs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fixture(spark):
+    return _docs(
+        spark,
+        [
+            (1, "COOKIE BANNER\nreal content one\nfooter"),
+            (2, "COOKIE BANNER\nreal content two\nfooter"),
+            (3, "COOKIE BANNER\nunique text"),
+            (4, "COOKIE BANNER\nCOOKIE BANNER"),  # all-boilerplate, in-doc repeat
+            (5, ""),                                # line-less doc
+            (6, "  footer  \nsolo line"),           # trim convention
+        ],
+    )
+
+
+def test_doc_freq_counts_documents_not_occurrences(spark):
+    # doc 4 contains the banner twice but contributes ONE to its doc_freq
+    bp = {r.line: r.doc_freq for r in boilerplate_lines(_fixture(spark), 2).collect()}
+    assert bp == {"COOKIE BANNER": 4, "footer": 3}
+
+
+def test_threshold_boundary_inclusive(spark):
+    # footer df=3: dropped at min_doc_freq=3, kept at 4 — ≥ is inclusive
+    at3 = {r.line for r in boilerplate_lines(_fixture(spark), 3).collect()}
+    at4 = {r.line for r in boilerplate_lines(_fixture(spark), 4).collect()}
+    assert at3 == {"COOKIE BANNER", "footer"}
+    assert at4 == {"COOKIE BANNER"}
+
+
+def test_remove_all_occurrences_keep_order(spark):
+    out = {r.doc_id: r for r in dedup_lines_across_docs(_fixture(spark), 3).collect()}
+    assert out[1].text_clean == "real content one"
+    assert out[2].text_clean == "real content two"
+    assert out[3].text_clean == "unique text"
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 2)
+    # trim convention: '  footer  ' is the same line as 'footer'
+    assert out[6].text_clean == "solo line" and out[6].n_dropped == 1
+
+
+def test_all_boilerplate_doc_survives_as_empty(spark):
+    # the LEFT-tag-join rule: doc 4 loses every line yet keeps its row —
+    # dropping documents is a downstream verdict, never this operator's
+    out = {r.doc_id: r for r in dedup_lines_across_docs(_fixture(spark), 3).collect()}
+    assert out[4].text_clean == "" and (out[4].n_lines, out[4].n_dropped) == (2, 2)
+    assert out[5].text_clean == "" and (out[5].n_lines, out[5].n_dropped) == (0, 0)
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # nobody erased
+
+
+def test_below_threshold_within_doc_repeats_survive(spark):
+    # a line repeated inside ONE doc only is dedup_lines_in_doc's job —
+    # this operator must leave both copies
+    df = _docs(spark, [(1, "once\ntwice\ntwice"), (2, "other")])
+    out = {r.doc_id: r for r in dedup_lines_across_docs(df, 2).collect()}
+    assert out[1].text_clean == "once\ntwice\ntwice" and out[1].n_dropped == 0
+
+
+def test_frozen_boilerplate_set_mode_matches_inline(spark):
+    # the epoch posture: a persisted boilerplate_lines frame broadcast
+    # against the batch gives the identical result, no freq pass
+    df = _fixture(spark)
+    bp = boilerplate_lines(df, 3)
+    inline = {tuple(r) for r in dedup_lines_across_docs(df, 3).collect()}
+    frozen = {tuple(r) for r in dedup_lines_across_docs(df, boilerplate=bp).collect()}
+    assert inline == frozen
+
+
+def test_min_doc_freq_validation(spark):
+    with pytest.raises(ValueError):
+        boilerplate_lines(_fixture(spark), 1)
+    with pytest.raises(ValueError):
+        dedup_lines_across_docs(_fixture(spark), 1)
+
+
+def test_matches_duckdb_replay(spark):
+    """Three-engine convention: the DuckDB replay (list_filter + one
+    boilerplate list, the gate's oracle shape) agrees row-for-row on a
+    text with planted boundary cases."""
+    import duckdb
+
+    rows = [(i, f"shared banner\ncontent {i % 7}\ntail {i}") for i in range(30)]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r.doc_id, r.text_clean, r.n_lines, r.n_dropped)
+        for r in dedup_lines_across_docs(df, 3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH llin AS (SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+          FROM documents),
+        lfreq AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(lines) AS line FROM llin)
+                  GROUP BY line HAVING COUNT(*) >= 3),
+        lbp AS (SELECT COALESCE(list(line), []) AS bp FROM lfreq)
+        SELECT doc_id,
+               array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)) AS text_clean,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(lines) - len(list_filter(lines, x -> NOT list_contains(bp, x))) AS BIGINT) AS n_dropped
+        FROM llin CROSS JOIN lbp
+        """
+        ).fetchall()
+    )
+    assert got == want
+    # 'content {i%7}' lines have df ≥ 4 (30/7) — dropped; 'tail {i}' unique — kept
+    by_id = dict((d, t) for d, t, _, _ in got)
+    assert by_id[0] == "tail 0"
+
+
+def test_plan_probe_never_shuffles_three_exchanges(spark):
+    """The 100 TB posture Catalyst actually picks (better than the naive
+    shuffle-both-sides shape): the post-threshold boilerplate set is TINY,
+    so it broadcasts back onto the UN-SHUFFLED probe stream
+    (BroadcastHashJoin LeftOuter — the full line stream never exchanges on
+    h). Exactly three shuffles: the count-distinct's (h, doc_id) dedup,
+    the (h) freq agg, and the one doc_id rebuild regroup — plus no
+    cartesian anywhere. If the set outgrows the broadcast threshold at a
+    permissive min_doc_freq, AQE falls back to a sort-merge join at
+    runtime; the declarative plan stays valid either way."""
+    from tamer_spark.plans import explain_str, read_schema_columns, shuffle_count
+    from tamer_spark.queries import line_dedup_docs_q
+
+    df = line_dedup_docs_q(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert shuffle_count(df) == 3, plan
+    scans = read_schema_columns(df)
+    assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
+
+
+def test_frozen_mode_plan_is_broadcast_probe(spark):
+    from tamer_spark.plans import explain_str, shuffle_count
+
+    df = _fixture(spark)
+    bp = boilerplate_lines(df, 3)
+    out = dedup_lines_across_docs(df, boilerplate=bp)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan
