@@ -93,15 +93,37 @@ _structure = (
     (" order", "! order"),
     (" batch", "? batch"),
     (" window", ".\nwindow"),
+    # every ' sort' plants the IDENTICAL standalone banner line across
+    # many documents — live cross-document boilerplate for stage 0b.
+    # (' value' would never match here: the encoding stage above turned it
+    # into ' välue' — the repair restores the INTENDED char, not ASCII.)
+    (" sort", ".\nsubscribe to our newsletter today.\nsort"),
 )
 text = F.col("text")
 for search, repl in _structure:
     text = F.replace(text, F.lit(search), F.lit(repl))
 structured = raw_docs.withColumn("text", text)
 cleaned = c4_line_filter(structured, min_sentences=2)
-span_deduped = c4_span_dedup(
-    cleaned.filter(F.col("keep") == 1).select("doc_id", F.col("text_clean").alias("text"))
+
+# 0b. cross-document boilerplate-line removal (Dolma §4.1 / RefinedWeb
+#     §3.2, remove-ALL by doc frequency) — BETWEEN the line filter and the
+#     span dedup, while line structure still exists (span dedup rebuilds
+#     text with '. ' joins, erasing newlines): the planted newsletter
+#     banner appears verbatim across many documents — template chrome,
+#     content in NONE of them — and must vanish from every host while
+#     each doc's own content lines survive. Steady-state epochs would
+#     broadcast a frozen boilerplate_lines set instead of re-counting
+#     (CURATION.md §1).
+from tamer_spark.operators.dedup import dedup_lines_across_docs
+
+lined = dedup_lines_across_docs(
+    cleaned.filter(F.col("keep") == 1).select("doc_id", F.col("text_clean").alias("text")),
+    min_doc_freq=5,
 )
+n_bp_lines = lined.agg(F.sum("n_dropped")).collect()[0][0]
+assert n_bp_lines and n_bp_lines > 0, "planted banner must be live boilerplate"
+
+span_deduped = c4_span_dedup(lined.select("doc_id", F.col("text_clean").alias("text")))
 n_spans_dropped = span_deduped.agg(F.sum("n_dropped")).collect()[0][0]
 docs = span_deduped.select("doc_id", F.col("text_dedup").alias("text"))
 n_c4 = docs.count()
@@ -362,7 +384,8 @@ out = spark.read.parquet(str(ws / "curated_chunks"))
 print(
     f"documents: {n0} → url-dedup {n_url} (encoding repair: "
     f"{n_damage_chars} damage chars removed) "
-    f"→ c4-clean {n_c4} (spans dropped: {n_spans_dropped}) "
+    f"→ c4-clean {n_c4} (spans dropped: {n_spans_dropped}, "
+    f"boilerplate lines stripped: {n_bp_lines}) "
     f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} "
     f"→ substring-run-dedup {n3b} → mixed {n4} "
     f"→ budget-capped {n4b} → decontaminated {n4c}"

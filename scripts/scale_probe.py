@@ -75,6 +75,12 @@ OPS = [
     "url_dedup_docs",
     "fix_encoding_docs",
     "seeded_shuffle_docs",
+    # r12: cross-doc line removal — line stream, freq agg, and rebuild all
+    # grow n×; output is one row per doc. (The n× verbatim copies push
+    # every line's doc_freq over the threshold, so the 10x run strips
+    # everything — a semantics artifact of the synthesis, but the COST
+    # stays linear, which is what the probe measures.)
+    "line_dedup_docs",
 ]
 
 
