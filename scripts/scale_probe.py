@@ -67,11 +67,12 @@ OPS = [
     # r11 continuation: url dedup is map-canonicalize + one digest shuffle
     # (doc_id-only scan); encoding repair is pure map; seeded shuffle is
     # one shard exchange + per-shard sort — all expect ~linear.
-    # hard_negatives is deliberately NOT probed (the dedup_phash_images /
-    # substring_run_pairs rule): the n× synthesis duplicates every vector
-    # verbatim, so LSH buckets grow n× and candidate PAIRS n²× — a
-    # quadratic artifact of the synthetic copies, not of the bucket-capped
-    # join; its scale posture is pinned by the no-cross-product plan test.
+    # hard_negatives AND contrastive_pairs are deliberately NOT probed
+    # (the dedup_phash_images / substring_run_pairs rule): the n× synthesis
+    # duplicates every vector verbatim, so LSH buckets grow n× and
+    # candidate PAIRS n²× — a quadratic artifact of the synthetic copies,
+    # not of the bucket-capped join; their scale posture is pinned by the
+    # no-cross-product / single-window plan tests.
     "url_dedup_docs",
     "fix_encoding_docs",
     "seeded_shuffle_docs",
