@@ -163,18 +163,22 @@ def dedup_lines_in_doc(
     )
 
 
-def _doc_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, idx, line, h): the corpus line stream under the pinned
-    corpus-wide line convention (split on '\\n', space-trimmed, empties
-    dropped — the same trim_nonempty every line operator shares), with
-    ``h`` = md5(line) so downstream shuffles move a 16-byte digest key,
-    not arbitrary-width line text, and ``idx`` the line's position among
-    the SURVIVING (nonempty) lines — the rebuild order."""
+def _doc_lines(
+    df: DataFrame, text_col: str, id_col: str, split_pattern: str = "\n"
+) -> DataFrame:
+    """(doc_id, n_lines, idx, line, h): the corpus line stream under the
+    pinned corpus-wide line convention (split on ``split_pattern``,
+    space-trimmed, empties dropped — the same trim_nonempty every line
+    operator shares), with ``h`` = md5(line) so downstream shuffles move a
+    16-byte digest key, not arbitrary-width line text, and ``idx`` the
+    line's position among the SURVIVING (nonempty) units — the rebuild
+    order. ``split_pattern`` is a Java regex: '\\n' gives line units (the
+    gate-pinned default), '\\n{2,}' gives Dolma-style paragraph units."""
     from tamer_spark.functions.text import trim_nonempty
 
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        trim_nonempty(F.split(F.col(text_col), "\n")).alias("_lines"),
+        trim_nonempty(F.split(F.col(text_col), split_pattern)).alias("_lines"),
     )
     return staged.select(
         "doc_id",
@@ -190,6 +194,7 @@ def boilerplate_lines(
     min_doc_freq: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_pattern: str = "\n",
 ) -> DataFrame:
     """Lines appearing in ≥ ``min_doc_freq`` DISTINCT documents:
     ``(h, line, doc_freq)`` — the cross-document boilerplate set (cookie
@@ -211,7 +216,7 @@ def boilerplate_lines(
             f"boilerplate_lines: min_doc_freq must be >= 2, got {min_doc_freq}"
         )
     return (
-        _doc_lines(df, text_col, id_col)
+        _doc_lines(df, text_col, id_col, split_pattern)
         .groupBy("h", "line")
         .agg(F.count_distinct("doc_id").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
@@ -224,6 +229,8 @@ def dedup_lines_across_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     boilerplate: DataFrame | None = None,
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
 ) -> DataFrame:
     """ACROSS-document boilerplate-line removal: every occurrence of a line
     whose document frequency is ≥ ``min_doc_freq`` is dropped from every
@@ -250,8 +257,13 @@ def dedup_lines_across_docs(
     AQE sort-merge join, not a failure. Steady-state epochs skip the freq
     pass entirely: pass a persisted ``boilerplate`` frame (from
     :func:`boilerplate_lines` over the historical corpus) and the batch
-    pays only its own map-side probe + rebuild."""
-    lines = _doc_lines(df, text_col, id_col)
+    pays only its own map-side probe + rebuild.
+
+    Paragraph mode (Dolma's actual unit): ``split_pattern='\\n{2,}'`` +
+    ``join_sep='\\n\\n'`` — units become blank-line-separated paragraphs,
+    everything else identical. A frozen ``boilerplate`` frame must have
+    been built with the SAME split_pattern."""
+    lines = _doc_lines(df, text_col, id_col, split_pattern)
     if boilerplate is None:
         if min_doc_freq < 2:
             raise ValueError(
@@ -289,7 +301,7 @@ def dedup_lines_across_docs(
                 F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["line"],
             ),
-            "\n",
+            join_sep,
         ).alias("text_clean"),
         F.max("n_lines").alias("n_lines"),
         (F.max("n_lines") - F.count(kept_struct)).cast("long").alias("n_dropped"),

@@ -150,6 +150,111 @@ def test_plan_probe_never_shuffles_three_exchanges(spark):
     assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
 
 
+def test_paragraph_mode_dolma_units(spark):
+    """Dolma's actual unit is the paragraph: split on blank lines, rejoin
+    with a blank line — a repeated multi-line paragraph is ONE unit, and
+    single newlines inside paragraphs survive untouched."""
+    para = "shared disclaimer line one\nshared disclaimer line two"
+    df = _docs(
+        spark,
+        [
+            (1, f"{para}\n\nunique body a\nstill body a"),
+            (2, f"{para}\n\nunique body b"),
+            (3, f"intro c\n\n{para}"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_lines_across_docs(
+            df, 3, split_pattern="\n{2,}", join_sep="\n\n"
+        ).collect()
+    }
+    assert out[1].text_clean == "unique body a\nstill body a"
+    assert out[2].text_clean == "unique body b"
+    assert out[3].text_clean == "intro c"
+    assert all((out[i].n_lines, out[i].n_dropped) == (2, 1) for i in (1, 2, 3))
+    # line mode on the same corpus would see 'shared disclaimer line one'
+    # and '...two' as separate df=3 lines — different units, same spirit
+    lm = {r.doc_id: r for r in dedup_lines_across_docs(df, 3).collect()}
+    assert lm[1].n_dropped == 2
+
+
+def _py_reference(rows, k):
+    """Pure-Python mirror of the pinned semantics, for the differential."""
+    def units(t):
+        # strip(' '), NOT strip(): the pinned convention is SPACE-trimmed
+        # (Spark F.trim removes ASCII 0x20 only — a tab-only line is a
+        # real unit in all three engines)
+        return [u for u in (x.strip(" ") for x in t.split("\n")) if u]
+
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in rows:
+        for u in units(t):
+            seen[u].add(i)
+    bp = {u for u, d in seen.items() if len(d) >= k}
+    out = {}
+    for i, t in rows:
+        us = units(t)
+        kept = [u for u in us if u not in bp]
+        out[i] = ("\n".join(kept), len(us), len(us) - len(kept))
+    return out
+
+
+def test_hypothesis_fuzz_matches_python_reference(spark):
+    """Adversarial multi-line texts (empty lines, whitespace-only lines,
+    repeated separators, lines equal after trim): Spark == the pure-Python
+    reference on every doc — any divergence is a real convention drift."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(alphabet=list("ab \t"), min_size=0, max_size=6)
+    doc = st.lists(line, min_size=0, max_size=8).map("\n".join)
+
+    @given(st.lists(doc, min_size=1, max_size=12))
+    @settings(max_examples=12, deadline=None)
+    def check(texts):
+        rows = list(enumerate(texts))
+        got = {
+            r.doc_id: (r.text_clean, r.n_lines, r.n_dropped)
+            for r in dedup_lines_across_docs(_docs(spark, rows), 2).collect()
+        }
+        assert got == _py_reference(rows, 2)
+
+    check()
+
+
+def test_frozen_set_epoch_loop_and_idempotence(spark):
+    """The incremental workflow pin: freeze the boilerplate set on the
+    epoch-0 corpus, strip every later batch against it (broadcast probe,
+    no freq pass). Stripping is idempotent — a batch of already-stripped
+    docs (e.g. re-sent curated survivors) loses nothing more — and a
+    later batch's NEW boilerplate is untouched by design until the set is
+    rebuilt (the frozen-model contract every incremental tier shares)."""
+    epoch0 = _docs(
+        spark,
+        [(i, f"cookie banner\ncontent {i}") for i in range(6)],
+    )
+    frozen = boilerplate_lines(epoch0, 3)
+    s0 = {r.doc_id: r for r in dedup_lines_across_docs(epoch0, boilerplate=frozen).collect()}
+    assert all(s0[i].text_clean == f"content {i}" for i in range(6))
+    # epoch 1: re-sent stripped docs + fresh docs carrying the old banner
+    epoch1 = _docs(
+        spark,
+        [(100 + i, s0[i].text_clean) for i in range(3)]
+        + [(200, "cookie banner\nnovel doc"), (201, "new banner\nx"), (202, "new banner\ny"), (203, "new banner\nz")],
+    )
+    s1 = {r.doc_id: r for r in dedup_lines_across_docs(epoch1, boilerplate=frozen).collect()}
+    assert all(s1[100 + i].n_dropped == 0 for i in range(3))  # idempotent
+    assert s1[200].text_clean == "novel doc"                   # old banner stripped
+    assert s1[201].text_clean == "new banner\nx"               # frozen set: new
+    # banner survives until the set is rebuilt — rebuild over epoch 1 catches it
+    rebuilt = boilerplate_lines(epoch1, 3)
+    s1b = {r.doc_id: r for r in dedup_lines_across_docs(epoch1, boilerplate=rebuilt).collect()}
+    assert s1b[201].text_clean == "x"
+
+
 def test_frozen_mode_plan_is_broadcast_probe(spark):
     from tamer_spark.plans import explain_str, shuffle_count
 
