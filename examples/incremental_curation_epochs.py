@@ -201,12 +201,17 @@ class CurationSink:
         # the qx* gibberish docs) is scored against the SAME frozen table.
         # The weights join is LEFT, so an unseen bucket contributes exactly
         # 0 instead of dropping the doc: every survivor gets a weight row.
-        if not DSIR_RATIO.exists():
+        # keyed on the COLD-START EPOCH + mode('overwrite'), not on
+        # exists(): a crash mid-write leaves a partial directory that an
+        # exists() guard would treat as trained, silently mis-scoring every
+        # later epoch — replaying epoch 0 must retrain and overwrite, the
+        # same idempotent-replay contract as the epoch-partitioned sinks
+        if epoch == 0:
             dsir_ratio_table(
                 hashed_ngram_buckets(dsir_target, buckets=DSIR_BUCKETS),
                 hashed_ngram_buckets(df, buckets=DSIR_BUCKETS),
                 buckets=DSIR_BUCKETS,
-            ).write.parquet(str(DSIR_RATIO))
+            ).write.mode("overwrite").parquet(str(DSIR_RATIO))
         frozen = spark.read.parquet(str(DSIR_RATIO))
         dsir_importance_weights(
             hashed_ngram_buckets(s3, buckets=DSIR_BUCKETS), frozen

@@ -204,19 +204,28 @@ def boilerplate_lines(
     them). Doc frequency counts documents, never occurrences — a line
     repeated inside one page (the dedup_lines_in_doc case) contributes 1.
 
-    Plan: explode the line stream, ONE (doc_id, h) dedup + (h) count —
-    the exchange on h is shared with :func:`dedup_lines_across_docs`'s
-    probe side (ReusedExchange). The output is corpus_lines/min_doc_freq
-    at most and tiny for real thresholds — persist it once per corpus
-    snapshot and broadcast it against every future epoch (the incremental
-    posture: stripping NEW batches against a FROZEN boilerplate set is a
-    broadcast anti-join, no corpus re-scan)."""
+    Plan: explode the line stream, one grouped count-distinct over
+    (h, line) → doc_freq, threshold filter. The output is
+    corpus_lines/min_doc_freq at most and tiny for real thresholds —
+    persist it once per corpus snapshot and broadcast it against every
+    future epoch (the incremental posture: stripping NEW batches against
+    a FROZEN boilerplate set is a broadcast probe, no corpus re-scan).
+
+    The ``line IS NOT NULL`` filter is load-bearing (review fix): the
+    line stream keeps line-less documents as (line NULL) placeholder rows
+    for the rebuild's sake, and without the filter a corpus with ≥ K
+    empty/whitespace-only docs would emit a phantom (h=NULL, line=NULL)
+    'boilerplate' row into every persisted snapshot. The inline path of
+    :func:`dedup_lines_across_docs` applies the SAME filter — the two
+    freq computations must never drift (pinned together in
+    tests/test_line_dedup.py)."""
     if min_doc_freq < 2:
         raise ValueError(
             f"boilerplate_lines: min_doc_freq must be >= 2, got {min_doc_freq}"
         )
     return (
         _doc_lines(df, text_col, id_col, split_pattern)
+        .filter(F.col("line").isNotNull())
         .groupBy("h", "line")
         .agg(F.count_distinct("doc_id").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
@@ -270,7 +279,14 @@ def dedup_lines_across_docs(
                 f"dedup_lines_across_docs: min_doc_freq must be >= 2, got {min_doc_freq}"
             )
         freq = (
-            lines.groupBy("h")
+            # same contract as boilerplate_lines (grouped by h alone so the
+            # shuffle carries the 16-byte key, not line text): the NOT NULL
+            # filter keeps line-less placeholder rows out of the freq count
+            # — without it, ≥K empty docs form a (h=NULL) group that the
+            # non-null-safe join below would SILENTLY never match, leaving
+            # the bug latent until a null-safe join refactor detonates it
+            lines.filter(F.col("line").isNotNull())
+            .groupBy("h")
             .agg(F.count_distinct("doc_id").alias("doc_freq"))
             .filter(F.col("doc_freq") >= min_doc_freq)
             .select("h", F.lit(True).alias("_bp"))
@@ -295,13 +311,22 @@ def dedup_lines_across_docs(
         F.col("_bp").isNull() & F.col("line").isNotNull(),
         F.struct("idx", "line"),
     )
+    # NULL-text contract (review fix): F.size(NULL) is NULL, so a NULL-text
+    # doc carries n_lines NULL — its text_clean must be NULL too (split of
+    # NULL is NULL in all three engines; dedup_lines_in_doc and the gate
+    # oracle agree), not the '' that array_join over an empty collect_list
+    # would manufacture. '' remains reserved for real all-boilerplate /
+    # line-less docs (n_lines 0 or more).
     return tagged.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["line"],
+        F.when(
+            F.max("n_lines").isNotNull(),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                join_sep,
             ),
-            join_sep,
         ).alias("text_clean"),
         F.max("n_lines").alias("n_lines"),
         (F.max("n_lines") - F.count(kept_struct)).cast("long").alias("n_dropped"),

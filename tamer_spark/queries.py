@@ -3208,7 +3208,12 @@ _LINEX_ORACLE = f"""
               GROUP BY line HAVING COUNT(*) >= {_LINEX_MIN_DF}),
     lbp AS (SELECT COALESCE(list(line), []) AS bp FROM lfreq)
     SELECT doc_id,
-           array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)) AS text_clean,
+           -- empty-vs-NULL convention pinned to Spark: array_join([]) = ''
+           -- but DuckDB array_to_string([]) = NULL, so COALESCE the
+           -- NON-NULL-lines branch to '' while a NULL text stays NULL
+           CASE WHEN lines IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)), '')
+           END AS text_clean,
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(lines) - len(list_filter(lines, x -> NOT list_contains(bp, x))) AS BIGINT) AS n_dropped
     FROM llin CROSS JOIN lbp

@@ -3,7 +3,7 @@ boilerplate_lines + dedup_lines_across_docs — Dolma §4.1 / RefinedWeb §3.2
 remove-ALL line dedup, the complement of c4_span_dedup's keep-first and of
 dedup_lines_in_doc's within-page scope). Pins the doc-frequency contract,
 the remove-all semantics, the all-boilerplate/'' survival rule, the frozen
-boilerplate-set epoch mode, and the two-shuffle/ReusedExchange plan."""
+boilerplate-set epoch mode, and the broadcast-probe/three-shuffle plan."""
 
 from __future__ import annotations
 
@@ -115,7 +115,9 @@ def test_matches_duckdb_replay(spark):
                   GROUP BY line HAVING COUNT(*) >= 3),
         lbp AS (SELECT COALESCE(list(line), []) AS bp FROM lfreq)
         SELECT doc_id,
-               array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)) AS text_clean,
+               CASE WHEN lines IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)), '')
+               END AS text_clean,
                CAST(len(lines) AS BIGINT) AS n_lines,
                CAST(len(lines) - len(list_filter(lines, x -> NOT list_contains(bp, x))) AS BIGINT) AS n_dropped
         FROM llin CROSS JOIN lbp
@@ -148,6 +150,66 @@ def test_plan_probe_never_shuffles_three_exchanges(spark):
     assert shuffle_count(df) == 3, plan
     scans = read_schema_columns(df)
     assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
+
+
+def test_no_phantom_null_boilerplate_from_empty_docs(spark):
+    """Review fix: ≥K line-less docs must NOT mint a (h=NULL, line=NULL)
+    'boilerplate' row — the placeholder rows exist for the rebuild, never
+    for the frequency count. Pinned on BOTH freq paths (the persisted-set
+    builder and the inline path) so they cannot drift."""
+    df = _docs(
+        spark,
+        [(1, ""), (2, ""), (3, None), (4, "x\ny"), (5, "x\nz")],
+    )
+    bp = boilerplate_lines(df, 2).collect()
+    assert [(r.line, r.doc_freq) for r in bp] == [("x", 2)]
+    assert all(r.h is not None for r in bp)
+    # inline path agrees: only 'x' stripped, empty/NULL docs intact
+    out = {r.doc_id: r for r in dedup_lines_across_docs(df, 2).collect()}
+    assert out[4].text_clean == "y" and out[5].text_clean == "z"
+    assert out[1].text_clean == "" and out[2].text_clean == ""
+
+
+def test_null_text_doc_contract_matches_oracle(spark):
+    """Review fix: a NULL-text doc yields (NULL, NULL, NULL) — split of
+    NULL is NULL in all three engines (dedup_lines_in_doc and the gate
+    oracle agree); '' is reserved for real line-less/all-boilerplate docs.
+    The DuckDB replay is run on the same corpus to pin the parity."""
+    import duckdb
+
+    rows = [(1, "dup\na"), (2, "dup\nb"), (3, None), (4, "")]
+    df = _docs(spark, rows)
+    got = sorted(
+        (r.doc_id, r.text_clean, r.n_lines, r.n_dropped)
+        for r in dedup_lines_across_docs(df, 2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH llin AS (SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+          FROM documents),
+        lfreq AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(lines) AS line FROM llin)
+                  GROUP BY line HAVING COUNT(*) >= 2),
+        lbp AS (SELECT COALESCE(list(line), []) AS bp FROM lfreq)
+        SELECT doc_id,
+               CASE WHEN lines IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(list_filter(lines, x -> NOT list_contains(bp, x)), chr(10)), '')
+               END AS text_clean,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(lines) - len(list_filter(lines, x -> NOT list_contains(bp, x))) AS BIGINT) AS n_dropped
+        FROM llin CROSS JOIN lbp
+        """
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {d: (t, nl, nd) for d, t, nl, nd in got}
+    assert by_id[3] == (None, None, None)
+    assert by_id[4] == ("", 0, 0)
 
 
 def test_paragraph_mode_dolma_units(spark):
