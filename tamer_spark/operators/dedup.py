@@ -333,6 +333,50 @@ def dedup_lines_across_docs(
     )
 
 
+def strip_boilerplate_map_only(
+    df: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """The steady-state form of :func:`dedup_lines_across_docs`'s frozen
+    mode with ZERO batch shuffles: the persisted boilerplate set is
+    aggregated to ONE row (``collect_set(line)``), broadcast, and each
+    document's line array is filtered by an array HOF — no explode, no
+    regroup, scan-rate. Because it is aggregate-free per document, it
+    composes into the append-mode Structured Streaming cleaning tier
+    (stream-static broadcast of the one-row set; pinned in
+    tests/test_line_dedup.py) — strip boilerplate as data LANDS, instead
+    of per-epoch batch rebuilds.
+
+    Output and NULL/empty semantics are bit-identical to
+    ``dedup_lines_across_docs(df, boilerplate=...)`` (equivalence-pinned):
+    NULL text → (NULL, NULL, NULL), all-boilerplate/line-less → ''.
+    The set must fit one executor row (same broadcast bound as the frozen
+    join mode — true for real thresholds, where boilerplate is a
+    vocabulary-sized object like the BPE merge table or the bloom words).
+    ``boilerplate`` must come from :func:`boilerplate_lines` with the SAME
+    ``split_pattern``."""
+    from tamer_spark.functions.text import trim_nonempty
+
+    bps = F.broadcast(boilerplate.agg(F.collect_set("line").alias("_bps")))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        trim_nonempty(F.split(F.col(text_col), split_pattern)).alias("_lines"),
+    ).crossJoin(bps)
+    kept = F.filter(F.col("_lines"), lambda x: ~F.array_contains(F.col("_bps"), x))
+    return staged.select(
+        "doc_id",
+        F.when(
+            F.col("_lines").isNotNull(), F.array_join(kept, join_sep)
+        ).alias("text_clean"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
 def shingle_string_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -317,6 +317,75 @@ def test_frozen_set_epoch_loop_and_idempotence(spark):
     assert s1b[201].text_clean == "x"
 
 
+def test_map_only_strip_equals_frozen_join_mode(spark):
+    """strip_boilerplate_map_only == dedup_lines_across_docs(frozen) on a
+    corpus with every boundary case (dups, all-boilerplate, line-less,
+    NULL text, trim) — and its plan has ZERO shuffle exchanges: the
+    one-row collect_set aggregate is broadcast, the per-doc filter is an
+    array HOF. This is the streaming/steady-state shape."""
+    from tamer_spark.operators.dedup import strip_boilerplate_map_only
+    from tamer_spark.plans import explain_str, shuffle_count
+
+    rows = [
+        (1, "COOKIE BANNER\nreal content one\nfooter"),
+        (2, "COOKIE BANNER\nreal content two\nfooter"),
+        (3, "COOKIE BANNER\nCOOKIE BANNER"),
+        (4, ""),
+        (5, None),
+        (6, "  footer  \nsolo"),
+    ]
+    df = _docs(spark, rows)
+    bp = boilerplate_lines(df, 2)
+    join_mode = {tuple(r) for r in dedup_lines_across_docs(df, boilerplate=bp).collect()}
+    # materialize the set first, as production does (it is a PERSISTED
+    # snapshot) — otherwise the probe plan inherits the build's shuffles
+    bp_frozen = spark.createDataFrame(bp.collect(), bp.schema)
+    map_mode_df = strip_boilerplate_map_only(df, bp_frozen)
+    # plan asserts BEFORE collect: an executed AQE plan explains as
+    # final+initial and double-counts its one exchange
+    plan = explain_str(map_mode_df)
+    # the batch side never shuffles: the only exchange left is the frozen
+    # set's own one-row collect_set agg (tiny), broadcast to the probe
+    assert shuffle_count(map_mode_df) <= 1, plan  # the set's tiny agg only
+    assert "hashpartitioning(doc_id" not in plan, plan  # probe never regroups
+    assert {tuple(r) for r in map_mode_df.collect()} == join_mode
+
+
+def test_map_only_strip_streams_append_mode(spark, tmp_path):
+    """The zero-shuffle form composes into the append-mode streaming
+    cleaning tier (the 100 TB ingest posture: strip template chrome as
+    data lands): a streamed run over the same files equals the batch run,
+    no watermark, no state store."""
+    from tamer_spark.operators.dedup import strip_boilerplate_map_only
+
+    src = tmp_path / "docs"
+    rows = [
+        (1, "cookie banner\ncontent one"),
+        (2, "cookie banner\ncontent two"),
+        (3, "cookie banner\ncookie banner"),
+        (4, "solo content"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+    static = spark.read.parquet(str(src))
+    bp = boilerplate_lines(static, 3)
+
+    batch = {tuple(r) for r in strip_boilerplate_map_only(static, bp).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        strip_boilerplate_map_only(stream, bp)
+        .writeStream.format("memory")
+        .queryName("bp_strip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM bp_strip").collect()}
+    assert streamed == batch
+    assert {t[1] for t in streamed} == {"content one", "content two", "", "solo content"}
+
+
 def test_frozen_mode_plan_is_broadcast_probe(spark):
     from tamer_spark.plans import explain_str, shuffle_count
 
