@@ -174,19 +174,29 @@ def _doc_lines(
     line's position among the SURVIVING (nonempty) units — the rebuild
     order. ``split_pattern`` is a Java regex: '\\n' gives line units (the
     gate-pinned default), '\\n{2,}' gives Dolma-style paragraph units."""
-    from tamer_spark.functions.text import trim_nonempty
-
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        trim_nonempty(F.split(F.col(text_col), split_pattern)).alias("_lines"),
-    )
-    return staged.select(
+    return _staged_line_arrays(df, text_col, id_col, split_pattern).select(
         "doc_id",
         # each exploded row carries its doc's line total so the rebuild agg
         # never needs a second doc_id regroup of the stream for totals
         F.size("_lines").cast("long").alias("n_lines"),
         F.posexplode_outer("_lines").alias("idx", "line"),
     ).withColumn("h", F.md5("line"))
+
+
+def _staged_line_arrays(
+    df: DataFrame, text_col: str, id_col: str, split_pattern: str
+) -> DataFrame:
+    """(doc_id, _lines): THE corpus line/paragraph-unit convention (split
+    on ``split_pattern``, space-trimmed, empties dropped) in exactly one
+    place — _doc_lines (the exploded stream) and strip_boilerplate_map_only
+    (the array-HOF fast path) both derive from this, so the two forms
+    cannot drift on what a 'line' is."""
+    from tamer_spark.functions.text import trim_nonempty
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        trim_nonempty(F.split(F.col(text_col), split_pattern)).alias("_lines"),
+    )
 
 
 def boilerplate_lines(
@@ -352,28 +362,42 @@ def strip_boilerplate_map_only(
     of per-epoch batch rebuilds.
 
     Output and NULL/empty semantics are bit-identical to
-    ``dedup_lines_across_docs(df, boilerplate=...)`` (equivalence-pinned):
-    NULL text → (NULL, NULL, NULL), all-boilerplate/line-less → ''.
-    The set must fit one executor row (same broadcast bound as the frozen
-    join mode — true for real thresholds, where boilerplate is a
-    vocabulary-sized object like the BPE merge table or the bloom words).
-    ``boilerplate`` must come from :func:`boilerplate_lines` with the SAME
-    ``split_pattern``."""
-    from tamer_spark.functions.text import trim_nonempty
+    ``dedup_lines_across_docs(df, boilerplate=...)`` on the standard
+    unique-``doc_id`` ingest contract (equivalence-pinned): NULL text →
+    (NULL, NULL, NULL), all-boilerplate/line-less → ''. One documented
+    divergence OUTSIDE that contract: this form is strictly per-ROW (a
+    duplicated doc_id yields one output row per input row), while the
+    join mode's groupBy(doc_id) would MERGE the copies into one row with
+    interleaved lines — dedup your ids first (it is a dedup library).
 
+    Cost note: the HOF probe is a linear scan of the set per line —
+    O(lines × |set|) string compares per document, vs the frozen join
+    mode's hashed O(1) probe per line. The filtered array is STAGED
+    through a one-element Generate so the scan runs ONCE per document
+    (lambda expressions are excluded from Spark's subexpression
+    elimination — two references would run it twice; same trap as the
+    minhash staged arrays). The set must fit one executor row (the same
+    broadcast bound as the frozen join mode — true for real thresholds,
+    where boilerplate is a vocabulary-sized object like the BPE merge
+    table or the bloom words). ``boilerplate`` must come from
+    :func:`boilerplate_lines` with the SAME ``split_pattern``."""
     bps = F.broadcast(boilerplate.agg(F.collect_set("line").alias("_bps")))
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        trim_nonempty(F.split(F.col(text_col), split_pattern)).alias("_lines"),
-    ).crossJoin(bps)
+    staged = _staged_line_arrays(df, text_col, id_col, split_pattern).crossJoin(bps)
     kept = F.filter(F.col("_lines"), lambda x: ~F.array_contains(F.col("_bps"), x))
-    return staged.select(
+    # explode_outer(array(kept)): a Generate barrier CollapseProject cannot
+    # cross, so the O(|set|)-per-line filter is evaluated exactly once and
+    # both outputs below read the staged attribute (NULL _lines → filter
+    # NULL → one row with _kept NULL, preserving the NULL-text contract)
+    kept_staged = staged.select(
+        "doc_id", "_lines", F.explode_outer(F.array(kept)).alias("_kept")
+    )
+    return kept_staged.select(
         "doc_id",
         F.when(
-            F.col("_lines").isNotNull(), F.array_join(kept, join_sep)
+            F.col("_lines").isNotNull(), F.array_join(F.col("_kept"), join_sep)
         ).alias("text_clean"),
         F.size("_lines").cast("long").alias("n_lines"),
-        (F.size("_lines") - F.size(kept)).cast("long").alias("n_dropped"),
+        (F.size("_lines") - F.size("_kept")).cast("long").alias("n_dropped"),
     )
 
 

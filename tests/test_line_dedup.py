@@ -348,7 +348,26 @@ def test_map_only_strip_equals_frozen_join_mode(spark):
     # set's own one-row collect_set agg (tiny), broadcast to the probe
     assert shuffle_count(map_mode_df) <= 1, plan  # the set's tiny agg only
     assert "hashpartitioning(doc_id" not in plan, plan  # probe never regroups
+    # the O(|set|)-per-line probe runs ONCE: the filtered array is staged
+    # through a Generate barrier (lambdas are excluded from subexpression
+    # elimination — a CollapseProject regression would inline the filter
+    # into BOTH text_clean and n_dropped, doubling the hot-path cost)
+    simple = explain_str(map_mode_df, mode="simple")
+    assert simple.count("array_contains") == 1, simple
     assert {tuple(r) for r in map_mode_df.collect()} == join_mode
+
+
+def test_map_only_strip_is_per_row_on_duplicate_ids(spark):
+    """Documented divergence outside the unique-doc_id ingest contract:
+    the map-only form is strictly per-ROW (streaming has no groupBy), so a
+    duplicated doc_id yields one output row per input row — the join mode
+    would merge them. Pinned so the docstring's caveat stays true."""
+    from tamer_spark.operators.dedup import strip_boilerplate_map_only
+
+    df = _docs(spark, [(1, "bp\nb"), (1, "bp\nc")])
+    bp = spark.createDataFrame([("h", "bp", 2)], "h string, line string, doc_freq long")
+    out = sorted(tuple(r) for r in strip_boilerplate_map_only(df, bp).collect())
+    assert out == [(1, "b", 2, 1), (1, "c", 2, 1)]
 
 
 def test_map_only_strip_streams_append_mode(spark, tmp_path):
@@ -380,7 +399,7 @@ def test_map_only_strip_streams_append_mode(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM bp_strip").collect()}
     assert streamed == batch
     assert {t[1] for t in streamed} == {"content one", "content two", "", "solo content"}
