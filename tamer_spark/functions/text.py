@@ -428,6 +428,85 @@ def canonicalize_url_py(url: str) -> str:
     return host + path + ("?" + "&".join(kept) if kept else "")
 
 
+# Registrable-domain extraction — the CCNet/RefinedWeb PER-DOMAIN key
+# (CCNet aggregates quality by domain; RefinedWeb §3.1 filters whole
+# domains via blocklists: a domain-level verdict needs a domain-level
+# group key, and the bare host over-splits — blog.example.com and
+# www.example.com are the same publisher). Heuristic, NOT the full Public
+# Suffix List (not vendorable here): the registrable domain is the last
+# TWO host labels, or THREE when the last two form one of the pinned
+# common two-level public suffixes below. Documented limitations: exotic
+# PSL entries (city TLDs, private suffixes like github.io) resolve to
+# their last two labels — fine for a GROUPING key (it under-splits only
+# inside shared-hosting suffixes); IPv4 hosts are returned whole (their
+# 'last two labels' are meaningless); ANY explicit port is stripped
+# (unlike the dedup canonicalizer, which strips only :80/:443 — a port is
+# never part of a domain verdict). Every step sits in the Java-regex/RE2
+# common subset so DuckDB replays the chain exactly.
+TWO_LEVEL_SUFFIXES = (
+    "ac.jp", "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "com.tw", "edu.au", "go.jp", "gov.au", "gov.uk", "ne.jp", "net.au",
+    "or.jp", "org.au", "org.nz", "org.uk",
+)
+URL_ANY_PORT_RE = r":[0-9]+$"
+IPV4_HOST_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
+
+
+def url_host_col(url: Column) -> Column:
+    """Lowercased host of a URL column, www. and ANY explicit port
+    stripped — the domain family's host convention (shared by
+    registrable_domain_col and the DuckDB/py mirrors)."""
+    s = F.regexp_replace(url, URL_SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(s, URL_HOSTPORT_RE, 0))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, URL_WWW_RE, ""), URL_ANY_PORT_RE, ""
+    )
+
+
+def registrable_domain_col(url: Column) -> Column:
+    """Registrable domain of a URL column (constants/heuristic above).
+    Pure Catalyst chain — map-only, zero shuffles; NULL url → NULL.
+    Empty-host inputs (relative references) yield '' — callers that group
+    must singleton them (domain_doc_counts does, the url_dedup_counts
+    NULL rule)."""
+    host = url_host_col(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(host.rlike(IPV4_HOST_RE), host)
+        .when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def registrable_domain_py(url: str) -> str:
+    """Pure-Python reference of registrable_domain_col (stdlib re only —
+    the third engine for differential tests)."""
+    import re
+
+    s = re.sub(URL_SCHEME_RE, "", url)
+    m = re.match(URL_HOSTPORT_RE, s)
+    hostport = (m.group(0) if m else "").lower()
+    host = re.sub(URL_ANY_PORT_RE, "", re.sub(URL_WWW_RE, "", hostport))
+    if re.match(IPV4_HOST_RE, host):
+        return host
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
 # Encoding repair (ftfy-lite; Speer 2019, "ftfy: fixes text for you" — the
 # mojibake-repair pass web pipelines run on extracted text before any
 # filtering, since quality scores and dedup keys computed over broken

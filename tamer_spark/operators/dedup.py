@@ -96,6 +96,68 @@ def url_dedup_counts(
     )
 
 
+def domain_doc_counts(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-REGISTRABLE-DOMAIN document rollup, dedup-shaped: one row per
+    domain with the min-id representative and the doc count — the grouping
+    step under CCNet's per-domain quality aggregation and RefinedWeb §3.1's
+    domain-blocklist filtering (a domain-level verdict needs a domain-level
+    key; the bare host over-splits a publisher into its subdomains).
+
+    Same cost shape as url_dedup_counts: the registrable-domain extraction
+    (functions/text.registrable_domain_col — PSL-heuristic, limits
+    documented there) is a map-only Catalyst chain, and the only shuffle
+    is the groupBy on md5(domain) with map-side combine; the text column
+    is never scanned. Returns (content_hash, keep_id, dup_count).
+
+    NULL urls AND empty-host urls (relative references — no host, so no
+    domain) form SINGLETON groups (key ``nulldomain-<id>``): a domain
+    verdict is undefined without a domain, and the two failure modes the
+    url_dedup_counts NULL rule pins (merge-all under one key; drop-all via
+    exclusion) apply here identically."""
+    from tamer_spark.functions.text import registrable_domain_col
+
+    dom = registrable_domain_col(F.col(url_col))
+    key = F.coalesce(
+        F.when(F.length(dom) > 0, F.md5(dom)),
+        F.concat(F.lit("nulldomain-"), F.col(id_col).cast("string")),
+    )
+    return (
+        df.select(F.col(id_col), key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def filter_blocklisted_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """RefinedWeb §3.1 URL filtering: drop every document whose registrable
+    domain appears in ``blocklist`` (a frame with ``domain_col`` holding
+    registrable domains — build it once, curate it by hand or from
+    domain_doc_counts + quality rollups, persist it). Broadcast anti-join
+    on the extracted domain — map-side at any corpus size (the blocklist
+    is list-sized, not corpus-sized); rows with NULL urls or empty hosts
+    have no domain and are KEPT (a blocklist can only match an actual
+    domain — dropping url-less docs here would repeat the url_dedup_counts
+    drop-all trap)."""
+    from tamer_spark.functions.text import registrable_domain_col
+
+    tagged = df.withColumn("_dom", registrable_domain_col(F.col(url_col)))
+    out = tagged.join(
+        F.broadcast(
+            blocklist.select(F.col(domain_col).alias("_dom")).dropDuplicates(["_dom"])
+        ),
+        "_dom",
+        "left_anti",
+    )
+    return out.drop("_dom")
+
+
 def sentence_dedup_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_len: int = 1
 ) -> DataFrame:

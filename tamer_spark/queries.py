@@ -1089,6 +1089,82 @@ def _url_canon_sql() -> str:
     """
 
 
+# Domain-variant URL derivation: unlike _derived_url_col (whose hosts all
+# share one registrable domain — right for URL dedup, degenerate for a
+# DOMAIN rollup), this one plants every extraction trap with real domain
+# diversity: subdomains that must COLLAPSE (www./blog./shop. of one
+# publisher), a pinned two-level public suffix (three-label rule), an
+# explicit non-default port (any-port strip), IPv4 hosts (returned whole),
+# a single-label host, and a host-less relative reference (singleton rule).
+def _derived_domain_url_col():
+    d = F.col("doc_id")
+    n20 = (d % 20).cast("string")
+    return (
+        F.when(d % 7 == 0, F.concat(F.lit("https://WWW.Site"), n20, F.lit(".Example.COM/a")))
+        .when(d % 7 == 1, F.concat(F.lit("http://shop.site"), n20, F.lit(".co.uk:8080/x")))
+        .when(d % 7 == 2, F.concat(F.lit("http://blog.site"), n20, F.lit(".example.com/y")))
+        .when(d % 7 == 3, F.concat(F.lit("HTTP://10."), (d % 5).cast("string"), F.lit(".0.1/path")))
+        .when(d % 7 == 4, F.lit("http://localhost/z"))
+        .when(d % 7 == 5, F.lit("/relative/path?x=1"))
+        .otherwise(F.concat(F.lit("https://Site"), n20, F.lit(".example.COM:443/z")))
+    )
+
+
+_DOMAIN_URL_SQL = """
+    SELECT doc_id,
+      (CASE doc_id % 7
+         WHEN 0 THEN 'https://WWW.Site' || (doc_id % 20) || '.Example.COM/a'
+         WHEN 1 THEN 'http://shop.site' || (doc_id % 20) || '.co.uk:8080/x'
+         WHEN 2 THEN 'http://blog.site' || (doc_id % 20) || '.example.com/y'
+         WHEN 3 THEN 'HTTP://10.' || (doc_id % 5) || '.0.1/path'
+         WHEN 4 THEN 'http://localhost/z'
+         WHEN 5 THEN '/relative/path?x=1'
+         ELSE 'https://Site' || (doc_id % 20) || '.example.COM:443/z' END) AS url
+    FROM documents
+    """
+
+
+def _domain_rollup_sql() -> str:
+    """Oracle replay of the registrable-domain chain, generated from the
+    SAME constants functions/text.registrable_domain_col compiles to
+    Catalyst (host regexes, any-port strip, IPv4 guard, pinned two-level
+    suffix list) — the engines cannot silently diverge."""
+    import tamer_spark.functions.text as T
+
+    suffixes = ", ".join(f"'{sfx}'" for sfx in T.TWO_LEVEL_SUFFIXES)
+    return f"""
+    WITH du AS ({_DOMAIN_URL_SQL}),
+    dh AS (SELECT doc_id,
+           regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '{T.URL_SCHEME_RE}', ''), '{T.URL_HOSTPORT_RE}')), '{T.URL_WWW_RE}', ''), '{T.URL_ANY_PORT_RE}', '') AS host
+      FROM du),
+    dl AS (SELECT doc_id, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM dh),
+    dd AS (SELECT doc_id,
+           CASE WHEN regexp_matches(host, '{T.IPV4_HOST_RE}') THEN host
+                WHEN n >= 3 AND (ls[n-1] || '.' || ls[n]) IN ({suffixes})
+                  THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+                WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+                ELSE host END AS dom
+      FROM dl),
+    dk AS (SELECT doc_id,
+           CASE WHEN dom IS NULL OR dom = '' THEN 'nulldomain-' || doc_id
+                ELSE md5(dom) END AS k
+      FROM dd)
+    SELECT k AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+    FROM dk GROUP BY k
+    """
+
+
+# Standalone builder kept for plan pins (graded via the merged dedup_exact
+# gate's 'domain' variant).
+def domain_rollup_docs_q(spark, sf):
+    from tamer_spark.operators.dedup import domain_doc_counts
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _derived_domain_url_col().alias("url")
+    )
+    return domain_doc_counts(d)
+
+
 # Standalone builder kept for plan pins / bench (graded via the merged
 # dedup_exact gate's 'url' variant).
 def url_dedup_docs_q(spark, sf):
@@ -1115,8 +1191,11 @@ def url_dedup_docs_q(spark, sf):
     UNION ALL
     SELECT 'url', md5(c), CAST(min(doc_id) AS BIGINT), COUNT(*)
     FROM ({_url_canon_sql()}) GROUP BY md5(c)
+    UNION ALL
+    SELECT 'domain', content_hash, keep_id, dup_count
+    FROM ({_domain_rollup_sql()})
     """,
-    doc="Exact dedup at four granularities tagged in one result: raw document, whitespace/case-normalized document, corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents), and URL-level dedup (r11: the CCNet/RefinedWeb stage run FIRST, before any text read — canonicalize scheme/www/default-port/fragment/trailing-slash/tracking-params over a pinned six-dimension URL derivation of doc_id, then one digest shuffle; the text column never enters the url variant's scan). Single md5-digest shuffle per variant, map-side combine.",
+    doc="Exact dedup/rollup at five granularities tagged in one result: raw document, whitespace/case-normalized document, corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents), URL-level dedup (r11: the CCNet/RefinedWeb stage run FIRST, before any text read — canonicalize scheme/www/default-port/fragment/trailing-slash/tracking-params over a pinned six-dimension URL derivation of doc_id, then one digest shuffle; the text column never enters the url variant's scan), and REGISTRABLE-DOMAIN doc rollup (r12: the CCNet per-domain aggregation / RefinedWeb §3.1 domain-blocklist key — PSL-heuristic extraction [last two host labels, three over a pinned two-level-suffix list, IPv4 hosts whole, any port stripped] over a derivation planting subdomain collapse, a co.uk three-label case, an :8080 port, IPs, a single-label host, and host-less relative refs that become nulldomain singletons; oracle replays the chain from the same constants). Single md5-digest shuffle per variant, map-side combine.",
 )
 def dedup_exact_q(spark, sf):
     from tamer_spark.operators.dedup import sentence_dedup_counts
@@ -1134,7 +1213,10 @@ def dedup_exact_q(spark, sf):
     url = url_dedup_docs_q(spark, sf).select(
         F.lit("url").alias("variant"), "content_hash", "keep_id", "dup_count"
     )
-    return raw.unionByName(norm).unionByName(sent).unionByName(url)
+    dom = domain_rollup_docs_q(spark, sf).select(
+        F.lit("domain").alias("variant"), "content_hash", "keep_id", "dup_count"
+    )
+    return raw.unionByName(norm).unionByName(sent).unionByName(url).unionByName(dom)
 
 
 
@@ -5056,6 +5138,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_markup_docs": strip_markup_docs_q,
     "line_dedup_docs": line_dedup_docs_q,
     "url_dedup_docs": url_dedup_docs_q,
+    "domain_rollup_docs": domain_rollup_docs_q,
     "fix_encoding_docs": fix_encoding_docs_q,
     "seeded_shuffle_docs": seeded_shuffle_docs_q,
     "hard_negatives": hard_negatives_q,
