@@ -82,6 +82,9 @@ OPS = [
     # everything — a semantics artifact of the synthesis, but the COST
     # stays linear, which is what the probe measures.)
     "line_dedup_docs",
+    # r12: domain rollup — same cost shape as url_dedup (map extraction +
+    # one digest shuffle); expect ~flat
+    "domain_rollup_docs",
 ]
 
 
