@@ -77,6 +77,30 @@ def test_differential_spark_matches_python_reference(spark):
         assert r.d == registrable_domain_py(r.url), (r.url, r.d)
 
 
+def test_hypothesis_fuzz_spark_matches_python(spark):
+    """Adversarial URL-shaped strings (dot runs, empty labels, stray
+    ports, digits-only hosts that straddle the IPv4 guard, userinfo-ish
+    '@'): the Spark chain and the pure-Python reference must agree on
+    every input — the same mirrored-step contract as the canonicalizer
+    fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab09.:/wxyz-@"))
+    urlish = st.text(alphabet=alphabet, min_size=0, max_size=24).map(
+        lambda t: "http://" + t
+    )
+
+    @given(st.lists(urlish, min_size=1, max_size=30, unique=True))
+    @settings(max_examples=15, deadline=None)
+    def check(urls):
+        got = _dom(spark, urls)
+        for u, d in zip(urls, got):
+            assert d == registrable_domain_py(u), (u, d)
+
+    check()
+
+
 def test_domain_doc_counts_singleton_rules(spark):
     """NULL urls AND host-less relative refs are nulldomain singletons —
     neither merged into one group nor dropped (the url_dedup_counts
