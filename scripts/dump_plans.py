@@ -35,6 +35,7 @@ SHOW = [
     ("hard_positives", "Hard-positive mining: same candidate join as the negatives (shared _mined_pairs core), label equality + cosine-ASC ranking."),
     ("contrastive_pairs", "The graded production triple miner (r12): ONE LSH-bucket candidate join and ONE (anchor, side) window rank BOTH contrastive tiers — the sort key flips sign per side, so no second exchange exists."),
     ("line_dedup_docs", "Cross-document boilerplate-line removal (r12): the post-threshold set broadcasts onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter); three shuffles total — count-distinct dedup, freq agg, one doc_id rebuild regroup."),
+    ("domain_rollup_docs", "Registrable-domain rollup (r12): map-only PSL-heuristic extraction over a doc_id-derived URL, ONE md5-digest shuffle; the documents scan reads doc_id only."),
 ]
 
 def main() -> None:
