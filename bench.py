@@ -140,6 +140,25 @@ def _pq_search_adc_hot(spark, sf_dir):
     return pq_search_adc(_MEMO[key], cb, emb.filter(F.col("vec_id") < 10), topk=5)
 
 
+def _sq_search_hot(spark, sf_dir):
+    # SQ8 top-5 for 10 queries over a PERSISTED code table under frozen
+    # per-dimension bounds (both built in warm-up): times the asymmetric
+    # search itself — map-side ×255-scale reconstruction + one int64
+    # squared-diff fold per candidate against the broadcast query set
+    from tamer_spark.operators.sq import sq_encode, sq_search, sq_train
+
+    key = ("sq_model", sf_dir)
+    if key not in _MEMO:
+        emb = Q._t(spark, sf_dir, "embeddings")
+        bounds = sq_train(emb)
+        coded = sq_encode(emb, bounds).persist()
+        coded.count()
+        _MEMO[key] = (bounds, coded)
+    bounds, coded = _MEMO[key]
+    qs = Q._t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return sq_search(coded, bounds, qs, topk=5)
+
+
 def _quality_ppl_bucket(spark, sf_dir):
     # CCNet tercile bucketing hot path: self-trained bigram LM scoring +
     # per-language ntile. Timed COLD like dedup_minhash_lsh (the internal
@@ -343,6 +362,10 @@ HEADLINE = {
     # serving/epoch tier (round 5+): the composed IVFADC retrieval path and
     # the incremental semantic-dedup epoch — the operators the steady-state
     # story rests on, now tracked round-over-round
+    # SQ8 search (r12): the third quantization leg — asymmetric search over
+    # persisted int8 codes with frozen bounds (near-exact at 4× compression;
+    # pq_search_adc is the 128× / lower-recall sibling)
+    "sq8_search": _sq_search_hot,
     "ivfadc_search": _ivfadc_search_hot,
     "semdedup_incremental": _semdedup_incremental_epoch,
     # hybrid retrieval (round 5): exact-kNN + BM25 fused by RRF — the
@@ -403,7 +426,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "dedup_bloom_incremental", "url_dedup_docs", "line_dedup_docs",
     ]),
     ("semantic", [
-        "semdedup", "pq_encode", "pq_search_adc", "quality_ppl_bucket",
+        "semdedup", "pq_encode", "pq_search_adc", "sq8_search", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
         "strip_markup_docs", "fix_encoding_docs", "bm25_topk_docs",
     ]),
@@ -465,6 +488,7 @@ SERIES = {
     "hard_negatives": "r11",
     "contrastive_pairs": "r12",
     "line_dedup_docs": "r12",
+    "sq8_search": "r12-hot-codes",
 }
 
 

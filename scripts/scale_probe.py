@@ -85,6 +85,10 @@ OPS = [
     # r12: domain rollup — same cost shape as url_dedup (map extraction +
     # one digest shuffle); expect ~flat
     "domain_rollup_docs",
+    # r12: SQ8 asymmetric search — map-side reconstruction + broadcast-query
+    # fold + per-query window over 10 queries × corpus; expect ~linear
+    # (encode/train are inside the warm-up memo, so the probe times search)
+    "sq8_search",
 ]
 
 

@@ -1,0 +1,231 @@
+"""Scalar quantization (SQ8) for memory-bounded ANN — the third leg of the
+quantization family (IVF coarse quantizer, PQ codes, and now per-dimension
+int8 codes), mirroring FAISS's ``ScalarQuantizer`` tier (public library /
+Jégou et al. lineage — public literature).
+
+Each dimension ``t`` learns a corpus ``(min_t, max_t)`` range; a vector's
+code for that dimension is its position in 256 equal bins:
+
+    code_t = ((v_t - min_t) * 255) // (max_t - min_t)     (0 when the range
+                                                           is degenerate)
+
+Storage is 1 byte/dim (vs 4 for float32, vs PQ's sub-byte codes) — the
+accuracy/compression middle ground: unlike PQ there is no codebook training
+and per-dimension resolution is uniform, so recall is near-exact at 4×
+compression while PQ trades more recall for 128×.
+
+Search is asymmetric (ADC-style): the query stays EXACT while each database
+vector is reconstructed from its code. To keep every distance an exact
+integer (the repo-wide determinism contract — rankings must be bit-identical
+in any engine), reconstruction avoids division by working at a uniform ×255
+scale:
+
+    recon255_t = min_t * 255 + code_t * (max_t - min_t)   -- exact int
+    dist       = Σ_t (recon255_t - 255 * q_t)²            -- exact int64
+
+(The true reconstruction is recon255/255, the bin's lower edge; scaling the
+query by the same 255 preserves the squared-L2 order exactly with zero
+rounding.)
+
+Exactness of the encode floor, cross-engine: operands are quantized
+integers (operators/similarity.quantize_embedding, |v| ≤ ~2^40 in any sane
+corpus), so ``(v-mn)*255`` is exactly representable in double and the IEEE
+quotient's error is < (a/b)·2⁻⁵² while a non-integer quotient sits ≥ 1/span
+away from the next integer; 1/span > (a/b)·2⁻⁵² whenever a < 2^52 — so
+``floor`` of the double quotient equals integer division in BOTH engines
+(Spark and DuckDB evaluate the identical IEEE expression).
+
+Scale posture (100 TB):
+- train: one posexplode + groupBy(dim) min/max — partial-aggregable
+  map-side combine; the shuffle carries only partitions × dim rows and the
+  result is ``dim`` rows (model-parameter-sized driver state, same contract
+  as IVF centroids / PQ codebooks).
+- encode: MAP-ONLY against the broadcast bounds literal; frozen bounds →
+  new epochs encode without touching history (ivf_append posture). Codes
+  from out-of-range values (possible only under frozen bounds) clamp to
+  [0, 255], so epoch appends never emit an un-decodable code.
+- search: corpus-side reconstruction is map-side (one zip_with chain per
+  row, computed once before the broadcast-query join), then the same
+  per-query window rank as pq_search_adc. The corpus never shuffles.
+- pack_sq_codes / unpack_sq_codes: 8 codes per int64 big-endian-within-word
+  — the literal 1-byte/dim storage form for the inverted file; map-only
+  both ways, round-trip pinned in tests.
+
+No analog in the reference engine (tamer has no vector operators); part of
+the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from tamer_spark.operators.similarity import quantize_embedding
+
+__all__ = ["sq_train", "sq_encode", "sq_search", "pack_sq_codes", "unpack_sq_codes"]
+
+_LEVELS = 255  # codes span [0, 255] — 8 bits/dim
+
+
+def sq_train(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of the QUANTIZED corpus — ``dim`` rows.
+
+    One distributed pass: posexplode to (dim, value) rows, partial-agg
+    min/max per dimension (map-side combine; the exchange carries only
+    partitions × dim rows). Returns driver-side bounds ordered by
+    dimension — model-parameter-sized state (dim pairs of ints), the same
+    driver-state contract as IVF centroids and PQ codebooks.
+    """
+    rows = (
+        df.select(F.posexplode(quantize_embedding(F.col(vec_col))).alias("t", "val"))
+        .groupBy("t")
+        .agg(
+            F.min("val").cast("long").alias("mn"),
+            F.max("val").cast("long").alias("mx"),
+        )
+        .collect()
+    )
+    by_dim = {r.t: (r.mn, r.mx) for r in rows}
+    return [by_dim[t] for t in range(len(by_dim))]
+
+
+def _bounds_arrays(bounds: list[tuple[int, int]]) -> tuple[Column, Column, Column]:
+    """(mins, spans, mins255) as foldable array literals — one shared
+    literal each (the PQ _codebook_literal argument: lambda-indexed
+    element_at can't constant-fold, so share the array instead of
+    emitting per-dimension expression subtrees)."""
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
+    spans = F.array(*[F.lit(float(mx - mn)) for mn, mx in bounds])
+    mins255 = F.array(*[F.lit(int(mn) * _LEVELS).cast("long") for mn, _ in bounds])
+    return mins, spans, mins255
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY encoding: ``(vec_id, codes array<long>)``, each code in
+    [0, 255].
+
+    Codes clamp to the trained range so frozen-bounds epoch appends (new
+    values outside the historical min/max) still produce valid codes —
+    clamping is provably a no-op when ``bounds`` came from this corpus.
+    Degenerate dimensions (span 0) encode as 0 and reconstruct exactly.
+    """
+    mins, spans, _ = _bounds_arrays(bounds)
+    shifted = F.zip_with(
+        quantize_embedding(F.col(vec_col)), mins, lambda x, mn: (x - mn) * _LEVELS
+    )
+    codes = F.zip_with(
+        shifted,
+        spans,
+        lambda num, span: F.when(
+            span > 0,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit(_LEVELS).cast("long"), F.floor(num / span)),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def sq_search(
+    coded: DataFrame,
+    bounds: list[tuple[int, int]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric SQ search: exact query vs reconstructed codes, every
+    distance an exact int64 (×255-scale trick, see module docstring), so
+    (dist, id) rank order is engine-independent.
+
+    Returns (query_id, neighbor_id, approx_dist, rank); rank ties break on
+    neighbor id. Reconstruction happens once per corpus row BEFORE the
+    broadcast-query join (staged select), then per-pair work is one
+    zip_with squared-diff fold in int64 — no per-candidate division, no
+    Python. At 100 TB, compose with the IVF coarse quantizer exactly like
+    PQ (probe lists, SQ-reconstruct within them).
+    """
+    _, spans, mins255 = _bounds_arrays(bounds)
+    recon = F.zip_with(
+        F.zip_with(F.col("codes"), spans, lambda c, s: c * s.cast("long")),
+        mins255,
+        lambda a, m: a + m,
+    )
+    corpus = coded.select("vec_id", recon.alias("_recon255"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            quantize_embedding(F.col(vec_col)),
+            lambda x: (x * _LEVELS).cast("long"),
+        ).alias("_q255"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_recon255"), F.col("_q255"), lambda r, qv: (r - qv) * (r - qv)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("approx_dist", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pack_sq_codes(coded: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, codes) → (vec_id, packed array<long>): 8 codes per int64,
+    code ``t`` in byte ``7 - (t % 8)`` of word ``t // 8`` (big-endian
+    within the word, so lexicographic word order = dimension order). The
+    1-byte/dim storage form; map-only. ``dim`` need not be a multiple of 8
+    — the last word zero-pads."""
+    n_words = (dim + 7) // 8
+    words = []
+    for wi in range(n_words):
+        word = None
+        for b in range(8):
+            t = wi * 8 + b
+            if t >= dim:
+                break
+            term = F.shiftleft(F.element_at("codes", t + 1).cast("long"), (7 - b) * 8)
+            word = term if word is None else word.bitwiseOR(term)
+        words.append(word.cast("long"))
+    return coded.select("vec_id", F.array(*words).alias("packed"))
+
+
+def unpack_sq_codes(packed: DataFrame, dim: int) -> DataFrame:
+    """Inverse of pack_sq_codes: (vec_id, packed) → (vec_id, codes);
+    map-only (one flatten over per-word byte extraction)."""
+    codes = F.slice(
+        F.flatten(
+            F.transform(
+                F.col("packed"),
+                lambda w: F.array(
+                    *[
+                        F.shiftrightunsigned(w, (7 - b) * 8)
+                        .bitwiseAND(F.lit(255))
+                        .cast("long")
+                        for b in range(8)
+                    ]
+                ),
+            )
+        ),
+        1,
+        dim,
+    )
+    return packed.select("vec_id", codes.alias("codes"))

@@ -2125,6 +2125,48 @@ def _pq_adc_oracle(
       FROM ad) WHERE rank <= {topk}"""
 
 
+def _sq_adc_oracle(dim: int = 64, topk: int = 5) -> str:
+    """DuckDB replay of the SQ8 pipeline (operators/sq.py): per-dimension
+    (min, max) over the quantized corpus, 256-bin codes via
+    ``floor((v-mn)*255 / span)`` (double floor — exact and engine-identical
+    for integer operands < 2^52, proof in the module docstring), then
+    asymmetric search with the ×255-scale reconstruction so every distance
+    is an exact int64: recon255 = mn*255 + code*span vs q*255. The clamp is
+    replayed even though full-corpus bounds make it a no-op (frozen-bounds
+    epochs are where it binds — pinned in pytest, not here). Rank ties
+    break on neighbor id — the engine-independent (dist, id) total order."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings),
+    bd AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS t,
+             CAST(unnest(qv) AS BIGINT) AS val
+      FROM base),
+    bounds AS (SELECT t, MIN(val) AS mn, MAX(val) AS mx FROM bd GROUP BY t),
+    codes AS (
+      SELECT vec_id, b.t,
+             CASE WHEN x.mx > x.mn
+                  THEN GREATEST(0, LEAST(255,
+                       CAST(FLOOR((b.val - x.mn) * 255 / (x.mx - x.mn)) AS BIGINT)))
+                  ELSE 0 END AS code
+      FROM bd b JOIN bounds x USING (t)),
+    recon AS (
+      SELECT vec_id, c.t, x.mn * 255 + c.code * (x.mx - x.mn) AS rnum
+      FROM codes c JOIN bounds x USING (t)),
+    sqd AS (SELECT vec_id AS query_id, t, val * 255 AS q255 FROM bd WHERE vec_id < 10),
+    ad AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             SUM((r.rnum - q.q255) * (r.rnum - q.q255)) AS dist
+      FROM recon r JOIN sqd q USING (t)
+      WHERE q.query_id <> r.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      FROM ad) WHERE rank <= {topk}"""
+
+
 def _ivf_cand_sql(n_centroids: int = 8, iters: int = 3, nprobe: int = 2) -> str:
     """Probed-candidate pairs only (query_id, neighbor_id) — the coarse
     half of the composed IVFADC oracle. Self-contained WITH (usable as a
@@ -2388,12 +2430,15 @@ def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) 
     SELECT 'hardneg', * FROM ({_hardneg_oracle(planes=8, dim=64, seed=42, k=3)})
     UNION ALL
     SELECT 'hardpos', * FROM ({_mining_oracle(True, planes=8, dim=64, seed=42, k=3)})
+    UNION ALL
+    SELECT 'sq8', * FROM ({_sq_adc_oracle(dim=64, topk=5)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); since r12 BOTH mining variants are produced by operators/similarity.contrastive_pairs — the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key) — so the one-join plan is itself oracle-hash-pinned against the per-side DuckDB replays; the standalone miners remain for plan pins/bench, with per-side equivalence to contrastive_pairs pinned in pytest.",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); since r12 BOTH mining variants are produced by operators/similarity.contrastive_pairs — the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key) — so the one-join plan is itself oracle-hash-pinned against the per-side DuckDB replays; the standalone miners remain for plan pins/bench, with per-side equivalence to contrastive_pairs pinned in pytest. sq8 (r12): scalar quantization — the third quantization leg (FAISS ScalarQuantizer tier) — per-dimension 256-bin codes from corpus (min,max) ranges (1 byte/dim; pack_sq_codes gives the literal int64-packed form, round-trip pinned in pytest), asymmetric search with a ×255-scale integer reconstruction so every distance is an exact int64 and the (dist, id) rank order cannot drift; train is one partial-aggregable posexplode groupBy(dim) emitting dim rows of driver state (the IVF-centroid contract), encode is map-only (frozen bounds → epoch appends encode without history, clamp binds only then), and search reconstructs map-side before the broadcast-query join — the corpus never shuffles.",
 )
 def ann_search_q(spark, sf):
     from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
     from tamer_spark.operators.similarity import ivf_build, ivf_search
+    from tamer_spark.operators.sq import sq_encode, sq_search, sq_train
 
     emb = _t(spark, sf, "embeddings")
     _assert_gate_dim(emb, sf)
@@ -2403,6 +2448,8 @@ def ann_search_q(spark, sf):
     codebooks = pq_train(emb, m=4, k=16, iters=3)
     coded = pq_encode(emb, codebooks)
     adc = pq_search_adc(coded, codebooks, qs, topk=5)
+    sq_bounds = sq_train(emb)
+    sq = sq_search(sq_encode(emb, sq_bounds), sq_bounds, qs, topk=5)
     index = assigned.join(coded.select("vec_id", "codes"), "vec_id")
     comp = ivfadc_search(
         index, centroids, codebooks, qs, k=5, nprobe=2, shortlist=20
@@ -2441,6 +2488,14 @@ def ann_search_q(spark, sf):
             "query_id",
             "neighbor_id",
             F.col("cosine").alias("score"),
+            "rank",
+        )
+    ).unionByName(
+        sq.select(
+            F.lit("sq8").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("approx_dist").cast("double").alias("score"),
             "rank",
         )
     )
