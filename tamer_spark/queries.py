@@ -3718,6 +3718,28 @@ def hybrid_retrieval_rrf_q(spark, sf):
     return rrf_fuse([sem, lex_per_query], k0=60, k=5)
 
 
+def _ranking_eval_oracle(k: int = 5) -> str:
+    """DuckDB replay of ann_eval.ranking_metrics over a live eval pair:
+    the single-probe LSH kNN run scored against exact-cosine ground truth
+    (both replayed by their existing proven oracles, nested as derived
+    tables). Metrics are integer-exact (ppm with `//` = Spark `div`), the
+    LEFT join keeps zero-hit queries at 0, and the long-format metric codes
+    are 1=hits, 2=recall_ppm, 3=mrr_ppm, 4=precision_ppm."""
+    return f"""
+    WITH etruth AS (SELECT query_id, neighbor_id FROM ({_knn_oracle(k)})),
+         erun AS (SELECT query_id, neighbor_id, rank FROM ({_lsh_knn_oracle(k=k)})),
+         enrel AS (SELECT query_id, COUNT(*) AS n_rel FROM etruth GROUP BY 1),
+         ehit AS (SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first_rel
+                  FROM erun r JOIN etruth t USING (query_id, neighbor_id) GROUP BY 1),
+         em AS (SELECT n.query_id, n.n_rel, COALESCE(h.hits, 0) AS hits, h.first_rel
+                FROM enrel n LEFT JOIN ehit h USING (query_id))
+    SELECT query_id AS k1, CAST(1 AS BIGINT) AS k2, CAST(hits AS DOUBLE) AS score,
+           CAST({k} AS BIGINT) AS rank FROM em
+    UNION ALL SELECT query_id, 2, CAST(hits * 1000000 // n_rel AS DOUBLE), {k} FROM em
+    UNION ALL SELECT query_id, 3, CAST(COALESCE(1000000 // first_rel, 0) AS DOUBLE), {k} FROM em
+    UNION ALL SELECT query_id, 4, CAST(hits * 1000000 // {k} AS DOUBLE), {k} FROM em"""
+
+
 @q(
     "lexical_retrieval_docs",
     f"""
@@ -3725,6 +3747,8 @@ def hybrid_retrieval_rrf_q(spark, sf):
     FROM ({_bm25_oracle(_BM25_TERMS)})
     UNION ALL
     SELECT 'rrf', query_id, neighbor_id, rrf_score, rank FROM ({_RRF_ORACLE})
+    UNION ALL
+    SELECT 'eval', k1, k2, score, rank FROM ({_ranking_eval_oracle(k=5)})
     """,
     doc=(
         "Lexical + hybrid retrieval as one tagged union (r6 window "
@@ -3737,10 +3761,22 @@ def hybrid_retrieval_rrf_q(spark, sf):
         "reciprocal-rank fusion (k0=60) — each input top-k-bounded per "
         "query before the fusion's (query, item) SUM shuffle; at scale "
         "swap the exact kNN half for ivfadc_search unchanged. Both ranked "
-        "on ROUNDED scores."
+        "on ROUNDED scores. eval (r12): the retrieval-quality harness "
+        "itself graded — ann_eval.ranking_metrics scores the single-probe "
+        "LSH kNN run against exact-cosine ground truth, per query, all "
+        "INTEGER-EXACT (hits, recall/MRR/precision in ppm; MRR is the "
+        "exactness-compatible rank metric — nDCG's 1/log2 is irrational), "
+        "emitted long-format (k2 = metric code 1..4). LEFT join keeps "
+        "zero-hit queries at 0 instead of dropping them (silent drops are "
+        "how broken eval harnesses overstate quality); both aggs are "
+        "partial-aggregable groupBys, no window — eval cost is independent "
+        "of corpus size (it sees only result + relevance sets)."
     ),
 )
 def lexical_retrieval_docs_q(spark, sf):
+    from tamer_spark.operators.ann_eval import ranking_metrics
+    from tamer_spark.operators.similarity import cosine_knn, cosine_knn_lsh
+
     bm = bm25_topk_docs_q(spark, sf).select(
         F.lit("bm25").alias("variant"),
         F.col("doc_id").alias("k1"),
@@ -3755,7 +3791,43 @@ def lexical_retrieval_docs_q(spark, sf):
         F.col("rrf_score").alias("score"),
         "rank",
     )
-    return bm.unionByName(rrf)
+    emb = _t(spark, sf, "embeddings")
+    _assert_gate_dim(emb, sf)
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = cosine_knn(emb, qs, k=5).select("query_id", "neighbor_id")
+    run = cosine_knn_lsh(emb, qs, k=5, planes=8)
+    metrics = ranking_metrics(run, truth, k=5)
+    ev = metrics.select(
+        F.lit("eval").alias("variant"),
+        F.col("query_id").alias("k1"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("metric"),
+                    F.col("hits").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("metric"),
+                    F.col("recall_ppm").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("metric"),
+                    F.col("mrr_ppm").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(4).cast("long").alias("metric"),
+                    F.col("precision_ppm").cast("double").alias("val"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        "variant",
+        "k1",
+        F.col("m.metric").alias("k2"),
+        F.col("m.val").alias("score"),
+        F.lit(5).cast("long").alias("rank"),
+    )
+    return bm.unionByName(rrf).unionByName(ev)
 
 
 @q(

@@ -106,3 +106,83 @@ def test_pq_encode_64bit_code_space_has_null_packed_code(spark):
         assert len(r.codes) == 8
         assert all(0 <= c < 256 for c in r.codes)
         assert r.code is None
+
+
+# ---------------------------------------------------------------------------
+# ranking_metrics / macro_metrics (r12): the graded IR eval battery
+# ---------------------------------------------------------------------------
+
+def _frames(spark, run_rows, qrel_rows):
+    run = spark.createDataFrame(run_rows, "query_id long, neighbor_id long, rank long")
+    qrels = spark.createDataFrame(qrel_rows, "query_id long, neighbor_id long")
+    return run, qrels
+
+
+def test_ranking_metrics_exact_values(spark):
+    """Hand-checkable case: q0 hits 2 of 4 relevant (first at rank 2),
+    q1 hits 0 of 2 — kept at zero, not dropped."""
+    from tamer_spark.operators.ann_eval import ranking_metrics
+
+    run, qrels = _frames(
+        spark,
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        [(0, 11, ), (0, 12), (0, 13), (0, 14), (1, 30), (1, 31)],
+    )
+    m = {r.query_id: r for r in ranking_metrics(run, qrels, k=3).collect()}
+    assert m[0].n_rel == 4 and m[0].hits == 2
+    assert m[0].recall_ppm == 2 * 1_000_000 // 4
+    assert m[0].mrr_ppm == 1_000_000 // 2
+    assert m[0].precision_ppm == 2 * 1_000_000 // 3
+    assert m[1].n_rel == 2 and m[1].hits == 0
+    assert (m[1].recall_ppm, m[1].mrr_ppm, m[1].precision_ppm) == (0, 0, 0)
+
+
+def test_ranking_metrics_k_bound_and_scope(spark):
+    """Ranks beyond k are invisible; a run query with no qrels entry is
+    excluded (nothing to measure against); duplicate qrels rows dedup."""
+    from tamer_spark.operators.ann_eval import ranking_metrics
+
+    run, qrels = _frames(
+        spark,
+        [(0, 11, 5), (7, 99, 1)],  # q0's only hit sits past k; q7 has no qrels
+        [(0, 11), (0, 11)],  # duplicated relevance row
+    )
+    rows = ranking_metrics(run, qrels, k=3).collect()
+    assert {r.query_id for r in rows} == {0}
+    r0 = rows[0]
+    assert r0.n_rel == 1 and r0.hits == 0 and r0.mrr_ppm == 0
+
+
+def test_ranking_metrics_perfect_run_and_macro(spark):
+    """A run that returns exactly the relevance set scores 10⁶ across the
+    ppm metrics, and macro_metrics is the integer mean over queries."""
+    from tamer_spark.operators.ann_eval import macro_metrics, ranking_metrics
+
+    run, qrels = _frames(
+        spark,
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2)],
+        [(0, 10), (0, 11), (1, 20), (1, 21)],
+    )
+    per = ranking_metrics(run, qrels, k=2)
+    for r in per.collect():
+        assert r.recall_ppm == 1_000_000 and r.mrr_ppm == 1_000_000
+        assert r.precision_ppm == 1_000_000
+    mac = macro_metrics(per).collect()[0]
+    assert mac.n_queries == 2
+    assert mac.recall_ppm == mac.mrr_ppm == mac.precision_ppm == 1_000_000
+    # mixed macro: degrade q1 to a half-recall run and check the integer mean
+    run2, _ = _frames(spark, [(0, 10, 1), (0, 11, 2), (1, 20, 1)], [(0, 10)])
+    per2 = ranking_metrics(run2, qrels, k=2)
+    mac2 = macro_metrics(per2).collect()[0]
+    assert mac2.recall_ppm == (1_000_000 + 500_000) // 2
+
+
+def test_ranking_metrics_no_window_no_sort(spark):
+    """The eval plan is partial-aggregable groupBys only — no Window, no
+    global Sort (MIN(rank) supplies first_rel); eval cost must stay
+    independent of corpus size."""
+    from tamer_spark.operators.ann_eval import ranking_metrics
+
+    run, qrels = _frames(spark, [(0, 10, 1)], [(0, 10)])
+    plan = ranking_metrics(run, qrels, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
