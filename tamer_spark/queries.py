@@ -824,8 +824,15 @@ _STREAM_GATE_SEQ = itertools.count()
     SELECT 'session_30m', CAST(user_id AS VARCHAR), min(ts), COUNT(*),
            CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
     FROM sessions GROUP BY user_id, session_id
+    UNION ALL
+    SELECT 'hopping_1h_30m', event_type,
+           time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes',
+           COUNT(*),
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) hop
+    GROUP BY 1, 2, 3
     """,
-    doc="Both streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). Both drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="All three streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. All three drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
@@ -840,8 +847,15 @@ def streaming_window_aggs_q(spark, sf):
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
     )
+    hop = (
+        _stream_events(spark, sf)
+        .withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
     t_name = _drain(tumb, "complete")
     s_name = _drain(sess, "complete")
+    h_name = _drain(hop, "complete")
     t_out = spark.table(t_name).select(
         F.lit("tumbling_1h").alias("variant"),
         F.col("event_type").alias("k"),
@@ -856,7 +870,14 @@ def streaming_window_aggs_q(spark, sf):
         "n_events",
         "sum_value_c",
     )
-    return t_out.unionByName(s_out)
+    h_out = spark.table(h_name).select(
+        F.lit("hopping_1h_30m").alias("variant"),
+        F.col("event_type").alias("k"),
+        F.col("w.start").alias("t_start"),
+        "n_events",
+        "sum_value_c",
+    )
+    return t_out.unionByName(s_out).unionByName(h_out)
 
 
 def _stream_events(spark, sf):
