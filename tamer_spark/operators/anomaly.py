@@ -1,0 +1,102 @@
+"""Robust time-series anomaly detection over event aggregates — median /
+MAD (median absolute deviation) outlier flagging, the Iglewicz–Hoaglin
+modified-z-score family (NIST/SEMATECH e-Handbook §1.3.5.17, public
+literature) re-expressed integer-exact.
+
+Why MAD and not mean/stddev: a pipeline-health monitor looks for the very
+points that wreck mean and stddev — one crawler outage day drags the mean
+toward itself and inflates sigma until nothing is 3σ out (masking). The
+median and the MAD have a 50 % breakdown point: up to half the series can
+be corrupted before the estimate moves.
+
+Integer-exactness: medians are ``percentile_disc(1/2)`` (an actual element
+of the group — operators/percentiles.exact_percentiles, rank arithmetic in
+pure int64), deviations are integer subtractions, and the score is
+``dev_ppm = |x − med| · 10⁶ div MAD``. The classical modified z-score is
+0.6745·dev/MAD with a 3.5 cutoff; that constant is irrational-ish folklore
+scaling, so the operator keeps the raw ratio and the caller's threshold
+carries it: 3.5/0.6745 ≈ 5.189 → ``threshold_ppm = 5_189_000`` is the
+textbook default. MAD = 0 (over half the series identical) degenerates the
+ratio — then ``dev_ppm`` is NULL and any nonzero deviation flags, the
+documented Iglewicz–Hoaglin fallback.
+
+Scale shape: two exact-median passes, each ONE window exchange on the
+group keys (the percentile module's shuffle contract); the med/MAD frames
+are one row per key and broadcast back onto the series. The known limit is
+the per-key series length (a calendar-bounded count: days × keys), which
+is exactly the parallel unit — a 100 TB event table first collapses to
+that series via daily_counts' partial-aggregable groupBy, so the window
+never sees raw events.
+
+No analog in the reference engine; training-data extension surface (the
+ingest-monitoring rule: flag the crawl day whose volume is a robust
+outlier before it poisons the mix weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tamer_spark.operators.percentiles import exact_percentiles
+
+__all__ = ["daily_counts", "mad_anomalies"]
+
+# 3.5 / 0.6745 in ppm — the Iglewicz–Hoaglin modified-z cutoff with the
+# 0.6745 normal-consistency constant folded into the threshold side so the
+# score itself stays an exact integer ratio.
+DEFAULT_THRESHOLD_PPM = 5_189_000
+
+
+def daily_counts(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "event_type"
+) -> DataFrame:
+    """(key, day, n) — the partial-aggregable collapse of a raw event table
+    to the per-key daily series mad_anomalies scores. At any corpus size
+    this is one map-side-combined groupBy; the output is calendar-bounded
+    (keys × days), which is what makes the downstream medians cheap."""
+    return events.groupBy(
+        F.col(key_col).alias("k"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def mad_anomalies(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    threshold_ppm: int = DEFAULT_THRESHOLD_PPM,
+) -> DataFrame:
+    """Flag robust outliers in ``value_col`` within each ``keys`` group.
+
+    Returns the full series (every input row — a monitoring surface that
+    silently drops the normal days can't be audited) with:
+
+    - ``med``        the group's percentile_disc(1/2) of the value
+    - ``mad``        percentile_disc(1/2) of |value − med| within the group
+    - ``dev_ppm``    |value − med| · 10⁶ div mad  (NULL when mad = 0)
+    - ``is_anomaly`` dev_ppm > threshold_ppm; under mad = 0, any nonzero
+                     deviation (the Iglewicz–Hoaglin degenerate rule)
+
+    All arithmetic is int64 (medians are actual elements), so the verdict
+    is bit-identical in any engine.
+    """
+    key_list = list(keys)
+    med = exact_percentiles(series, value_col, [(1, 2)], keys=keys).select(
+        *key_list, F.col("value").alias("med")
+    )
+    dev = series.join(F.broadcast(med), key_list).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = exact_percentiles(dev, "_dev", [(1, 2)], keys=keys).select(
+        *key_list, F.col("value").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), key_list).withColumn(
+        "dev_ppm",
+        F.when(F.col("mad") > 0, F.expr("_dev * 1000000 div mad")).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.col("mad") > 0, F.col("dev_ppm") > F.lit(int(threshold_ppm)))
+        .otherwise(F.col("_dev") > 0),
+    ).drop("_dev")

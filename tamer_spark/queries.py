@@ -4546,6 +4546,34 @@ def cohort_retention_weekly_q(spark, sf):
     return cohort_retention(_t(spark, sf, "events"))
 
 
+_ANOMALY_THRESHOLD_PPM = 3_000_000  # binding on the fixture (the textbook
+# 5.189M Iglewicz–Hoaglin cutoff flags nothing on near-uniform Poisson
+# counts — a never-firing verdict column would be an unpinned branch)
+
+_ANOMALY_ORACLE = f"""
+    WITH {EVENTS_CTE},
+    dc AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+    r1 AS (SELECT k, n, row_number() OVER (PARTITION BY k ORDER BY n) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS cnt
+           FROM dc),
+    med AS (SELECT k, n AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+    dev AS (SELECT d.k, d.day, d.n, m.med, abs(d.n - m.med) AS dv
+            FROM dc d JOIN med m USING (k)),
+    r2 AS (SELECT k, dv, row_number() OVER (PARTITION BY k ORDER BY dv) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS cnt
+           FROM dev),
+    madt AS (SELECT k, dv AS mad FROM r2 WHERE rn = (cnt + 1) // 2),
+    sc AS (SELECT d.k, d.day, d.n, d.dv, m.mad,
+                  CASE WHEN m.mad > 0 THEN d.dv * 1000000 // m.mad END AS dev_ppm
+           FROM dev d JOIN madt m USING (k))
+    SELECT k AS k1, CAST(day AS VARCHAR) AS k2, n AS v1, dev_ppm AS v2,
+           CAST(CASE WHEN mad > 0 THEN dev_ppm > {_ANOMALY_THRESHOLD_PPM}
+                     ELSE dv > 0 END AS BIGINT) AS v3
+    FROM sc
+    """
+
+
 @q(
     "event_analytics",
     f"""
@@ -4559,6 +4587,8 @@ def cohort_retention_weekly_q(spark, sf):
     UNION ALL
     SELECT 'pctl', o_orderpriority, p, value, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_PCTL_ORACLE})
+    UNION ALL
+    SELECT 'anomaly', k1, k2, v1, v2, v3 FROM ({_ANOMALY_ORACLE})
     """,
     doc=(
         "Product/event analytics as one tagged union (r6 window re-pack of "
@@ -4571,7 +4601,18 @@ def cohort_retention_weekly_q(spark, sf):
         "7); shuffled payload is the deduplicated user × active-week set. "
         "pctl: exact discrete percentiles (median/p90/p99 of order totals "
         "in cents per priority) — percentile_disc with RATIONAL targets, "
-        "ceil(p·n) in pure int64; one window exchange serves rank + count."
+        "ceil(p·n) in pure int64; one window exchange serves rank + count. "
+        "anomaly (r12): median/MAD robust outlier flagging over the "
+        "per-type daily count series (Iglewicz–Hoaglin modified-z family, "
+        "integer-exact: medians are percentile_disc(1/2) actual elements, "
+        "score = dev·10^6 div MAD, threshold binding on the fixture; "
+        "MAD=0 degenerates to any-nonzero-deviation — the documented "
+        "fallback). Every series row is emitted, not just the outliers — "
+        "a monitoring surface that hides the normal days can't be "
+        "audited. Raw events collapse to the calendar-bounded series via "
+        "one partial-aggregable groupBy BEFORE any window, so the two "
+        "median exchanges never see event-grain data; med/MAD frames "
+        "(one row per key) broadcast back."
     ),
 )
 def event_analytics_q(spark, sf):
@@ -4599,7 +4640,22 @@ def event_analytics_q(spark, sf):
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    return funnel.unionByName(cohort).unionByName(pctl)
+    from tamer_spark.operators.anomaly import daily_counts, mad_anomalies
+
+    anomaly = mad_anomalies(
+        daily_counts(_t(spark, sf, "events")),
+        keys=("k",),
+        value_col="n",
+        threshold_ppm=_ANOMALY_THRESHOLD_PPM,
+    ).select(
+        F.lit("anomaly").alias("variant"),
+        F.col("k").alias("k1"),
+        F.col("day").cast("string").alias("k2"),
+        F.col("n").alias("v1"),
+        F.col("dev_ppm").alias("v2"),
+        F.col("is_anomaly").cast("long").alias("v3"),
+    )
+    return funnel.unionByName(cohort).unionByName(pctl).unionByName(anomaly)
 
 
 _WINNOW_FP_CTES = """
