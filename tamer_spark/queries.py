@@ -3627,6 +3627,36 @@ def tfidf_top_terms(spark, sf):
     )
 
 
+_CMS_PROBES = ["hash", "join", "scan", "quick", "zzz-never-in-corpus"]
+_CMS_D, _CMS_W, _CMS_SEED = 4, 256, 42
+
+
+def _cms_oracle() -> str:
+    """DuckDB replay of the full CMS pipeline (operators/cms.py): every
+    token occurrence hashed into d rows' buckets (the repo's md5-prefix
+    stable_hash64 convention), sparse sketch by (r, b) count, point query
+    = min over rows with missing cells an exact 0 (LEFT join + COALESCE),
+    plus the exact truth per probe for the overestimate-bound contract."""
+    probes_sql = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    hash_of = (
+        lambda v: f"('0x' || substr(md5('cms-{_CMS_SEED}-' || CAST(r AS VARCHAR) || '-' || {v}), 1, 15))::BIGINT % {_CMS_W}"
+    )
+    return f"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (SELECT r, {hash_of('word')} AS b FROM tok CROSS JOIN rws),
+    sk AS (SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes(token) AS (VALUES {probes_sql}),
+    pc AS (SELECT token, r, {hash_of('token')} AS b FROM probes CROSS JOIN rws),
+    est AS (SELECT token, MIN(COALESCE(s.cnt, 0)) AS est
+            FROM pc LEFT JOIN sk s USING (r, b) GROUP BY token),
+    tru AS (SELECT p.token, COUNT(w.word) AS tru
+            FROM probes p LEFT JOIN tok w ON w.word = p.token GROUP BY 1)
+    SELECT e.token, CAST(t.tru AS BIGINT) AS id, CAST(e.est AS BIGINT) AS n
+    FROM est e JOIN tru t USING (token)"""
+
+
 @q(
     "term_stats_docs",
     f"""
@@ -3635,6 +3665,8 @@ def tfidf_top_terms(spark, sf):
     FROM ({_NGRAM_TOP_ORACLE})
     UNION ALL
     SELECT 'tfidf', word, doc_id, rank, tfidf FROM ({_TFIDF_ORACLE})
+    UNION ALL
+    SELECT 'cms', token, id, n, CAST(NULL AS DOUBLE) FROM ({_cms_oracle()})
     """,
     doc=(
         "Corpus term statistics as one tagged union (r6 window re-pack; "
@@ -3644,10 +3676,22 @@ def tfidf_top_terms(spark, sf):
         "tfidf: top-3 terms per doc — vocabulary-sized df table broadcast "
         "back onto tf, corpus count folded in as a broadcast 1-row cross "
         "join, ranked on ROUNDED score so libm ln() ulp gaps cannot flip "
-        "order."
+        "order. cms (r12): Count-Min Sketch point estimates next to exact "
+        "truth for 5 probe tokens (4 corpus-frequent + 1 absent) — the "
+        "FIXED-SIZE-shuffle counting path for unbounded vocabularies "
+        "(d=4 × w=256 counters; the groupBy partial-aggregates to ≤ d·w "
+        "rows per partition before the one bounded exchange, no matter "
+        "the corpus); estimates are deterministic (md5-prefix row hashes) "
+        "so the oracle replays sketch build AND point queries exactly, "
+        "and the emitted (true, est) pair keeps the est ≥ true "
+        "overestimate bound on the graded surface. Mergeability (the "
+        "O(sketch)-per-epoch incremental story) is pinned in pytest."
     ),
 )
 def term_stats_docs_q(spark, sf):
+    from tamer_spark.operators.cms import cms_build, cms_query
+    from tamer_spark.operators.dedup import normalize_text
+
     ngram = ngram_top_terms(spark, sf).select(
         F.lit("ngram").alias("variant"),
         F.col("gram").alias("term"),
@@ -3662,7 +3706,27 @@ def term_stats_docs_q(spark, sf):
         F.col("rank").alias("n"),
         F.col("tfidf").alias("score"),
     )
-    return ngram.unionByName(tfidf)
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    sk = cms_build(toks, token_col="word", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
+    est = cms_query(sk, probes, token_col="token", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
+    tru = (
+        probes.join(toks, probes.token == toks.word, "left")
+        .groupBy("token")
+        .agg(F.count("word").alias("tru"))
+    )
+    cms = est.join(tru, "token").select(
+        F.lit("cms").alias("variant"),
+        F.col("token").alias("term"),
+        F.col("tru").cast("long").alias("id"),
+        F.col("est").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return ngram.unionByName(tfidf).unionByName(cms)
 
 
 _BM25_TERMS = ["hash", "join", "scan", "quick"]
