@@ -40,21 +40,28 @@ def cosine_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (excluding self).
 
     ``queries`` carries (id_col, vec_col) — typically a small filtered subset,
     which the plan broadcasts; the corpus side streams. Tie-break: higher
     cosine first, then smaller neighbor id (deterministic total order).
+
+    ``pre_quantized=True`` skips the milli-unit quantization for inputs that
+    are ALREADY integer-valued arrays (e.g. operators/rp.random_projection
+    output — sums of quantized coordinates; re-quantizing would scale them
+    ×1000 again and overflow nothing but mean something else).
     """
+    quant = (lambda c: c) if pre_quantized else quantize_embedding
     # Squared norms are per-vector, so compute them once per side; per-pair
     # work is then a single dot product. Same arithmetic as before
     # (sqrt(qn2*cn2), not sqrt(qn2)*sqrt(cn2)) so results are bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), quant(F.col(vec_col)).alias("qv")
     ).select("query_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("qn2"))
     c = df.select(
-        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), quant(F.col(vec_col)).alias("cv")
     ).select("neighbor_id", "cv", _dot(F.col("cv"), F.col("cv")).alias("cn2"))
     dot = _dot(F.col("qv"), F.col("cv"))
     scored = (

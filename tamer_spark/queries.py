@@ -2188,6 +2188,34 @@ def _sq_adc_oracle(dim: int = 64, topk: int = 5) -> str:
       FROM ad) WHERE rank <= {topk}"""
 
 
+def _rp_knn_oracle(out_dim: int = 16, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """DuckDB replay of random_projection + exact cosine kNN in the
+    projected space (operators/rp.py): the ±1 sign matrix is DERIVED
+    (sha256 parity, mirrored here exactly like the LSH hyperplane oracle),
+    each projected coordinate is an exact integer sum, and the rounded-
+    cosine / (cos DESC, id) rank convention is the proven-hash-stable one."""
+    from tamer_spark.operators.rp import rp_signs
+
+    signs = rp_signs(out_dim, dim, seed)
+    pv = ", ".join(
+        "list_dot_product(qv, [" + ", ".join(str(s) for s in row) + "])" for row in signs
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings),
+    proj AS (SELECT vec_id, [{pv}] AS pv FROM base),
+    rq AS (SELECT vec_id AS query_id, pv AS qpv FROM proj WHERE vec_id < 10),
+    rs AS (SELECT query_id, p.vec_id AS neighbor_id,
+                  list_dot_product(qpv, p.pv)
+                    / sqrt(list_dot_product(qpv, qpv) * list_dot_product(p.pv, p.pv)) AS cos_raw
+           FROM rq CROSS JOIN proj p WHERE query_id <> p.vec_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM rs) WHERE rank <= {k}"""
+
+
 def _ivf_cand_sql(n_centroids: int = 8, iters: int = 3, nprobe: int = 2) -> str:
     """Probed-candidate pairs only (query_id, neighbor_id) — the coarse
     half of the composed IVFADC oracle. Self-contained WITH (usable as a
@@ -2453,8 +2481,10 @@ def _hardneg_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) 
     SELECT 'hardpos', * FROM ({_mining_oracle(True, planes=8, dim=64, seed=42, k=3)})
     UNION ALL
     SELECT 'sq8', * FROM ({_sq_adc_oracle(dim=64, topk=5)})
+    UNION ALL
+    SELECT 'rp16', * FROM ({_rp_knn_oracle(out_dim=16, dim=64, seed=42, k=5)})
     """,
-    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); since r12 BOTH mining variants are produced by operators/similarity.contrastive_pairs — the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key) — so the one-join plan is itself oracle-hash-pinned against the per-side DuckDB replays; the standalone miners remain for plan pins/bench, with per-side equivalence to contrastive_pairs pinned in pytest. sq8 (r12): scalar quantization — the third quantization leg (FAISS ScalarQuantizer tier) — per-dimension 256-bin codes from corpus (min,max) ranges (1 byte/dim; pack_sq_codes gives the literal int64-packed form, round-trip pinned in pytest), asymmetric search with a ×255-scale integer reconstruction so every distance is an exact int64 and the (dist, id) rank order cannot drift; train is one partial-aggregable posexplode groupBy(dim) emitting dim rows of driver state (the IVF-centroid contract), encode is map-only (frozen bounds → epoch appends encode without history, clamp binds only then), and search reconstructs map-side before the broadcast-query join — the corpus never shuffles.",
+    doc="The SEARCH half of IVFADC as one tagged union — the retrieval operators a user actually calls, each hash-gated against a DuckDB replay of its full train+search pipeline. ivf: probe each query's nprobe=2 nearest coarse centroids (trained by the same integer-exact k-means the assign gate replays), exact quantized-cosine rerank within the probed clusters — the candidate join is a cluster-id equi-join, so with the inverted file bucketed by cluster at 100 TB a probe touches only matching buckets, never the corpus. adc: asymmetric distance computation over PQ codes (Jégou et al. TPAMI 2011) — per query an m×k table of exact integer subvector↔codeword distances is built once on the broadcast query side, and every candidate costs m array lookups, no per-candidate vector math; distances are exact integer sums, so (dist, id) ranking is engine-independent. ivfadc: the COMPOSED serving path (probe → ADC shortlist of 20 → exact rerank of the shortlist only) — the oracle nests both training replays as derived tables and re-derives the shortlist from exact integer ADC sums, so even the three-stage composition is hash-checked end to end. Scores are cosine (ivf, ivfadc) / approx squared-L2 (adc); rank ties break on neighbor id in both engines. hardneg (r11): hard-negative mining for contrastive training (DPR/ANCE) — per anchor the top-3 most-similar DIFFERENT-label vectors, candidates from shared LSH buckets (a bucket-missed negative is a less-hard negative — the LSH contract IS the mining contract), label-mismatch filter riding the join condition, per-anchor window with the cosine_knn tie-break; oracle replays buckets, pairs, and ranks exactly (gate uncapped; the max_bucket skew guard is pinned in pytest). hardpos (r11): the other half of contrastive pair construction — per anchor the top-3 LEAST-similar SAME-label candidates (cosine ASC — an identical-twin positive teaches a metric loss nothing), honestly scoped to the anchor's LSH neighborhood (global far-pairs don't share buckets, which is the LSH point); since r12 BOTH mining variants are produced by operators/similarity.contrastive_pairs — the production triple miner that genuinely pays ONE candidate join for both sides (one (anchor, side) window, sign-flipped sort key) — so the one-join plan is itself oracle-hash-pinned against the per-side DuckDB replays; the standalone miners remain for plan pins/bench, with per-side equivalence to contrastive_pairs pinned in pytest. sq8 (r12): scalar quantization — the third quantization leg (FAISS ScalarQuantizer tier) — per-dimension 256-bin codes from corpus (min,max) ranges (1 byte/dim; pack_sq_codes gives the literal int64-packed form, round-trip pinned in pytest), asymmetric search with a ×255-scale integer reconstruction so every distance is an exact int64 and the (dist, id) rank order cannot drift; train is one partial-aggregable posexplode groupBy(dim) emitting dim rows of driver state (the IVF-centroid contract), encode is map-only (frozen bounds → epoch appends encode without history, clamp binds only then), and search reconstructs map-side before the broadcast-query join — the corpus never shuffles. rp16 (r12): Johnson–Lindenstrauss dimensionality reduction (Achlioptas ±1 signs, derived from sha256 parity — no RNG state, the LSH-hyperplane convention) from 64 to 16 dims, then EXACT cosine kNN in the projected space — the standard pre-step that cuts per-pair arithmetic 4× before any brute-force/LSH/clustering stage; projection is map-only under frozen signs (epoch appends project without history), each projected coordinate an exact integer sum, and the oracle replays matrix, projection, and rounded-cosine ranks from the same derivation.",
 )
 def ann_search_q(spark, sf):
     from tamer_spark.operators.pq import ivfadc_search, pq_encode, pq_search_adc, pq_train
@@ -2471,6 +2501,18 @@ def ann_search_q(spark, sf):
     adc = pq_search_adc(coded, codebooks, qs, topk=5)
     sq_bounds = sq_train(emb)
     sq = sq_search(sq_encode(emb, sq_bounds), sq_bounds, qs, topk=5)
+    from tamer_spark.operators.rp import random_projection, rp_signs
+    from tamer_spark.operators.similarity import cosine_knn
+
+    signs = rp_signs(out_dim=16, dim=64, seed=42)
+    proj = random_projection(emb, signs)
+    rp = cosine_knn(
+        proj,
+        proj.filter(F.col("vec_id") < 10),
+        vec_col="pvec",
+        k=5,
+        pre_quantized=True,
+    )
     index = assigned.join(coded.select("vec_id", "codes"), "vec_id")
     comp = ivfadc_search(
         index, centroids, codebooks, qs, k=5, nprobe=2, shortlist=20
@@ -2517,6 +2559,14 @@ def ann_search_q(spark, sf):
             "query_id",
             "neighbor_id",
             F.col("approx_dist").cast("double").alias("score"),
+            "rank",
+        )
+    ).unionByName(
+        rp.select(
+            F.lit("rp16").alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("score"),
             "rank",
         )
     )
