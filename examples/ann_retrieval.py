@@ -82,3 +82,34 @@ assert recall(adc) > 0.05
 assert {r.query_id for r in adc} == {r.query_id for r in exact}
 # the exact rerank can only fix ADC mistakes within the shortlist
 assert recall(composed) >= recall(adc)
+
+# ---- r12: SQ8 — the near-exact 4x tier (1 byte/dim, no training structure
+# needed), and the honest eval battery over every tier
+from tamer_spark.operators.ann_eval import macro_metrics, ranking_metrics
+from tamer_spark.operators.rp import random_projection, rp_signs
+from tamer_spark.operators.sq import sq_encode, sq_search, sq_train
+
+bounds = sq_train(emb)             # dim rows of driver state, one bounded agg
+sq_codes = sq_encode(emb, bounds)  # map-only; frozen bounds -> epoch appends
+sq = sq_search(sq_codes, bounds, queries, topk=K).collect()
+print(f"sq8 search (1 B/dim, x255-scale integer recon): recall@{K} = {recall(sq):.2f}")
+assert recall(sq) > 0.9  # SQ8 is near-exact even on the uniform-noise corpus
+
+# RP is the PRE-step, not a serving index: distances survive (JL), ranks on
+# iid noise do not — compose it before LSH/clustering, rerank exactly after.
+signs = rp_signs(out_dim=16, dim=64, seed=42)
+proj = random_projection(emb, signs)  # map-only under frozen signs
+
+# the graded IR battery: per-query integer-exact metrics + macro means
+truth = cosine_knn(emb, queries, k=K).select("query_id", "neighbor_id")
+sq_run = sq_search(sq_codes, bounds, queries, topk=K).select(
+    "query_id", "neighbor_id", "rank"
+)
+per_q = ranking_metrics(sq_run, truth, k=K)
+mac = macro_metrics(per_q).collect()[0]
+print(
+    f"eval battery over sq8: n_queries={mac.n_queries} "
+    f"recall_ppm={mac.recall_ppm} mrr_ppm={mac.mrr_ppm} "
+    f"precision_ppm={mac.precision_ppm}"
+)
+assert mac.n_queries == 20 and mac.recall_ppm > 900_000
