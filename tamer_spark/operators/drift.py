@@ -1,0 +1,78 @@
+"""Epoch-to-epoch distribution drift — integer-exact total-variation
+distance over categorical corpus slices (lang, source, domain, quality
+bucket).
+
+The monitoring question a steady-state ingest loop must answer: "did this
+crawl snapshot's composition move?" A new epoch whose language or domain
+mix shifted silently poisons downstream mix weights (the stratified_mix /
+temperature targets assume the measured composition). TVD is the right
+first-line statistic: ``TVD(P, Q) = ½ Σ_k |p_k − q_k|`` is symmetric,
+bounded [0, 1], and decomposes into per-category contributions that name
+WHICH slice moved — unlike KL it needs no smoothing for empty cells.
+
+Integer-exactness: shares are floor-divided ppm (``c·10⁶ div N`` — int64-
+safe to N ~ 10¹² rows, i.e. beyond 100 TB row counts), drift per category
+is ``|share_a − share_b|``, and the total is ``Σ div 2``. Each share
+floor-rounds independently (documented ≤ 1 ppm per-cell bias — the price
+of cross-engine bit-equality, same trade as every ppm gate in the repo).
+
+Scale shape: one partial-aggregable count per epoch (the raw corpora never
+meet), a category-bounded full-outer join (langs/sources/domains — tiny;
+absent-in-one-epoch categories surface with count 0 instead of silently
+vanishing, which is exactly the drift you most need to see), totals as
+1-row broadcast cross joins. Empty epochs yield NULL shares (guarded div),
+never a crash — degenerate inputs are the r12-brief lesson.
+
+No analog in the reference engine; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["category_drift", "total_tvd_ppm"]
+
+
+def category_drift(
+    epoch_a: DataFrame, epoch_b: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Per-category drift between two epochs: ``(keys..., n_a, n_b,
+    share_a_ppm, share_b_ppm, drift_ppm)``, full-outer over the category
+    sets (missing → 0 counts)."""
+    key_list = list(keys)
+    a = epoch_a.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n_a"))
+    b = epoch_b.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n_b"))
+    na = a.agg(F.sum("n_a").alias("_na"))
+    nb = b.agg(F.sum("n_b").alias("_nb"))
+    joined = (
+        a.join(b, key_list, "full_outer")
+        .select(
+            *key_list,
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    share_a = F.when(F.col("_na") > 0, F.expr("n_a * 1000000 div _na"))
+    share_b = F.when(F.col("_nb") > 0, F.expr("n_b * 1000000 div _nb"))
+    return (
+        joined.withColumn("share_a_ppm", share_a.cast("long"))
+        .withColumn("share_b_ppm", share_b.cast("long"))
+        .withColumn(
+            "drift_ppm", F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).cast("long")
+        )
+        .drop("_na", "_nb")
+    )
+
+
+def total_tvd_ppm(per_category: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """One row: ``(n_a, n_b, tvd_ppm)`` — Σ drift_ppm div 2 over the
+    category frame (the ½ of the TVD definition; exact because every
+    |share_a − share_b| is already an integer)."""
+    del keys  # signature symmetry with category_drift; totals need no keys
+    return per_category.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.expr("sum(drift_ppm) div 2").cast("long").alias("tvd_ppm"),
+    )

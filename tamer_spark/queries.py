@@ -5053,6 +5053,27 @@ def shard_manifest_docs_q(spark, sf):
              bit_xor(CAST(('0x' || substr(md5(rj), 1, 15)) AS BIGINT)) AS content_digest
       FROM _mr GROUP BY shard
     )
+    UNION ALL
+    SELECT 'drift', k1, CAST(NULL AS VARCHAR), v1, v2, v3, CAST(NULL AS BIGINT)
+    FROM (
+      WITH da AS (SELECT lang AS k, COUNT(*) AS c FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           db AS (SELECT lang AS k, COUNT(*) AS c FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+           dna AS (SELECT SUM(c) AS n FROM da),
+           dnb AS (SELECT SUM(c) AS n FROM db),
+           dj AS (SELECT COALESCE(da.k, db.k) AS k,
+                         COALESCE(da.c, 0) AS ca, COALESCE(db.c, 0) AS cb
+                  FROM da FULL JOIN db ON da.k = db.k),
+           dper AS (SELECT k, ca, cb,
+                           abs(ca * 1000000 // dna.n - cb * 1000000 // dnb.n) AS drift
+                    FROM dj, dna, dnb)
+      SELECT k AS k1, CAST(ca AS BIGINT) AS v1, CAST(cb AS BIGINT) AS v2,
+             CAST(drift AS BIGINT) AS v3
+      FROM dper
+      UNION ALL
+      SELECT '__total__', CAST(dna.n AS BIGINT), CAST(dnb.n AS BIGINT),
+             CAST((SELECT SUM(drift) FROM dper) // 2 AS BIGINT)
+      FROM dna, dnb
+    )
     """,
     doc=(
         "Corpus-curation surface as one tagged union (r6 window re-pack of "
@@ -5076,7 +5097,15 @@ def shard_manifest_docs_q(spark, sf):
         "shard row counts, and the order-independent bit_xor of row-level "
         "md5 digests over name-sorted to_json rows; the oracle replays the "
         "digest byte-for-byte, pinning the cross-engine determinism the "
-        "dataloader-side verify_shards depends on."
+        "dataloader-side verify_shards depends on. drift (r12): epoch-to-"
+        "epoch composition drift — integer-exact total-variation distance "
+        "over the language slices of two epoch halves (shares as "
+        "floor-div ppm, per-category |Δshare| naming WHICH slice moved, "
+        "plus a '__total__' Σ div 2 row); full-outer over the category "
+        "sets so a slice absent from one epoch surfaces with count 0 "
+        "instead of vanishing — the drift you most need to see; raw "
+        "corpora never meet (one partial-agg count each, category-bounded "
+        "join, 1-row total broadcasts)."
     ),
 )
 def corpus_curation_q(spark, sf):
@@ -5125,11 +5154,37 @@ def corpus_curation_q(spark, sf):
         F.lit(None).cast("long").alias("v3"),
         F.lit(None).cast("long").alias("v4"),
     )
+    from tamer_spark.operators.drift import category_drift, total_tvd_ppm
+
+    d = _t(spark, sf, "documents")
+    per = category_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), ("lang",)
+    )
+    drift = per.select(
+        F.lit("drift").alias("variant"),
+        F.col("lang").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_a").alias("v1"),
+        F.col("n_b").alias("v2"),
+        F.col("drift_ppm").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    ).unionByName(
+        total_tvd_ppm(per, ("lang",)).select(
+            F.lit("drift").alias("variant"),
+            F.lit("__total__").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n_a").alias("v1"),
+            F.col("n_b").alias("v2"),
+            F.col("tvd_ppm").alias("v3"),
+            F.lit(None).cast("long").alias("v4"),
+        )
+    )
     return (
         temp.unionByName(budget)
         .unionByName(sheet)
         .unionByName(odds)
         .unionByName(manifest)
+        .unionByName(drift)
     )
 
 

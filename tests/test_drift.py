@@ -1,0 +1,76 @@
+"""Distribution drift (TVD): hand-checked shares, absent-category
+surfacing, empty-epoch guard, symmetry, bounds, and the scale-shape pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.drift import category_drift, total_tvd_ppm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_drift_hand_checked_shares_and_total(spark):
+    a = _docs(spark, [(1, "en"), (2, "en"), (3, "en"), (4, "de")])  # en 75%, de 25%
+    b = _docs(spark, [(5, "en"), (6, "de"), (7, "de"), (8, "de")])  # en 25%, de 75%
+    per = {r.lang: r for r in category_drift(a, b, ("lang",)).collect()}
+    assert per["en"].share_a_ppm == 750_000 and per["en"].share_b_ppm == 250_000
+    assert per["en"].drift_ppm == 500_000 and per["de"].drift_ppm == 500_000
+    tot = total_tvd_ppm(category_drift(a, b, ("lang",)), ("lang",)).collect()[0]
+    assert (tot.n_a, tot.n_b, tot.tvd_ppm) == (4, 4, 500_000)  # TVD = 0.5
+
+
+def test_drift_identical_epochs_are_zero(spark):
+    a = _docs(spark, [(1, "en"), (2, "de"), (3, "fr")])
+    per = category_drift(a, a, ("lang",))
+    assert all(r.drift_ppm == 0 for r in per.collect())
+    assert total_tvd_ppm(per, ("lang",)).collect()[0].tvd_ppm == 0
+
+
+def test_drift_absent_category_surfaces_with_zero_count(spark):
+    """A slice present only in one epoch must appear (count 0 on the other
+    side) — the vanishing-language regression is the drift most worth
+    flagging, and an inner join would hide it entirely."""
+    a = _docs(spark, [(1, "en"), (2, "en")])
+    b = _docs(spark, [(3, "en"), (4, "xx")])
+    per = {r.lang: r for r in category_drift(a, b, ("lang",)).collect()}
+    assert per["xx"].n_a == 0 and per["xx"].n_b == 1
+    assert per["xx"].share_a_ppm == 0 and per["xx"].drift_ppm == 500_000
+
+
+def test_drift_symmetric_and_bounded(spark):
+    a = _docs(spark, [(i, l) for i, l in enumerate(["en"] * 7 + ["de"] * 2 + ["fr"])])
+    b = _docs(spark, [(i, l) for i, l in enumerate(["en"] * 2 + ["de"] * 5 + ["xx"] * 3)])
+    t_ab = total_tvd_ppm(category_drift(a, b, ("lang",)), ("lang",)).collect()[0].tvd_ppm
+    t_ba = total_tvd_ppm(category_drift(b, a, ("lang",)), ("lang",)).collect()[0].tvd_ppm
+    assert t_ab == t_ba
+    assert 0 <= t_ab <= 1_000_000
+    # disjoint supports → TVD = 1 (within the floor-div ppm granularity)
+    c = _docs(spark, [(1, "aa"), (2, "aa")])
+    d = _docs(spark, [(3, "bb")])
+    t_cd = total_tvd_ppm(category_drift(c, d, ("lang",)), ("lang",)).collect()[0].tvd_ppm
+    assert t_cd == 1_000_000
+
+
+def test_drift_empty_epoch_yields_null_shares_not_crash(spark):
+    """The degenerate-input rule (the r12-brief lesson): an empty epoch
+    gives NULL shares and NULL drift, never a division error."""
+    a = _docs(spark, [(1, "en")])
+    b = _docs(spark, []).filter("doc_id > 0")
+    rows = category_drift(a, b, ("lang",)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_b == 0 and r.share_b_ppm is None and r.drift_ppm is None
+
+
+def test_drift_counts_before_join_plan_shape(spark):
+    """The raw corpora never meet: both sides partial-aggregate to category
+    counts BEFORE the full-outer join (the join input is category-bounded),
+    and the totals enter as broadcast 1-row frames."""
+    a = _docs(spark, [(i, "en") for i in range(10)])
+    b = _docs(spark, [(i, "de") for i in range(10)])
+    plan = category_drift(a, b, ("lang",))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
