@@ -159,6 +159,42 @@ def _sq_search_hot(spark, sf_dir):
     return sq_search(coded, bounds, qs, topk=5)
 
 
+def _cms_sketch_docs(spark, sf_dir):
+    # Count-Min sketch build over the corpus token stream (cold): map-side
+    # explode to d cells per occurrence + the ONE bounded (r, b) exchange —
+    # the fixed-size-shuffle counting path
+    from tamer_spark.operators.cms import cms_build
+    from tamer_spark.operators.dedup import normalize_text
+
+    toks = (
+        Q._t(spark, sf_dir, "documents")
+        .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    return cms_build(toks, d=4, w=1024, seed=42)
+
+
+def _rp_project_embeddings(spark, sf_dir):
+    # JL projection 64→16 under frozen signs — map-only, the pre-step that
+    # cuts downstream per-pair arithmetic 4×
+    from tamer_spark.operators.rp import random_projection, rp_signs
+
+    key = ("rp_signs",)
+    if key not in _MEMO:
+        _MEMO[key] = rp_signs(out_dim=16, dim=64, seed=42)
+    return random_projection(Q._t(spark, sf_dir, "embeddings"), _MEMO[key])
+
+
+def _event_anomaly_daily(spark, sf_dir):
+    # median/MAD outlier flagging over per-type daily counts: one
+    # partial-agg collapse + two key-partitioned median windows
+    from tamer_spark.operators.anomaly import daily_counts, mad_anomalies
+
+    return mad_anomalies(
+        daily_counts(Q._t(spark, sf_dir, "events")), keys=("k",), value_col="n"
+    )
+
+
 def _quality_ppl_bucket(spark, sf_dir):
     # CCNet tercile bucketing hot path: self-trained bigram LM scoring +
     # per-language ntile. Timed COLD like dedup_minhash_lsh (the internal
@@ -366,6 +402,12 @@ HEADLINE = {
     # persisted int8 codes with frozen bounds (near-exact at 4× compression;
     # pq_search_adc is the 128× / lower-recall sibling)
     "sq8_search": _sq_search_hot,
+    # CMS build (r12): fixed-size-shuffle token counting (d=4 × w=1024)
+    "cms_sketch_docs": _cms_sketch_docs,
+    # RP 64→16 (r12): map-only JL projection under frozen signs
+    "rp_project_embeddings": _rp_project_embeddings,
+    # median/MAD anomaly flagging (r12): series collapse + 2 key windows
+    "event_anomaly_daily": _event_anomaly_daily,
     "ivfadc_search": _ivfadc_search_hot,
     "semdedup_incremental": _semdedup_incremental_epoch,
     # hybrid retrieval (round 5): exact-kNN + BM25 fused by RRF — the
@@ -426,7 +468,8 @@ GROUPS: list[tuple[str, list[str]]] = [
         "dedup_bloom_incremental", "url_dedup_docs", "line_dedup_docs",
     ]),
     ("semantic", [
-        "semdedup", "pq_encode", "pq_search_adc", "sq8_search", "quality_ppl_bucket",
+        "semdedup", "pq_encode", "pq_search_adc", "sq8_search", "cms_sketch_docs",
+        "rp_project_embeddings", "quality_ppl_bucket",
         "gopher_quality", "gopher_full", "c4_clean_docs", "scrub_pii_docs",
         "strip_markup_docs", "fix_encoding_docs", "bm25_topk_docs",
     ]),
@@ -436,7 +479,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "temperature_mix_langs", "pagerank_cust_supp",
         "funnel_view_click_purchase", "cohort_retention_weekly",
         "substring_run_pairs", "contamination_score_docs",
-        "dsir_select_docs", "seeded_shuffle_docs",
+        "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
     ]),
 ]
 
@@ -489,6 +532,9 @@ SERIES = {
     "contrastive_pairs": "r12",
     "line_dedup_docs": "r12",
     "sq8_search": "r12-hot-codes",
+    "cms_sketch_docs": "r12",
+    "rp_project_embeddings": "r12-frozen-signs",
+    "event_anomaly_daily": "r12",
 }
 
 

@@ -89,6 +89,13 @@ OPS = [
     # fold + per-query window over 10 queries × corpus; expect ~linear
     # (encode/train are inside the warm-up memo, so the probe times search)
     "sq8_search",
+    # r12 continuation: CMS build — token explode + the ONE (r, b)-bounded
+    # exchange; expect ~linear in corpus tokens (shuffle size is FIXED).
+    # RP projection — pure map under frozen signs; expect ~linear/flat.
+    # (event_anomaly_daily is NOT probed: the synthesis copies events
+    # unchanged, so a probe would measure nothing.)
+    "cms_sketch_docs",
+    "rp_project_embeddings",
 ]
 
 
