@@ -33,6 +33,25 @@ def perm_hash(h: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
     return (F.lit(a) * (h % F.lit(p)) + F.lit(b)) % F.lit(p)
 
 
+def sign_rows(tag: str, seed: int, rows: int, cols: int) -> list[list[float]]:
+    """±1 matrix rows from sha256 parity of ``'{tag}-{seed}-{row}-{col}'``
+    — THE single derivation behind the LSH hyperplanes ('lsh'), the
+    random-projection matrix ('rp'), and their SQL oracle generators.
+    Derived, not sampled: no RNG state, bit-identical in any
+    reimplementation. Keep every consumer on this helper — a drift in the
+    prefix format, digest byte, or parity polarity in ONE copy silently
+    breaks operator↔oracle bit-equality."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.sha256(f"{tag}-{seed}-{r}-{c}".encode()).digest()[0] % 2 else -1.0
+            for c in range(cols)
+        ]
+        for r in range(rows)
+    ]
+
+
 def minhash_coefficients(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from a counter + seed, no RNG state.
 

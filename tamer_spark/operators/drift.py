@@ -66,11 +66,12 @@ def category_drift(
     )
 
 
-def total_tvd_ppm(per_category: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+def total_tvd_ppm(per_category: DataFrame) -> DataFrame:
     """One row: ``(n_a, n_b, tvd_ppm)`` — Σ drift_ppm div 2 over the
     category frame (the ½ of the TVD definition; exact because every
-    |share_a − share_b| is already an integer)."""
-    del keys  # signature symmetry with category_drift; totals need no keys
+    |share_a − share_b| is already an integer). Takes the category frame
+    only — the total is global by definition (a per-key grouped total
+    would just repeat drift_ppm)."""
     return per_category.agg(
         F.sum("n_a").cast("long").alias("n_a"),
         F.sum("n_b").cast("long").alias("n_b"),

@@ -26,8 +26,6 @@ No analog in the reference engine; training-data extension surface.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.operators.similarity import quantize_embedding
@@ -39,13 +37,9 @@ def rp_signs(out_dim: int, dim: int, seed: int = 42) -> list[list[float]]:
     """The ±1 projection matrix, rows = output dims — derived, not sampled
     (sha256 parity of 'rp-{seed}-{j}-{i}'), so Spark, the SQL oracle, and
     any reimplementation agree bit-for-bit."""
-    return [
-        [
-            1.0 if hashlib.sha256(f"rp-{seed}-{j}-{i}".encode()).digest()[0] % 2 else -1.0
-            for i in range(dim)
-        ]
-        for j in range(out_dim)
-    ]
+    from tamer_spark.functions.hashing import sign_rows
+
+    return sign_rows("rp", seed, out_dim, dim)
 
 
 def random_projection(

@@ -87,14 +87,9 @@ def _planes_literal(planes: int, dim: int, seed: int) -> Column:
     instead of ``planes`` per-plane coefficient subtrees — same fixed
     plan-compile win as operators/pq.py _codebook_literal (the LSH gate
     was ~3 s of flat overhead at any SF before this)."""
-    import hashlib
+    from tamer_spark.functions.hashing import sign_rows
 
-    rows = []
-    for p in range(planes):
-        rows.append([
-            1.0 if hashlib.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else -1.0
-            for i in range(dim)
-        ])
+    rows = sign_rows("lsh", seed, planes, dim)
     return F.array(*[F.array(*[F.lit(c) for c in row]) for row in rows])
 
 

@@ -27,13 +27,20 @@ scale:
 query by the same 255 preserves the squared-L2 order exactly with zero
 rounding.)
 
-Exactness of the encode floor, cross-engine: operands are quantized
-integers (operators/similarity.quantize_embedding, |v| ≤ ~2^40 in any sane
-corpus), so ``(v-mn)*255`` is exactly representable in double and the IEEE
-quotient's error is < (a/b)·2⁻⁵² while a non-integer quotient sits ≥ 1/span
-away from the next integer; 1/span > (a/b)·2⁻⁵² whenever a < 2^52 — so
-``floor`` of the double quotient equals integer division in BOTH engines
-(Spark and DuckDB evaluate the identical IEEE expression).
+Exactness envelopes (two distinct bounds — do not conflate them):
+
+- encode floor, cross-engine: operands are quantized integers
+  (operators/similarity.quantize_embedding), ``(v-mn)*255`` is exactly
+  representable in double and the IEEE quotient's error is < (a/b)·2⁻⁵²
+  while a non-integer quotient sits ≥ 1/span away from the next integer;
+  1/span > (a/b)·2⁻⁵² whenever a < 2^52 — so ``floor`` of the double
+  quotient equals integer division in BOTH engines. Holds to |v| ~ 2^40.
+- search distance sum, int64: |recon255 − 255·q| ≤ ~2^10·V for coordinate
+  magnitude V, so the 64-dim squared sum is ≤ ~2^26·V² and stays inside
+  int64 only for V ≲ 3·10⁵. Milli-quantized unit-scale embeddings sit at
+  V ~ 10³ (100× headroom); feeding coarser-scaled integer vectors past
+  that envelope would wrap silently in non-ANSI Spark while DuckDB
+  promotes to HUGEINT — stay inside it.
 
 Scale posture (100 TB):
 - train: one posexplode + groupBy(dim) min/max — partial-aggregable
@@ -190,10 +197,13 @@ def sq_search(
 
 def pack_sq_codes(coded: DataFrame, dim: int) -> DataFrame:
     """(vec_id, codes) → (vec_id, packed array<long>): 8 codes per int64,
-    code ``t`` in byte ``7 - (t % 8)`` of word ``t // 8`` (big-endian
-    within the word, so lexicographic word order = dimension order). The
-    1-byte/dim storage form; map-only. ``dim`` need not be a multiple of 8
-    — the last word zero-pads."""
+    code ``t`` in byte ``7 - (t % 8)`` of word ``t // 8``. The 1-byte/dim
+    storage form; map-only. ``dim`` need not be a multiple of 8 — the last
+    word zero-pads. The round-trip (unpack_sq_codes) is the contract, NOT
+    sortability: a word whose first code is ≥ 128 shifts into the sign bit
+    and packs negative, so SIGNED numeric order of packed words is not
+    dimension-lexicographic — don't range-partition or order an inverted
+    file by raw packed values."""
     n_words = (dim + 7) // 8
     words = []
     for wi in range(n_words):

@@ -1822,15 +1822,14 @@ def dedup_ngram_simhash_q(spark, sf):
 
 
 def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
-    import hashlib as _hl
+    from tamer_spark.functions.hashing import sign_rows
+
+    rows = sign_rows("lsh", seed, planes, dim)
 
     def bucket_expr(v: str) -> str:
         terms = []
         for p in range(planes):
-            coeff = ", ".join(
-                ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
-                for i in range(dim)
-            )
+            coeff = ", ".join(str(c) for c in rows[p])
             terms.append(
                 f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END"
             )
@@ -1857,13 +1856,12 @@ def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) 
 def _lsh_multiprobe_knn_oracle(
     planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5, probes: int = 3
 ) -> str:
-    import hashlib as _hl
+    from tamer_spark.functions.hashing import sign_rows
+
+    _rows = sign_rows("lsh", seed, planes, dim)
 
     def proj(v: str, p: int) -> str:
-        coeff = ", ".join(
-            ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
-            for i in range(dim)
-        )
+        coeff = ", ".join(str(c) for c in _rows[p])
         return f"list_dot_product({v}, [{coeff}])"
 
     qbucket = " + ".join(
@@ -2423,14 +2421,11 @@ def _lsh_bucket_sql(v: str, planes: int = 8, dim: int = 64, seed: int = 42) -> s
     """The oracle-side LSH bucket id — the same sha256-derived ±1
     hyperplanes operators/similarity._planes_literal compiles into the
     Spark plan; shared by every gate that buckets embeddings."""
-    import hashlib as _hl
+    from tamer_spark.functions.hashing import sign_rows
 
     terms = []
-    for p in range(planes):
-        coeff = ", ".join(
-            ("1.0" if _hl.sha256(f"lsh-{seed}-{p}-{i}".encode()).digest()[0] % 2 else "-1.0")
-            for i in range(dim)
-        )
+    for p, row in enumerate(sign_rows("lsh", seed, planes, dim)):
+        coeff = ", ".join(str(c) for c in row)
         terms.append(f"CASE WHEN list_dot_product({v}, [{coeff}]) > 0 THEN {1 << p} ELSE 0 END")
     return " + ".join(terms)
 
@@ -3930,7 +3925,11 @@ def lexical_retrieval_docs_q(spark, sf):
     _assert_gate_dim(emb, sf)
     qs = emb.filter(F.col("vec_id") < 10)
     truth = cosine_knn(emb, qs, k=5).select("query_id", "neighbor_id")
-    run = cosine_knn_lsh(emb, qs, k=5, planes=8)
+    # max_bucket=None: the oracle models UNCAPPED bucket joins — pin the
+    # uncapped semantics structurally rather than rely on fixture buckets
+    # staying under the default cap (the ADVICE-r4 convention, same as the
+    # similarity_knn gate above)
+    run = cosine_knn_lsh(emb, qs, k=5, planes=8, max_bucket=None)
     metrics = ranking_metrics(run, truth, k=5)
     ev = metrics.select(
         F.lit("eval").alias("variant"),
@@ -5169,7 +5168,7 @@ def corpus_curation_q(spark, sf):
         F.col("drift_ppm").alias("v3"),
         F.lit(None).cast("long").alias("v4"),
     ).unionByName(
-        total_tvd_ppm(per, ("lang",)).select(
+        total_tvd_ppm(per).select(
             F.lit("drift").alias("variant"),
             F.lit("__total__").alias("k1"),
             F.lit(None).cast("string").alias("k2"),

@@ -18,7 +18,7 @@ def test_drift_hand_checked_shares_and_total(spark):
     per = {r.lang: r for r in category_drift(a, b, ("lang",)).collect()}
     assert per["en"].share_a_ppm == 750_000 and per["en"].share_b_ppm == 250_000
     assert per["en"].drift_ppm == 500_000 and per["de"].drift_ppm == 500_000
-    tot = total_tvd_ppm(category_drift(a, b, ("lang",)), ("lang",)).collect()[0]
+    tot = total_tvd_ppm(category_drift(a, b, ("lang",))).collect()[0]
     assert (tot.n_a, tot.n_b, tot.tvd_ppm) == (4, 4, 500_000)  # TVD = 0.5
 
 
@@ -26,7 +26,7 @@ def test_drift_identical_epochs_are_zero(spark):
     a = _docs(spark, [(1, "en"), (2, "de"), (3, "fr")])
     per = category_drift(a, a, ("lang",))
     assert all(r.drift_ppm == 0 for r in per.collect())
-    assert total_tvd_ppm(per, ("lang",)).collect()[0].tvd_ppm == 0
+    assert total_tvd_ppm(per).collect()[0].tvd_ppm == 0
 
 
 def test_drift_absent_category_surfaces_with_zero_count(spark):
@@ -43,14 +43,14 @@ def test_drift_absent_category_surfaces_with_zero_count(spark):
 def test_drift_symmetric_and_bounded(spark):
     a = _docs(spark, [(i, l) for i, l in enumerate(["en"] * 7 + ["de"] * 2 + ["fr"])])
     b = _docs(spark, [(i, l) for i, l in enumerate(["en"] * 2 + ["de"] * 5 + ["xx"] * 3)])
-    t_ab = total_tvd_ppm(category_drift(a, b, ("lang",)), ("lang",)).collect()[0].tvd_ppm
-    t_ba = total_tvd_ppm(category_drift(b, a, ("lang",)), ("lang",)).collect()[0].tvd_ppm
+    t_ab = total_tvd_ppm(category_drift(a, b, ("lang",))).collect()[0].tvd_ppm
+    t_ba = total_tvd_ppm(category_drift(b, a, ("lang",))).collect()[0].tvd_ppm
     assert t_ab == t_ba
     assert 0 <= t_ab <= 1_000_000
     # disjoint supports → TVD = 1 (within the floor-div ppm granularity)
     c = _docs(spark, [(1, "aa"), (2, "aa")])
     d = _docs(spark, [(3, "bb")])
-    t_cd = total_tvd_ppm(category_drift(c, d, ("lang",)), ("lang",)).collect()[0].tvd_ppm
+    t_cd = total_tvd_ppm(category_drift(c, d, ("lang",))).collect()[0].tvd_ppm
     assert t_cd == 1_000_000
 
 
