@@ -135,3 +135,45 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts over per-user event streams — the journey-
+    mining primitive between funnels (fixed stage order) and full sequence
+    models: for every consecutive event pair within a user's stream,
+    count ``(from_type, to_type)`` occurrences and how many distinct
+    users made that transition.
+
+    Ordering is the repo's deterministic event total order (ts, then the
+    tiebreak id — equal-timestamp pairs would otherwise make the lag
+    engine-dependent). Returns ``(from_type, to_type, n_transitions,
+    n_users)``, exact integers.
+
+    Scale shape: ONE window partitioned by user (a user's stream is the
+    parallel unit and is bounded by per-user activity, not corpus size),
+    then one partial-aggregable groupBy on the (from, to) pair — the
+    shuffled payload after the window is one row per consecutive pair,
+    and the pair space is |types|², tiny. First events (no predecessor)
+    contribute nothing by construction (lag NULL filtered).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(user_col, type_col, ts_col, tiebreak_col)
+        .withColumn("_from", F.lag(type_col).over(w))
+        .filter(F.col("_from").isNotNull())
+    )
+    return (
+        pairs.groupBy(F.col("_from").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct(user_col).alias("n_users"),
+        )
+    )

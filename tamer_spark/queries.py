@@ -4702,6 +4702,21 @@ _ANOMALY_ORACLE = f"""
     FROM ({_PCTL_ORACLE})
     UNION ALL
     SELECT 'anomaly', k1, k2, v1, v2, v3 FROM ({_ANOMALY_ORACLE})
+    UNION ALL
+    SELECT 'transitions', from_type, to_type, n_transitions, n_users,
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH {EVENTS_CTE},
+      tpairs AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        FROM events)
+      SELECT from_type, to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tpairs WHERE from_type IS NOT NULL
+      GROUP BY 1, 2
+    )
     """,
     doc=(
         "Product/event analytics as one tagged union (r6 window re-pack of "
@@ -4725,7 +4740,14 @@ _ANOMALY_ORACLE = f"""
         "audited. Raw events collapse to the calendar-bounded series via "
         "one partial-aggregable groupBy BEFORE any window, so the two "
         "median exchanges never see event-grain data; med/MAD frames "
-        "(one row per key) broadcast back."
+        "(one row per key) broadcast back. transitions (r12): Markov "
+        "transition counts over per-user event streams — the journey-"
+        "mining primitive between funnels and sequence models: per "
+        "consecutive pair under the deterministic (ts, event_id) total "
+        "order, count occurrences + distinct users; ONE user-partitioned "
+        "lag window (a user's stream is the parallel unit), then a "
+        "partial-agg groupBy over the |types|² pair space; first events "
+        "contribute nothing (lag NULL filtered), pinned on both sides."
     ),
 )
 def event_analytics_q(spark, sf):
@@ -4754,6 +4776,7 @@ def event_analytics_q(spark, sf):
         F.lit(None).cast("long").alias("v3"),
     )
     from tamer_spark.operators.anomaly import daily_counts, mad_anomalies
+    from tamer_spark.operators.events import transition_counts
 
     anomaly = mad_anomalies(
         daily_counts(_t(spark, sf, "events")),
@@ -4768,7 +4791,20 @@ def event_analytics_q(spark, sf):
         F.col("dev_ppm").alias("v2"),
         F.col("is_anomaly").cast("long").alias("v3"),
     )
-    return funnel.unionByName(cohort).unionByName(pctl).unionByName(anomaly)
+    transitions = transition_counts(_t(spark, sf, "events")).select(
+        F.lit("transitions").alias("variant"),
+        F.col("from_type").alias("k1"),
+        F.col("to_type").alias("k2"),
+        F.col("n_transitions").alias("v1"),
+        F.col("n_users").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return (
+        funnel.unionByName(cohort)
+        .unionByName(pctl)
+        .unionByName(anomaly)
+        .unionByName(transitions)
+    )
 
 
 _WINNOW_FP_CTES = """

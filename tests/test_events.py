@@ -81,3 +81,82 @@ def test_funnel_stage_names_with_quotes_are_escaped(spark):
     rows = [(1, T(1), "o'brien-step"), (1, T(2), "done")]
     out = {r.stage: r.users for r in funnel_counts(_ev(spark, rows), ["o'brien-step", "done"]).collect()}
     assert out == {"o'brien-step": 1, "done": 1}
+
+
+# ---------------------------------------------------------------------------
+# transition_counts (r12): Markov journey mining
+# ---------------------------------------------------------------------------
+
+def _stream(spark, rows):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (eid, t0 + timedelta(minutes=m), u, et)
+        for eid, (u, m, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_transition_counts_hand_checked(spark):
+    """u1: view→click→purchase; u2: view→click, view→click again — counts
+    and distinct-user attribution match by hand; first events contribute
+    no transition."""
+    from tamer_spark.operators.events import transition_counts
+
+    df = _stream(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "view"), (2, 1, "click"), (2, 2, "view"), (2, 3, "click"),
+        ],
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.n_users)
+        for r in transition_counts(df).collect()
+    }
+    assert got == {
+        ("view", "click"): (3, 2),
+        ("click", "purchase"): (1, 1),
+        ("click", "view"): (1, 1),
+    }
+
+
+def test_transition_counts_equal_ts_breaks_on_event_id(spark):
+    """Two events at the SAME timestamp order by event_id — without the
+    tiebreak the lag would be engine/partition dependent."""
+    from datetime import datetime
+
+    from tamer_spark.operators.events import transition_counts
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, t, 1, "b"), (1, t, 1, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = [(r.from_type, r.to_type) for r in transition_counts(df).collect()]
+    assert got == [("a", "b")]
+
+
+def test_transition_counts_users_are_isolated(spark):
+    """The last event of user A and the first of user B are NOT a
+    transition — the window partitions by user."""
+    from tamer_spark.operators.events import transition_counts
+
+    df = _stream(spark, [(1, 0, "view"), (2, 1, "purchase")])
+    assert transition_counts(df).count() == 0
+
+
+def test_transition_counts_single_user_window_then_partial_agg(spark):
+    """Plan shape: exactly one window (partitioned by user), aggregation
+    is partial (map-side combine over the tiny pair space)."""
+    from tamer_spark.operators.events import transition_counts
+
+    df = _stream(spark, [(1, 0, "view"), (1, 1, "click")])
+    plan = transition_counts(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"windowspecdefinition\(user_id", plan)) == 1, plan
+    assert plan.count("Window") == 1, plan
