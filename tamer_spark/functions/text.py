@@ -572,3 +572,34 @@ def fix_encoding_col(text: Column) -> Column:
     s = F.replace(s, F.lit("\r\n"), F.lit("\n"))
     s = F.replace(s, F.lit("\r"), F.lit("\n"))
     return F.regexp_replace(s, ENC_CTRL_RE, "")
+
+
+# --- template fingerprinting (r12) -----------------------------------------
+# Masking chain for template-collapse dedup: raw strings that differ only in
+# volatile tokens (ids, emails, urls, hashes, numbers) share one fingerprint.
+# Patterns pinned to the Java-regex/RE2 common subset (both engines replay
+# them verbatim); ORDER IS LOAD-BEARING and pinned in tests — emails mask
+# before urls (a userinfo-style '@' must not survive into the url token),
+# urls before hex/digits (a url must collapse to ONE token, not to a
+# digit-masked near-miss), hex runs before digits (an all-digit hash run
+# must read <H>, not 0).
+TEMPLATE_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+TEMPLATE_URL_RE = r"https?://[^\s]+"
+TEMPLATE_HEX_RE = r"\b[0-9a-f]{8,}\b"
+TEMPLATE_DIGIT_RE = r"[0-9]+"
+
+
+def template_fingerprint_col(text: Column) -> Column:
+    """Template fingerprint: lowercase, then mask emails → ``<E>``, urls →
+    ``<U>``, hex runs (≥8) → ``<H>``, digit runs → ``0``, then the standard
+    whitespace canonicalization. Two spam/boilerplate pages generated from
+    the same template but with different order numbers, tracking links, and
+    recipient addresses collapse to one key — the template-collapse tier of
+    exact dedup (between 'normalized' and MinHash in aggressiveness).
+    Map-only Catalyst chain at scan rate."""
+    s = F.lower(text)
+    s = F.regexp_replace(s, TEMPLATE_EMAIL_RE, "<E>")
+    s = F.regexp_replace(s, TEMPLATE_URL_RE, "<U>")
+    s = F.regexp_replace(s, TEMPLATE_HEX_RE, "<H>")
+    s = F.regexp_replace(s, TEMPLATE_DIGIT_RE, "0")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

@@ -810,3 +810,36 @@ def simhash_signatures(
     for i in range(bits):
         out = out + F.when(vote(i) > 0, F.lit(1 << i)).otherwise(0)
     return hashed.select("doc_id", out.alias("simhash"))
+
+
+def template_dedup_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Template-collapse exact dedup: group by the masked fingerprint
+    (functions/text.template_fingerprint_col — emails/urls/hex/digits
+    masked), so machine-generated pages that differ only in volatile
+    tokens dedup as one template family. The tier between 'normalized'
+    (verbatim after whitespace) and MinHash (fuzzy): catches the
+    mail-merge/receipt/listing spam that MinHash also catches but at
+    exact-dedup cost — ONE 16 B md5 digest shuffle with map-side combine,
+    masking rides the scan map-only.
+
+    NULL text forms SINGLETON groups (key ``nulltmpl-<id>``) — the
+    url_dedup_counts contract: a missing value must neither merge
+    everything under one NULL key nor vanish from the keep_id semi-join.
+    Returns (content_hash, keep_id, dup_count).
+    """
+    from tamer_spark.functions.text import template_fingerprint_col
+
+    key = F.coalesce(
+        F.md5(template_fingerprint_col(F.col(text_col))),
+        F.concat(F.lit("nulltmpl-"), F.col(id_col).cast("string")),
+    )
+    return (
+        df.select(key.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

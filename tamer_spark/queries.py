@@ -1195,6 +1195,59 @@ def url_dedup_docs_q(spark, sf):
     return url_dedup_counts(d)
 
 
+def _derived_template_col():
+    """Six-field template-y text derived from doc_id (the url-variant
+    precedent: fixture text carries no volatile tokens, so the gate plants
+    them) — every raw string is DISTINCT (doc_id embedded five ways) and
+    masking must collapse the corpus into exactly 4 template families
+    (the 'item <word>' suffix), making every mask live and binding."""
+    fam = F.element_at(
+        F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"), F.lit("delta")),
+        ((F.col("doc_id") % 4) + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("Order #"), F.col("doc_id").cast("string"),
+        F.lit(" for user"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("@shop-"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example: visit https://track.example/p/"), F.col("doc_id").cast("string"),
+        F.lit(" code "), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        F.lit(" total "), ((F.col("doc_id") * 37) % 1000).cast("string"),
+        F.lit("  item "), fam,
+    )
+
+
+def _template_mask_sql() -> str:
+    """The oracle's masking chain, generated from the SAME pinned constants
+    functions/text.template_fingerprint_col compiles to Catalyst."""
+    import tamer_spark.functions.text as T
+
+    derive = (
+        "'Order #' || CAST(doc_id AS VARCHAR) || ' for user' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '@shop-' || CAST(doc_id % 3 AS VARCHAR) || "
+        "'.example: visit https://track.example/p/' || CAST(doc_id AS VARCHAR) || "
+        "' code ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) || "
+        "' total ' || CAST((doc_id * 37) % 1000 AS VARCHAR) || '  item ' || "
+        "CASE doc_id % 4 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' "
+        "WHEN 2 THEN 'gamma' ELSE 'delta' END"
+    )
+    return f"""
+    WITH tdt AS (SELECT doc_id, {derive} AS raw FROM documents),
+    tm AS (SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(raw), '{T.TEMPLATE_EMAIL_RE}', '<E>', 'g'),
+                '{T.TEMPLATE_URL_RE}', '<U>', 'g'),
+              '{T.TEMPLATE_HEX_RE}', '<H>', 'g'),
+            '{T.TEMPLATE_DIGIT_RE}', '0', 'g'),
+          '\\s+', ' ', 'g')) AS t
+      FROM tdt)
+    SELECT md5(t) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM tm GROUP BY t"""
+
+
 @q(
     "dedup_exact",
     f"""
@@ -1215,8 +1268,11 @@ def url_dedup_docs_q(spark, sf):
     UNION ALL
     SELECT 'domain', content_hash, keep_id, dup_count
     FROM ({_domain_rollup_sql()})
+    UNION ALL
+    SELECT 'template', content_hash, keep_id, dup_count
+    FROM ({_template_mask_sql()})
     """,
-    doc="Exact dedup/rollup at five granularities tagged in one result: raw document, whitespace/case-normalized document, corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents), URL-level dedup (r11: the CCNet/RefinedWeb stage run FIRST, before any text read — canonicalize scheme/www/default-port/fragment/trailing-slash/tracking-params over a pinned six-dimension URL derivation of doc_id, then one digest shuffle; the text column never enters the url variant's scan), and REGISTRABLE-DOMAIN doc rollup (r12: the CCNet per-domain aggregation / RefinedWeb §3.1 domain-blocklist key — PSL-heuristic extraction [last two host labels, three over a pinned two-level-suffix list, IPv4 hosts whole, any port stripped] over a derivation planting subdomain collapse, a co.uk three-label case, an :8080 port, IPs, a single-label host, and host-less relative refs that become nulldomain singletons; oracle replays the chain from the same constants). Single md5-digest shuffle per variant, map-side combine.",
+    doc="Exact dedup/rollup at five granularities tagged in one result: raw document, whitespace/case-normalized document, corpus-wide SENTENCE occurrence counts (the CCNet/Gopher line-level dedup signal — boilerplate sentences repeat across unique documents), URL-level dedup (r11: the CCNet/RefinedWeb stage run FIRST, before any text read — canonicalize scheme/www/default-port/fragment/trailing-slash/tracking-params over a pinned six-dimension URL derivation of doc_id, then one digest shuffle; the text column never enters the url variant's scan), and REGISTRABLE-DOMAIN doc rollup (r12: the CCNet per-domain aggregation / RefinedWeb §3.1 domain-blocklist key — PSL-heuristic extraction [last two host labels, three over a pinned two-level-suffix list, IPv4 hosts whole, any port stripped] over a derivation planting subdomain collapse, a co.uk three-label case, an :8080 port, IPs, a single-label host, and host-less relative refs that become nulldomain singletons; oracle replays the chain from the same constants). Single md5-digest shuffle per variant, map-side combine. template (r12): TEMPLATE-collapse dedup — the tier between normalized-exact and MinHash: mask emails/urls/hex-runs/digit-runs (functions/text.template_fingerprint_col, patterns pinned to the Java/RE2 common subset, mask ORDER load-bearing and pinned), so mail-merge/receipt/listing spam that differs only in volatile tokens dedups at exact-dedup cost; gate derivation plants five doc_id-varying volatile fields in otherwise-shared text so every raw string is distinct and masking must collapse the corpus into exactly 4 families — every mask live and binding; oracle replays the chain from the same constants.",
 )
 def dedup_exact_q(spark, sf):
     from tamer_spark.operators.dedup import sentence_dedup_counts
@@ -1237,7 +1293,18 @@ def dedup_exact_q(spark, sf):
     dom = domain_rollup_docs_q(spark, sf).select(
         F.lit("domain").alias("variant"), "content_hash", "keep_id", "dup_count"
     )
-    return raw.unionByName(norm).unionByName(sent).unionByName(url).unionByName(dom)
+    from tamer_spark.operators.dedup import template_dedup_counts
+
+    tmpl = template_dedup_counts(
+        d.select("doc_id", _derived_template_col().alias("ttext")), text_col="ttext"
+    ).select(F.lit("template").alias("variant"), "content_hash", "keep_id", "dup_count")
+    return (
+        raw.unionByName(norm)
+        .unionByName(sent)
+        .unionByName(url)
+        .unionByName(dom)
+        .unionByName(tmpl)
+    )
 
 
 
@@ -3672,6 +3739,91 @@ def tfidf_top_terms(spark, sf):
     )
 
 
+_PMI_MIN_COUNT, _PMI_K = 5, 20
+
+_PMI_ORACLE = f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    wsx AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    tok AS (SELECT unnest(w) AS word FROM wsx),
+    toks AS (SELECT word FROM tok WHERE length(word) > 0),
+    pn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM toks),
+    puni AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+    pbg AS (SELECT unnest(list_zip(w, w[2:])) AS p FROM wsx),
+    ppair AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS cxy
+              FROM pbg WHERE p[2] IS NOT NULL AND length(p[1]) > 0
+              GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    scored AS (SELECT w1 || ' ' || w2 AS bigram, cxy,
+                      CAST(CAST(cxy AS HUGEINT) * pn.n * 1000000
+                           // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_ppm
+               FROM ppair JOIN puni u1 ON ppair.w1 = u1.word
+                          JOIN puni u2 ON ppair.w2 = u2.word
+                          CROSS JOIN pn)
+    SELECT bigram, CAST(cxy AS BIGINT) AS cxy, pmi_ppm, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi_ppm DESC, bigram) AS rank
+      FROM scored) WHERE rank <= {_PMI_K}"""
+
+
+# Standalone builder kept for plan pins (graded via term_stats_docs 'pmi').
+def pmi_top_bigrams(spark, sf, min_count: int = _PMI_MIN_COUNT, k: int = _PMI_K):
+    """Collocation mining by integer-exact PMI proxy: for adjacent word
+    pairs, ``pmi_ppm = c(xy)·N·10⁶ div (c(x)·c(y))`` — the monotone
+    integerization of pointwise mutual information (PMI = log of that
+    ratio/10⁶; log is irrational, and rank order under a monotone map is
+    identical, so the proxy ranks EXACTLY like PMI). The standard
+    collocation/tokenizer-merge signal (Church & Hanks 1990 lineage).
+    Arithmetic in DECIMAL(38,0) (Spark DIV ≡ DuckDB HUGEINT //, the DSIR
+    convention) — c·N·10⁶ exceeds int64 at web scale; the FINAL ppm value
+    is ≤ N·10⁶ and casts back to int64 safely to ~10¹² tokens.
+
+    Scale shape: unigram + pair counts are partial-aggregable groupBys
+    (vocabulary-sized); the unigram table broadcasts back onto the pair
+    frame twice (the tfidf df-broadcast precedent); the min_count floor
+    cuts the pair frame BEFORE the joins; top-k is one TakeOrdered, never
+    a global sort. The per-doc lead() window is the same (doc_id, pos)
+    exchange the ngram variant already pays.
+    """
+    from pyspark.sql import Window
+
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    wp = d.select(
+        "doc_id",
+        F.posexplode_outer(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word"),
+    ).filter(F.col("word").isNotNull() & (F.length("word") > 0))
+    uni = wp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = wp.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        wp.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.selectExpr("word AS w1", "c AS c1")), "w1")
+        .join(F.broadcast(uni.selectExpr("word AS w2", "c AS c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cxy").cast("long").alias("cxy"),
+            F.expr(
+                "CAST(CAST(cxy AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+    )
+    # TakeOrdered first (distributed top-k), THEN a window over the ≤k
+    # surviving rows to number them — never a global sort (the bm25_topk
+    # pattern)
+    topk = scored.orderBy(F.col("pmi_ppm").desc(), "bigram").limit(k)
+    wr = Window.orderBy(F.col("pmi_ppm").desc(), "bigram")
+    return topk.withColumn("rank", F.row_number().over(wr)).select(
+        "bigram", "cxy", "pmi_ppm", F.col("rank").cast("long").alias("rank")
+    )
+
+
 _CMS_PROBES = ["hash", "join", "scan", "quick", "zzz-never-in-corpus"]
 _CMS_D, _CMS_W, _CMS_SEED = 4, 256, 42
 
@@ -3712,6 +3864,8 @@ def _cms_oracle() -> str:
     SELECT 'tfidf', word, doc_id, rank, tfidf FROM ({_TFIDF_ORACLE})
     UNION ALL
     SELECT 'cms', token, id, n, CAST(NULL AS DOUBLE) FROM ({_cms_oracle()})
+    UNION ALL
+    SELECT 'pmi', bigram, cxy, pmi_ppm, CAST(rank AS DOUBLE) FROM ({_PMI_ORACLE})
     """,
     doc=(
         "Corpus term statistics as one tagged union (r6 window re-pack; "
@@ -3730,7 +3884,15 @@ def _cms_oracle() -> str:
         "so the oracle replays sketch build AND point queries exactly, "
         "and the emitted (true, est) pair keeps the est ≥ true "
         "overestimate bound on the graded surface. Mergeability (the "
-        "O(sketch)-per-epoch incremental story) is pinned in pytest."
+        "O(sketch)-per-epoch incremental story) is pinned in pytest. "
+        "pmi (r12): collocation mining — top-20 adjacent pairs by the "
+        "integer-exact PMI proxy c(xy)·N·10^6 div (c(x)·c(y)) (a monotone "
+        "map of PMI, so ranks are EXACTLY PMI ranks without touching "
+        "irrational logs; Church & Hanks 1990 lineage), min-count floor 5 "
+        "cuts the pair frame before the two broadcast unigram joins, "
+        "DECIMAL(38,0) DIV ≡ HUGEINT // (the DSIR convention — c·N·10^6 "
+        "exceeds int64 at web scale), top-k via TakeOrdered then a ≤k-row "
+        "rank window (the bm25 pattern, never a global sort)."
     ),
 )
 def term_stats_docs_q(spark, sf):
@@ -3771,7 +3933,14 @@ def term_stats_docs_q(spark, sf):
         F.col("est").cast("long").alias("n"),
         F.lit(None).cast("double").alias("score"),
     )
-    return ngram.unionByName(tfidf).unionByName(cms)
+    pmi = pmi_top_bigrams(spark, sf).select(
+        F.lit("pmi").alias("variant"),
+        F.col("bigram").alias("term"),
+        F.col("cxy").alias("id"),
+        F.col("pmi_ppm").alias("n"),
+        F.col("rank").cast("double").alias("score"),
+    )
+    return ngram.unionByName(tfidf).unionByName(cms).unionByName(pmi)
 
 
 _BM25_TERMS = ["hash", "join", "scan", "quick"]
