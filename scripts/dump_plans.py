@@ -36,6 +36,10 @@ SHOW = [
     ("contrastive_pairs", "The graded production triple miner (r12): ONE LSH-bucket candidate join and ONE (anchor, side) window rank BOTH contrastive tiers — the sort key flips sign per side, so no second exchange exists."),
     ("line_dedup_docs", "Cross-document boilerplate-line removal (r12): the post-threshold set broadcasts onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter); three shuffles total — count-distinct dedup, freq agg, one doc_id rebuild regroup."),
     ("domain_rollup_docs", "Registrable-domain rollup (r12): map-only PSL-heuristic extraction over a doc_id-derived URL, ONE md5-digest shuffle; the documents scan reads doc_id only."),
+    ("sq8_search", "SQ8 asymmetric search (r12): corpus reconstructs map-side at ×255 integer scale, joins the BROADCAST query set, and the only shuffle is the per-query rank window — the corpus never exchanges."),
+    ("cms_sketch_docs", "Count-Min build (r12): token explode to d cells map-side; the ONE exchange carries ≤ partitions × d·w rows regardless of vocabulary — the fixed-size-shuffle property."),
+    ("rp_project_embeddings", "JL random projection (r12): pure map under the frozen ±1 sign literal — zero exchanges; new epochs project without history."),
+    ("event_anomaly_daily", "Median/MAD anomaly flagging (r12): raw events collapse to the per-key daily series in one partial agg BEFORE the two key-partitioned median windows; med/MAD broadcast back."),
 ]
 
 def main() -> None:

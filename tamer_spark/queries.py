@@ -5696,6 +5696,67 @@ def contamination_score_docs_q(spark, sf):
 # query — the union wrapper would blur what each number/pin measures.
 # ---------------------------------------------------------------------------
 
+# Standalone builders for the r12-continuation families (cold shapes — no
+# persist/memo; bench.py keeps its own hot-path variants where warm-up
+# matters). Kept out of the 50-gate REGISTRY window: each is graded through
+# its host tagged-union gate.
+def sq8_search_docs_q(spark, sf):
+    from tamer_spark.operators.sq import sq_encode, sq_search, sq_train
+
+    emb = _t(spark, sf, "embeddings")
+    bounds = sq_train(emb)
+    return sq_search(
+        sq_encode(emb, bounds), bounds, emb.filter(F.col("vec_id") < 10), topk=5
+    )
+
+
+def cms_sketch_docs_q(spark, sf):
+    from tamer_spark.operators.cms import cms_build
+    from tamer_spark.operators.dedup import normalize_text
+
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    return cms_build(toks, d=4, w=1024, seed=42)
+
+
+def rp_project_embeddings_q(spark, sf):
+    from tamer_spark.operators.rp import random_projection, rp_signs
+
+    return random_projection(_t(spark, sf, "embeddings"), rp_signs(16, 64, 42))
+
+
+def event_anomaly_daily_q(spark, sf):
+    from tamer_spark.operators.anomaly import daily_counts, mad_anomalies
+
+    return mad_anomalies(daily_counts(_t(spark, sf, "events")), keys=("k",), value_col="n")
+
+
+def template_dedup_docs_q(spark, sf):
+    from tamer_spark.operators.dedup import template_dedup_counts
+
+    d = _t(spark, sf, "documents").select("doc_id", _derived_template_col().alias("ttext"))
+    return template_dedup_counts(d, text_col="ttext")
+
+
+def drift_langs_q(spark, sf):
+    from tamer_spark.operators.drift import category_drift
+
+    d = _t(spark, sf, "documents")
+    return category_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), ("lang",)
+    )
+
+
+def transition_counts_events_q(spark, sf):
+    from tamer_spark.operators.events import transition_counts
+
+    return transition_counts(_t(spark, sf, "events"))
+
+
+
 STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi_active_customers": join_semi_active_customers,
     "join_anti_inactive_customers": join_anti_inactive_customers,
@@ -5744,6 +5805,14 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_checks": data_quality_checks,
     "scd2_current_view": scd2_current_view_q,
     "rollup_merge_on_read": rollup_merge_on_read_q,
+    "sq8_search": sq8_search_docs_q,
+    "cms_sketch_docs": cms_sketch_docs_q,
+    "rp_project_embeddings": rp_project_embeddings_q,
+    "event_anomaly_daily": event_anomaly_daily_q,
+    "pmi_top_bigrams": lambda spark, sf: pmi_top_bigrams(spark, sf),
+    "template_dedup_docs": template_dedup_docs_q,
+    "drift_langs": drift_langs_q,
+    "transition_counts_events": transition_counts_events_q,
 }
 
 
