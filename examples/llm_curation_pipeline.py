@@ -59,6 +59,29 @@ url_keep = url_dedup_counts(raw_docs.select("doc_id", _url.alias("url"))).select
 raw_docs = raw_docs.join(url_keep, "doc_id", "left_semi").localCheckpoint()
 n_url = raw_docs.count()
 
+# -0.75. template-collapse AUDIT (r12) — machine-generated pages differ
+#        only in volatile tokens (order ids, recipient emails, tracking
+#        links); exact dedup misses them, template masking catches them at
+#        exact-dedup cost. Plant a volatile suffix on every doc (each raw
+#        string becomes globally unique), then verify masking collapses the
+#        corpus back to exactly its normalized-text group count — i.e. the
+#        volatile tokens contribute NOTHING to identity under the mask.
+from tamer_spark.operators.dedup import dedup_exact_normalized, template_dedup_counts
+
+_volatile = F.concat(
+    F.col("text"),
+    F.lit(" order #"), _d.cast("string"),
+    F.lit(" to user"), (_d % 9).cast("string"), F.lit("@mail-"),
+    (_d % 4).cast("string"), F.lit(".example via https://t.example/"),
+    _d.cast("string"),
+)
+_td = raw_docs.select("doc_id", _volatile.alias("vtext"))
+n_template_groups = template_dedup_counts(_td, text_col="vtext").count()
+n_vtext_distinct = _td.select("vtext").distinct().count()
+n_norm_groups = dedup_exact_normalized(raw_docs).count()
+assert n_vtext_distinct == n_url  # the suffix made every raw string unique
+assert n_template_groups == n_norm_groups  # ...and the mask erased it all
+
 # -0.5. encoding repair BEFORE any text processing — quality scores over
 #       mojibake are themselves mojibake. The fixture is clean ASCII, so
 #       plant transport damage first (BOM + a mojibake word + a CRLF);
@@ -412,6 +435,23 @@ print(
     f"hybrid retrieval (3 queries): {n_hybrid} fused results "
     f"(BM25 top-20 + cosine top-20 → RRF top-5 per query)"
 )
+# post-pipeline composition drift (r12): did curation skew the language
+# mix? TVD between the raw corpus's lang distribution and the curated
+# output's, in exact ppm — the number a mix-weight owner watches per epoch.
+from tamer_spark.operators.drift import category_drift, total_tvd_ppm
+
+_curated_ids = spark.read.parquet(str(ws / "curated_chunks")).select("doc_id").distinct()
+_raw_langs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+_drift = total_tvd_ppm(
+    category_drift(_raw_langs, _raw_langs.join(_curated_ids, "doc_id", "left_semi"), ("lang",))
+).collect()[0]
+print(
+    f"template audit: {n_vtext_distinct} volatile-unique raw strings → "
+    f"{n_template_groups} masked families (== {n_norm_groups} normalized groups); "
+    f"curation lang drift: {_drift.tvd_ppm} ppm over {_drift.n_a}→{_drift.n_b} docs"
+)
+assert 0 <= _drift.tvd_ppm <= 1_000_000
+
 assert n0 >= n_url >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
 assert n_url < n0  # the derived re-crawl noise guarantees url-level groups
 assert n_damage_chars > 0  # BOM/CRLF/mojibake all removed or shrunk
