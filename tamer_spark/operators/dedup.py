@@ -658,7 +658,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     seed: int = 42,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     keep_cache: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
@@ -687,7 +687,7 @@ def minhash_lsh_pairs_with_cache(
     bands: int = 4,
     n: int = 3,
     seed: int = 42,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """``minhash_lsh_pairs`` returning ``(pairs, cached_signatures)`` so a
     caller that derives further plans from the pairs (e.g. connected-component
@@ -715,9 +715,15 @@ def minhash_lsh_pairs_with_cache(
             )
         ).alias("band_id", "band_sig"),
     )
-    bucket_sizes = banded.groupBy("band_id", "band_sig").count()
-    small = bucket_sizes.filter(F.col("count") <= max_bucket).drop("count")
-    banded = banded.join(small, ["band_id", "band_sig"])
+    if max_bucket is not None:
+        # None = uncapped (the similarity-module convention). Guarded
+        # explicitly: `count <= NULL` is NULL, so an unguarded filter would
+        # silently drop EVERY bucket and return zero pairs — the silent-
+        # empty mode-contract trap (r12; same class as the r11 salted_join
+        # fix), pinned in tests/test_dedup_incremental.py.
+        bucket_sizes = banded.groupBy("band_id", "band_sig").count()
+        small = bucket_sizes.filter(F.col("count") <= max_bucket).drop("count")
+        banded = banded.join(small, ["band_id", "band_sig"])
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

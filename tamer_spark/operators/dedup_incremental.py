@@ -394,3 +394,73 @@ def append_keys(index: DataFrame, new_keys: DataFrame) -> DataFrame:
     the logical equivalent for in-session composition and tests.
     """
     return index.unionByName(new_keys).distinct()
+
+
+def minhash_band_posting_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """ID-CARRYING LSH index: ``(doc_id, band_id, band_sig)`` — the posting
+    form of ``minhash_band_index`` for pipelines that need the collided
+    PAIRS (cluster maintenance via cc_incremental), not just the batch's
+    survivors. Same ``_banded_sigs`` banding (bit-identical keys), one
+    distinct; persist bucketed on (band_id, band_sig). Per epoch, append
+    the surviving batch's postings (append_keys works unchanged — the
+    union key set just carries doc_id along)."""
+    return _banded_sigs(df, text_col, id_col, k, bands, n, seed).distinct()
+
+
+def minhash_epoch_pairs(
+    new_df: DataFrame,
+    posting_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Every near-dup candidate pair TOUCHING this epoch's batch:
+    batch × history collisions (band equi-join against the posting index)
+    ∪ within-batch pairs (minhash_lsh_pairs over the batch alone). Returns
+    ``(doc_a, doc_b)`` with doc_a < doc_b, distinct.
+
+    This is exactly the pair set cc_incremental needs: the full corpus
+    pair graph = history-history pairs (already inside the previous
+    assignment's star forest, connectivity-wise) ∪ pairs touching the
+    batch — so ``cc_incremental(prev, minhash_epoch_pairs(batch, index))``
+    equals full-corpus clustering (pinned in tests) while deriving pairs
+    only for the batch.
+
+    Plan: the batch bands map-only and both joins shuffle batch-derived
+    rows only (the index side is exchange-free when bucketed on the band
+    key); within-batch pairs are epoch-sized. ``max_bucket`` is the
+    standard hot-bucket guard for the WITHIN-batch half; the cross half
+    joins the index directly (bound it by bucketing/compaction policy —
+    an index bucket is history-sized, not batch-sized).
+    """
+    from tamer_spark.operators.dedup import minhash_lsh_pairs
+
+    banded = _banded_sigs(new_df, text_col, id_col, k, bands, n, seed)
+    hist = posting_index.select(
+        F.col("doc_id").alias("_hist_id"), "band_id", "band_sig"
+    )
+    cross = (
+        banded.join(hist, ["band_id", "band_sig"])
+        .filter(F.col("doc_id") != F.col("_hist_id"))
+        .select(
+            F.least("doc_id", "_hist_id").alias("doc_a"),
+            F.greatest("doc_id", "_hist_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    within = minhash_lsh_pairs(
+        new_df, text_col, id_col, k, bands, n, seed, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+    return cross.unionByName(within).distinct()
