@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["category_drift", "total_tvd_ppm"]
+__all__ = ["category_drift", "total_tvd_ppm", "embedding_drift"]
 
 
 def category_drift(
@@ -76,4 +76,73 @@ def total_tvd_ppm(per_category: DataFrame) -> DataFrame:
         F.sum("n_a").cast("long").alias("n_a"),
         F.sum("n_b").cast("long").alias("n_b"),
         F.expr("sum(drift_ppm) div 2").cast("long").alias("tvd_ppm"),
+    )
+
+
+def embedding_drift(
+    epoch_a: DataFrame,
+    epoch_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The vector-column sibling of category_drift: did the embedding
+    DISTRIBUTION move between epochs? One row:
+
+    - ``n_a, n_b``              epoch sizes
+    - ``centroid_dist_sq``      exact squared L2 between the two epochs'
+                                integer centroids (per-dim floor-div means
+                                of the quantized vectors — the IVF centroid
+                                convention, bit-reproducible anywhere)
+    - ``msn_a, msn_b``          mean squared norm per epoch (floor-div) —
+                                a scale/normalization shift detector even
+                                when the centroids agree (e.g. a new
+                                encoder checkpoint that rescales)
+
+    A centroid that moves or a norm profile that jumps means the upstream
+    embedder or the content mix changed — rebuild/re-validate the frozen
+    ANN models (IVF centroids, PQ codebooks, SQ bounds) before appending
+    the epoch to their inverted files.
+
+    Scale shape: each epoch is ONE posexplode + partial-agg groupBy(dim)
+    (the sq_train shape — the exchange carries partitions × dim rows) plus
+    one 1-row norm agg; the dim-row mean frames join driver-free and
+    everything downstream is a broadcast of dim rows. No window, no
+    corpus join — the two corpora never meet.
+    """
+    from tamer_spark.operators.similarity import quantize_embedding
+
+    def _stats(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        qv = quantize_embedding(F.col(vec_col))
+        means = (
+            df.select(F.posexplode(qv).alias("t", "val"))
+            .groupBy("t")
+            # FLOOR, not `div`: per-dim sums go negative and SQL div
+            # truncates toward zero while the repo's centroid convention
+            # (ivf_build / the k-means oracles: FLOOR(SUM/COUNT)) floors —
+            # pinned by the driver-recompute test against Python `//`
+            .agg(F.expr("CAST(FLOOR(sum(val) / count(*)) AS BIGINT)").alias(f"m_{tag}"))
+        )
+        norms = df.select(
+            F.aggregate(
+                qv, F.lit(0).cast("long"), lambda a, x: a + (x * x).cast("long")
+            ).alias("n2")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.expr("sum(n2) div count(*)").cast("long").alias(f"msn_{tag}"),
+        )
+        return means, norms
+
+    means_a, norms_a = _stats(epoch_a, "a")
+    means_b, norms_b = _stats(epoch_b, "b")
+    dist = (
+        means_a.join(means_b, "t")
+        .agg(
+            F.sum((F.col("m_a") - F.col("m_b")) * (F.col("m_a") - F.col("m_b")))
+            .cast("long")
+            .alias("centroid_dist_sq")
+        )
+    )
+    return (
+        norms_a.crossJoin(F.broadcast(norms_b))
+        .crossJoin(F.broadcast(dist))
+        .select("n_a", "n_b", "centroid_dist_sq", "msn_a", "msn_b")
     )
