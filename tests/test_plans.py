@@ -52,10 +52,10 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_dedup_exact_single_shuffle_per_variant(spark):
-    # tagged union of raw + normalized + sentence + url + domain (r12)
-    # variants: one shuffle each
+    # tagged union of raw + normalized + sentence + url + domain + template
+    # (r12) variants: one shuffle each
     df = _spark_fn("dedup_exact")(spark, SF_DIR)
-    assert shuffle_count(df) == 5, explain_str(df)
+    assert shuffle_count(df) == 6, explain_str(df)
     # and the scans read only (doc_id, text) — the url variant derives its
     # key from doc_id alone and never touches text (its standalone pin in
     # test_url_dedup.py asserts the doc_id-only scan directly)
