@@ -70,7 +70,7 @@ from tamer_spark.operators.dedup import dedup_exact_normalized, template_dedup_c
 
 _volatile = F.concat(
     F.col("text"),
-    F.lit(" order #"), _d.cast("string"),
+    F.lit(" order #"), (_d % 1000000).cast("string"),  # ≥8-digit ids would mask <H>, not 0
     F.lit(" to user"), (_d % 9).cast("string"), F.lit("@mail-"),
     (_d % 4).cast("string"), F.lit(".example via https://t.example/"),
     _d.cast("string"),

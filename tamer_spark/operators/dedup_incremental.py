@@ -424,7 +424,7 @@ def minhash_epoch_pairs(
     bands: int = 4,
     n: int = 3,
     seed: int = 42,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Every near-dup candidate pair TOUCHING this epoch's batch:
     batch × history collisions (band equi-join against the posting index)
@@ -445,9 +445,11 @@ def minhash_epoch_pairs(
     joins the index directly (bound it by bucketing/compaction policy —
     an index bucket is history-sized, not batch-sized).
     """
-    from tamer_spark.operators.dedup import minhash_lsh_pairs
-
-    banded = _banded_sigs(new_df, text_col, id_col, k, bands, n, seed)
+    # ONE banding pass feeds BOTH halves — the k-minhash signature map is
+    # the epoch's dominant cost and computing it once is the point of the
+    # O(batch) story (review r12: the first cut called minhash_lsh_pairs
+    # for the within half, silently re-deriving identical signatures).
+    banded = _banded_sigs(new_df, text_col, id_col, k, bands, n, seed).persist()
     hist = posting_index.select(
         F.col("doc_id").alias("_hist_id"), "band_id", "band_sig"
     )
@@ -460,7 +462,24 @@ def minhash_epoch_pairs(
         )
         .distinct()
     )
-    within = minhash_lsh_pairs(
-        new_df, text_col, id_col, k, bands, n, seed, max_bucket=max_bucket
-    ).select("doc_a", "doc_b")
-    return cross.unionByName(within).distinct()
+    wb = banded
+    if max_bucket is not None:
+        # the same hot-bucket guard (and the same None-=-uncapped contract)
+        # as minhash_lsh_pairs, applied to the shared banded frame
+        sizes = wb.groupBy("band_id", "band_sig").count()
+        small = sizes.filter(F.col("count") <= max_bucket).drop("count")
+        wb = wb.join(small, ["band_id", "band_sig"])
+    a, b = wb.alias("a"), wb.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    return _release_on_gc(cross.unionByName(within).distinct(), banded)

@@ -143,6 +143,7 @@ def transition_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    session_gap_minutes: int | None = None,
 ) -> DataFrame:
     """Markov transition counts over per-user event streams — the journey-
     mining primitive between funnels (fixed stage order) and full sequence
@@ -161,6 +162,13 @@ def transition_counts(
     shuffled payload after the window is one row per consecutive pair,
     and the pair space is |types|², tiny. First events (no predecessor)
     contribute nothing by construction (lag NULL filtered).
+
+    ``session_gap_minutes`` (r12): when set, a consecutive pair whose time
+    gap EXCEEDS the threshold is NOT a transition — yesterday's last page
+    → today's first page is a session boundary, not a journey step
+    (sessionize_events' strict-> gap rule: a gap of exactly the threshold
+    still counts as the same session). Same single window — the gap test
+    rides the already-computed lag, adding no exchange.
     """
     from pyspark.sql import Window
 
@@ -168,8 +176,17 @@ def transition_counts(
     pairs = (
         events.select(user_col, type_col, ts_col, tiebreak_col)
         .withColumn("_from", F.lag(type_col).over(w))
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
         .filter(F.col("_from").isNotNull())
     )
+    if session_gap_minutes is not None:
+        # unix_micros, NOT cast('long') (whole seconds): the fixture carries
+        # microsecond timestamps and sessionize_events' gap rule compares at
+        # micros — a pair straddling the threshold by <1s must NOT count
+        pairs = pairs.filter(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev_ts"))
+            <= int(session_gap_minutes) * 60_000_000
+        )
     return (
         pairs.groupBy(F.col("_from").alias("from_type"), F.col(type_col).alias("to_type"))
         .agg(

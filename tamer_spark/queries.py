@@ -1205,8 +1205,13 @@ def _derived_template_col():
         F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"), F.lit("delta")),
         ((F.col("doc_id") % 4) + 1).cast("int"),
     )
+    # doc_id % 10^6 in the visible-digit fields: a raw doc_id past 10^7
+    # would be an ≥8-digit run and mask to <H> instead of 0, silently
+    # changing the family count at larger fixtures (review r12); raw-string
+    # uniqueness is carried by the md5 'code' field, which masks to <H> at
+    # EVERY length
     return F.concat(
-        F.lit("Order #"), F.col("doc_id").cast("string"),
+        F.lit("Order #"), (F.col("doc_id") % 1000000).cast("string"),
         F.lit(" for user"), (F.col("doc_id") % 7).cast("string"),
         F.lit("@shop-"), (F.col("doc_id") % 3).cast("string"),
         F.lit(".example: visit https://track.example/p/"), F.col("doc_id").cast("string"),
@@ -1222,7 +1227,7 @@ def _template_mask_sql() -> str:
     import tamer_spark.functions.text as T
 
     derive = (
-        "'Order #' || CAST(doc_id AS VARCHAR) || ' for user' || "
+        "'Order #' || CAST(doc_id % 1000000 AS VARCHAR) || ' for user' || "
         "CAST(doc_id % 7 AS VARCHAR) || '@shop-' || CAST(doc_id % 3 AS VARCHAR) || "
         "'.example: visit https://track.example/p/' || CAST(doc_id AS VARCHAR) || "
         "' code ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) || "
@@ -5809,7 +5814,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_sketch_docs": cms_sketch_docs_q,
     "rp_project_embeddings": rp_project_embeddings_q,
     "event_anomaly_daily": event_anomaly_daily_q,
-    "pmi_top_bigrams": lambda spark, sf: pmi_top_bigrams(spark, sf),
+    "pmi_top_bigrams": pmi_top_bigrams,
     "template_dedup_docs": template_dedup_docs_q,
     "drift_langs": drift_langs_q,
     "transition_counts_events": transition_counts_events_q,

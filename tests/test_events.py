@@ -160,3 +160,28 @@ def test_transition_counts_single_user_window_then_partial_agg(spark):
 
     assert len(re.findall(r"windowspecdefinition\(user_id", plan)) == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_transition_counts_session_gap_excludes_cross_session_pairs(spark):
+    """With session_gap_minutes=30: a 31-min gap is a session boundary (no
+    transition); exactly 30 min still counts (the sessionize strict-> gap
+    rule); and the unbounded mode keeps both."""
+    from tamer_spark.operators.events import transition_counts
+
+    df = _stream(
+        spark,
+        [
+            (1, 0, "view"), (1, 30, "click"),       # exactly the gap: same session
+            (1, 61, "purchase"),                    # 31 min after click: boundary
+        ],
+    )
+    bounded = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_counts(df, session_gap_minutes=30).collect()
+    }
+    assert bounded == {("view", "click"): 1}
+    unbounded = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_counts(df).collect()
+    }
+    assert unbounded == {("view", "click"): 1, ("click", "purchase"): 1}
