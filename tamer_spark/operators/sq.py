@@ -70,7 +70,10 @@ from tamer_spark.operators.similarity import quantize_embedding
 
 __all__ = ["sq_train", "sq_encode", "sq_search", "pack_sq_codes", "unpack_sq_codes"]
 
-_LEVELS = 255  # codes span [0, 255] — 8 bits/dim
+_LEVELS = 255  # default: codes span [0, 255] — 8 bits/dim (SQ8)
+# levels=15 gives the FAISS SQ4 tier: 4 bits/dim, 8× compression, coarser
+# bins — same arithmetic throughout (the ×levels scale trick is level-count
+# agnostic), pytest-pinned at both settings
 
 
 def sq_train(
@@ -97,15 +100,17 @@ def sq_train(
     return [by_dim[t] for t in range(len(by_dim))]
 
 
-def _bounds_arrays(bounds: list[tuple[int, int]]) -> tuple[Column, Column, Column]:
-    """(mins, spans, mins255) as foldable array literals — one shared
+def _bounds_arrays(
+    bounds: list[tuple[int, int]], levels: int = _LEVELS
+) -> tuple[Column, Column, Column]:
+    """(mins, spans, mins_scaled) as foldable array literals — one shared
     literal each (the PQ _codebook_literal argument: lambda-indexed
     element_at can't constant-fold, so share the array instead of
     emitting per-dimension expression subtrees)."""
     mins = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
     spans = F.array(*[F.lit(float(mx - mn)) for mn, mx in bounds])
-    mins255 = F.array(*[F.lit(int(mn) * _LEVELS).cast("long") for mn, _ in bounds])
-    return mins, spans, mins255
+    mins_scaled = F.array(*[F.lit(int(mn) * levels).cast("long") for mn, _ in bounds])
+    return mins, spans, mins_scaled
 
 
 def sq_encode(
@@ -113,6 +118,7 @@ def sq_encode(
     bounds: list[tuple[int, int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    levels: int = _LEVELS,
 ) -> DataFrame:
     """MAP-ONLY encoding: ``(vec_id, codes array<long>)``, each code in
     [0, 255].
@@ -122,9 +128,9 @@ def sq_encode(
     clamping is provably a no-op when ``bounds`` came from this corpus.
     Degenerate dimensions (span 0) encode as 0 and reconstruct exactly.
     """
-    mins, spans, _ = _bounds_arrays(bounds)
+    mins, spans, _ = _bounds_arrays(bounds, levels)
     shifted = F.zip_with(
-        quantize_embedding(F.col(vec_col)), mins, lambda x, mn: (x - mn) * _LEVELS
+        quantize_embedding(F.col(vec_col)), mins, lambda x, mn: (x - mn) * levels
     )
     codes = F.zip_with(
         shifted,
@@ -133,7 +139,7 @@ def sq_encode(
             span > 0,
             F.greatest(
                 F.lit(0).cast("long"),
-                F.least(F.lit(_LEVELS).cast("long"), F.floor(num / span)),
+                F.least(F.lit(levels).cast("long"), F.floor(num / span)),
             ),
         ).otherwise(F.lit(0).cast("long")),
     )
@@ -147,6 +153,7 @@ def sq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topk: int = 5,
+    levels: int = _LEVELS,
 ) -> DataFrame:
     """Asymmetric SQ search: exact query vs reconstructed codes, every
     distance an exact int64 (×255-scale trick, see module docstring), so
@@ -159,10 +166,10 @@ def sq_search(
     Python. At 100 TB, compose with the IVF coarse quantizer exactly like
     PQ (probe lists, SQ-reconstruct within them).
     """
-    _, spans, mins255 = _bounds_arrays(bounds)
+    _, spans, mins_scaled = _bounds_arrays(bounds, levels)
     recon = F.zip_with(
         F.zip_with(F.col("codes"), spans, lambda c, s: c * s.cast("long")),
-        mins255,
+        mins_scaled,
         lambda a, m: a + m,
     )
     corpus = coded.select("vec_id", recon.alias("_recon255"))
@@ -170,7 +177,7 @@ def sq_search(
         F.col(id_col).alias("query_id"),
         F.transform(
             quantize_embedding(F.col(vec_col)),
-            lambda x: (x * _LEVELS).cast("long"),
+            lambda x: (x * levels).cast("long"),
         ).alias("_q255"),
     )
     dist = F.aggregate(
@@ -195,42 +202,52 @@ def sq_search(
     )
 
 
-def pack_sq_codes(coded: DataFrame, dim: int) -> DataFrame:
-    """(vec_id, codes) → (vec_id, packed array<long>): 8 codes per int64,
-    code ``t`` in byte ``7 - (t % 8)`` of word ``t // 8``. The 1-byte/dim
-    storage form; map-only. ``dim`` need not be a multiple of 8 — the last
-    word zero-pads. The round-trip (unpack_sq_codes) is the contract, NOT
-    sortability: a word whose first code is ≥ 128 shifts into the sign bit
-    and packs negative, so SIGNED numeric order of packed words is not
-    dimension-lexicographic — don't range-partition or order an inverted
-    file by raw packed values."""
-    n_words = (dim + 7) // 8
+def pack_sq_codes(coded: DataFrame, dim: int, bits: int = 8) -> DataFrame:
+    """(vec_id, codes) → (vec_id, packed array<long>): ``64 // bits`` codes
+    per int64, code ``t`` in slot ``(cpw-1) - (t % cpw)`` of word
+    ``t // cpw`` (bits=8 → the SQ8 byte layout; bits=4 → the SQ4 nibble
+    layout, 16 codes/word). Map-only; ``dim`` need not be a multiple of the
+    per-word count — the last word zero-pads. The round-trip
+    (unpack_sq_codes) is the contract, NOT sortability: a word whose first
+    code reaches the top slot's high bit packs negative, so SIGNED numeric
+    order of packed words is not dimension-lexicographic — don't
+    range-partition or order an inverted file by raw packed values."""
+    if 64 % bits:
+        raise ValueError(f"bits={bits} must divide 64")
+    cpw = 64 // bits
+    n_words = (dim + cpw - 1) // cpw
     words = []
     for wi in range(n_words):
         word = None
-        for b in range(8):
-            t = wi * 8 + b
+        for b in range(cpw):
+            t = wi * cpw + b
             if t >= dim:
                 break
-            term = F.shiftleft(F.element_at("codes", t + 1).cast("long"), (7 - b) * 8)
+            term = F.shiftleft(
+                F.element_at("codes", t + 1).cast("long"), (cpw - 1 - b) * bits
+            )
             word = term if word is None else word.bitwiseOR(term)
         words.append(word.cast("long"))
     return coded.select("vec_id", F.array(*words).alias("packed"))
 
 
-def unpack_sq_codes(packed: DataFrame, dim: int) -> DataFrame:
-    """Inverse of pack_sq_codes: (vec_id, packed) → (vec_id, codes);
-    map-only (one flatten over per-word byte extraction)."""
+def unpack_sq_codes(packed: DataFrame, dim: int, bits: int = 8) -> DataFrame:
+    """Inverse of pack_sq_codes (same ``bits``): (vec_id, packed) →
+    (vec_id, codes); map-only (one flatten over per-word slot extraction)."""
+    if 64 % bits:
+        raise ValueError(f"bits={bits} must divide 64")
+    cpw = 64 // bits
+    mask = (1 << bits) - 1
     codes = F.slice(
         F.flatten(
             F.transform(
                 F.col("packed"),
                 lambda w: F.array(
                     *[
-                        F.shiftrightunsigned(w, (7 - b) * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftrightunsigned(w, (cpw - 1 - b) * bits)
+                        .bitwiseAND(F.lit(mask))
                         .cast("long")
-                        for b in range(8)
+                        for b in range(cpw)
                     ]
                 ),
             )

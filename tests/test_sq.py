@@ -206,3 +206,55 @@ def test_sq_search_corpus_never_shuffles_before_rank(spark):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(shuffles) == 1 and "query_id" in shuffles[0], plan
+
+
+def test_sq4_levels_15_recall_and_exactness(spark):
+    """The SQ4 tier (levels=15, 4 bits/dim, 8× compression): every distance
+    still matches the driver-side integer recompute at the ×15 scale, and
+    recall degrades gracefully (coarser bins) but stays well above PQ's
+    noise-fixture collapse — measured 0.68 at sf0.001 (vs SQ8's 0.98 and
+    PQ's ~0.12; the monotone compression↔recall ladder)."""
+    emb = _emb(spark)
+    bounds = sq_train(emb)
+    coded = sq_encode(emb, bounds, levels=15)
+    mx = coded.select(F.max(F.array_max("codes")).alias("m")).first().m
+    assert mx <= 15
+    got = sq_search(coded, bounds, emb.filter(F.col("vec_id") < 10), topk=5, levels=15).collect()
+    vecs = {r.vec_id: [round(x * 1000) for x in r.embedding] for r in emb.collect()}
+    codes = {r.vec_id: list(r.codes) for r in coded.collect()}
+
+    def dist(qid, vid):
+        r = [mn * 15 + c * (mx_ - mn) for c, (mn, mx_) in zip(codes[vid], bounds)]
+        return sum((rv - 15 * qv) ** 2 for rv, qv in zip(r, vecs[qid]))
+
+    hits = 0
+    for row in got:
+        assert row.approx_dist == dist(row.query_id, row.neighbor_id)
+    for qid in range(10):
+        exact = {
+            vid
+            for _, vid in sorted(
+                (sum((a - b) ** 2 for a, b in zip(vecs[qid], v)), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            )[:5]
+        }
+        hits += sum(1 for r in got if r.query_id == qid and r.neighbor_id in exact)
+    assert hits / 50 >= 0.6
+
+
+def test_sq4_nibble_pack_roundtrip(spark):
+    """bits=4 packs 16 codes/word: 64 dims → 4 words; round-trip exact."""
+    emb = _emb(spark)
+    bounds = sq_train(emb)
+    coded = sq_encode(emb, bounds, levels=15)
+    packed = pack_sq_codes(coded, 64, bits=4)
+    assert all(len(r.packed) == 4 for r in packed.limit(5).collect())
+    back = unpack_sq_codes(packed, 64, bits=4)
+    mismatches = (
+        back.alias("u")
+        .join(coded.alias("c"), "vec_id")
+        .filter(F.col("u.codes") != F.col("c.codes"))
+        .count()
+    )
+    assert mismatches == 0
