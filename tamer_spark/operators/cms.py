@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.functions.hashing import stable_hash64
 
-__all__ = ["cms_build", "cms_merge", "cms_query"]
+__all__ = ["cms_build", "cms_heavy_hitters", "cms_merge", "cms_query"]
 
 
 def _bucket(token, r: int, w: int, seed: int):
@@ -115,3 +115,92 @@ def cms_query(
         "token", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell_cnt")
     )
     return joined.groupBy("token").agg(F.min("cell_cnt").alias("est"))
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "word",
+    min_count: int | None = None,
+    freq_k: int | None = None,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT heavy hitters over an unbounded vocabulary with a BOUNDED
+    shuffle: CMS prefilter pass + exact verify pass (the sketch-prefilter /
+    exact-verify pattern the bloom incremental dedup uses, applied to
+    counting; Cormode & Muthukrishnan 2005 §4 heavy-hitters application).
+
+    The naive exact path (groupBy(token).count + HAVING) shuffles one
+    partial count per distinct token per partition — at 100 TB the typo/
+    URL/identifier tail makes that shuffle corpus-sized. Here pass 1 builds
+    the fixed-size sketch (shuffle ≤ partitions × d·w rows), pass 2
+    re-scans the stream, estimates each occurrence's frequency MAP-SIDE
+    against the broadcast sketch, and only occurrences whose estimate
+    clears the threshold enter the exact groupBy — the exchange carries
+    only candidate-token occurrences. Because ``est ≥ true`` always (CMS
+    never underestimates), no truly-heavy token is pruned: the final exact
+    count + threshold filter makes the output EXACTLY the set
+    ``{token : true_count ≥ threshold}`` — identical to the naive path,
+    independent of (d, w, seed), which only tune how many FALSE candidates
+    pay for the exact recount. Cost: two scans of the stream instead of
+    one — the honest trade for the bounded exchange (a one-pass summary
+    with exact output does not exist; Misra–Gries is one-pass but
+    order-dependent, so not deterministically replayable cross-engine).
+
+    Threshold forms (exactly one):
+      * ``min_count``: absolute occurrence floor.
+      * ``freq_k``: relative — keep tokens with ``count · freq_k ≥ N``
+        (frequency ≥ 1/freq_k of the stream). N comes FREE from the
+        sketch: every occurrence increments each of the d rows once, so
+        row 0's cell sum IS the stream length — no extra pass, and the
+        multiply-form comparison avoids any div-rounding mismatch.
+
+    The collected sketch is model-parameter-sized (≤ d·w int64 cells, a
+    few KB at the defaults) — the repo's bounded-collect convention; it is
+    re-materialized as d tiny broadcast sides so the build aggregation
+    runs ONCE, not once per join. NULL tokens are dropped in both passes
+    (they cannot be hashed; mirror any NULL filter in the oracle).
+
+    Returns (token, n) with n the EXACT count, only rows meeting the
+    threshold. Deterministic: plain SQL ``GROUP BY token HAVING`` oracle.
+    """
+    if (min_count is None) == (freq_k is None):
+        raise ValueError("pass exactly one of min_count / freq_k")
+    if min_count is not None and min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if freq_k is not None and freq_k < 1:
+        raise ValueError(f"freq_k must be >= 1, got {freq_k}")
+
+    toks = tokens.select(F.col(token_col).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    spark = tokens.sparkSession
+    # Bounded model state: ≤ d·w sparse cells (the centroid/codebook/bloom
+    # convention). One build scan; the d join sides below are local data.
+    cells = cms_build(toks, token_col="token", d=d, w=w, seed=seed).collect()
+    n_stream = sum(r.cnt for r in cells if r.r == 0)
+
+    if freq_k is not None:
+        # est·K ≥ N keeps every token with true·K ≥ N (est ≥ true).
+        occ_keep = lambda est: est * F.lit(freq_k) >= F.lit(n_stream)  # noqa: E731
+        exact_keep = lambda n: n * F.lit(freq_k) >= F.lit(n_stream)  # noqa: E731
+    else:
+        occ_keep = lambda est: est >= F.lit(min_count)  # noqa: E731
+        exact_keep = lambda n: n >= F.lit(min_count)  # noqa: E731
+
+    occ = toks.select(
+        "token", *[_bucket(F.col("token"), r, w, seed).alias(f"_b{r}") for r in range(d)]
+    )
+    for r in range(d):
+        side = spark.createDataFrame(
+            [(c.b, c.cnt) for c in cells if c.r == r], schema=f"_b{r} long, _c{r} long"
+        )
+        occ = occ.join(F.broadcast(side), f"_b{r}", "left")
+    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long")) for r in range(d)])
+    cand = occ.filter(occ_keep(est)).select("token")
+    return (
+        cand.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(exact_keep(F.col("n")))
+    )

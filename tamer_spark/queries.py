@@ -3831,6 +3831,22 @@ def pmi_top_bigrams(spark, sf, min_count: int = _PMI_MIN_COUNT, k: int = _PMI_K)
 
 _CMS_PROBES = ["hash", "join", "scan", "quick", "zzz-never-in-corpus"]
 _CMS_D, _CMS_W, _CMS_SEED = 4, 256, 42
+_HEAVY_K = 400  # heavy = frequency ≥ 1/400 of the token stream
+
+
+def _heavy_oracle() -> str:
+    """Exact heavy hitters — deliberately sketch-free SQL: the operator's
+    CMS prefilter routes rows but never appears in the result (est ≥ true
+    means no false negatives; the exact recount kills false positives), so
+    the oracle is the naive GROUP BY + HAVING the operator must equal.
+    Multiply-form threshold (count·K ≥ N) on both sides — no div rounding."""
+    return f"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    nn AS (SELECT COUNT(*) AS n_stream FROM tok)
+    SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok CROSS JOIN nn GROUP BY word, n_stream
+    HAVING COUNT(*) * {_HEAVY_K} >= n_stream"""
 
 
 def _cms_oracle() -> str:
@@ -3871,6 +3887,9 @@ def _cms_oracle() -> str:
     SELECT 'cms', token, id, n, CAST(NULL AS DOUBLE) FROM ({_cms_oracle()})
     UNION ALL
     SELECT 'pmi', bigram, cxy, pmi_ppm, CAST(rank AS DOUBLE) FROM ({_PMI_ORACLE})
+    UNION ALL
+    SELECT 'heavy', token, CAST(NULL AS BIGINT), n, CAST(NULL AS DOUBLE)
+    FROM ({_heavy_oracle()})
     """,
     doc=(
         "Corpus term statistics as one tagged union (r6 window re-pack; "
@@ -3897,7 +3916,14 @@ def _cms_oracle() -> str:
         "cuts the pair frame before the two broadcast unigram joins, "
         "DECIMAL(38,0) DIV ≡ HUGEINT // (the DSIR convention — c·N·10^6 "
         "exceeds int64 at web scale), top-k via TakeOrdered then a ≤k-row "
-        "rank window (the bm25 pattern, never a global sort)."
+        "rank window (the bm25 pattern, never a global sort). "
+        "heavy (r12): EXACT heavy hitters (count·400 ≥ N) via the CMS-"
+        "prefilter/exact-verify two-pass — pass 1 the bounded sketch, "
+        "pass 2 map-side estimates against d broadcast sides admit only "
+        "candidate occurrences to the exact groupBy (est ≥ true ⇒ no "
+        "false negatives; the recount kills false positives), so the "
+        "exchange carries candidates instead of the unbounded vocabulary "
+        "tail and the oracle is plain GROUP BY + HAVING, sketch-free."
     ),
 )
 def term_stats_docs_q(spark, sf):
@@ -3945,7 +3971,18 @@ def term_stats_docs_q(spark, sf):
         F.col("pmi_ppm").alias("n"),
         F.col("rank").cast("double").alias("score"),
     )
-    return ngram.unionByName(tfidf).unionByName(cms).unionByName(pmi)
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    heavy = cms_heavy_hitters(
+        toks, token_col="word", freq_k=_HEAVY_K, d=_CMS_D, w=_CMS_W, seed=_CMS_SEED
+    ).select(
+        F.lit("heavy").alias("variant"),
+        F.col("token").alias("term"),
+        F.lit(None).cast("long").alias("id"),
+        F.col("n").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return ngram.unionByName(tfidf).unionByName(cms).unionByName(pmi).unionByName(heavy)
 
 
 _BM25_TERMS = ["hash", "join", "scan", "quick"]

@@ -105,3 +105,96 @@ def test_cms_build_single_bounded_exchange(spark):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 1 and "r#" in shuffles[0] and "b#" in shuffles[0], plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def _hh_exact(toks, min_count):
+    return {
+        (r.token, r.n)
+        for r in toks.groupBy(F.col("word").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    }
+
+
+def test_heavy_hitters_exact_equivalence(spark):
+    """Output equals the naive exact groupBy+HAVING path on the fixture
+    corpus — the CMS only routes rows, it never appears in the result."""
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    toks = _tokens(spark)
+    got = {
+        (r.token, r.n)
+        for r in cms_heavy_hitters(toks, min_count=50, d=D, w=W, seed=SEED).collect()
+    }
+    assert got == _hh_exact(toks, 50)
+    assert got  # threshold chosen so the fixture has heavy tokens
+
+
+def test_heavy_hitters_immune_to_sketch_collisions(spark):
+    """With w=2 (every token colliding), the output is STILL exact —
+    collisions inflate estimates, which only admits false candidates to
+    the exact recount; they can never drop a true heavy hitter."""
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    toks = _tokens(spark)
+    got = {
+        (r.token, r.n)
+        for r in cms_heavy_hitters(toks, min_count=50, d=2, w=2, seed=SEED).collect()
+    }
+    assert got == _hh_exact(toks, 50)
+
+
+def test_heavy_hitters_relative_threshold_and_null_drop(spark):
+    """freq_k mode: count·K ≥ N over the NULL-filtered stream; NULL tokens
+    are dropped in both passes and never reach the output."""
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    rows = [("a",)] * 40 + [("b",)] * 9 + [("c",)] * 1 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "word string")
+    got = {
+        (r.token, r.n)
+        for r in cms_heavy_hitters(df, freq_k=5, d=D, w=W, seed=SEED).collect()
+    }
+    # N = 50 non-NULL; threshold = N/5 = 10 → only 'a' (40) qualifies;
+    # 'b' at 9 < 10 and NULLs are out of both N and the candidates
+    assert got == {("a", 40)}
+
+
+def test_heavy_hitters_prefilter_actually_prunes(spark):
+    """On a skewed stream with adequate width, the candidate set entering
+    the exact recount excludes the light tail (the operator's whole point:
+    the second exchange carries candidates, not the vocabulary)."""
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    rows = [("hot",)] * 100 + [(f"tail{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "word string")
+    out = cms_heavy_hitters(df, min_count=50, d=4, w=4096, seed=SEED)
+    assert {(r.token, r.n) for r in out.collect()} == {("hot", 100)}
+    # plan shape: d broadcast joins feed a filter BEFORE the exact count's
+    # exchange — the tail never shuffles (est(tail_i) < 50 at this width
+    # with overwhelming probability; deterministic under the fixed seed)
+    # AQE's executed-plan string repeats the tree under "== Initial Plan ==";
+    # pin the FINAL segment only
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    from tamer_spark.operators.cms import cms_heavy_hitters
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "word string")
+    assert cms_heavy_hitters(empty, min_count=1, d=2, w=8, seed=SEED).collect() == []
+    df = spark.createDataFrame([("x",)], "word string")
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df)  # neither threshold
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, min_count=1, freq_k=2)  # both
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, min_count=0)
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, freq_k=0)
