@@ -4751,6 +4751,32 @@ _PCTL_ORACLE = """
     """
 
 
+_GPCTL_ORACLE = """
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS val FROM orders),
+         ranked AS (SELECT val, row_number() OVER (ORDER BY val) AS rn,
+                           COUNT(*) OVER () AS n
+                    FROM v)
+    SELECT '1/2' AS p, val AS value, rn AS rank, n FROM ranked WHERE rn = (1 * n + 1) // 2
+    UNION ALL
+    SELECT '9/10', val, rn, n FROM ranked WHERE rn = (9 * n + 9) // 10
+    UNION ALL
+    SELECT '99/100', val, rn, n FROM ranked WHERE rn = (99 * n + 99) // 100
+    """
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# event_analytics gate's 'gpctl' variant). The oracle is deliberately
+# bucket-free: a global window is fine for DuckDB at gate SF, and the
+# operator must land on the exact same rows whatever its bucketing.
+def global_percentiles_orders_q(spark, sf):
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+
+    v = _t(spark, sf, "orders").select(cents("o_totalprice").alias("val"))
+    return global_percentile_bucketed(
+        v, "val", [(1, 2), (9, 10), (99, 100)], n_buckets=256
+    )
+
+
 # Standalone builder kept for reference (graded via event_analytics).
 def exact_percentiles_orders_q(spark, sf):
     from tamer_spark.operators.percentiles import exact_percentiles
@@ -4912,6 +4938,10 @@ _ANOMALY_ORACLE = f"""
     SELECT 'pctl', o_orderpriority, p, value, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_PCTL_ORACLE})
     UNION ALL
+    SELECT 'gpctl', CAST(NULL AS VARCHAR), p, value,
+           CAST(rank AS BIGINT), CAST(n AS BIGINT)
+    FROM ({_GPCTL_ORACLE})
+    UNION ALL
     SELECT 'anomaly', k1, k2, v1, v2, v3 FROM ({_ANOMALY_ORACLE})
     UNION ALL
     SELECT 'transitions', from_type, to_type, n_transitions, n_users,
@@ -4958,7 +4988,14 @@ _ANOMALY_ORACLE = f"""
         "order, count occurrences + distinct users; ONE user-partitioned "
         "lag window (a user's stream is the parallel unit), then a "
         "partial-agg groupBy over the |types|² pair space; first events "
-        "contribute nothing (lag NULL filtered), pinned on both sides."
+        "contribute nothing (lag NULL filtered), pinned on both sides. "
+        "gpctl (r12): exact GLOBAL percentile_disc (median/p90/p99 of all "
+        "order totals in cents) via the two-pass bucket refine — pass 1 a "
+        "bounded equi-width histogram (≤ B-row exchange, ≤ B-row collect: "
+        "the CMS fixed-size-shuffle property), pass 2 ranks ONLY the "
+        "target buckets, so no global sort ever happens; the emitted "
+        "(value, rank, n) pins the ceil(p·n) rank arithmetic against a "
+        "deliberately bucket-free single-window oracle."
     ),
 )
 def event_analytics_q(spark, sf):
@@ -5010,9 +5047,18 @@ def event_analytics_q(spark, sf):
         F.col("n_users").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    gpctl = global_percentiles_orders_q(spark, sf).select(
+        F.lit("gpctl").alias("variant"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("p").alias("k2"),
+        F.col("value").alias("v1"),
+        F.col("rank").alias("v2"),
+        F.col("n").alias("v3"),
+    )
     return (
         funnel.unionByName(cohort)
         .unionByName(pctl)
+        .unionByName(gpctl)
         .unionByName(anomaly)
         .unionByName(transitions)
     )

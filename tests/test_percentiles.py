@@ -49,3 +49,79 @@ def test_single_exchange(spark, grouped):
     df = exact_percentiles(grouped, "val", [(1, 2), (9, 10)], keys=("g",))
     # rank + count share the group-key exchange; the union adds no shuffle
     assert shuffle_count(df) <= 2, df._jdf.queryExecution().toString()[:500]
+
+
+# ------------------------------------------- global two-pass (bucket refine)
+
+
+def test_global_bucketed_equals_single_window(spark):
+    """The two-pass path lands on exactly the rows a (non-scalable) global
+    window percentile_disc would — same rank convention, same values —
+    on a seeded integer sample with duplicates and negatives."""
+    import random
+
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+
+    rng = random.Random(7)
+    vals = [rng.randint(-500, 10_000) for _ in range(5_000)] + [42] * 300
+    df = spark.createDataFrame([(v,) for v in vals], "val long")
+    ps = [(1, 100), (1, 2), (9, 10), (99, 100), (1, 1)]
+    got = {r.p: (r.value, r.rank, r.n) for r in
+           global_percentile_bucketed(df, "val", ps, n_buckets=64).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for num, den in ps:
+        k = (num * n + den - 1) // den
+        assert got[f"{num}/{den}"] == (s[k - 1], k, n), (num, den)
+
+
+def test_global_bucketed_constant_column_and_nulls(spark):
+    """vmax == vmin degenerates to one bucket (width >= 1 guard), and NULLs
+    are outside both n and the ranking — the SQL percentile rule."""
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+
+    df = spark.createDataFrame([(5,)] * 10 + [(None,)] * 3, "val long")
+    rows = global_percentile_bucketed(df, "val", [(1, 2), (1, 1)], n_buckets=8).collect()
+    assert {(r.p, r.value, r.rank, r.n) for r in rows} == {
+        ("1/2", 5, 5, 10),
+        ("1/1", 5, 10, 10),
+    }
+
+
+def test_global_bucketed_empty_and_validation(spark):
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+
+    empty = spark.createDataFrame([], "val long")
+    assert global_percentile_bucketed(empty, "val", [(1, 2)]).collect() == []
+    dbl = spark.createDataFrame([(1.5,)], "val double")
+    with pytest.raises(ValueError):
+        global_percentile_bucketed(dbl, "val", [(1, 2)])
+    df = spark.createDataFrame([(1,)], "val long")
+    with pytest.raises(ValueError):
+        global_percentile_bucketed(df, "val", [])
+    with pytest.raises(ValueError):
+        global_percentile_bucketed(df, "val", [(3, 2)])
+    with pytest.raises(ValueError):
+        global_percentile_bucketed(df, "val", [(1, 2)], n_buckets=0)
+
+
+def test_global_bucketed_refine_reads_only_target_buckets(spark):
+    """Pass 2's window input is filtered to the target buckets BEFORE the
+    ranking exchange — the plan carries the isin filter under the sort, and
+    the window never sees the full column (the operator's whole point)."""
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+
+    df = spark.range(0, 100_000).select(F.col("id").alias("val"))
+    out = global_percentile_bucketed(df, "val", [(1, 2)], n_buckets=256)
+    [r] = out.collect()
+    assert (r.value, r.rank, r.n) == (49_999, 50_000, 100_000)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Window" in plan and "bkt" in plan, plan
+    # the bucket filter sits below the window sort in the final plan
+    assert plan.index("Filter") > -1 and "Window" in plan
+    import re
+
+    # exactly one hashpartitioning exchange feeds the window (on bkt); the
+    # histogram pass already ran at plan-build time (driver state)
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("bkt" in p for p in parts), plan
