@@ -146,3 +146,102 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "domcap-",
+    prefilter_slack: int | None = None,
+) -> DataFrame:
+    """Per-group document quota — keep at most ``cap`` rows per group,
+    hash-ranked (the RefinedWeb / CCNet per-domain cap: one mega-domain —
+    a link farm, a wiki mirror — must not dominate the training mixture,
+    so each registrable domain contributes at most ``cap`` documents).
+
+    Selection is the repo's salted-hash rank (content-independent,
+    engine/run/partitioning-independent; ``rand()`` is none of those):
+    within each group keep the ``cap`` rows with the smallest
+    ``stable_hash64(salt ‖ id)``, ties broken by id. Growing the corpus
+    only changes membership at the rank boundary.
+
+    NULL and empty-string groups form SINGLETON groups (key
+    ``nullgroup-<id>``, always kept, rank 1) — the domain_doc_counts rule:
+    a per-domain verdict is undefined without a domain, and both failure
+    modes (merge-all under one key, drop-all via exclusion) silently
+    distort the mixture. The returned group column carries this KEY (the
+    caller's group string, or the synthesized singleton key).
+
+    Scale shape — two postures:
+
+    * ``prefilter_slack=None`` (default): ONE exchange on the group key;
+      rank and total group count ride the same window. The partition is
+      the group — fine while no group outgrows a task's sort.
+    * ``prefilter_slack=s`` (mega-group posture): a group with 10^9 rows
+      capped at 10^4 must not sort 10^9 rows in one task. Pass 1 counts
+      groups; rows in groups with ``n > cap`` are pre-cut MAP-SIDE to
+      ``hash < cap·s·2^60 div n`` (hashes are uniform on [0, 2^60)), so
+      ~``cap·s`` rows per group reach the rank window. EXACT, not
+      approximate: keeping every row below a threshold means the global
+      top-``cap`` survive whenever ≥ cap rows survive, and the one-in-
+      ``exp(−Θ(cap·s))`` group where fewer do is caught by a survivor
+      recount and re-ranked over its FULL rows (deterministic fallback,
+      usually an empty frame). Threshold arithmetic in DECIMAL(38,0)
+      (the DSIR convention — cap·s·2^60 exceeds int64).
+
+    Returns (id_col, group_col KEY, keep_rank, n_group) with n_group the
+    TOTAL group size (pre-cap, pre-prefilter) — the monitoring surface:
+    cap utilization is ``least(cap, n_group)/n_group``.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if prefilter_slack is not None and prefilter_slack < 1:
+        raise ValueError(f"prefilter_slack must be >= 1, got {prefilter_slack}")
+
+    gs = F.col(group_col).cast("string")
+    key = F.coalesce(
+        F.when(F.length(gs) > 0, gs),
+        F.concat(F.lit("nullgroup-"), F.col(id_col).cast("string")),
+    )
+    h = stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), key.alias("_g"), h.alias("_h"))
+
+    if prefilter_slack is None:
+        wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        wall = Window.partitionBy("_g")
+        ranked = base.withColumn("keep_rank", F.row_number().over(wrank).cast("long")).withColumn(
+            "n_group", F.count(F.lit(1)).over(wall).cast("long")
+        )
+    else:
+        counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_group"))
+        joined = base.join(counts, "_g")
+        thresh = F.expr(
+            f"CAST({cap * prefilter_slack} AS DECIMAL(38,0))"
+            f" * CAST({1 << 60} AS DECIMAL(38,0)) div n_group"
+        )
+        surv = joined.filter((F.col("n_group") <= F.lit(cap)) | (F.col("_h") < thresh))
+        m = surv.groupBy("_g").agg(F.count(F.lit(1)).alias("_m"))
+        # fallback: any group whose survivor count fell below min(cap, n)
+        # re-ranks over its FULL rows — exactness never rests on the tail
+        # bound, only the fast path does
+        bad = (
+            counts.join(m, "_g", "left")
+            .filter(
+                F.coalesce(F.col("_m"), F.lit(0)) < F.least(F.col("n_group"), F.lit(cap))
+            )
+            .select("_g")
+        )
+        final = surv.join(bad, "_g", "left_anti").unionByName(
+            joined.join(bad, "_g", "left_semi")
+        )
+        wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        ranked = final.withColumn("keep_rank", F.row_number().over(wrank).cast("long"))
+
+    return ranked.filter(F.col("keep_rank") <= cap).select(
+        id_col,
+        F.col("_g").alias(group_col),
+        "keep_rank",
+        F.col("n_group").cast("long").alias("n_group"),
+    )

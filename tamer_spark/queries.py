@@ -1145,16 +1145,18 @@ _DOMAIN_URL_SQL = """
     """
 
 
-def _domain_rollup_sql() -> str:
-    """Oracle replay of the registrable-domain chain, generated from the
-    SAME constants functions/text.registrable_domain_col compiles to
-    Catalyst (host regexes, any-port strip, IPv4 guard, pinned two-level
-    suffix list) — the engines cannot silently diverge."""
+def _domain_dd_ctes() -> str:
+    """Shared CTE chain (du → dh → dl → dd) replaying the registrable-
+    domain extraction from the SAME constants
+    functions/text.registrable_domain_col compiles to Catalyst (host
+    regexes, any-port strip, IPv4 guard, pinned two-level suffix list) —
+    ONE copy feeds every domain-keyed oracle (rollup + cap), so the
+    engines cannot silently diverge and neither can the two oracles."""
     import tamer_spark.functions.text as T
 
     suffixes = ", ".join(f"'{sfx}'" for sfx in T.TWO_LEVEL_SUFFIXES)
     return f"""
-    WITH du AS ({_DOMAIN_URL_SQL}),
+    du AS ({_DOMAIN_URL_SQL}),
     dh AS (SELECT doc_id,
            regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '{T.URL_SCHEME_RE}', ''), '{T.URL_HOSTPORT_RE}')), '{T.URL_WWW_RE}', ''), '{T.URL_ANY_PORT_RE}', '') AS host
       FROM du),
@@ -1165,7 +1167,12 @@ def _domain_rollup_sql() -> str:
                   THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
                 WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
                 ELSE host END AS dom
-      FROM dl),
+      FROM dl)"""
+
+
+def _domain_rollup_sql() -> str:
+    return f"""
+    WITH {_domain_dd_ctes()},
     dk AS (SELECT doc_id,
            CASE WHEN dom IS NULL OR dom = '' THEN 'nulldomain-' || doc_id
                 ELSE md5(dom) END AS k
@@ -4610,12 +4617,57 @@ def seeded_shuffle_docs_q(spark, sf):
     return seeded_shuffle(d, seed=_SHUF_SEED, n_shards=_SHUF_SHARDS)
 
 
+_DOMCAP_CAP, _DOMCAP_SLACK = 5, 4
+
+
+def _domcap_oracle() -> str:
+    """Per-domain cap replay: the shared domain chain, the nullgroup
+    singleton rule, then the salted-hash rank window — keep_rank ≤ cap.
+    Deliberately prefilter-free: the operator's threshold cut + fallback
+    must land on exactly the rows a straight per-group rank keeps."""
+    return f"""
+    WITH {_domain_dd_ctes()},
+    dk AS (SELECT doc_id,
+           CASE WHEN dom IS NULL OR dom = '' THEN 'nullgroup-' || doc_id
+                ELSE dom END AS g
+      FROM dd),
+    ranked AS (SELECT doc_id, g,
+               row_number() OVER (PARTITION BY g ORDER BY
+                 ('0x' || substr(md5('domcap-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                 doc_id ASC) AS keep_rank,
+               COUNT(*) OVER (PARTITION BY g) AS n_group
+      FROM dk)
+    SELECT doc_id, g, CAST(keep_rank AS BIGINT) AS keep_rank,
+           CAST(n_group AS BIGINT) AS n_group
+    FROM ranked WHERE keep_rank <= {_DOMCAP_CAP}"""
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# mix_pack_sources gate's 'domcap' variant). prefilter_slack engaged so
+# the mega-group posture — threshold cut, survivor recount, fallback —
+# is the oracle-pinned path, not just the pytest-pinned one.
+def domain_cap_docs_q(spark, sf):
+    from tamer_spark.functions.text import registrable_domain_col
+    from tamer_spark.operators.mixing import cap_per_group
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _derived_domain_url_col().alias("url")
+    )
+    dom = d.select("doc_id", registrable_domain_col(F.col("url")).alias("domain"))
+    return cap_per_group(
+        dom, "domain", cap=_DOMCAP_CAP, prefilter_slack=_DOMCAP_SLACK
+    )
+
+
 @q(
     "mix_pack_sources",
     f"""
     SELECT 'mix' AS variant, source AS k1, doc_id AS v1, mix_rank AS v2,
            CAST(NULL AS VARCHAR) AS payload
     FROM ({_MIX_ORACLE})
+    UNION ALL
+    SELECT 'domcap', g, doc_id, keep_rank, CAST(n_group AS VARCHAR)
+    FROM ({_domcap_oracle()})
     UNION ALL
     SELECT 'pack', CAST(NULL AS VARCHAR), doc_id, pack_group,
            concat_ws('|', n_tokens, start_off, seq_first, seq_last, greedy_bin)
@@ -4660,7 +4712,14 @@ def seeded_shuffle_docs_q(spark, sf):
         "(key, id). NO single-partition window: order is (shard, pos), "
         "per-shard and embarrassingly parallel — one hash shuffle plus the "
         "per-shard sort that IS the product (a shard writer streams it "
-        "out); same seed reproduces the order bit-for-bit on both engines."
+        "out); same seed reproduces the order bit-for-bit on both engines. "
+        "domcap (r12): RefinedWeb/CCNet per-registrable-domain quota — at "
+        f"most {_DOMCAP_CAP} docs per domain by salted-hash rank, NULL/"
+        "empty domains singleton (the domain_doc_counts rule), graded "
+        "through the MEGA-GROUP posture (prefilter_slack: map-side "
+        "threshold cut so ~cap·slack rows per group reach the rank "
+        "window, survivor recount + full-group fallback keeps it EXACT) "
+        "against a deliberately prefilter-free single-window oracle."
     ),
 )
 def mix_pack_sources_q(spark, sf):
@@ -4694,7 +4753,19 @@ def mix_pack_sources_q(spark, sf):
         F.col("shard").alias("v2"),
         F.col("pos").cast("string").alias("payload"),
     )
-    return mix.unionByName(pack).unionByName(dsir).unionByName(shuf)
+    domcap = domain_cap_docs_q(spark, sf).select(
+        F.lit("domcap").alias("variant"),
+        F.col("domain").alias("k1"),
+        F.col("doc_id").alias("v1"),
+        F.col("keep_rank").alias("v2"),
+        F.col("n_group").cast("string").alias("payload"),
+    )
+    return (
+        mix.unionByName(pack)
+        .unionByName(dsir)
+        .unionByName(shuf)
+        .unionByName(domcap)
+    )
 
 
 _DECON_SHINGLE_ORACLE = f"""
