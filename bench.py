@@ -174,6 +174,33 @@ def _cms_sketch_docs(spark, sf_dir):
     return cms_build(toks, d=4, w=1024, seed=42)
 
 
+def _domain_cap_docs(spark, sf_dir):
+    # Per-domain quota through the mega-group posture (count + threshold
+    # cut + survivor recount + one rank window). The (doc_id, domain)
+    # input frame is PERSISTED in warm-up: the operator makes three passes
+    # over its input by design (count / recount / window feed), and timing
+    # the URL-derivation regex chain three times would measure the
+    # fixture's synthesis, not the operator — url_dedup_docs already
+    # times that chain once.
+    from tamer_spark.functions.text import registrable_domain_col
+    from tamer_spark.operators.mixing import cap_per_group
+    from tamer_spark.queries import _DOMCAP_CAP, _DOMCAP_SLACK, _derived_domain_url_col
+
+    key = ("domain_cap_input", sf_dir)
+    if key not in _MEMO:
+        d = Q._t(spark, sf_dir, "documents").select(
+            "doc_id", _derived_domain_url_col().alias("url")
+        )
+        dom = d.select(
+            "doc_id", registrable_domain_col(F.col("url")).alias("domain")
+        ).persist()
+        dom.count()
+        _MEMO[key] = dom
+    return cap_per_group(
+        _MEMO[key], "domain", cap=_DOMCAP_CAP, prefilter_slack=_DOMCAP_SLACK
+    )
+
+
 def _rp_project_embeddings(spark, sf_dir):
     # JL projection 64→16 under frozen signs — map-only, the pre-step that
     # cuts downstream per-pair arithmetic 4×
@@ -445,6 +472,16 @@ HEADLINE = {
     # timed cold via the standalone shape (its raw-feature persist is
     # plan-lifetime, released by the GC finalizer like semdedup's)
     "dsir_select_docs": None,
+    # exact heavy hitters (r12): CMS-prefilter two-pass — sketch build,
+    # map-side estimate vs 4 broadcast sides, exact recount of candidates
+    "heavy_hitters_docs": None,
+    # exact global percentile (r12): bounded histogram + target-bucket
+    # refine — the no-global-sort percentile path
+    "global_percentiles_orders": None,
+    # per-domain cap (r12): count + threshold cut + survivor recount +
+    # rank window over ~cap·slack rows per group (mega-group posture),
+    # over a persisted (doc_id, domain) input
+    "domain_cap_docs": _domain_cap_docs,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -480,6 +517,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "funnel_view_click_purchase", "cohort_retention_weekly",
         "substring_run_pairs", "contamination_score_docs",
         "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
+        "heavy_hitters_docs", "global_percentiles_orders", "domain_cap_docs",
     ]),
 ]
 
@@ -535,6 +573,9 @@ SERIES = {
     "cms_sketch_docs": "r12",
     "rp_project_embeddings": "r12-frozen-signs",
     "event_anomaly_daily": "r12",
+    "heavy_hitters_docs": "r12",
+    "global_percentiles_orders": "r12",
+    "domain_cap_docs": "r12",
 }
 
 

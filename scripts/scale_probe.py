@@ -96,6 +96,16 @@ OPS = [
     # unchanged, so a probe would measure nothing.)
     "cms_sketch_docs",
     "rp_project_embeddings",
+    # r12 continuation: heavy hitters — two token scans, bounded sketch
+    # exchange + candidate-only recount; expect ~linear in corpus tokens
+    # (n× copies scale every true count n×, so the heavy SET is unchanged
+    # and candidates stay proportional). Global percentile — bounded
+    # histogram + target-bucket refine; expect ~linear. Domain cap —
+    # count + threshold cut + ~cap·slack-row windows; expect ~flat-linear
+    # (groups grow n× but survivors stay ~cap·slack per group).
+    "heavy_hitters_docs",
+    "global_percentiles_orders",
+    "domain_cap_docs",
 ]
 
 

@@ -208,40 +208,52 @@ def cap_per_group(
     h = stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     base = df.select(F.col(id_col), key.alias("_g"), h.alias("_h"))
 
-    if prefilter_slack is None:
-        wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
-        wall = Window.partitionBy("_g")
-        ranked = base.withColumn("keep_rank", F.row_number().over(wrank).cast("long")).withColumn(
-            "n_group", F.count(F.lit(1)).over(wall).cast("long")
-        )
-    else:
-        counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_group"))
-        joined = base.join(counts, "_g")
-        thresh = F.expr(
-            f"CAST({cap * prefilter_slack} AS DECIMAL(38,0))"
-            f" * CAST({1 << 60} AS DECIMAL(38,0)) div n_group"
-        )
-        surv = joined.filter((F.col("n_group") <= F.lit(cap)) | (F.col("_h") < thresh))
-        m = surv.groupBy("_g").agg(F.count(F.lit(1)).alias("_m"))
-        # fallback: any group whose survivor count fell below min(cap, n)
-        # re-ranks over its FULL rows — exactness never rests on the tail
-        # bound, only the fast path does
-        bad = (
-            counts.join(m, "_g", "left")
-            .filter(
-                F.coalesce(F.col("_m"), F.lit(0)) < F.least(F.col("n_group"), F.lit(cap))
-            )
-            .select("_g")
-        )
-        final = surv.join(bad, "_g", "left_anti").unionByName(
-            joined.join(bad, "_g", "left_semi")
-        )
-        wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
-        ranked = final.withColumn("keep_rank", F.row_number().over(wrank).cast("long"))
-
-    return ranked.filter(F.col("keep_rank") <= cap).select(
+    wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    wall = Window.partitionBy("_g")
+    sel = lambda df: df.filter(F.col("keep_rank") <= cap).select(  # noqa: E731
         id_col,
         F.col("_g").alias(group_col),
         "keep_rank",
         F.col("n_group").cast("long").alias("n_group"),
     )
+
+    if prefilter_slack is None:
+        return sel(
+            base.withColumn("keep_rank", F.row_number().over(wrank).cast("long"))
+            .withColumn("n_group", F.count(F.lit(1)).over(wall).cast("long"))
+        )
+
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_group"))
+    thresh = F.expr(
+        f"CAST({cap * prefilter_slack} AS DECIMAL(38,0))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) div n_group"
+    )
+    keep_fast = (F.col("n_group") <= F.lit(cap)) | (F.col("_h") < thresh)
+    # survivor recount is a bounded groupBy (≤ one row per group, partial-
+    # aggregated), NOT a second window branch: the deficiency verdict folds
+    # into the per-group metadata, so the plan has exactly ONE rank window,
+    # whose input is assembled in one pass. The base⋈meta join is the
+    # skew-splittable step (AQE can split a mega-group's partition for a
+    # join; it cannot for a window) — the threshold cut happens there,
+    # before the window ever sees the group.
+    m = (
+        base.join(counts, "_g")
+        .filter(keep_fast)
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    # deficient: a group whose survivor count fell below min(cap, n) keeps
+    # ALL its rows in the window input — exactness never rests on the tail
+    # bound, only the fast path does. Almost always zero groups
+    # (P(fewer than cap of n uniform hashes under cap·slack·2^60/n) decays
+    # like exp(−Θ(cap·slack))).
+    gmeta = counts.join(m, "_g", "left").select(
+        "_g",
+        "n_group",
+        (
+            F.coalesce(F.col("_m"), F.lit(0).cast("long"))
+            < F.least(F.col("n_group"), F.lit(cap).cast("long"))
+        ).alias("_deficient"),
+    )
+    final_in = base.join(gmeta, "_g").filter(F.col("_deficient") | keep_fast)
+    return sel(final_in.withColumn("keep_rank", F.row_number().over(wrank).cast("long")))

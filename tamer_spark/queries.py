@@ -3882,6 +3882,22 @@ def _cms_oracle() -> str:
     FROM est e JOIN tru t USING (token)"""
 
 
+# Standalone builder kept for plan pins / bench (graded via the merged
+# term_stats_docs gate's 'heavy' variant).
+def heavy_hitters_docs_q(spark, sf):
+    from tamer_spark.operators.cms import cms_heavy_hitters
+    from tamer_spark.operators.dedup import normalize_text
+
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    return cms_heavy_hitters(
+        toks, token_col="word", freq_k=_HEAVY_K, d=_CMS_D, w=_CMS_W, seed=_CMS_SEED
+    )
+
+
 @q(
     "term_stats_docs",
     f"""
@@ -5972,6 +5988,9 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "template_dedup_docs": template_dedup_docs_q,
     "drift_langs": drift_langs_q,
     "transition_counts_events": transition_counts_events_q,
+    "heavy_hitters_docs": heavy_hitters_docs_q,
+    "global_percentiles_orders": global_percentiles_orders_q,
+    "domain_cap_docs": domain_cap_docs_q,
 }
 
 
