@@ -257,3 +257,57 @@ def cap_per_group(
     )
     final_in = base.join(gmeta, "_g").filter(F.col("_deficient") | keep_fast)
     return sel(final_in.withColumn("keep_rank", F.row_number().over(wrank).cast("long")))
+
+
+def bottomk_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = "sample-"
+) -> DataFrame:
+    """Deterministic k-row uniform sample as a BOTTOM-K sketch — the
+    distributed, mergeable replacement for reservoir sampling (reservoirs
+    are order-dependent; a salted-hash bottom-k is the same uniform draw
+    with none of the order sensitivity — Cohen & Kaplan 2007 bottom-k
+    lineage, and the same hash-rank retention the repo's mixing quotas
+    use).
+
+    Keep the ``k`` rows with the smallest ``stable_hash64(salt ‖ id)``
+    (ties by id). The plan is TakeOrderedAndProject — per-partition heads
+    of size k, driver merges the HEADS only (k·partitions rows), never a
+    global sort. ``sample_rank`` is assigned by a window over the ≤ k
+    surviving rows (the bm25 top-k pattern).
+
+    THE property that makes it an epoch primitive — it is a sketch:
+    ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))`` (the k smallest
+    of a union are among each side's k smallest). So a pipeline keeps one
+    k-row sample per epoch, folds new epochs in O(k), and always holds an
+    exact uniform k-sample of EVERYTHING seen — no replay of old epochs,
+    no drift between a fold and a from-scratch rebuild (pinned in pytest).
+    NULL ids are dropped (they cannot be hashed — mirror in the oracle).
+
+    Returns (id_col, sample_rank 1..min(k, n)).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    head = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), h.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return head.withColumn("sample_rank", F.row_number().over(w).cast("long")).select(
+        id_col, "sample_rank"
+    )
+
+
+def bottomk_merge(samples: list[DataFrame], k: int, id_col: str = "doc_id", salt: str = "sample-") -> DataFrame:
+    """Fold per-epoch bottom-k samples into the bottom-k of their union —
+    O(k·epochs) work, no base-data access. Exactly ``bottomk_sample`` over
+    the concatenated samples; a separate name so pipelines state intent
+    (and so the merge==rebuild pin has a subject)."""
+    if not samples:
+        raise ValueError("bottomk_merge needs at least one sample")
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, (s.select(id_col) for s in samples))
+    return bottomk_sample(u, k, id_col=id_col, salt=salt)

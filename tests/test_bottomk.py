@@ -1,0 +1,59 @@
+"""Bottom-k uniform sample: exactness vs a python replay, the sketch merge
+property (fold == rebuild), NULL-id drop, and the TakeOrdered plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tamer_spark.operators.mixing import bottomk_merge, bottomk_sample
+
+
+def _h(i, salt="sample-"):
+    return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+
+
+def _expected(ids, k):
+    return {
+        (i, rank)
+        for rank, i in enumerate(sorted(ids, key=lambda x: (_h(x), x))[:k], 1)
+    }
+
+
+def test_bottomk_matches_python_replay(spark):
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {(r.doc_id, r.sample_rank) for r in bottomk_sample(df, 20).collect()}
+    assert got == _expected(ids, 20)
+
+
+def test_bottomk_merge_equals_rebuild(spark):
+    """The sketch property: folding per-epoch bottom-k samples equals the
+    bottom-k of the full union — the O(k)-per-epoch incremental story."""
+    epochs = [list(range(0, 300)), list(range(300, 450)), list(range(450, 700))]
+    dfs = [spark.createDataFrame([(i,) for i in ep], "doc_id long") for ep in epochs]
+    per_epoch = [bottomk_sample(d, 25) for d in dfs]
+    folded = {(r.doc_id, r.sample_rank) for r in bottomk_merge(per_epoch, 25).collect()}
+    assert folded == _expected([i for ep in epochs for i in ep], 25)
+
+
+def test_bottomk_small_input_null_drop_validation(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    got = {(r.doc_id, r.sample_rank) for r in bottomk_sample(df, 10).collect()}
+    assert got == _expected([1, 2], 10)  # n < k: all non-NULL rows, ranked
+    with pytest.raises(ValueError):
+        bottomk_sample(df, 0)
+    with pytest.raises(ValueError):
+        bottomk_merge([], 5)
+
+
+def test_bottomk_plan_is_takeordered_not_global_sort(spark):
+    df = spark.range(0, 100_000).select(F.col("id").alias("doc_id"))
+    out = bottomk_sample(df, 50)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan
+    # the post-limit rank window runs over <= k rows; no rangepartitioning
+    # exchange (a global Sort) anywhere
+    assert "rangepartitioning" not in plan, plan
