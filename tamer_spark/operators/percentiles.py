@@ -16,8 +16,9 @@ filter over the ranked frame (no second sort, no collect). The known
 limit is the per-group sort itself: a single giant group serializes into
 one task's sort — for grouped percentiles that group is the parallel
 unit by definition; for GLOBAL percentiles over a 100 TB column use
-approx_percentile (t-digest class) or a two-pass range-bucket count
-(the budget.py prefix-sum trick keyed on value ranges).
+``global_percentile_bucketed`` below — the two-pass range-bucket refine
+that never sorts more than the target buckets (or Spark's built-in
+approx_percentile when a t-digest-class estimate suffices).
 
 No analog in the reference engine; training-data extension surface.
 """
@@ -39,6 +40,11 @@ def exact_percentiles(
     ``ps``: rational percentiles as (num, den), e.g. (1, 2) = median,
     (9, 10) = p90. Returns (keys..., p string "num/den", value), one row
     per group per percentile.
+
+    NULL values are excluded from both n and the ranking — the SQL
+    percentile rule. Without the filter Spark's NULLS-FIRST sort order
+    would let a NULL occupy rank 1 and a low percentile silently return
+    NULL (caught by winsorize's NULL-group fixture, r12).
     """
     if not ps:
         raise ValueError("ps must be non-empty")
@@ -49,6 +55,7 @@ def exact_percentiles(
     wall = Window.partitionBy(*keys)
     ranked = (
         df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
         .withColumn("_rn", F.row_number().over(wrank))
         .withColumn("_n", F.count(F.lit(1)).over(wall))
     )
@@ -178,3 +185,56 @@ def global_percentile_bucketed(
             F.lit(n).cast("long").alias("n"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keys: tuple[str, ...] = (),
+    p_lo: tuple[int, int] = (1, 20),
+    p_hi: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """Quantile clamping (winsorization) of ``value_col`` per ``keys``
+    group — the standard outlier-taming step before a quality score or a
+    length feature feeds a filter threshold (a handful of 10 MB documents
+    must not drag a source's mean length; Dixon 1960 winsorized-mean
+    lineage).
+
+    Bounds are EXACT discrete percentiles (``exact_percentiles`` — actual
+    data values, rational targets, int64 rank arithmetic), so the clamped
+    output is bit-reproducible cross-engine; interpolating bounds would
+    put every clamped row at the mercy of float rounding.
+
+    Scale shape: one window exchange for the per-group percentile ranks
+    (the group is the parallel unit), the two bounds pivot to ONE row per
+    group (min-when fold — no second exchange), and that bounds table
+    (rows = #groups) broadcasts back onto the data: the clamp itself is
+    map-side. For a GLOBAL clamp over a 100 TB column compute the bounds
+    with ``global_percentile_bucketed`` instead and clamp with literals.
+
+    Returns the input columns plus (value_winsor, w_lo, w_hi). NULL values
+    pass through unclamped (NULL in, NULL out — the SQL aggregate rule).
+    """
+    for p in (p_lo, p_hi):
+        if not 0 < p[0] <= p[1]:
+            raise ValueError(f"percentile {p[0]}/{p[1]} outside (0, 1]")
+    if p_lo[0] * p_hi[1] > p_hi[0] * p_lo[1]:
+        raise ValueError(f"p_lo {p_lo} above p_hi {p_hi}")
+    lo_tag, hi_tag = f"{p_lo[0]}/{p_lo[1]}", f"{p_hi[0]}/{p_hi[1]}"
+    pct = exact_percentiles(df, value_col, [p_lo, p_hi], keys=keys)
+    bounds = pct.groupBy(*keys).agg(
+        F.min(F.when(F.col("p") == lo_tag, F.col("value"))).alias("w_lo"),
+        F.min(F.when(F.col("p") == hi_tag, F.col("value"))).alias("w_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(keys)) if keys else df.crossJoin(F.broadcast(bounds))
+    )
+    # explicit NULL passthrough: Spark's greatest/least SKIP NULL operands
+    # (a NULL value would silently clamp to w_lo), unlike `||`-style
+    # propagation — the same class of trap as the seeded_shuffle concat_ws
+    # rule
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")),
+    )
+    return joined.withColumn("value_winsor", clamped)

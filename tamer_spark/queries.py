@@ -2989,8 +2989,22 @@ def _gopher_keep_sql() -> str:
     SELECT 'gopher_paras', doc_id, ell_lines * 100000 + bul_lines, dup_para_frac, dup_para_char_frac FROM gout
     UNION ALL
     SELECT 'gopher_linerat', doc_id, dup_lines * 100000 + dup_paras, ell_ratio, bul_ratio FROM gout
+    UNION ALL
+    SELECT 'winsor', doc_id,
+           CAST(CASE WHEN n_chars IS NULL THEN NULL
+                     ELSE least(greatest(n_chars, w_lo), w_hi) END AS BIGINT),
+           CAST(w_lo AS DOUBLE), CAST(w_hi AS DOUBLE)
+    FROM documents JOIN (
+      SELECT source,
+             MIN(CASE WHEN rn = (1 * n + 19) // 20 THEN n_chars END) AS w_lo,
+             MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS w_hi
+      FROM (SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents WHERE n_chars IS NOT NULL)
+      GROUP BY source) USING (source)
     """,
-    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift. gopher/gopher_*: the FULL Gopher §A1.1 rule set (Rae et al. 2021, operators/gopher.py) over a line-structured derivation of the text (four pinned literal replaces that give the fixture's single-line docs live line/paragraph values — see _GOPHER_STRUCTURE): word-count/mean-word-length bounds, symbol ratio counting '#'/'…'/ASCII '...', alphabetic ratio, the paper's 8-word stopword rule, most-frequent-{2,3,4}-gram char fractions (champion by (count DESC, gram ASC), a total order), duplicated-{5..10}-gram coverage fractions (distinct word-position mask), duplicate line/paragraph element+char fractions, and ellipsis/bullet line ratios — EIGHT hash-gated variants ('gopher' packs the full-keep verdict with the 8-set stopword count and n_words; _top34/_dup56/_dup78/_dup910 carry the n-gram fractions; _lines/_paras/_linerat carry the line family). The composition and line families are map-only; the n-gram family shuffles once on (doc_id, n, gram) with partial aggregation plus a bounded coverage re-shuffle.",
+    doc="Pretraining quality gates as one tagged union. filter: threshold filter composing text_stats — the standard curation shape (filter on cheap map-side features before expensive stages). lm_score: distributed bigram-LM scoring (CCNet-style, operators/lm.py) — train counts on the corpus, score each doc by its average add-one-smoothed conditional probability in exact parts-per-million integers (order-independent sums; a log-space score would hinge on last-ulp ln agreement between libm implementations). ppl_bucket: CCNet's head/middle/tail split — per-LANGUAGE ntile(3) over the LM score (Wenzek et al. LREC 2020 buckets by per-language perplexity terciles; partitionBy(lang) also keeps the sort distributed — never a global window over a fact table). The avg is an IEEE division of exact integers, bit-identical cross-engine, and (avg DESC, doc_id) is a total order, so tercile boundaries cannot drift. gopher/gopher_*: the FULL Gopher §A1.1 rule set (Rae et al. 2021, operators/gopher.py) over a line-structured derivation of the text (four pinned literal replaces that give the fixture's single-line docs live line/paragraph values — see _GOPHER_STRUCTURE): word-count/mean-word-length bounds, symbol ratio counting '#'/'…'/ASCII '...', alphabetic ratio, the paper's 8-word stopword rule, most-frequent-{2,3,4}-gram char fractions (champion by (count DESC, gram ASC), a total order), duplicated-{5..10}-gram coverage fractions (distinct word-position mask), duplicate line/paragraph element+char fractions, and ellipsis/bullet line ratios — EIGHT hash-gated variants ('gopher' packs the full-keep verdict with the 8-set stopword count and n_words; _top34/_dup56/_dup78/_dup910 carry the n-gram fractions; _lines/_paras/_linerat carry the line family). The composition and line families are map-only; the n-gram family shuffles once on (doc_id, n, gram) with partial aggregation plus a bounded coverage re-shuffle. winsor (r12): per-source winsorization of n_chars at exact discrete p5/p95 (operators/percentiles.winsorize) — bounds pivot to one row per source and BROADCAST back, the clamp is map-side; NULL values pass through unclamped on both engines (Spark's greatest/least skip NULLs — guarded by an explicit CASE, same trap class as the seeded_shuffle concat_ws rule).",
 )
 def quality_filter_docs(spark, sf):
     from tamer_spark.operators.dedup import _release_on_gc
@@ -3072,8 +3086,25 @@ def quality_filter_docs(spark, sf):
         ("gopher_linerat", F.col("n_dup_lines") * 100_000 + F.col("n_dup_paragraphs"), F.col("ellipsis_line_ratio"), F.col("bullet_line_ratio")),
     ]:
         gv = gv.unionByName(_gvar(tag, v1, v2, v3))
+    from tamer_spark.operators.percentiles import winsorize
+
+    wz = winsorize(
+        d.select("doc_id", "source", "n_chars"),
+        "n_chars",
+        keys=("source",),
+        p_lo=(1, 20),
+        p_hi=(19, 20),
+    ).select(
+        F.lit("winsor").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("value_winsor").cast("long").alias("v1"),
+        F.col("w_lo").cast("double").alias("v2"),
+        F.col("w_hi").cast("double").alias("v3"),
+    )
     out = _release_on_gc(
-        filt.unionByName(lm).unionByName(ppl).unionByName(gv), scores, gs
+        filt.unionByName(lm).unionByName(ppl).unionByName(gv).unionByName(wz),
+        scores,
+        gs,
     )
     return out if cached is None else _release_on_gc(out, cached)
 

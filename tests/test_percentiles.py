@@ -125,3 +125,65 @@ def test_global_bucketed_refine_reads_only_target_buckets(spark):
     # histogram pass already ran at plan-build time (driver state)
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert any("bkt" in p for p in parts), plan
+
+
+# ------------------------------------------------------------- winsorization
+
+
+def test_winsorize_clamps_to_exact_bounds(spark):
+    """Bounds are the exact discrete p10/p90 per group; values clamp into
+    [lo, hi], interior values untouched, NULLs pass through."""
+    from tamer_spark.operators.percentiles import winsorize
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", 5), ("b", 500), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, val long")
+    out = {
+        (r.g, r.val): (r.value_winsor, r.w_lo, r.w_hi)
+        for r in winsorize(df, "val", keys=("g",), p_lo=(1, 10), p_hi=(9, 10)).collect()
+    }
+    # group a (1..10): p10 rank ceil(1)=1 -> 1, p90 rank ceil(9)=9 -> 9
+    assert out[("a", 1)] == (1, 1, 9)
+    assert out[("a", 5)] == (5, 1, 9)
+    assert out[("a", 10)] == (9, 1, 9)  # clamped down to hi
+    # group b (n=2, NULL excluded from ranks): p10 rank 1 -> 5, p90 rank 2 -> 500
+    assert out[("b", 5)] == (5, 5, 500)
+    assert out[("b", None)] == (None, 5, 500)  # NULL in, NULL out
+
+
+def test_winsorize_global_keys_and_validation(spark):
+    from tamer_spark.operators.percentiles import winsorize
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "val long")
+    out = winsorize(df, "val", p_lo=(1, 20), p_hi=(19, 20)).collect()
+    los = {r.w_lo for r in out}
+    his = {r.w_hi for r in out}
+    assert los == {5} and his == {95}  # ceil(0.05*100)=5, ceil(0.95*100)=95
+    assert all(5 <= r.value_winsor <= 95 for r in out)
+    with _pytest.raises(ValueError):
+        winsorize(df, "val", p_lo=(9, 10), p_hi=(1, 10))  # lo above hi
+    with _pytest.raises(ValueError):
+        winsorize(df, "val", p_lo=(0, 10))
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    from tamer_spark.operators.percentiles import winsorize
+
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(1000)], "g int, val long"
+    )
+    out = winsorize(df, "val", keys=("g",))
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_exact_percentiles_exclude_nulls(spark):
+    """Regression (r12): a NULL value must not occupy rank 1 under Spark's
+    NULLS-FIRST sort — NULLs are outside both n and the ranking, the SQL
+    percentile rule."""
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", 7), ("g", 9)], "g string, val long"
+    )
+    out = {r.p: r.value for r in
+           exact_percentiles(df, "val", [(1, 10), (1, 1)], keys=("g",)).collect()}
+    assert out == {"1/10": 7, "1/1": 9}  # n=2, rank ceil(0.2)=1 -> 7
