@@ -3806,6 +3806,82 @@ _PMI_ORACLE = f"""
       FROM scored) WHERE rank <= {_PMI_K}"""
 
 
+_SGRAM_WINDOW, _SGRAM_K = 2, 20
+
+
+_SGRAM_ORACLE = f"""
+    WITH snorm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    sws AS (SELECT doc_id, string_split(t, ' ') AS w FROM snorm),
+    swp AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+            FROM sws),
+    swf AS (SELECT doc_id, word, pos FROM swp WHERE word IS NOT NULL AND length(word) > 0),
+    sfwd AS (
+      SELECT w1, w2 FROM (
+        SELECT word AS w1, lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM swf)
+      WHERE w2 IS NOT NULL
+      UNION ALL
+      SELECT w1, w2 FROM (
+        SELECT word AS w1, lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM swf)
+      WHERE w2 IS NOT NULL),
+    sboth AS (SELECT w1, w2 FROM sfwd UNION ALL SELECT w2, w1 FROM sfwd),
+    scnt AS (SELECT w1, w2, COUNT(*) AS cnt FROM sboth GROUP BY w1, w2)
+    SELECT w1 || ' ' || w2 AS pair, CAST(cnt AS BIGINT) AS cnt, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rank FROM scnt)
+    WHERE rank <= {_SGRAM_K}"""
+
+
+# Standalone builder kept for plan pins / bench (graded via the merged
+# term_stats_docs gate's 'sgram' variant).
+def skipgram_top_pairs(spark, sf, window: int = _SGRAM_WINDOW, k: int = _SGRAM_K):
+    """Skip-gram (center, context) pair counts within ±``window`` word
+    offsets — the word2vec/SGNS training-pair extraction (Mikolov et al.
+    2013); next to 'pmi' (adjacent-only, association-ranked) this is the
+    raw co-occurrence counting primitive embedding trainers consume.
+
+    Scale shape: every offset 1..window rides ONE (doc_id, pos) window
+    exchange (w lead() columns in one pass, not w window operators); the
+    reverse direction is a map-side transpose of the forward pairs (never
+    a second scan); counts partial-aggregate on the vocabulary²-bounded
+    pair space; top-k via TakeOrdered then a ≤k-row rank window (the bm25
+    pattern, never a global sort).
+    """
+    from pyspark.sql import Window
+
+    from tamer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    wp = d.select(
+        "doc_id",
+        F.posexplode_outer(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word"),
+    ).filter(F.col("word").isNotNull() & (F.length("word") > 0))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = wp.select(
+        F.col("word").alias("w1"),
+        *[F.lead("word", off).over(w).alias(f"_l{off}") for off in range(1, window + 1)],
+    )
+    # both directions emitted MAP-SIDE from the one leads frame (struct
+    # explode) — a transpose self-union would put the scan + window subtree
+    # in the plan twice
+    structs = []
+    for off in range(1, window + 1):
+        lead_c = F.col(f"_l{off}")
+        structs.append(F.struct(F.col("w1").alias("a"), lead_c.alias("b")))
+        structs.append(F.struct(lead_c.alias("a"), F.col("w1").alias("b")))
+    both = (
+        leads.select(F.explode(F.array(*structs)).alias("p"))
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    cnt = both.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = cnt.orderBy(F.col("cnt").desc(), "w1", "w2").limit(k)
+    wr = Window.orderBy(F.col("cnt").desc(), "w1", "w2")
+    return topk.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        F.concat_ws(" ", "w1", "w2").alias("pair"),
+        F.col("cnt").cast("long").alias("cnt"),
+        "rank",
+    )
+
+
 # Standalone builder kept for plan pins (graded via term_stats_docs 'pmi').
 def pmi_top_bigrams(spark, sf, min_count: int = _PMI_MIN_COUNT, k: int = _PMI_K):
     """Collocation mining by integer-exact PMI proxy: for adjacent word
@@ -3944,6 +4020,8 @@ def heavy_hitters_docs_q(spark, sf):
     UNION ALL
     SELECT 'heavy', token, CAST(NULL AS BIGINT), n, CAST(NULL AS DOUBLE)
     FROM ({_heavy_oracle()})
+    UNION ALL
+    SELECT 'sgram', pair, rank, cnt, CAST(NULL AS DOUBLE) FROM ({_SGRAM_ORACLE})
     """,
     doc=(
         "Corpus term statistics as one tagged union (r6 window re-pack; "
@@ -3977,7 +4055,13 @@ def heavy_hitters_docs_q(spark, sf):
         "candidate occurrences to the exact groupBy (est ≥ true ⇒ no "
         "false negatives; the recount kills false positives), so the "
         "exchange carries candidates instead of the unbounded vocabulary "
-        "tail and the oracle is plain GROUP BY + HAVING, sketch-free."
+        "tail and the oracle is plain GROUP BY + HAVING, sketch-free. "
+        "sgram (r12): skip-gram (center, context) pair counts within ±2 "
+        "offsets (Mikolov et al. 2013 SGNS training pairs) — all offsets "
+        "ride ONE (doc_id, pos) window exchange as stacked lead() columns, "
+        "the reverse direction is a map-side transpose (no second scan), "
+        "counts partial-aggregate on the vocab² pair space, top-20 via "
+        "TakeOrdered + a <=k rank window."
     ),
 )
 def term_stats_docs_q(spark, sf):
@@ -4036,7 +4120,20 @@ def term_stats_docs_q(spark, sf):
         F.col("n").alias("n"),
         F.lit(None).cast("double").alias("score"),
     )
-    return ngram.unionByName(tfidf).unionByName(cms).unionByName(pmi).unionByName(heavy)
+    sgram = skipgram_top_pairs(spark, sf).select(
+        F.lit("sgram").alias("variant"),
+        F.col("pair").alias("term"),
+        F.col("rank").alias("id"),
+        F.col("cnt").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return (
+        ngram.unionByName(tfidf)
+        .unionByName(cms)
+        .unionByName(pmi)
+        .unionByName(heavy)
+        .unionByName(sgram)
+    )
 
 
 _BM25_TERMS = ["hash", "join", "scan", "quick"]
@@ -6040,6 +6137,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "template_dedup_docs": template_dedup_docs_q,
     "drift_langs": drift_langs_q,
     "transition_counts_events": transition_counts_events_q,
+    "skipgram_top_pairs": skipgram_top_pairs,
     "heavy_hitters_docs": heavy_hitters_docs_q,
     "global_percentiles_orders": global_percentiles_orders_q,
     "domain_cap_docs": domain_cap_docs_q,

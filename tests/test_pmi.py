@@ -74,3 +74,60 @@ def test_pmi_topk_is_takeordered_with_broadcast_unigrams(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan  # two unigram joins + N
+
+
+# ------------------------------------------------------------------ skip-gram
+
+
+def test_skipgram_counts_match_python_replay(spark):
+    """±2-offset pair counts equal a direct python enumeration on a tiny
+    crafted corpus — both directions, doc boundaries respected."""
+    from tamer_spark.queries import skipgram_top_pairs
+
+    import tamer_spark.queries as Q
+
+    docs = {1: "a b c a", 2: "b c"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    orig = Q._t
+    Q._t = lambda spark, sf, name: df  # noqa: E731
+    try:
+        got = {(r.pair): (r.cnt, r.rank) for r in skipgram_top_pairs(spark, "x", k=100).collect()}
+    finally:
+        Q._t = orig
+    from collections import Counter
+
+    want = Counter()
+    for t in docs.values():
+        ws = t.split()
+        for i, w1 in enumerate(ws):
+            for d in (1, 2):
+                if i + d < len(ws):
+                    want[f"{w1} {ws[i+d]}"] += 1
+                    want[f"{ws[i+d]} {w1}"] += 1
+    assert {p: c for p, (c, _) in got.items()} == dict(want)
+    # rank is the (cnt desc, w1, w2) total order
+    ranked = sorted(got.items(), key=lambda kv: kv[1][1])
+    assert [c for _, (c, _) in ranked] == sorted((c for c, _ in got.values()), reverse=True)
+
+
+def test_skipgram_single_window_exchange(spark):
+    """All offsets ride ONE (doc_id, pos) exchange — stacked lead()
+    columns, not one window operator per offset."""
+    from tamer_spark.queries import skipgram_top_pairs
+    from tests.conftest import SF_DIR
+
+    plan = (
+        skipgram_top_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    doc_exch = [
+        s for s in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan) if "doc_id" in s
+    ]
+    assert len(doc_exch) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
