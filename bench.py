@@ -482,6 +482,9 @@ HEADLINE = {
     # rank window over ~cap·slack rows per group (mega-group posture),
     # over a persisted (doc_id, domain) input
     "domain_cap_docs": _domain_cap_docs,
+    # skip-gram pairs (r12): one (doc_id, pos) window exchange with stacked
+    # leads, map-side transpose, vocab²-bounded count + TakeOrdered
+    "skipgram_top_pairs": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -518,6 +521,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "substring_run_pairs", "contamination_score_docs",
         "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
         "heavy_hitters_docs", "global_percentiles_orders", "domain_cap_docs",
+        "skipgram_top_pairs",
     ]),
 ]
 
@@ -576,6 +580,7 @@ SERIES = {
     "heavy_hitters_docs": "r12",
     "global_percentiles_orders": "r12",
     "domain_cap_docs": "r12",
+    "skipgram_top_pairs": "r12",
 }
 
 

@@ -40,6 +40,10 @@ SHOW = [
     ("cms_sketch_docs", "Count-Min build (r12): token explode to d cells map-side; the ONE exchange carries ≤ partitions × d·w rows regardless of vocabulary — the fixed-size-shuffle property."),
     ("rp_project_embeddings", "JL random projection (r12): pure map under the frozen ±1 sign literal — zero exchanges; new epochs project without history."),
     ("event_anomaly_daily", "Median/MAD anomaly flagging (r12): raw events collapse to the per-key daily series in one partial agg BEFORE the two key-partitioned median windows; med/MAD broadcast back."),
+    ("heavy_hitters_docs", "Exact heavy hitters (r12): CMS prefilter / exact verify — d broadcast sketch sides estimate each occurrence MAP-SIDE; only candidate occurrences reach the exact count's exchange (the vocabulary tail never shuffles); output independent of the sketch."),
+    ("global_percentiles_orders", "Exact global percentile (r12): pass-1 histogram bounded at ≤ B rows (CMS property); pass-2 ranks ONLY the target buckets — the isin filter sits under the window sort, so no global sort exists at any scale."),
+    ("domain_cap_docs", "Per-domain cap (r12): group counts broadcast back, mega-groups threshold-cut map-side to ~cap·slack rows, survivor recount folds into per-group metadata via a bounded agg — exactly ONE rank window, fed by the skew-splittable join."),
+    ("skipgram_top_pairs", "Skip-gram pairs (r12): all ±offsets ride ONE (doc_id, pos) exchange as stacked leads; both directions emitted map-side (struct explode, no self-union); vocab²-bounded partial-agg count; top-k via TakeOrderedAndProject."),
 ]
 
 def main() -> None:

@@ -106,6 +106,9 @@ OPS = [
     "heavy_hitters_docs",
     "global_percentiles_orders",
     "domain_cap_docs",
+    # r12 continuation: skip-gram pair mining — one (doc_id, pos) window
+    # + vocab²-bounded count; expect ~linear in corpus tokens
+    "skipgram_top_pairs",
 ]
 
 
