@@ -30,7 +30,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["category_drift", "total_tvd_ppm", "embedding_drift"]
+__all__ = [
+    "category_drift",
+    "total_tvd_ppm",
+    "embedding_drift",
+    "histogram_grid",
+    "value_histogram",
+    "histogram_merge",
+    "numeric_drift",
+]
 
 
 def category_drift(
@@ -146,3 +154,106 @@ def embedding_drift(
         .crossJoin(F.broadcast(dist))
         .select("n_a", "n_b", "centroid_dist_sq", "msn_a", "msn_b")
     )
+
+
+def histogram_grid(
+    df: DataFrame, value_col: str, n_buckets: int = 64
+) -> tuple[int, int]:
+    """Derive a (lo, width) grid from the FIRST epoch's [min, max] — the
+    gpctl width rule (``(max−min) div B + 1``, so a constant column is one
+    bucket, never a zero width). Two int64 scalars of driver state; FREEZE
+    them: every later epoch and every drift comparison must bucket on the
+    same grid or the histograms stop being comparable (the sq_train
+    frozen-bounds contract)."""
+    row = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    if row.lo is None:
+        raise ValueError(f"{value_col} has no non-NULL values to derive a grid from")
+    return int(row.lo), (int(row.hi) - int(row.lo)) // n_buckets + 1
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, lo: int, width: int, n_buckets: int = 64
+) -> DataFrame:
+    """Fixed-grid int64 histogram ``(bucket, cnt)`` under a FROZEN
+    (lo, width, n_buckets) grid — the monitoring/drift primitive and the
+    gpctl pass-1 shape: the groupBy partial-aggregates to ≤ n_buckets rows
+    per partition before the one bounded exchange (the CMS property), and
+    histograms are MERGEABLE (cell-wise sum — ``histogram_merge``), so the
+    epoch fold is O(buckets), never a re-scan of history.
+
+    Out-of-range values CLAMP to the edge buckets (a frozen grid must
+    absorb later epochs that drift past the first epoch's range — dropping
+    them would hide exactly the drift being measured; the clamp is the
+    sq_encode frozen-bounds rule). NULLs are dropped (no value, no bucket).
+    Zero-count buckets are omitted (sparse); readers treat absence as 0.
+    """
+    if n_buckets < 1 or width < 1:
+        raise ValueError(f"need n_buckets >= 1 and width >= 1, got {n_buckets}, {width}")
+    bucket = F.least(
+        F.greatest(F.expr(f"(v - {lo}) div {width}"), F.lit(0).cast("long")),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum of histograms built on an IDENTICAL frozen grid — the
+    cms_merge linearity; output stays ≤ n_buckets rows."""
+    if not hists:
+        raise ValueError("histogram_merge needs at least one histogram")
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, hists)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def numeric_drift(
+    epoch_a: DataFrame,
+    epoch_b: DataFrame,
+    value_col: str,
+    lo: int,
+    width: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Numeric-column drift between epochs — the third drift leg
+    (category_drift = categorical slices, embedding_drift = vector
+    columns, this = lengths/scores/prices): bucket both epochs on the
+    SAME frozen grid, then reuse category_drift's exact ppm-share
+    arithmetic over the bucket ids. Returns the per-bucket frame
+    (bucket, n_a, n_b, share_a_ppm, share_b_ppm, drift_ppm); feed it to
+    ``total_tvd_ppm`` for the one-row verdict. A length distribution that
+    moves (new source, new cleaning stage) shows up as mass shifting
+    between buckets even when the mean barely moves.
+
+    Scale shape: two bounded histogram exchanges (the corpora never
+    meet) + a ≤ n_buckets-row full-outer join — everything after the
+    partial aggs is bucket-count-sized.
+    """
+    # NULLs filtered BEFORE the clamp: greatest(NULL, 0) is 0 in Spark
+    # (greatest/least SKIP NULLs), so an unfiltered NULL value would land
+    # in bucket 0 instead of dropping — the winsorize NULL-skip trap again
+    bucket = lambda df: (  # noqa: E731
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(
+            F.least(
+                F.greatest(F.expr(f"(v - {lo}) div {width}"), F.lit(0).cast("long")),
+                F.lit(n_buckets - 1).cast("long"),
+            ).alias("bucket")
+        )
+    )
+    return category_drift(bucket(epoch_a), bucket(epoch_b), ("bucket",))

@@ -5602,6 +5602,30 @@ def shard_manifest_docs_q(spark, sf):
              CAST((SELECT SUM(drift) FROM dper) // 2 AS BIGINT)
       FROM dna, dnb
     )
+    UNION ALL
+    SELECT 'ndrift', k1, CAST(NULL AS VARCHAR), v1, v2, v3, CAST(NULL AS BIGINT)
+    FROM (
+      WITH nb0 AS (SELECT least(greatest((CAST(n_chars AS BIGINT) - 0) // 64, 0), 63) AS bkt,
+                          doc_id % 2 AS par
+                   FROM documents WHERE n_chars IS NOT NULL),
+           ha AS (SELECT bkt, COUNT(*) AS c FROM nb0 WHERE par = 0 GROUP BY 1),
+           hb AS (SELECT bkt, COUNT(*) AS c FROM nb0 WHERE par = 1 GROUP BY 1),
+           hna AS (SELECT SUM(c) AS n FROM ha),
+           hnb AS (SELECT SUM(c) AS n FROM hb),
+           hj AS (SELECT COALESCE(ha.bkt, hb.bkt) AS bkt,
+                         COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb
+                  FROM ha FULL JOIN hb ON ha.bkt = hb.bkt),
+           hper AS (SELECT bkt, ca, cb,
+                           abs(ca * 1000000 // hna.n - cb * 1000000 // hnb.n) AS drift
+                    FROM hj, hna, hnb)
+      SELECT CAST(bkt AS VARCHAR) AS k1, CAST(ca AS BIGINT) AS v1,
+             CAST(cb AS BIGINT) AS v2, CAST(drift AS BIGINT) AS v3
+      FROM hper
+      UNION ALL
+      SELECT '__total__', CAST(hna.n AS BIGINT), CAST(hnb.n AS BIGINT),
+             CAST((SELECT SUM(drift) FROM hper) // 2 AS BIGINT)
+      FROM hna, hnb
+    )
     """,
     doc=(
         "Corpus-curation surface as one tagged union (r6 window re-pack of "
@@ -5633,7 +5657,15 @@ def shard_manifest_docs_q(spark, sf):
         "sets so a slice absent from one epoch surfaces with count 0 "
         "instead of vanishing — the drift you most need to see; raw "
         "corpora never meet (one partial-agg count each, category-bounded "
-        "join, 1-row total broadcasts)."
+        "join, 1-row total broadcasts). ndrift (r12): the NUMERIC-column "
+        "drift leg — both epochs bucketed on one FROZEN int64 grid "
+        "(lo=0, width=64, 64 buckets; out-of-range clamps to the edge so "
+        "a later epoch drifting past the first epoch's range surfaces "
+        "instead of dropping; NULLs filtered BEFORE the clamp — "
+        "greatest(NULL,0)=0 in Spark would silently file NULLs under "
+        "bucket 0), then the same exact ppm-share TVD arithmetic over "
+        "bucket ids; histograms are mergeable (cell-wise sum, pinned), "
+        "so the epoch fold is O(buckets)."
     ),
 )
 def corpus_curation_q(spark, sf):
@@ -5707,12 +5739,42 @@ def corpus_curation_q(spark, sf):
             F.lit(None).cast("long").alias("v4"),
         )
     )
+    from tamer_spark.operators.drift import numeric_drift
+
+    nper = numeric_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        lo=0,
+        width=64,
+        n_buckets=64,
+    )
+    ndrift = nper.select(
+        F.lit("ndrift").alias("variant"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_a").alias("v1"),
+        F.col("n_b").alias("v2"),
+        F.col("drift_ppm").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    ).unionByName(
+        total_tvd_ppm(nper).select(
+            F.lit("ndrift").alias("variant"),
+            F.lit("__total__").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n_a").alias("v1"),
+            F.col("n_b").alias("v2"),
+            F.col("tvd_ppm").alias("v3"),
+            F.lit(None).cast("long").alias("v4"),
+        )
+    )
     return (
         temp.unionByName(budget)
         .unionByName(sheet)
         .unionByName(odds)
         .unionByName(manifest)
         .unionByName(drift)
+        .unionByName(ndrift)
     )
 
 

@@ -140,3 +140,57 @@ def test_embedding_drift_matches_driver_recompute_on_fixture(spark):
     assert (r.n_a, r.n_b) == (na, nb)
     assert r.msn_a == msna and r.msn_b == msnb
     assert r.centroid_dist_sq == sum((x - y) ** 2 for x, y in zip(ma, mb))
+
+
+# -------------------------------------- numeric drift / mergeable histograms
+
+
+def test_value_histogram_grid_clamp_and_merge(spark):
+    from tamer_spark.operators.drift import histogram_grid, histogram_merge, value_histogram
+
+    df = spark.createDataFrame([(v,) for v in [0, 1, 63, 64, 500, -9, None]], "val long")
+    lo, width = histogram_grid(df, "val", n_buckets=8)
+    assert (lo, width) == (-9, (500 + 9) // 8 + 1)
+    # frozen tiny grid: lo=0, width=10, B=4 → buckets 0..3, out-of-range clamps
+    h = {r.bucket: r.cnt for r in value_histogram(df, "val", 0, 10, 4).collect()}
+    # -9 clamps to 0; 0,1 → 0; 63,64,500 clamp to 3; NULL dropped
+    assert h == {0: 3, 3: 3}
+    # mergeability: per-half histograms fold to the union's (cms_merge law)
+    a = value_histogram(df.limit(3), "val", 0, 10, 4)
+    b = value_histogram(df.subtract(df.limit(3)), "val", 0, 10, 4)
+    merged = {r.bucket: r.cnt for r in histogram_merge(a, b).collect()}
+    assert merged == h
+
+
+def test_numeric_drift_mass_shift_detected(spark):
+    from tamer_spark.operators.drift import numeric_drift, total_tvd_ppm
+
+    a = spark.createDataFrame([(v,) for v in [5] * 80 + [25] * 20], "val long")
+    b = spark.createDataFrame([(v,) for v in [5] * 20 + [25] * 80], "val long")
+    per = numeric_drift(a, b, "val", lo=0, width=10, n_buckets=4)
+    rows = {r.bucket: (r.n_a, r.n_b, r.drift_ppm) for r in per.collect()}
+    assert rows == {0: (80, 20, 600_000), 2: (20, 80, 600_000)}
+    [tot] = total_tvd_ppm(per).collect()
+    assert (tot.n_a, tot.n_b, tot.tvd_ppm) == (100, 100, 600_000)
+
+
+def test_numeric_drift_identical_epochs_zero(spark):
+    from tamer_spark.operators.drift import numeric_drift, total_tvd_ppm
+
+    a = spark.createDataFrame([(v,) for v in range(100)], "val long")
+    per = numeric_drift(a, a, "val", lo=0, width=5, n_buckets=32)
+    assert total_tvd_ppm(per).collect()[0].tvd_ppm == 0
+    assert all(r.drift_ppm == 0 for r in per.collect())
+
+
+def test_numeric_drift_nulls_never_reach_bucket_zero(spark):
+    """Regression (r12): greatest(NULL, 0) is 0 in Spark (greatest/least
+    skip NULLs), so an unfiltered NULL value would silently land in bucket
+    0 — NULLs must drop before the clamp."""
+    from tamer_spark.operators.drift import numeric_drift
+
+    a = spark.createDataFrame([(5,), (None,), (None,)], "val long")
+    b = spark.createDataFrame([(5,)], "val long")
+    per = numeric_drift(a, b, "val", lo=0, width=10, n_buckets=4).collect()
+    assert {(r.bucket, r.n_a, r.n_b) for r in per} == {(0, 1, 1)}
+    assert all(r.drift_ppm == 0 for r in per)
