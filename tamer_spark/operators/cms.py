@@ -125,6 +125,7 @@ def cms_heavy_hitters(
     d: int = 4,
     w: int = 1024,
     seed: int = 42,
+    cells: list | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters over an unbounded vocabulary with a BOUNDED
     shuffle: CMS prefilter pass + exact verify pass (the sketch-prefilter /
@@ -156,6 +157,14 @@ def cms_heavy_hitters(
         row 0's cell sum IS the stream length — no extra pass, and the
         multiply-form comparison avoids any div-rounding mismatch.
 
+    ``cells``: optionally the COLLECTED rows of a prebuilt sketch (the
+    exact list ``cms_build(..., same d/w/seed).collect()`` returns) — a
+    caller that already materialized the sketch for point queries (the
+    term_stats gate) passes it through so the token stream is scanned
+    twice total, not three times. No shape verification is possible from
+    the cells alone; the contract is the caller's (d, w, seed) match,
+    same as cms_query.
+
     The collected sketch is model-parameter-sized (≤ d·w int64 cells, a
     few KB at the defaults) — the repo's bounded-collect convention; it is
     re-materialized as d tiny broadcast sides so the build aggregation
@@ -171,14 +180,17 @@ def cms_heavy_hitters(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if freq_k is not None and freq_k < 1:
         raise ValueError(f"freq_k must be >= 1, got {freq_k}")
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
 
     toks = tokens.select(F.col(token_col).alias("token")).filter(
         F.col("token").isNotNull()
     )
     spark = tokens.sparkSession
-    # Bounded model state: ≤ d·w sparse cells (the centroid/codebook/bloom
-    # convention). One build scan; the d join sides below are local data.
-    cells = cms_build(toks, token_col="token", d=d, w=w, seed=seed).collect()
+    if cells is None:
+        # Bounded model state: ≤ d·w sparse cells (the centroid/codebook/
+        # bloom convention). One build scan; the d join sides are local.
+        cells = cms_build(toks, token_col="token", d=d, w=w, seed=seed).collect()
     n_stream = sum(r.cnt for r in cells if r.r == 0)
 
     if freq_k is not None:
@@ -197,7 +209,9 @@ def cms_heavy_hitters(
             [(c.b, c.cnt) for c in cells if c.r == r], schema=f"_b{r} long, _c{r} long"
         )
         occ = occ.join(F.broadcast(side), f"_b{r}", "left")
-    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long")) for r in range(d)])
+    est_cells = [F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long")) for r in range(d)]
+    # F.least needs >= 2 columns; d=1 is a valid (if loose) CMS depth
+    est = F.least(*est_cells) if d > 1 else est_cells[0]
     cand = occ.filter(occ_keep(est)).select("token")
     return (
         cand.groupBy("token")

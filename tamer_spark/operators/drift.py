@@ -176,6 +176,20 @@ def histogram_grid(
     return int(row.lo), (int(row.hi) - int(row.lo)) // n_buckets + 1
 
 
+def _bucket_expr(lo: int, width: int, n_buckets: int):
+    """Shared frozen-grid clamp — ONE copy feeds value_histogram and
+    numeric_drift so the clamp/NULL conventions cannot drift between
+    them. Operates on a column already aliased ``v`` and pre-filtered
+    non-NULL (greatest(NULL, 0) = 0 in Spark would file NULLs under
+    bucket 0 — callers filter FIRST)."""
+    if n_buckets < 1 or width < 1:
+        raise ValueError(f"need n_buckets >= 1 and width >= 1, got {n_buckets}, {width}")
+    return F.least(
+        F.greatest(F.expr(f"(v - {lo}) div {width}"), F.lit(0).cast("long")),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+
+
 def value_histogram(
     df: DataFrame, value_col: str, lo: int, width: int, n_buckets: int = 64
 ) -> DataFrame:
@@ -192,16 +206,10 @@ def value_histogram(
     sq_encode frozen-bounds rule). NULLs are dropped (no value, no bucket).
     Zero-count buckets are omitted (sparse); readers treat absence as 0.
     """
-    if n_buckets < 1 or width < 1:
-        raise ValueError(f"need n_buckets >= 1 and width >= 1, got {n_buckets}, {width}")
-    bucket = F.least(
-        F.greatest(F.expr(f"(v - {lo}) div {width}"), F.lit(0).cast("long")),
-        F.lit(n_buckets - 1).cast("long"),
-    )
     return (
         df.select(F.col(value_col).cast("long").alias("v"))
         .filter(F.col("v").isNotNull())
-        .select(bucket.alias("bucket"))
+        .select(_bucket_expr(lo, width, n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -243,17 +251,13 @@ def numeric_drift(
     meet) + a ≤ n_buckets-row full-outer join — everything after the
     partial aggs is bucket-count-sized.
     """
-    # NULLs filtered BEFORE the clamp: greatest(NULL, 0) is 0 in Spark
-    # (greatest/least SKIP NULLs), so an unfiltered NULL value would land
-    # in bucket 0 instead of dropping — the winsorize NULL-skip trap again
+    # NULLs filtered BEFORE the clamp (see _bucket_expr — the shared
+    # helper also carries the width/n_buckets validation, so a width=0
+    # grid raises instead of silently clamping both epochs to bucket 0
+    # and reporting zero drift)
     bucket = lambda df: (  # noqa: E731
         df.select(F.col(value_col).cast("long").alias("v"))
         .filter(F.col("v").isNotNull())
-        .select(
-            F.least(
-                F.greatest(F.expr(f"(v - {lo}) div {width}"), F.lit(0).cast("long")),
-                F.lit(n_buckets - 1).cast("long"),
-            ).alias("bucket")
-        )
+        .select(_bucket_expr(lo, width, n_buckets).alias("bucket"))
     )
     return category_drift(bucket(epoch_a), bucket(epoch_b), ("bucket",))

@@ -206,7 +206,13 @@ def cap_per_group(
         F.concat(F.lit("nullgroup-"), F.col(id_col).cast("string")),
     )
     h = stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    base = df.select(F.col(id_col), key.alias("_g"), h.alias("_h"))
+    # NULL ids drop (the bottomk_sample rule): they cannot be hashed — an
+    # unfiltered NULL id would sort NULLS-FIRST to rank 1 inside a real
+    # group, and a NULL-id NULL-group row would make the singleton key
+    # itself NULL, merging all such rows under one shared group
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), key.alias("_g"), h.alias("_h")
+    )
 
     wrank = Window.partitionBy("_g").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     wall = Window.partitionBy("_g")
@@ -309,5 +315,9 @@ def bottomk_merge(samples: list[DataFrame], k: int, id_col: str = "doc_id", salt
         raise ValueError("bottomk_merge needs at least one sample")
     from functools import reduce
 
-    u = reduce(DataFrame.unionByName, (s.select(id_col) for s in samples))
+    # distinct: overlapping epochs (a re-ingested batch) put the same id
+    # in two per-epoch samples; without dedup it would occupy two of the
+    # k slots and the fold would no longer equal bottomk over the distinct
+    # corpus — the sketch law is over the id SET, not the multiset
+    u = reduce(DataFrame.unionByName, (s.select(id_col) for s in samples)).distinct()
     return bottomk_sample(u, k, id_col=id_col, salt=salt)

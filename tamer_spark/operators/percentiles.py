@@ -212,12 +212,15 @@ def winsorize(
     map-side. For a GLOBAL clamp over a 100 TB column compute the bounds
     with ``global_percentile_bucketed`` instead and clamp with literals.
 
-    Returns the input columns plus (value_winsor, w_lo, w_hi). NULL values
-    pass through unclamped (NULL in, NULL out — the SQL aggregate rule).
+    Returns the input columns plus (value_winsor, w_lo, w_hi). Row-
+    preserving: NULL values pass through unclamped (NULL in, NULL out —
+    the SQL aggregate rule), and rows whose group has NO bounds (a NULL
+    group key, or a group whose values are all NULL) also pass through —
+    a LEFT join on null-safe keys, because an inner equi-join would
+    silently DROP those documents (the merge-all/drop-all mixture
+    distortion the cap_per_group singleton rule exists to prevent).
     """
-    for p in (p_lo, p_hi):
-        if not 0 < p[0] <= p[1]:
-            raise ValueError(f"percentile {p[0]}/{p[1]} outside (0, 1]")
+    _check_ps([p_lo, p_hi])
     if p_lo[0] * p_hi[1] > p_hi[0] * p_lo[1]:
         raise ValueError(f"p_lo {p_lo} above p_hi {p_hi}")
     lo_tag, hi_tag = f"{p_lo[0]}/{p_lo[1]}", f"{p_hi[0]}/{p_hi[1]}"
@@ -226,13 +229,27 @@ def winsorize(
         F.min(F.when(F.col("p") == lo_tag, F.col("value"))).alias("w_lo"),
         F.min(F.when(F.col("p") == hi_tag, F.col("value"))).alias("w_hi"),
     )
-    joined = (
-        df.join(F.broadcast(bounds), list(keys)) if keys else df.crossJoin(F.broadcast(bounds))
-    )
+    if keys:
+        # bounds derives FROM df, so df[k]/bounds[k] share attribute ids
+        # (self-join lineage) and drop-by-Column can remove the wrong side
+        # — rename the bounds keys before joining instead
+        renamed = bounds.select(
+            *[F.col(k).alias(f"_bk_{k}") for k in keys], "w_lo", "w_hi"
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_bk_{k}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"_bk_{k}" for k in keys]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     # explicit NULL passthrough: Spark's greatest/least SKIP NULL operands
     # (a NULL value would silently clamp to w_lo), unlike `||`-style
     # propagation — the same class of trap as the seeded_shuffle concat_ws
-    # rule
+    # rule. NULL bounds (boundless group) fall out of the same rule:
+    # greatest(v, NULL) = least(v, NULL) = v, i.e. passthrough.
     clamped = F.when(
         F.col(value_col).isNotNull(),
         F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")),

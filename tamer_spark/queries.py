@@ -4088,7 +4088,12 @@ def term_stats_docs_q(spark, sf):
         .filter(F.col("word").isNotNull())
     )
     probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
-    sk = cms_build(toks, token_col="word", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
+    # ONE sketch build serves both the 'cms' point queries and the 'heavy'
+    # prefilter: collect the bounded cells (≤ d·w rows) once, re-materialize
+    # for the query side, pass through to cms_heavy_hitters — otherwise the
+    # gate pays the token-stream aggregation twice
+    sk_cells = cms_build(toks, token_col="word", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED).collect()
+    sk = spark.createDataFrame([(c.r, c.b, c.cnt) for c in sk_cells], "r int, b bigint, cnt long")
     est = cms_query(sk, probes, token_col="token", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
     tru = (
         probes.join(toks, probes.token == toks.word, "left")
@@ -4112,7 +4117,13 @@ def term_stats_docs_q(spark, sf):
     from tamer_spark.operators.cms import cms_heavy_hitters
 
     heavy = cms_heavy_hitters(
-        toks, token_col="word", freq_k=_HEAVY_K, d=_CMS_D, w=_CMS_W, seed=_CMS_SEED
+        toks,
+        token_col="word",
+        freq_k=_HEAVY_K,
+        d=_CMS_D,
+        w=_CMS_W,
+        seed=_CMS_SEED,
+        cells=sk_cells,
     ).select(
         F.lit("heavy").alias("variant"),
         F.col("token").alias("term"),

@@ -57,3 +57,15 @@ def test_bottomk_plan_is_takeordered_not_global_sort(spark):
     # the post-limit rank window runs over <= k rows; no rangepartitioning
     # exchange (a global Sort) anywhere
     assert "rangepartitioning" not in plan, plan
+
+
+def test_bottomk_merge_dedups_overlapping_epochs(spark):
+    """An id re-ingested in two epochs appears in both per-epoch samples;
+    the fold must not let it occupy two of the k slots — the sketch law is
+    over the id SET (review fix, r12)."""
+    a = spark.createDataFrame([(i,) for i in range(0, 100)], "doc_id long")
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], "doc_id long")
+    folded = bottomk_merge([bottomk_sample(a, 20), bottomk_sample(b, 20)], 20).collect()
+    ids = [r.doc_id for r in folded]
+    assert len(ids) == len(set(ids)) == 20
+    assert {(r.doc_id, r.sample_rank) for r in folded} == _expected(range(150), 20)

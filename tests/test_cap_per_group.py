@@ -103,3 +103,16 @@ def test_plain_path_single_exchange(spark, grouped):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 1 and "_g" in shuffles[0], plan
+
+
+def test_null_ids_drop_both_paths(spark):
+    """NULL ids cannot be hashed: unfiltered they'd sort NULLS-FIRST to
+    rank 1 inside a real group, and a NULL-id NULL-group row would make
+    the singleton key itself NULL (review fix, r12)."""
+    df = spark.createDataFrame(
+        [(1, "g"), (None, "g"), (None, None), (2, "g")], "doc_id long, g string"
+    )
+    for kwargs in ({}, {"prefilter_slack": 2}):
+        got = {(r.doc_id, r.keep_rank) for r in cap_per_group(df, "g", cap=1, **kwargs).collect()}
+        keep = sorted([1, 2], key=lambda x: (_h(x), x))[0]
+        assert got == {(keep, 1)}, kwargs

@@ -198,3 +198,23 @@ def test_heavy_hitters_empty_and_validation(spark):
         cms_heavy_hitters(df, min_count=0)
     with _pytest.raises(ValueError):
         cms_heavy_hitters(df, freq_k=0)
+
+
+def test_heavy_hitters_d1_and_prebuilt_cells(spark):
+    """d=1 is a valid (loose) depth — F.least needs two columns, the
+    single-row path must not crash; and a prebuilt cells list must give
+    the identical result without a second build scan (review fix, r12)."""
+    from tamer_spark.operators.cms import cms_build, cms_heavy_hitters
+
+    rows = [("x",)] * 30 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "word string")
+    assert {(r.token, r.n) for r in
+            cms_heavy_hitters(df, min_count=10, d=1, w=64, seed=SEED).collect()} == {("x", 30)}
+    cells = cms_build(df, d=D, w=W, seed=SEED).collect()
+    via_cells = {(r.token, r.n) for r in
+                 cms_heavy_hitters(df, min_count=10, d=D, w=W, seed=SEED, cells=cells).collect()}
+    assert via_cells == {("x", 30)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, min_count=1, d=0)

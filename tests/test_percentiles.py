@@ -187,3 +187,19 @@ def test_exact_percentiles_exclude_nulls(spark):
     out = {r.p: r.value for r in
            exact_percentiles(df, "val", [(1, 10), (1, 1)], keys=("g",)).collect()}
     assert out == {"1/10": 7, "1/1": 9}  # n=2, rank ceil(0.2)=1 -> 7
+
+
+def test_winsorize_preserves_rows_without_bounds(spark):
+    """Row-preserving contract (review fix, r12): NULL group keys and
+    all-NULL groups have no bounds row — they must pass through unclamped,
+    not silently drop out of an inner join."""
+    from tamer_spark.operators.percentiles import winsorize
+
+    rows = [("a", 1), ("a", 100), (None, 7), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, val long")
+    out = {(r.g, r.val): r.value_winsor for r in
+           winsorize(df, "val", keys=("g",), p_lo=(1, 10), p_hi=(9, 10)).collect()}
+    assert len(out) == 4  # every input row survives
+    assert out[(None, 7)] == 7      # NULL group: no bounds -> passthrough
+    assert out[("b", None)] is None  # all-NULL group: NULL in, NULL out
+    assert out[("a", 1)] == 1 and out[("a", 100)] == 100
