@@ -1,6 +1,6 @@
 """End-to-end LLM training-data curation pipeline over the documents table:
 
-    URL-level dedup (text never read) → encoding repair →
+    URL-level dedup (text never read) → per-domain quota cap → encoding repair →
     C4 line cleaning + cross-doc span dedup → quality gate → exact dedup →
     MinHash-LSH near-dup removal → exact substring-run dedup →
     stratified source mixing → token-budget capping →
@@ -47,7 +47,8 @@ from tamer_spark.operators.dedup import url_dedup_counts
 _d = F.col("doc_id")
 _url = F.concat(
     F.when(_d % 2 == 0, F.lit("http://www.")).otherwise(F.lit("HTTPS://")),
-    F.lit("crawl"), (_d % 100).cast("string"), F.lit(".example.com"),
+    F.lit("crawl"), (_d % 100).cast("string"),
+    F.lit(".example"), (_d % 5).cast("string"), F.lit(".com"),
     F.when(_d % 8 == 3, F.lit(":443")).otherwise(F.lit("")),
     F.lit("/page/"), (_d % 200).cast("string"),
     F.when(_d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
@@ -58,6 +59,42 @@ url_keep = url_dedup_counts(raw_docs.select("doc_id", _url.alias("url"))).select
 )
 raw_docs = raw_docs.join(url_keep, "doc_id", "left_semi").localCheckpoint()
 n_url = raw_docs.count()
+
+# -0.9. per-domain quota (RefinedWeb/CCNet): no single registrable domain
+#       may dominate the mixture — cap each at 32 docs by salted-hash rank
+#       (the derivation yields 5 registrable domains of ~40 url-surviving
+#       docs each, so the cap genuinely binds without starving downstream).
+#       Run through the mega-group posture (prefilter_slack): the threshold
+#       cut happens at the skew-splittable join, so a link-farm domain never
+#       serializes through one task's window sort.
+from tamer_spark.functions.text import registrable_domain_col
+from tamer_spark.operators.mixing import cap_per_group
+
+_dom = raw_docs.select(
+    "doc_id", registrable_domain_col(_url).alias("domain")
+)
+_cap_keep = cap_per_group(_dom, "domain", cap=32, prefilter_slack=4).select("doc_id")
+raw_docs = raw_docs.join(_cap_keep, "doc_id", "left_semi").localCheckpoint()
+n_domcap = raw_docs.count()
+
+# -0.85. winsorized length feature: clamp per-source n_chars at exact
+#        discrete p5/p95 before any length-derived threshold downstream —
+#        a handful of outlier documents must not drag a source's length
+#        statistics (bounds pivot to one row per source and BROADCAST;
+#        the clamp itself is map-side).
+from tamer_spark.operators.percentiles import winsorize
+
+_wz = winsorize(
+    raw_docs.withColumn("len_chars", F.length("text").cast("long")),
+    "len_chars",
+    keys=("source",),
+    # quartile clamp: at this fixture's ~16 docs/source the p5/p95 default
+    # degenerates to min/max (ceil-rank lands on the extremes) — IQR-style
+    # bounds actually bind; production at real group sizes uses p5/p95
+    p_lo=(1, 4),
+    p_hi=(3, 4),
+)
+n_clamped = _wz.filter(F.col("value_winsor") != F.col("len_chars")).count()
 
 # -0.75. template-collapse AUDIT (r12) — machine-generated pages differ
 #        only in volatile tokens (order ids, recipient emails, tracking
@@ -79,7 +116,7 @@ _td = raw_docs.select("doc_id", _volatile.alias("vtext"))
 n_template_groups = template_dedup_counts(_td, text_col="vtext").count()
 n_vtext_distinct = _td.select("vtext").distinct().count()
 n_norm_groups = dedup_exact_normalized(raw_docs).count()
-assert n_vtext_distinct == n_url  # the suffix made every raw string unique
+assert n_vtext_distinct == n_domcap  # the suffix made every raw string unique
 assert n_template_groups == n_norm_groups  # ...and the mask erased it all
 
 # -0.5. encoding repair BEFORE any text processing — quality scores over
@@ -405,7 +442,7 @@ verify_shards(spark, str(ws / "train_shards"))
 
 out = spark.read.parquet(str(ws / "curated_chunks"))
 print(
-    f"documents: {n0} → url-dedup {n_url} (encoding repair: "
+    f"documents: {n0} → url-dedup {n_url} → domain-cap {n_domcap} (encoding repair: "
     f"{n_damage_chars} damage chars removed) "
     f"→ c4-clean {n_c4} (spans dropped: {n_spans_dropped}, "
     f"boilerplate lines stripped: {n_bp_lines}) "
@@ -452,7 +489,31 @@ print(
 )
 assert 0 <= _drift.tvd_ppm <= 1_000_000
 
-assert n0 >= n_url >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
+# numeric drift + audit sample (r12 continuation): the length DISTRIBUTION
+# shift curation induced (frozen-grid TVD over n_chars buckets — mass
+# moving between length buckets shows even when the mean barely moves),
+# and a deterministic 50-doc bottom-k audit sample of the curated corpus
+# (the mergeable reservoir: next epoch folds its own 50 rows in O(k)).
+from tamer_spark.operators.drift import numeric_drift
+from tamer_spark.operators.mixing import bottomk_sample
+
+_raw_len = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars")
+_cur_len = _raw_len.join(_curated_ids, "doc_id", "left_semi")
+_ndrift = total_tvd_ppm(
+    numeric_drift(_raw_len, _cur_len, "n_chars", lo=0, width=64, n_buckets=64)
+).collect()[0]
+_audit = bottomk_sample(_curated_ids, 50, salt="audit-0")
+n_audit = _audit.count()
+print(
+    f"curation length drift: {_ndrift.tvd_ppm} ppm (frozen 64x64 grid); "
+    f"audit sample: {n_audit} docs (bottom-k, epoch-mergeable); "
+    f"winsorized length outliers clamped: {n_clamped}"
+)
+assert 0 <= _ndrift.tvd_ppm <= 1_000_000
+assert n_audit == min(50, _curated_ids.count())
+assert n_clamped > 0  # discrete p5/p95 over real sources always clamps the tails
+
+assert n0 >= n_url >= n_domcap >= n_c4 >= n1 >= n2 >= n3 >= n3b >= n4 >= n4b >= n4c >= n4d > 0 and n_bins > 0
 assert n_url < n0  # the derived re-crawl noise guarantees url-level groups
 assert n_damage_chars > 0  # BOM/CRLF/mojibake all removed or shrunk
 assert n_neg_anchors > 0 and n_pos_anchors > 0
