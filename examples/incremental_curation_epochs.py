@@ -57,6 +57,8 @@ from tamer_spark.operators.dsir import (
     dsir_ratio_table,
     hashed_ngram_buckets,
 )
+from tamer_spark.operators.drift import histogram_merge, value_histogram
+from tamer_spark.operators.mixing import bottomk_merge, bottomk_sample
 from tamer_spark.sinks.shards import assign_shard, shard_diff, write_training_shards
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -80,6 +82,14 @@ benchmark = raw.filter(F.col("doc_id") % 3 == 2)
 dsir_target = raw.filter(F.col("doc_id") % 3 == 1)
 DSIR_RATIO = ws / "dsir_ratio"
 DSIR_WEIGHTS = ws / "dsir_weights"
+# monitoring sidecars (r12 continuation): per-epoch length histograms on a
+# FROZEN grid and per-epoch bottom-k audit samples — both MERGEABLE, so
+# the corpus-wide view folds in O(buckets)/O(k) per epoch without ever
+# re-reading history (the digest-index posture, applied to monitoring)
+HIST = ws / "len_hist"
+SAMPLE = ws / "audit_sample"
+HIST_GRID = (0, 16, 64)  # (lo, width, n_buckets) — frozen at cold start
+SAMPLE_K = 20
 
 
 def _read_or_empty(path: Path, schema: str):
@@ -216,6 +226,19 @@ class CurationSink:
         dsir_importance_weights(
             hashed_ngram_buckets(s3, buckets=DSIR_BUCKETS), frozen
         ).write.mode("overwrite").parquet(str(DSIR_WEIGHTS / f"epoch={epoch}"))
+        # monitoring sidecars: this epoch's length histogram (frozen grid)
+        # and bottom-k audit sample — O(buckets)/O(k) rows apiece
+        lo, width, nb = HIST_GRID
+        value_histogram(
+            s3.withColumn("len_chars", F.length("text").cast("long")),
+            "len_chars",
+            lo,
+            width,
+            nb,
+        ).write.mode("overwrite").parquet(str(HIST / f"epoch={epoch}"))
+        bottomk_sample(s3.select("doc_id"), SAMPLE_K).write.mode("overwrite").parquet(
+            str(SAMPLE / f"epoch={epoch}")
+        )
         self.stats[epoch] = {"in": n_in, "out": n_out}
 
 
@@ -314,4 +337,44 @@ assert gib_max <= w1_max, (gib_max, w1_max)
 print(
     f"dsir frozen-table scoring: {ratio_rows} ratio rows trained once at cold "
     f"start scored both epochs (gibberish max {gib_max} <= corpus max {w1_max})"
+)
+
+# monitoring-sidecar fold invariants (r12 continuation): the mergeable
+# sketches' whole point — per-epoch sidecars fold to EXACTLY the view a
+# from-scratch rebuild over the full curated corpus gives, without
+# re-reading history.
+_full = (
+    spark.read.option("basePath", str(CURATED))
+    .parquet(str(CURATED) + "/epoch=*")
+    .select("doc_id", "text")
+)
+_lo, _width, _nb = HIST_GRID
+_fold_hist = {
+    (r.bucket, r.cnt)
+    for r in histogram_merge(
+        *[spark.read.parquet(str(HIST / f"epoch={e}")) for e in epochs]
+    ).collect()
+}
+_rebuild_hist = {
+    (r.bucket, r.cnt)
+    for r in value_histogram(
+        _full.withColumn("len_chars", F.length("text").cast("long")),
+        "len_chars", _lo, _width, _nb,
+    ).collect()
+}
+assert _fold_hist == _rebuild_hist, "histogram fold != rebuild"
+_fold_sample = {
+    (r.doc_id, r.sample_rank)
+    for r in bottomk_merge(
+        [spark.read.parquet(str(SAMPLE / f"epoch={e}")) for e in epochs], SAMPLE_K
+    ).collect()
+}
+_rebuild_sample = {
+    (r.doc_id, r.sample_rank)
+    for r in bottomk_sample(_full.select("doc_id"), SAMPLE_K).collect()
+}
+assert _fold_sample == _rebuild_sample, "bottom-k fold != rebuild"
+print(
+    f"monitoring sidecars: {len(_fold_hist)} histogram cells and "
+    f"{len(_fold_sample)} audit-sample rows fold == rebuild across {len(epochs)} epochs"
 )
