@@ -255,3 +255,124 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col("w_lo")), F.col("w_hi")),
     )
     return joined.withColumn("value_winsor", clamped)
+
+
+def grouped_percentile_bucketed(
+    df: DataFrame,
+    value_col: str,
+    keys: tuple[str, ...],
+    ps: list[tuple[int, int]],
+    n_buckets: int = 1024,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Exact per-GROUP percentile_disc without per-group sorts — the
+    mega-group companion to ``exact_percentiles`` (whose window serializes
+    each group through one task's sort: fine for order priorities, wrong
+    when one language holds 60 % of a 100 TB corpus).
+
+    Same two-pass shape as ``global_percentile_bucketed``, vectorized over
+    groups: pass 1 computes per-group (n, min, max) and per-(group, bucket)
+    counts in two partial-aggregable exchanges — each group gets its OWN
+    equi-width grid, so a narrow group keeps full resolution next to a
+    wide one; the driver locates every (group, percentile) target bucket +
+    in-bucket offset from ≤ groups·n_buckets collected rows; pass 2 ranks
+    ONLY the target (group, bucket) cells — the window partition is one
+    bucket of one group ≈ n_g/B rows.
+
+    CONTRACT: ``keys`` must be LOW-CARDINALITY (languages, sources,
+    priorities — model-parameter-sized, the centroid/codebook convention);
+    the ``max_groups`` guard raises rather than silently collecting an
+    unbounded key space. For high-cardinality keys use exact_percentiles —
+    there the group IS the parallel unit and the window is correct.
+
+    Rank convention, NULL rule, and integral-column requirement are
+    identical to global_percentile_bucketed. Returns
+    (keys..., p string, value, rank, n).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty; use global_percentile_bucketed")
+    _check_ps(ps)
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    dtype = dict(df.dtypes)[value_col]
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{value_col} must be integral (got {dtype}); cast to cents/int64 first"
+        )
+    spark = df.sparkSession
+    key_list = list(keys)
+    out_schema_keys = ", ".join(f"`{k}` string" for k in key_list)
+
+    vals = df.select(
+        *[F.col(k).cast("string").alias(k) for k in key_list],
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    stats = vals.groupBy(*key_list).agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"{len(stats)} groups exceeds max_groups={max_groups}; "
+            "grouped_percentile_bucketed is for low-cardinality keys"
+        )
+    if not stats:
+        return spark.createDataFrame(
+            [], f"{out_schema_keys}, p string, value long, rank long, n long"
+        )
+    # per-group grid (lo, width) as a broadcast side — each group buckets
+    # on its own range
+    grid_rows = [
+        tuple(r[k] for k in key_list) + (r.lo, (r.hi - r.lo) // n_buckets + 1, r.n)
+        for r in stats
+    ]
+    grid = F.broadcast(
+        spark.createDataFrame(
+            grid_rows, f"{out_schema_keys}, _lo long, _width long, _n long"
+        )
+    )
+    bucketed = vals.join(grid, key_list).select(
+        *key_list, "v", F.expr("(v - _lo) div _width").alias("bkt")
+    )
+    hist = bucketed.groupBy(*key_list, "bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(tuple(r[k] for k in key_list), []).append((r.bkt, r.cnt))
+    n_by_group = {tuple(r[k] for k in key_list): r.n for r in stats}
+
+    targets = []  # keys..., bkt, off, p, rank
+    for g, cells in by_group.items():
+        n = n_by_group[g]
+        cells.sort()
+        for num, den in ps:
+            k = (num * n + den - 1) // den
+            cum = 0
+            for bkt, cnt in cells:
+                if cum + cnt >= k:
+                    targets.append(g + (bkt, k - cum, f"{num}/{den}", k, n))
+                    break
+                cum += cnt
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            targets,
+            f"{out_schema_keys}, bkt long, off long, p string, rank long, n long",
+        )
+    )
+    sub = bucketed.join(
+        tgt.select(*key_list, "bkt").distinct(), key_list + ["bkt"], "left_semi"
+    )
+    ranked = sub.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(*key_list, "bkt").orderBy("v"))
+    )
+    cond = [ranked[k] == tgt[k] for k in key_list] + [
+        ranked.bkt == tgt.bkt,
+        ranked._rn == tgt.off,
+    ]
+    from functools import reduce as _reduce
+
+    return ranked.join(tgt, _reduce(lambda a, b: a & b, cond)).select(
+        *[ranked[k] for k in key_list],
+        "p",
+        F.col("v").alias("value"),
+        "rank",
+        "n",
+    )

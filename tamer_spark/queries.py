@@ -5011,6 +5011,35 @@ _GPCTL_ORACLE = """
     """
 
 
+_GPCTL_GROUP_ORACLE = """
+    WITH v AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS val FROM orders),
+         ranked AS (SELECT o_orderpriority, val,
+                           row_number() OVER (PARTITION BY o_orderpriority ORDER BY val) AS rn,
+                           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                    FROM v)
+    SELECT o_orderpriority, '1/2' AS p, val AS value, rn AS rank, n FROM ranked WHERE rn = (1 * n + 1) // 2
+    UNION ALL
+    SELECT o_orderpriority, '9/10', val, rn, n FROM ranked WHERE rn = (9 * n + 9) // 10
+    UNION ALL
+    SELECT o_orderpriority, '99/100', val, rn, n FROM ranked WHERE rn = (99 * n + 99) // 100
+    """
+
+
+# Standalone builder kept for plan pins (graded via event_analytics
+# 'gpctl' grouped rows): the vectorized-over-groups two-pass — the gate
+# runs BOTH percentile implementations (window form in 'pctl', bucket
+# refine here) over the same column against one oracle family.
+def grouped_percentiles_orders_q(spark, sf):
+    from tamer_spark.operators.percentiles import grouped_percentile_bucketed
+
+    v = _t(spark, sf, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("val")
+    )
+    return grouped_percentile_bucketed(
+        v, "val", ("o_orderpriority",), [(1, 2), (9, 10), (99, 100)], n_buckets=64
+    )
+
+
 # Standalone builder kept for plan pins / bench (graded via the merged
 # event_analytics gate's 'gpctl' variant). The oracle is deliberately
 # bucket-free: a global window is fine for DuckDB at gate SF, and the
@@ -5189,6 +5218,10 @@ _ANOMALY_ORACLE = f"""
            CAST(rank AS BIGINT), CAST(n AS BIGINT)
     FROM ({_GPCTL_ORACLE})
     UNION ALL
+    SELECT 'gpctl', o_orderpriority, p, value,
+           CAST(rank AS BIGINT), CAST(n AS BIGINT)
+    FROM ({_GPCTL_GROUP_ORACLE})
+    UNION ALL
     SELECT 'anomaly', k1, k2, v1, v2, v3 FROM ({_ANOMALY_ORACLE})
     UNION ALL
     SELECT 'transitions', from_type, to_type, n_transitions, n_users,
@@ -5242,7 +5275,12 @@ _ANOMALY_ORACLE = f"""
         "the CMS fixed-size-shuffle property), pass 2 ranks ONLY the "
         "target buckets, so no global sort ever happens; the emitted "
         "(value, rank, n) pins the ceil(p·n) rank arithmetic against a "
-        "deliberately bucket-free single-window oracle."
+        "deliberately bucket-free single-window oracle; the grouped rows "
+        "(r12 continuation) run grouped_percentile_bucketed — per-group "
+        "grids, driver targets bounded by groups·buckets (low-cardinality "
+        "contract, max_groups-guarded), one (group, bucket) rank window — "
+        "so the gate checks BOTH percentile implementations against one "
+        "oracle family and they can never drift apart silently."
     ),
 )
 def event_analytics_q(spark, sf):
@@ -5301,6 +5339,15 @@ def event_analytics_q(spark, sf):
         F.col("value").alias("v1"),
         F.col("rank").alias("v2"),
         F.col("n").alias("v3"),
+    ).unionByName(
+        grouped_percentiles_orders_q(spark, sf).select(
+            F.lit("gpctl").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("p").alias("k2"),
+            F.col("value").alias("v1"),
+            F.col("rank").alias("v2"),
+            F.col("n").alias("v3"),
+        )
     )
     return (
         funnel.unionByName(cohort)
@@ -6213,6 +6260,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skipgram_top_pairs": skipgram_top_pairs,
     "heavy_hitters_docs": heavy_hitters_docs_q,
     "global_percentiles_orders": global_percentiles_orders_q,
+    "grouped_percentiles_orders": grouped_percentiles_orders_q,
     "domain_cap_docs": domain_cap_docs_q,
 }
 

@@ -203,3 +203,57 @@ def test_winsorize_preserves_rows_without_bounds(spark):
     assert out[(None, 7)] == 7      # NULL group: no bounds -> passthrough
     assert out[("b", None)] is None  # all-NULL group: NULL in, NULL out
     assert out[("a", 1)] == 1 and out[("a", 100)] == 100
+
+
+# ----------------------------------------- grouped two-pass (bucket refine)
+
+
+def test_grouped_bucketed_equals_window_form(spark):
+    """Per-group two-pass output equals exact_percentiles (the window form)
+    on skewed groups — each group on its OWN grid, duplicates included."""
+    import random
+
+    from tamer_spark.operators.percentiles import grouped_percentile_bucketed
+
+    rng = random.Random(11)
+    rows = (
+        [("en", rng.randint(0, 10_000)) for _ in range(4_000)]
+        + [("de", rng.randint(-50, 50)) for _ in range(300)]
+        + [("fr", 7)] * 40
+    )
+    df = spark.createDataFrame(rows, "lang string, val long")
+    ps = [(1, 20), (1, 2), (99, 100)]
+    got = {
+        (r.lang, r.p): (r.value, r.rank, r.n)
+        for r in grouped_percentile_bucketed(df, "val", ("lang",), ps, n_buckets=32).collect()
+    }
+    want_vals = {
+        (r.lang, r.p): r.value
+        for r in exact_percentiles(df, "val", ps, keys=("lang",)).collect()
+    }
+    assert set(got) == set(want_vals)
+    from collections import Counter
+
+    n_by = Counter(lang for lang, _ in rows)
+    for (lang, p), (value, rank, n) in got.items():
+        num, den = map(int, p.split("/"))
+        assert value == want_vals[(lang, p)], (lang, p)
+        assert n == n_by[lang]
+        assert rank == (num * n + den - 1) // den
+
+
+def test_grouped_bucketed_contract_and_edges(spark):
+    from tamer_spark.operators.percentiles import grouped_percentile_bucketed
+
+    df = spark.createDataFrame([("a", 1), ("a", None)], "g string, val long")
+    out = grouped_percentile_bucketed(df, "val", ("g",), [(1, 1)]).collect()
+    assert [(r.g, r.p, r.value, r.rank, r.n) for r in out] == [("a", "1/1", 1, 1, 1)]
+    empty = spark.createDataFrame([], "g string, val long")
+    assert grouped_percentile_bucketed(empty, "val", ("g",), [(1, 2)]).collect() == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_percentile_bucketed(df, "val", (), [(1, 2)])
+    many = spark.range(0, 100).select(F.col("id").cast("string").alias("g"), F.col("id").alias("val"))
+    with _pytest.raises(ValueError):
+        grouped_percentile_bucketed(many, "val", ("g",), [(1, 2)], max_groups=10)
