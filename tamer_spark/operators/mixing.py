@@ -189,7 +189,19 @@ def cap_per_group(
       ``exp(−Θ(cap·s))`` group where fewer do is caught by a survivor
       recount and re-ranked over its FULL rows (deterministic fallback,
       usually an empty frame). Threshold arithmetic in DECIMAL(38,0)
-      (the DSIR convention — cap·s·2^60 exceeds int64).
+      (the DSIR convention — cap·s·2^60 exceeds int64), computed once
+      per GROUP and cast to int64 so the per-row cut is a long compare.
+
+    MEASURED decision rule (scripts/domcap_study.py, SCALING.md): the
+    prefilter costs ~3 input scans + 2 bounded aggs — on local[32] that
+    is 3-5× the plain window even with a 18M-row hot group, because a
+    Tungsten single-task sort of tens of millions of narrow rows is
+    seconds and spills cheaply. Default to PLAIN; reach for the
+    prefilter when the largest group's rank-window task approaches sort
+    capacity (order 10^8+ rows, or wide rows where the buffered
+    partition challenges executor memory) — the regime where the plain
+    window's one hot task dominates the stage or OOMs and no AQE
+    mechanism can split it.
 
     Returns (id_col, group_col KEY, keep_rank, n_group) with n_group the
     TOTAL group size (pre-cap, pre-prefilter) — the monitoring surface:
@@ -229,12 +241,19 @@ def cap_per_group(
             .withColumn("n_group", F.count(F.lit(1)).over(wall).cast("long"))
         )
 
-    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_group"))
+    # threshold computed GROUP-SIDE (DECIMAL(38,0) math on #groups rows,
+    # capped at 2^60 = keep-all and cast to int64) so the per-row cut is a
+    # plain long comparison — per-row decimal arithmetic measured ~3.5 s
+    # per 20M rows on local[32], pure overhead
     thresh = F.expr(
-        f"CAST({cap * prefilter_slack} AS DECIMAL(38,0))"
-        f" * CAST({1 << 60} AS DECIMAL(38,0)) div n_group"
+        f"CAST(least(CAST({cap * prefilter_slack} AS DECIMAL(38,0))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) div n_group,"
+        f" CAST({1 << 60} AS DECIMAL(38,0))) AS BIGINT)"
     )
-    keep_fast = (F.col("n_group") <= F.lit(cap)) | (F.col("_h") < thresh)
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_group")).withColumn(
+        "_thresh", thresh
+    )
+    keep_fast = (F.col("n_group") <= F.lit(cap)) | (F.col("_h") < F.col("_thresh"))
     # survivor recount is a bounded groupBy (≤ one row per group, partial-
     # aggregated), NOT a second window branch: the deficiency verdict folds
     # into the per-group metadata, so the plan has exactly ONE rank window,
@@ -256,6 +275,7 @@ def cap_per_group(
     gmeta = counts.join(m, "_g", "left").select(
         "_g",
         "n_group",
+        "_thresh",
         (
             F.coalesce(F.col("_m"), F.lit(0).cast("long"))
             < F.least(F.col("n_group"), F.lit(cap).cast("long"))
