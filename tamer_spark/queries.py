@@ -831,8 +831,16 @@ _STREAM_GATE_SEQ = itertools.count()
            CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
     FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) hop
     GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'vhist_1h', CAST(bkt AS VARCHAR), t_start, COUNT(*),
+           CAST(SUM(vc) AS BIGINT)
+    FROM (SELECT date_trunc('hour', ts) AS t_start,
+                 CAST(round(value*100) AS BIGINT) AS vc,
+                 least(greatest(CAST(round(value*100) AS BIGINT) // 1000, 0), 63) AS bkt
+          FROM events WHERE value IS NOT NULL)
+    GROUP BY bkt, t_start
     """,
-    doc="All three streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. All three drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="All four streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). All four drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
@@ -853,9 +861,27 @@ def streaming_window_aggs_q(spark, sf):
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
     )
+    # streaming value histogram (r12 continuation): the monitoring
+    # primitive under event-time windows — per-(window, frozen bucket)
+    # counts + sums. NULL values filtered BEFORE the clamp (the
+    # greatest(NULL,0)=0 trap, numeric_drift rule).
+    vh = (
+        _stream_events(spark, sf)
+        .filter(F.col("value").isNotNull())
+        .withWatermark("ts", "3650 days")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.least(
+                F.greatest(F.expr("CAST(round(value*100) AS BIGINT) div 1000"), F.lit(0).cast("long")),
+                F.lit(63).cast("long"),
+            ).alias("bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
+    )
     t_name = _drain(tumb, "complete")
     s_name = _drain(sess, "complete")
     h_name = _drain(hop, "complete")
+    v_name = _drain(vh, "complete")
     t_out = spark.table(t_name).select(
         F.lit("tumbling_1h").alias("variant"),
         F.col("event_type").alias("k"),
@@ -877,7 +903,14 @@ def streaming_window_aggs_q(spark, sf):
         "n_events",
         "sum_value_c",
     )
-    return t_out.unionByName(s_out).unionByName(h_out)
+    v_out = spark.table(v_name).select(
+        F.lit("vhist_1h").alias("variant"),
+        F.col("bkt").cast("string").alias("k"),
+        F.col("w.start").alias("t_start"),
+        "n_events",
+        "sum_value_c",
+    )
+    return t_out.unionByName(s_out).unionByName(h_out).unionByName(v_out)
 
 
 def _stream_events(spark, sf):
