@@ -485,6 +485,9 @@ HEADLINE = {
     # skip-gram pairs (r12): one (doc_id, pos) window exchange with stacked
     # leads, map-side transpose, vocab²-bounded count + TakeOrdered
     "skipgram_top_pairs": None,
+    # grouped two-pass percentile (r12): per-group grids, driver targets
+    # bounded by groups·buckets, one (group, bucket) rank window
+    "grouped_percentiles_orders": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -521,7 +524,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "substring_run_pairs", "contamination_score_docs",
         "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
         "heavy_hitters_docs", "global_percentiles_orders", "domain_cap_docs",
-        "skipgram_top_pairs",
+        "skipgram_top_pairs", "grouped_percentiles_orders",
     ]),
 ]
 
@@ -581,6 +584,7 @@ SERIES = {
     "global_percentiles_orders": "r12",
     "domain_cap_docs": "r12",
     "skipgram_top_pairs": "r12",
+    "grouped_percentiles_orders": "r12",
 }
 
 

@@ -44,6 +44,7 @@ SHOW = [
     ("global_percentiles_orders", "Exact global percentile (r12): pass-1 histogram bounded at ≤ B rows (CMS property); pass-2 ranks ONLY the target buckets — the isin filter sits under the window sort, so no global sort exists at any scale."),
     ("domain_cap_docs", "Per-domain cap (r12): group counts broadcast back, mega-groups threshold-cut map-side to ~cap·slack rows, survivor recount folds into per-group metadata via a bounded agg — exactly ONE rank window, fed by the skew-splittable join."),
     ("skipgram_top_pairs", "Skip-gram pairs (r12): all ±offsets ride ONE (doc_id, pos) exchange as stacked leads; both directions emitted map-side (struct explode, no self-union); vocab²-bounded partial-agg count; top-k via TakeOrderedAndProject."),
+    ("grouped_percentiles_orders", "Grouped two-pass percentile (r12): per-group grids broadcast back; pass-2 semi-joins to ONLY the target (group, bucket) cells before the rank window — no per-group sort of full groups anywhere."),
 ]
 
 def main() -> None:

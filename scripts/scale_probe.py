@@ -99,12 +99,13 @@ OPS = [
     # r12 continuation: heavy hitters — two token scans, bounded sketch
     # exchange + candidate-only recount; expect ~linear in corpus tokens
     # (n× copies scale every true count n×, so the heavy SET is unchanged
-    # and candidates stay proportional). Global percentile — bounded
-    # histogram + target-bucket refine; expect ~linear. Domain cap —
-    # count + threshold cut + ~cap·slack-row windows; expect ~flat-linear
-    # (groups grow n× but survivors stay ~cap·slack per group).
+    # and candidates stay proportional). Domain cap — count + threshold
+    # cut + ~cap·slack-row windows; expect ~flat-linear (groups grow n×
+    # but survivors stay ~cap·slack per group).
+    # (global/grouped_percentiles_orders are NOT probed: the event_anomaly
+    # rule — synthesize_nx explodes only documents/embeddings, orders is
+    # copied unchanged, so a probe would time the same data three times.)
     "heavy_hitters_docs",
-    "global_percentiles_orders",
     "domain_cap_docs",
     # r12 continuation: skip-gram pair mining — one (doc_id, pos) window
     # + vocab²-bounded count; expect ~linear in corpus tokens
