@@ -77,6 +77,8 @@ def main() -> None:
         "--fractions", type=float, nargs="+", default=[0.01, 0.2, 0.5, 0.9]
     )
     args = ap.parse_args()
+    if args.keys < 2:
+        raise SystemExit("--keys must be >= 2 (one hot group + at least one cold group)")
     spark = tamer_spark.get_spark("domcap-study")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}

@@ -148,6 +148,11 @@ def global_percentile_bucketed(
     n, lo, hi = stats.n, stats.lo, stats.hi
     if n == 0:
         return spark.createDataFrame([], out_schema)
+    if hi - lo >= 1 << 62:
+        # (v - lo) must stay inside int64 on the Spark side; a range this
+        # wide means the column is hash-like, not a metric — the caller
+        # should bucket on a transformed value
+        raise ValueError(f"value range [{lo}, {hi}] too wide for int64 bucketing")
 
     width = (hi - lo) // n_buckets + 1
     # int64 `div`, not `/`+floor: float division would put bucket ids at
@@ -291,6 +296,10 @@ def grouped_percentile_bucketed(
     """
     if not keys:
         raise ValueError("keys must be non-empty; use global_percentile_bucketed")
+    reserved = {"v", "bkt", "off", "p", "rank", "n", "_lo", "_width", "_n", "_rn"}
+    bad = reserved.intersection(keys)
+    if bad:
+        raise ValueError(f"key names {sorted(bad)} collide with internal columns; rename first")
     _check_ps(ps)
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -307,14 +316,24 @@ def grouped_percentile_bucketed(
         *[F.col(k).cast("string").alias(k) for k in key_list],
         F.col(value_col).cast("long").alias("v"),
     ).filter(F.col("v").isNotNull())
-    stats = vals.groupBy(*key_list).agg(
-        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).collect()
+    # limit BEFORE collect: the guard must bound the driver transfer
+    # itself, not fire after an unbounded collect already happened
+    stats = (
+        vals.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .limit(max_groups + 1)
+        .collect()
+    )
     if len(stats) > max_groups:
         raise ValueError(
-            f"{len(stats)} groups exceeds max_groups={max_groups}; "
+            f"more than max_groups={max_groups} groups; "
             "grouped_percentile_bucketed is for low-cardinality keys"
         )
+    for r in stats:
+        if r.hi - r.lo >= 1 << 62:
+            raise ValueError(
+                f"group {tuple(r[k] for k in key_list)} value range too wide for int64 bucketing"
+            )
     if not stats:
         return spark.createDataFrame(
             [], f"{out_schema_keys}, p string, value long, rank long, n long"
@@ -325,13 +344,21 @@ def grouped_percentile_bucketed(
         tuple(r[k] for k in key_list) + (r.lo, (r.hi - r.lo) // n_buckets + 1, r.n)
         for r in stats
     ]
+    grid_schema_keys = ", ".join(f"`_gk_{k}` string" for k in key_list)
     grid = F.broadcast(
         spark.createDataFrame(
-            grid_rows, f"{out_schema_keys}, _lo long, _width long, _n long"
+            grid_rows, f"{grid_schema_keys}, _lo long, _width long, _n long"
         )
     )
-    bucketed = vals.join(grid, key_list).select(
-        *key_list, "v", F.expr("(v - _lo) div _width").alias("bkt")
+    # eqNullSafe keys: a NULL group key is a real group (the
+    # exact_percentiles semantics this function claims to mirror); a plain
+    # equi-join would silently drop it — the winsorize inner-join trap
+    gcond = None
+    for k in key_list:
+        c = vals[k].eqNullSafe(grid[f"_gk_{k}"])
+        gcond = c if gcond is None else gcond & c
+    bucketed = vals.join(grid, gcond).select(
+        *[vals[k] for k in key_list], "v", F.expr("(v - _lo) div _width").alias("bkt")
     )
     hist = bucketed.groupBy(*key_list, "bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     by_group: dict = {}
@@ -354,21 +381,25 @@ def grouped_percentile_bucketed(
     tgt = F.broadcast(
         spark.createDataFrame(
             targets,
-            f"{out_schema_keys}, bkt long, off long, p string, rank long, n long",
+            f"{grid_schema_keys}, bkt long, off long, p string, rank long, n long",
         )
     )
-    sub = bucketed.join(
-        tgt.select(*key_list, "bkt").distinct(), key_list + ["bkt"], "left_semi"
+    from functools import reduce as _reduce
+
+    cells = tgt.select(*[f"_gk_{k}" for k in key_list], "bkt").distinct()
+    semi_cond = _reduce(
+        lambda a, b: a & b,
+        [bucketed[k].eqNullSafe(cells[f"_gk_{k}"]) for k in key_list]
+        + [bucketed.bkt == cells.bkt],
     )
+    sub = bucketed.join(cells, semi_cond, "left_semi")
     ranked = sub.withColumn(
         "_rn", F.row_number().over(Window.partitionBy(*key_list, "bkt").orderBy("v"))
     )
-    cond = [ranked[k] == tgt[k] for k in key_list] + [
+    cond = [ranked[k].eqNullSafe(tgt[f"_gk_{k}"]) for k in key_list] + [
         ranked.bkt == tgt.bkt,
         ranked._rn == tgt.off,
     ]
-    from functools import reduce as _reduce
-
     return ranked.join(tgt, _reduce(lambda a, b: a & b, cond)).select(
         *[ranked[k] for k in key_list],
         "p",

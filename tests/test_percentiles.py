@@ -257,3 +257,33 @@ def test_grouped_bucketed_contract_and_edges(spark):
     many = spark.range(0, 100).select(F.col("id").cast("string").alias("g"), F.col("id").alias("val"))
     with _pytest.raises(ValueError):
         grouped_percentile_bucketed(many, "val", ("g",), [(1, 2)], max_groups=10)
+
+
+def test_grouped_bucketed_null_group_and_guards(spark):
+    """Review fixes (r12): a NULL group key is a real group (eqNullSafe
+    joins — the winsorize inner-join trap); the max_groups guard bounds
+    the collect itself; reserved key names and hash-wide ranges raise."""
+    from tamer_spark.operators.percentiles import grouped_percentile_bucketed
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 9), ("a", 5)], "g string, val long"
+    )
+    got = {(r.g, r.p): (r.value, r.n) for r in
+           grouped_percentile_bucketed(df, "val", ("g",), [(1, 1)]).collect()}
+    assert got == {(None, "1/1"): (9, 2), ("a", "1/1"): (5, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        grouped_percentile_bucketed(df.withColumnRenamed("g", "p"), "val", ("p",), [(1, 2)])
+    wide = spark.createDataFrame([("a", -(2**62)), ("a", 2**62)], "g string, val long")
+    with _pytest.raises(ValueError, match="too wide"):
+        grouped_percentile_bucketed(wide, "val", ("g",), [(1, 2)])
+
+
+def test_global_bucketed_range_guard(spark):
+    from tamer_spark.operators.percentiles import global_percentile_bucketed
+    import pytest as _pytest
+
+    wide = spark.createDataFrame([(-(2**62),), (2**62,)], "val long")
+    with _pytest.raises(ValueError, match="too wide"):
+        global_percentile_bucketed(wide, "val", [(1, 2)])
