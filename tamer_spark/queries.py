@@ -839,8 +839,12 @@ _STREAM_GATE_SEQ = itertools.count()
                  least(greatest(CAST(round(value*100) AS BIGINT) // 1000, 0), 63) AS bkt
           FROM events WHERE value IS NOT NULL)
     GROUP BY bkt, t_start
+    UNION ALL
+    SELECT 'dvu_1h', event_type, date_trunc('hour', ts),
+           COUNT(DISTINCT user_id), CAST(1 AS BIGINT)
+    FROM events GROUP BY 2, 3
     """,
-    doc="All four streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). All four drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="All five streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). dvu_1h (r12 continuation): streaming distinct-users-per-window — COUNT(DISTINCT) needs unbounded state and is unsupported in streaming, HLL++ (approx_count_distinct) is the standard answer; graded via the approx_distinct_users re-shape (batch exact + BOOLEAN pinning the streaming estimate within 5×rsd — the estimate itself is engine-specific), so the sketch runs end-to-end through watermark+window+AvailableNow while every graded column stays engine-reproducible. All five drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
@@ -878,10 +882,23 @@ def streaming_window_aggs_q(spark, sf):
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sum_value_c"))
     )
+    # streaming distinct users (r12 continuation): COUNT(DISTINCT) is
+    # unsupported in streaming (unbounded state) — HLL++ is THE answer;
+    # the estimate is engine-specific, so the graded surface is the
+    # approx_distinct_users re-shape: batch exact + a BOOLEAN pinning the
+    # streaming estimate within 5×rsd of it (both deterministic).
+    rsd = 0.05
+    dvu = (
+        _stream_events(spark, sf)
+        .withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("est"))
+    )
     t_name = _drain(tumb, "complete")
     s_name = _drain(sess, "complete")
     h_name = _drain(hop, "complete")
     v_name = _drain(vh, "complete")
+    d_name = _drain(dvu, "complete")
     t_out = spark.table(t_name).select(
         F.lit("tumbling_1h").alias("variant"),
         F.col("event_type").alias("k"),
@@ -910,7 +927,37 @@ def streaming_window_aggs_q(spark, sf):
         "n_events",
         "sum_value_c",
     )
-    return t_out.unionByName(s_out).unionByName(h_out).unionByName(v_out)
+    exact_dvu = (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("t_start"),
+            F.col("event_type").alias("k"),
+        )
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    d_out = (
+        spark.table(d_name)
+        .select(F.col("w.start").alias("t_start"), F.col("event_type").alias("k"), "est")
+        .join(exact_dvu, ["t_start", "k"])
+        .select(
+            F.lit("dvu_1h").alias("variant"),
+            "k",
+            "t_start",
+            F.col("exact_distinct").alias("n_events"),
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 5 * rsd * F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("sum_value_c"),
+        )
+    )
+    return (
+        t_out.unionByName(s_out)
+        .unionByName(h_out)
+        .unionByName(v_out)
+        .unionByName(d_out)
+    )
 
 
 def _stream_events(spark, sf):
