@@ -944,9 +944,15 @@ def streaming_window_aggs_q(spark, sf):
             "k",
             "t_start",
             F.col("exact_distinct").alias("n_events"),
+            # greatest(relative, 2): per-(hour, type) cardinalities are
+            # tiny and HLL++'s sparse mode deviates by ±1 there (measured
+            # max dev 1 over 3385 windows at sf0.01) — a pure relative
+            # bound flags exact=3/est=2 as a failure it is not
             (
                 F.abs(F.col("est") - F.col("exact_distinct"))
-                <= 5 * rsd * F.col("exact_distinct")
+                <= F.greatest(
+                    5 * rsd * F.col("exact_distinct"), F.lit(2.0)
+                )
             )
             .cast("long")
             .alias("sum_value_c"),
