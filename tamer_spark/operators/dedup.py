@@ -785,6 +785,67 @@ def ngram_jaccard_pairs(
     return pairs if keep_cache else _release_on_gc(pairs, exploded)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    keep_cache: bool = False,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the one-sided Jaccard (Broder 1997
+    §3: containment(A, B) = |A∩B| / |A|), the asymmetric near-dup family
+    resemblance misses: a short document quoted whole inside a long one
+    has tiny Jaccard (the union is the long doc) but containment ≈ 1 —
+    exactly the quote-inclusion / page-embeds-page case ExactSubstr-style
+    dedup targets, at shingle-set cost instead of suffix-grid cost.
+
+    Reports each unordered candidate pair once with the MAX of the two
+    directions, which equals ``inter / min(|A|, |B|)`` (inter ≤ both
+    sizes), thresholded by exact integer cross-multiplication like the
+    Jaccard sibling. Plan shape is the sibling's too: distinct-shingle
+    self-equijoin (the post-LSH verification stage — at 100 TB feed it
+    LSH candidates, never the raw corpus), pair counts partial-aggregate
+    on (doc_a, doc_b), sizes broadcast back.
+
+    Returns (doc_a, doc_b, inter, min_size, containment).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    exploded = (
+        shingle_string_rows(df, text_col, id_col, n)
+        .dropDuplicates(["doc_id", "s"])
+        .withColumnRenamed("s", "sh")
+        .persist()
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    min_size = F.least(F.col("size_a"), F.col("size_b"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("min_size", min_size)
+        .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("min_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "min_size",
+            (F.col("inter").cast("double") / F.col("min_size")).alias("containment"),
+        )
+    )
+    return pairs if keep_cache else _release_on_gc(pairs, exploded)
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

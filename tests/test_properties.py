@@ -156,3 +156,30 @@ def test_gate_merges_equal_replace_all_on_random_text(text):
             spaced.replace("t h", "th").replace("i n", "in").replace("e " + END, "e" + END)
         )
         assert " ".join(enc(word)) == oracle, (word, enc(word), oracle)
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """Containment catches the quote-inclusion case Jaccard misses: a short
+    doc embedded whole in a long one has containment 1.0 but tiny Jaccard;
+    and containment == Jaccard on identical docs."""
+    from tamer_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, short)], "doc_id long, text string"
+    )
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    # the short doc is fully inside the long one -> containment 1.0 both for
+    # the (1,2) embed pair and the (1,3) identical pair
+    assert cont[(1, 2)] == 1.0 and cont[(1, 3)] == 1.0
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert (1, 3) in jac and (1, 2) not in jac  # resemblance misses the embed
+    # integer cross-multiplied threshold binds: at 0.9 a half-overlap drops
+    half = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d zz qq rr ss tt uu vv ww")],
+        "doc_id long, text string",
+    )
+    assert ngram_containment_pairs(half, threshold=0.9).collect() == []
