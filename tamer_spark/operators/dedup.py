@@ -739,26 +739,30 @@ def minhash_lsh_pairs_with_cache(
     return pairs, sigs
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    threshold: float = 0.5,
-    keep_cache: bool = False,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+) -> tuple[DataFrame, DataFrame]:
+    """THE shared shingle-pair machinery under both exact set measures:
+    (doc_a, doc_b, inter, size_a, size_b) for every candidate pair sharing
+    ≥ 1 distinct n-gram, plus the persisted exploded frame (caller releases
+    it — the _release_on_gc contract). ONE copy: Jaccard and containment
+    are one measure expression apart, and two drifting copies of the
+    dedup/join/tie conventions is exactly the operator↔oracle bit-equality
+    risk the sign_rows unification killed for the LSH planes.
 
-    Plan: explode distinct shingles → self-equijoin on shingle → pair
-    intersection counts → |A∪B| = |A|+|B|−|A∩B|. Jaccard compared via exact
-    integer cross-multiplication (inter * 1 ≥ threshold_num/denom * union)
-    to stay float-free; the reported score divides two exact ints
-    (deterministic double).
-    """
-    from fractions import Fraction
-
-    frac = Fraction(threshold).limit_denominator(10_000)
-    exploded = shingle_string_rows(df, text_col, id_col, n).dropDuplicates(["doc_id", "s"]).withColumnRenamed("s", "sh").persist()
+    Plan: explode distinct shingles → self-equijoin on shingle (the
+    post-LSH verification stage — at 100 TB feed it candidates, never the
+    raw corpus) → pair counts partial-aggregated on (doc_a, doc_b) →
+    per-doc set sizes joined back."""
+    exploded = (
+        shingle_string_rows(df, text_col, id_col, n)
+        .dropDuplicates(["doc_id", "s"])
+        .withColumnRenamed("s", "sh")
+        .persist()
+    )
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -769,10 +773,19 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    return inter.join(sa, "doc_a").join(sb, "doc_b"), exploded
+
+
+def jaccard_measure(stats: DataFrame, threshold: float) -> DataFrame:
+    """Resemblance over a shingle_pair_stats frame: |A∩B| / |A∪B| with the
+    exact integer cross-multiplied threshold (float-free compare; the
+    reported score divides two exact ints — deterministic double)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
     union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
-    pairs = (
-        joined.withColumn("union_sz", union_sz)
+    return (
+        stats.withColumn("union_sz", union_sz)
         .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("union_sz"))
         .select(
             "doc_a",
@@ -782,6 +795,39 @@ def ngram_jaccard_pairs(
             (F.col("inter").cast("double") / F.col("union_sz")).alias("jaccard"),
         )
     )
+
+
+def containment_measure(stats: DataFrame, threshold: float) -> DataFrame:
+    """One-sided Jaccard over a shingle_pair_stats frame (Broder 1997 §3):
+    per unordered pair the MAX direction, inter / min(|A|, |B|)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    return (
+        stats.withColumn("min_size", F.least(F.col("size_a"), F.col("size_b")))
+        .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("min_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "min_size",
+            (F.col("inter").cast("double") / F.col("min_size")).alias("containment"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    keep_cache: bool = False,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle —
+    shingle_pair_stats + the resemblance measure."""
+    stats, exploded = shingle_pair_stats(df, text_col, id_col, n)
+    pairs = jaccard_measure(stats, threshold)
     return pairs if keep_cache else _release_on_gc(pairs, exploded)
 
 
@@ -799,50 +845,10 @@ def ngram_containment_pairs(
     has tiny Jaccard (the union is the long doc) but containment ≈ 1 —
     exactly the quote-inclusion / page-embeds-page case ExactSubstr-style
     dedup targets, at shingle-set cost instead of suffix-grid cost.
-
-    Reports each unordered candidate pair once with the MAX of the two
-    directions, which equals ``inter / min(|A|, |B|)`` (inter ≤ both
-    sizes), thresholded by exact integer cross-multiplication like the
-    Jaccard sibling. Plan shape is the sibling's too: distinct-shingle
-    self-equijoin (the post-LSH verification stage — at 100 TB feed it
-    LSH candidates, never the raw corpus), pair counts partial-aggregate
-    on (doc_a, doc_b), sizes broadcast back.
-
-    Returns (doc_a, doc_b, inter, min_size, containment).
-    """
-    from fractions import Fraction
-
-    frac = Fraction(threshold).limit_denominator(10_000)
-    exploded = (
-        shingle_string_rows(df, text_col, id_col, n)
-        .dropDuplicates(["doc_id", "s"])
-        .withColumnRenamed("s", "sh")
-        .persist()
-    )
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    min_size = F.least(F.col("size_a"), F.col("size_b"))
-    pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("min_size", min_size)
-        .filter(F.col("inter") * frac.denominator >= F.lit(frac.numerator) * F.col("min_size"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter",
-            "min_size",
-            (F.col("inter").cast("double") / F.col("min_size")).alias("containment"),
-        )
-    )
+    shingle_pair_stats + the containment measure; returns
+    (doc_a, doc_b, inter, min_size, containment)."""
+    stats, exploded = shingle_pair_stats(df, text_col, id_col, n)
+    pairs = containment_measure(stats, threshold)
     return pairs if keep_cache else _release_on_gc(pairs, exploded)
 
 

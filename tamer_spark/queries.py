@@ -844,7 +844,7 @@ _STREAM_GATE_SEQ = itertools.count()
            COUNT(DISTINCT user_id), CAST(1 AS BIGINT)
     FROM events GROUP BY 2, 3
     """,
-    doc="All five streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). dvu_1h (r12 continuation): streaming distinct-users-per-window — COUNT(DISTINCT) needs unbounded state and is unsupported in streaming, HLL++ (approx_count_distinct) is the standard answer; graded via the approx_distinct_users re-shape (batch exact + BOOLEAN pinning the streaming estimate within 5×rsd — the estimate itself is engine-specific), so the sketch runs end-to-end through watermark+window+AvailableNow while every graded column stays engine-reproducible. All five drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="All five streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). dvu_1h (r12 continuation): streaming distinct-users-per-window — COUNT(DISTINCT) needs unbounded state and is unsupported in streaming, HLL++ (approx_count_distinct) is the standard answer; graded via the approx_distinct_users re-shape (batch exact + BOOLEAN pinning the streaming estimate within max(5×rsd, 2) — the absolute floor covers HLL++ sparse-mode ±1 at tiny per-window cardinalities, measured max dev 1 over 3385 windows; the estimate itself is engine-specific), so the sketch runs end-to-end through watermark+window+AvailableNow while every graded column stays engine-reproducible. All five drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
@@ -935,10 +935,19 @@ def streaming_window_aggs_q(spark, sf):
         )
         .agg(F.count_distinct("user_id").alias("exact_distinct"))
     )
+    stream_dvu = spark.table(d_name).select(
+        F.col("w.start").alias("_s_t"), F.col("event_type").alias("_s_k"), "est"
+    )
+    # eqNullSafe keys: a NULL event_type (or ts) group survives DuckDB's
+    # GROUP BY and both Spark group-bys — a plain equi-join would drop it
+    # from this variant alone (the winsorize inner-join trap; fixture-safe
+    # today, contract-safe now)
     d_out = (
-        spark.table(d_name)
-        .select(F.col("w.start").alias("t_start"), F.col("event_type").alias("k"), "est")
-        .join(exact_dvu, ["t_start", "k"])
+        stream_dvu.join(
+            exact_dvu,
+            stream_dvu["_s_t"].eqNullSafe(exact_dvu["t_start"])
+            & stream_dvu["_s_k"].eqNullSafe(exact_dvu["k"]),
+        )
         .select(
             F.lit("dvu_1h").alias("variant"),
             "k",
@@ -1900,16 +1909,23 @@ def dedup_incremental_q(spark, sf):
     )
 
 
-def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
-    return f"""
-    WITH {_shingle_ctes()},
+def _pair_stats_ctes() -> str:
+    """Shared oracle replay of operators/dedup.shingle_pair_stats — ONE
+    copy feeds both set-measure oracles (jaccard + containment), mirroring
+    the Spark-side unification."""
+    return f"""{_shingle_ctes()},
     expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)"""
+
+
+def _jaccard_oracle(threshold_num: int, threshold_den: int) -> str:
+    return f"""
+    WITH {_pair_stats_ctes()}
     SELECT doc_a, doc_b, inter,
            sa.n_sh + sb.n_sh - inter AS union_sz,
            CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
@@ -1927,14 +1943,7 @@ def dedup_ngram_jaccard_q(spark, sf):
 
 def _containment_oracle(threshold_num: int, threshold_den: int) -> str:
     return f"""
-    WITH {_shingle_ctes()},
-    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    WITH {_pair_stats_ctes()}
     SELECT doc_a, doc_b, inter,
            least(sa.n_sh, sb.n_sh) AS min_size,
            CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
@@ -2006,7 +2015,19 @@ def dedup_simhash_q(spark, sf):
     ),
 )
 def dedup_ngram_simhash_q(spark, sf):
-    cont = dedup_ngram_containment_q(spark, sf).select(
+    from tamer_spark.operators.dedup import (
+        _release_on_gc,
+        containment_measure,
+        jaccard_measure,
+        shingle_pair_stats,
+    )
+
+    # ONE pair-stats computation feeds both set measures — the shingle
+    # self-join is the gate's dominant cost, and the two variants differ
+    # only in the final measure expression (the term_stats shared-sketch
+    # rule applied here)
+    stats, exploded = shingle_pair_stats(_t(spark, sf, "documents"), n=_N)
+    cont = containment_measure(stats, 1 / 4).select(
         F.lit("containment").alias("variant"),
         F.col("doc_a").alias("k1"),
         F.col("doc_b").alias("k2"),
@@ -2014,7 +2035,7 @@ def dedup_ngram_simhash_q(spark, sf):
         F.col("min_size").alias("v2"),
         F.col("containment").alias("score"),
     )
-    jac = dedup_ngram_jaccard_q(spark, sf).select(
+    jac = jaccard_measure(stats, 1 / 20).select(
         F.lit("jaccard").alias("variant"),
         F.col("doc_a").alias("k1"),
         F.col("doc_b").alias("k2"),
@@ -2030,7 +2051,7 @@ def dedup_ngram_simhash_q(spark, sf):
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("double").alias("score"),
     )
-    return jac.unionByName(sim).unionByName(cont)
+    return _release_on_gc(jac.unionByName(sim).unionByName(cont), exploded)
 
 
 def _lsh_knn_oracle(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
