@@ -464,6 +464,10 @@ HEADLINE = {
     # and fractional contamination scoring (scan-shaped, broadcast lookup)
     "substring_run_pairs": None,
     "contamination_score_docs": None,
+    # ExactSubstr REMOVAL (r12): the policy half of the Lee et al. pipeline —
+    # window-hash pass, keeper groupBy+join on h, duplicate-only interval
+    # assembly, O(n_tokens) splice rebuild (two map-only corpus scans)
+    "exsub_dedup_docs": None,
     # seeded shuffle (r11): deterministic training-order materialization —
     # one shard hash-exchange + per-shard sort (the product itself)
     "seeded_shuffle_docs": None,
@@ -521,7 +525,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "winnow_overlap_pairs_docs", "budget_cap_sources",
         "temperature_mix_langs", "pagerank_cust_supp",
         "funnel_view_click_purchase", "cohort_retention_weekly",
-        "substring_run_pairs", "contamination_score_docs",
+        "substring_run_pairs", "contamination_score_docs", "exsub_dedup_docs",
         "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
         "heavy_hitters_docs", "global_percentiles_orders", "domain_cap_docs",
         "skipgram_top_pairs", "grouped_percentiles_orders",
@@ -568,6 +572,7 @@ SERIES = {
     "cohort_retention_weekly": "r6",
     "substring_run_pairs": "r6-cold",  # internal grid persist released per iter
     "contamination_score_docs": "r6",
+    "exsub_dedup_docs": "r12",
     "dsir_select_docs": "r11-cold",  # raw-feature persist released per iter
     "strip_markup_docs": "r11",
     "url_dedup_docs": "r11",

@@ -163,6 +163,26 @@ text = F.col("text")
 for search, repl in _structure:
     text = F.replace(text, F.lit(search), F.lit(repl))
 structured = raw_docs.withColumn("text", text)
+# plant a WITHIN-document verbatim repeat into every 37th doc for stage 3c:
+# a doc-unique 13-token block, twice in one line (doc-unique so no PAIR
+# stage can see it — cross-doc dup machinery is structurally blind to
+# intra-doc repetition, which is exactly the gap ExactSubstr removal
+# covers). 13 tokens, not 12: downstream rebuilds glue a '.' onto the
+# line's last token, so only a >L block still contains an intact
+# duplicated 12-window. The trailing ' .' keeps the line past the C4
+# terminal-punctuation rule.
+_rpt_block = F.concat_ws(
+    " ", *[F.concat(F.lit(f"rpt{j}x"), F.col("doc_id").cast("string")) for j in range(13)]
+)
+structured = structured.withColumn(
+    "text",
+    F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(
+            F.col("text"), F.lit("\n"), _rpt_block, F.lit(" "), _rpt_block, F.lit(" .")
+        ),
+    ).otherwise(F.col("text")),
+)
 cleaned = c4_line_filter(structured, min_sentences=2)
 
 # 0b. cross-document boilerplate-line removal (Dolma §4.1 / RefinedWeb
@@ -224,6 +244,24 @@ run_pairs = substring_run_pairs(kept, length=12, min_windows=1)
 run_drop = run_pairs.select(F.col("id_b").alias("doc_id")).distinct()
 kept = kept.join(run_drop, "doc_id", "left_anti").localCheckpoint()
 n3b = kept.count()
+
+# 3c. ExactSubstr REMOVAL (Lee et al. 2022 §4.1, the policy half): stage
+#     3b's whole-doc drop is the blunt policy for documents that share a
+#     run with another doc; what it cannot touch is WITHIN-document
+#     verbatim repetition (no (a < b) pair exists), and a drop policy
+#     wastes the unique remainder of lightly-contaminated docs. This
+#     stage cuts every surviving duplicated 12-token window surgically —
+#     canonical first occurrence kept, doc survives with its unique
+#     content (row-preserving). The planted every-37th-doc repeat block
+#     from stage 0 must lose exactly its second occurrence here.
+from tamer_spark.operators.runs import exact_substring_dedup
+
+cut = exact_substring_dedup(kept, length=12)
+n_tok_removed = cut.agg(F.sum("n_removed")).collect()[0][0]
+assert n_tok_removed and n_tok_removed >= 12, "planted intra-doc repeat must be cut"
+kept = cut.select("doc_id", F.col("text_dedup").alias("text")).localCheckpoint()
+n3c = kept.count()
+assert n3c == n3b, "removal is row-preserving — no document is dropped"
 
 # 4. stratified mixing: rebalance to 3:1 curated-vs-web target weights
 from tamer_spark.functions.hashing import stable_hash64
@@ -447,7 +485,7 @@ print(
     f"→ c4-clean {n_c4} (spans dropped: {n_spans_dropped}, "
     f"boilerplate lines stripped: {n_bp_lines}) "
     f"→ quality {n1} → exact-dedup {n2} → near-dedup {n3} "
-    f"→ substring-run-dedup {n3b} → mixed {n4} "
+    f"→ substring-run-dedup {n3b} → exsub-cut {n_tok_removed} tokens → mixed {n4} "
     f"→ budget-capped {n4b} → decontaminated {n4c}"
 )
 print(

@@ -107,6 +107,14 @@ OPS = [
     # copied unchanged, so a probe would time the same data three times.)
     "heavy_hitters_docs",
     "domain_cap_docs",
+    # r12 continuation: ExactSubstr REMOVAL — unlike its pair-detection
+    # sibling (excluded above: pairs grow C(n,2)-quadratically under the
+    # n× verbatim synthesis), removal never forms pairs: the duplicate-
+    # occurrence table, interval assembly, and rebuild all grow n× (every
+    # non-canonical copy's windows are dups) — expect ~linear, and the
+    # probe existing is itself the evidence that the removal half dodges
+    # the pair half's blowup.
+    "exsub_dedup_docs",
     # r12 continuation: skip-gram pair mining — one (doc_id, pos) window
     # + vocab²-bounded count; expect ~linear in corpus tokens
     "skipgram_top_pairs",

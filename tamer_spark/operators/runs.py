@@ -88,6 +88,138 @@ def token_window_hashes(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the policy half of Lee et al. 2022 §4.1: after
+    finding verbatim duplicate runs, actually cut them out of the training
+    set): every occurrence of a ``length``-token window that appears more
+    than once in the corpus is removed EXCEPT the canonical first
+    occurrence — the globally smallest (doc_id, pos) struct, the
+    c4_span_dedup keep-first convention (partial-aggregable lexicographic
+    MIN, never a row_number window) — and each document's text is rebuilt
+    from its surviving tokens.
+
+    Returns one row per input document: (id, text_dedup, n_tokens,
+    n_removed) where ``n_tokens`` counts the normalized token array and
+    ``n_removed`` counts tokens covered by removed windows (0 for
+    untouched docs, which pass through with their normalized text).
+
+    Window semantics, deliberately single-pass (the paper's): overlapping
+    removed windows merge into maximal intervals; tokens spliced together
+    across a cut can form NEW L-grams that duplicate surviving text —
+    those are not re-chased (neither does the suffix-array tool). A fully
+    duplicated later document rebuilds to '' (kept, auditable — the
+    linexdoc all-boilerplate convention), while the canonical copy
+    survives verbatim.
+
+    Plan shape / 100 TB posture:
+      1. window hashes — map-only, ~1 md5/token (token_window_hashes);
+      2. keeper election — groupBy(h) with map-side partial aggregation
+         (count + min struct), then one posting⋈keeper equi-join on h.
+         Deliberately NOT a window-over-h: a hot boilerplate hash would
+         pile every occurrence into one task, while partial aggs absorb
+         it map-side and AQE can split the skewed join. No max_posting
+         cap is needed (or offered): unlike the PAIR operator this never
+         squares a posting list — cost stays linear in occurrences, and
+         a cap would silently leave duplicates in the corpus;
+      3. interval assembly — gaps-and-islands per doc over the DUPLICATE
+         occurrences only (a table sized by actually-duplicated content,
+         tiny next to the corpus);
+      4. rebuild — the per-doc merged-interval array (sorted, disjoint)
+         joins back onto a fresh (id, tokens) scan and an O(n_tokens)
+         aggregate-of-slices splice keeps the gaps; no per-token explode,
+         no O(tokens × intervals) membership scan.
+    Shuffles: posting groupBy + join (both on h, linear), islands window
+    + two small groupBys on duplicate rows, one doc-keyed join. The
+    corpus is scanned twice (hash pass, rebuild pass) — both map-only.
+    """
+    from tamer_spark.operators.dedup import _release_on_gc, normalize_text
+
+    # persist the posting table: keeper election and the posting⋈keeper
+    # join would otherwise EACH re-derive the ~1 md5/token window-hash
+    # stage (the substring_run_pairs r7 lesson — the map stage dominates
+    # at 100 TB). One materialization, both consumers read the cache;
+    # released with the result via the GC-tied finalizer.
+    wh = token_window_hashes(df, text_col, id_col, length).persist()
+    keep = wh.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dups = (
+        wh.join(keep, "h")
+        .filter(
+            (F.col("_n") >= 2)
+            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
+        )
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands over removal windows [pos, pos+L-1]: a new island
+    # starts when this window's start clears the running max end of all
+    # previous windows by >1 (adjacent windows merge — same coverage,
+    # fewer intervals)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (length - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dups.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(wd))
+    intervals = marked.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (length - 1)).alias("e"),
+    )
+    ivs = intervals.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("_n_removed"),
+    )
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    joined = base.join(ivs, id_col, "left")
+    empty_ivs = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    # splice: fold the sorted disjoint intervals, appending the uncovered
+    # token slice before each one, then the tail after the last — O(n)
+    cur0 = F.lit(1).cast("long")
+    spliced = F.aggregate(
+        F.coalesce(F.col("_ivs"), empty_ivs),
+        F.struct(
+            cur0.alias("cur"), F.array().cast("array<string>").alias("parts")
+        ),
+        lambda acc, iv: F.struct(
+            (iv["e"] + 1).alias("cur"),
+            F.concat(
+                acc["parts"],
+                F.slice(
+                    F.col("_ws"),
+                    acc["cur"].cast("int"),
+                    (iv["s"] - acc["cur"]).cast("int"),
+                ),
+            ).alias("parts"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.slice(
+                F.col("_ws"),
+                acc["cur"].cast("int"),
+                (F.size("_ws") - acc["cur"] + 1).cast("int"),
+            ),
+        ),
+    )
+    out = joined.select(
+        id_col,
+        F.array_join(spliced, " ").alias("text_dedup"),
+        F.size("_ws").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+    return _release_on_gc(out, wh)
+
+
 def substring_run_pairs(
     df: DataFrame,
     text_col: str = "text",

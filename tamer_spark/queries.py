@@ -3698,6 +3698,68 @@ def line_dedup_docs_q(spark, sf):
     return dedup_lines_across_docs(d, min_doc_freq=_LINEX_MIN_DF)
 
 
+# Shared window length for the exact-substring family (the removal variant
+# below and the substring_run_pairs gate further down use the same L so the
+# two graded surfaces describe the same duplicated-run population).
+_RUN_L = 12
+
+
+# ExactSubstr removal oracle (text_cleaning_docs 'exsub' variant): full
+# DuckDB replay of operators/runs.exact_substring_dedup at the gate's
+# _RUN_L=12 over the RAW fixture text (the corpus substring_run_pairs
+# proved carries verbatim 12-token runs). Window hashes mirror the
+# substring_run_pairs oracle (md5-prefix stable_hash64); keeper election
+# is min(ROW(doc_id, pos)) per hash; non-keeper windows merge into
+# maximal intervals via the same gaps-and-islands running-max-end rule;
+# kept tokens re-join with ' ' (string_agg ORDER BY idx == the Spark
+# splice), fully-removed docs survive as '' via the LEFT join + COALESCE.
+_EXSUB_ORACLE = f"""
+    WITH xnorm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                   FROM documents),
+         xws AS (SELECT doc_id, string_split(t, ' ') AS w FROM xnorm),
+         xwh AS (SELECT doc_id,
+                 CASE WHEN len(w) - {_RUN_L - 1} <= 0 THEN []
+                      ELSE list_transform(range(len(w) - {_RUN_L - 1}), i ->
+                           ('0x' || substr(md5(array_to_string(w[i+1:i+{_RUN_L}], ' ')), 1, 15))::BIGINT)
+                 END AS hs
+                FROM xws),
+         xe AS (SELECT doc_id, unnest(hs) AS h,
+                       CAST(generate_subscripts(hs, 1) AS BIGINT) AS pos FROM xwh),
+         xkeep AS (SELECT h, COUNT(*) AS n, min(ROW(doc_id, pos)) AS fk FROM xe GROUP BY h),
+         xdup AS (SELECT e.doc_id, e.pos FROM xe e JOIN xkeep k USING (h)
+                  WHERE k.n >= 2 AND ROW(e.doc_id, e.pos) != k.fk),
+         xmark AS (SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + {_RUN_L - 1}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS newisl
+                   FROM xdup),
+         xisl AS (SELECT doc_id, pos,
+                  SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM xmark),
+         xiv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RUN_L - 1} AS e
+                 FROM xisl GROUP BY doc_id, isl),
+         xtok AS (SELECT doc_id, unnest(w) AS word,
+                         CAST(generate_subscripts(w, 1) AS BIGINT) AS idx FROM xws),
+         xkept AS (SELECT t.doc_id, t.idx, t.word FROM xtok t LEFT JOIN xiv v
+                   ON t.doc_id = v.doc_id AND t.idx BETWEEN v.s AND v.e
+                   WHERE v.doc_id IS NULL),
+         xreb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_dedup,
+                         COUNT(*) AS n_kept FROM xkept GROUP BY doc_id)
+    SELECT w.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(len(w.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM xws w LEFT JOIN xreb r USING (doc_id)
+    """
+
+
+# Standalone builder kept for plan pins / bench series (graded via the
+# text_cleaning_docs gate's 'exsub' variant).
+def exsub_dedup_docs_q(spark, sf):
+    from tamer_spark.operators.runs import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf, "documents"), length=_RUN_L)
+
+
 @q(
     "text_cleaning_docs",
     f"""
@@ -3710,8 +3772,10 @@ def line_dedup_docs_q(spark, sf):
     SELECT 'encoding', doc_id, text_fixed, n_removed, n_nonascii FROM ({_ENC_ORACLE})
     UNION ALL
     SELECT 'linexdoc', doc_id, text_clean, n_lines, n_dropped FROM ({_LINEX_ORACLE})
+    UNION ALL
+    SELECT 'exsub', doc_id, text_dedup, n_tokens, n_removed FROM ({_EXSUB_ORACLE})
     """,
-    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles. encoding (r11): ftfy-style encoding repair (Speer 2019; functions/text.py fix_encoding_col — run before any filter, since quality scores over mojibake are themselves mojibake) over a damage derivation planting table-generated mojibake (incl. the two order traps: 'à' whose broken form ends in NBSP, '”' whose broken form carries C1 U+009D), a zero-width space, an NBSP-for-space swap, a BEL, a CRLF, a BOM prefix and an ESC suffix; the FIXED string is hashed plus removed-char and surviving-non-ASCII audits; the oracle replays the identical table-driven chain; map-only, zero shuffles. linexdoc (r12): ACROSS-document boilerplate-line removal (Dolma §4.1 paragraph dedup / RefinedWeb §3.2 — operators/dedup.dedup_lines_across_docs): every occurrence of a line whose doc frequency ≥ 3 is dropped from every doc (remove-ALL — template chrome is content in NONE of its hosts; the complement of c4_span_dedup's keep-first), run over the same c4-structured derivation whose planted banner line IS live high-df boilerplate; doc_freq = COUNT(DISTINCT doc), rebuilt text hashed with line/drop audits; plan: the post-threshold boilerplate set broadcasts back onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter — the line stream never exchanges on h; three shuffles total: count-distinct dedup, freq agg, one doc_id rebuild regroup) — all-boilerplate docs survive as '' via the LEFT tag join (anti would erase them); steady-state epochs broadcast a frozen boilerplate_lines set instead and skip the freq pass.",
+    doc="Corpus text-cleaning surface as one tagged union (r6 window re-pack of the driver-green c4_clean_docs + scrub_pii_docs gates; variants unchanged). lines/spans/linededup: C4-style cleaning (Raffel et al. 2020 §2.2, operators/c4.py) over a punctuation/line-structured derivation of the fixture text (pinned literal replaces — see _C4_STRUCTURE — mirrored in the oracle): line-level keep rules + document verdict (map-only array HOFs, the REBUILT text string itself is hashed), C4's cross-document 3-sentence-span dedup over the CLEANED text (kept occurrence = globally smallest (doc_id, start) struct via partial-aggregable lexicographic MIN — never a row_number window), and RefinedWeb-style within-document duplicate-line removal (keep-first pinned as position-of-first-match == own-index, map-only). pii: FineWeb-style scrubbing (Penedo et al. 2024; functions/text.py scrub_pii_col) over text with planted emails, IPv4 literals, and a 5-octet decoy whose '.5' tail must survive — the SCRUBBED string is hashed, patterns pinned to the Java-regex/RE2 common subset, emails before IPs; entirely map-only, redaction at parquet-scan rate. markup (r11): WET-style tag-soup markup stripping (functions/text.py strip_markup_col — the stage every web pipeline runs FIRST) over a markup-wrapped derivation of the fixture text (_MARKUP_STRUCTURE, pinned literal replaces planting an inline tag, entity decode incl. the &amp;-last double-escape rule, a script block swallowing a fake </p>, a block-boundary newline, a multi-line comment, angle entities surviving as content, and a void tag); the STRIPPED string is hashed plus removed-char and output-line audits; the oracle replays the identical constant-driven regexp chain; map-only, zero shuffles. encoding (r11): ftfy-style encoding repair (Speer 2019; functions/text.py fix_encoding_col — run before any filter, since quality scores over mojibake are themselves mojibake) over a damage derivation planting table-generated mojibake (incl. the two order traps: 'à' whose broken form ends in NBSP, '”' whose broken form carries C1 U+009D), a zero-width space, an NBSP-for-space swap, a BEL, a CRLF, a BOM prefix and an ESC suffix; the FIXED string is hashed plus removed-char and surviving-non-ASCII audits; the oracle replays the identical table-driven chain; map-only, zero shuffles. linexdoc (r12): ACROSS-document boilerplate-line removal (Dolma §4.1 paragraph dedup / RefinedWeb §3.2 — operators/dedup.dedup_lines_across_docs): every occurrence of a line whose doc frequency ≥ 3 is dropped from every doc (remove-ALL — template chrome is content in NONE of its hosts; the complement of c4_span_dedup's keep-first), run over the same c4-structured derivation whose planted banner line IS live high-df boilerplate; doc_freq = COUNT(DISTINCT doc), rebuilt text hashed with line/drop audits; plan: the post-threshold boilerplate set broadcasts back onto the UN-shuffled probe stream (BroadcastHashJoin LeftOuter — the line stream never exchanges on h; three shuffles total: count-distinct dedup, freq agg, one doc_id rebuild regroup) — all-boilerplate docs survive as '' via the LEFT tag join (anti would erase them); steady-state epochs broadcast a frozen boilerplate_lines set instead and skip the freq pass. exsub (r12): ExactSubstr REMOVAL (Lee et al. 2022 §4.1 — the policy half that the substring_run_pairs gate's detection half feeds; operators/runs.exact_substring_dedup, same _RUN_L=12 window so both graded surfaces describe one duplicated-run population): every occurrence of a 12-token window appearing ≥2× in the corpus is cut EXCEPT the canonical min-(doc_id,pos) occurrence (the c4_span_dedup keep-first convention — partial-aggregable lexicographic MIN, never a row_number window); overlapping cut windows merge into maximal intervals (gaps-and-islands running-max-end), the text is rebuilt by an O(n_tokens) aggregate-of-slices splice, fully-duplicated docs survive as '' (the linexdoc convention), and the REBUILT string is hashed with token/removed audits; plan: keeper election is groupBy(h)+join (partial aggs absorb hot boilerplate hashes; deliberately NOT a window-over-h, and NO posting cap — removal never squares a posting list, and a cap would silently leave duplicates), interval assembly is keyed on duplicate rows only, single-pass splice semantics documented (spliced-boundary L-grams not re-chased — the suffix-array tool's own behavior).",
 )
 def text_cleaning_docs_q(spark, sf):
     pii = scrub_pii_docs_q(spark, sf).select(
@@ -3742,12 +3806,20 @@ def text_cleaning_docs_q(spark, sf):
         F.col("n_lines").alias("a"),
         F.col("n_dropped").alias("b"),
     )
+    exsub = exsub_dedup_docs_q(spark, sf).select(
+        F.lit("exsub").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("text_dedup").alias("txt"),
+        F.col("n_tokens").alias("a"),
+        F.col("n_removed").alias("b"),
+    )
     return (
         c4_clean_docs_q(spark, sf)
         .unionByName(pii)
         .unionByName(markup)
         .unionByName(encoding)
         .unionByName(linexdoc)
+        .unionByName(exsub)
     )
 
 
@@ -6197,7 +6269,8 @@ def table_maintenance_q(spark, sf):
     return dq.unionByName(scd2).unionByName(roll).unionByName(hh).unionByName(summ)
 
 
-_RUN_L = 12
+# _RUN_L is defined next to the text_cleaning_docs 'exsub' oracle (the
+# removal and pair-detection gates share the window length deliberately).
 
 
 @q(
@@ -6373,6 +6446,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii_docs": scrub_pii_docs_q,
     "strip_markup_docs": strip_markup_docs_q,
     "line_dedup_docs": line_dedup_docs_q,
+    "exsub_dedup_docs": exsub_dedup_docs_q,
     "url_dedup_docs": url_dedup_docs_q,
     "domain_rollup_docs": domain_rollup_docs_q,
     "fix_encoding_docs": fix_encoding_docs_q,

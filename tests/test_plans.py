@@ -307,6 +307,25 @@ def test_substring_runs_no_cross_product_and_pruned_scans(spark):
     spark.catalog.clearCache()
 
 
+def test_exsub_removal_no_cross_product_and_two_map_scans(spark):
+    """ExactSubstr REMOVAL: keeper election must be a posting⋈keeper
+    equi-join on the window hash with map-side partial aggregation (never
+    a doc × doc product, never a window-over-h that would pile a hot
+    boilerplate hash into one task), and the corpus appears exactly twice
+    — the hash pass and the rebuild pass — both reading only
+    (doc_id, text). A third (doc_id, text) scan means a branch re-derived
+    the window-hash stage."""
+    spark.catalog.clearCache()
+    df = _spark_fn("exsub_dedup_docs")(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # keeper election keeps its partial (map-side) aggregate
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    scans = read_schema_columns(df)
+    assert len([s for s in scans if s == {"doc_id", "text"}]) == 2, scans
+    spark.catalog.clearCache()
+
+
 def test_contamination_score_broadcasts_benchmark(spark):
     """Contamination scoring: the benchmark n-gram set must ride a
     broadcast join against the corpus shingle stream — shuffling the

@@ -191,3 +191,131 @@ def test_contamination_short_doc_whole_text_shingle(spark):
     bench = _docs(spark, [(9, "ab cd")])
     r = contamination_score(corpus, bench, n=3).collect()[0]
     assert (r.n_shingles, r.n_contaminated, r.contamination_ppm) == (1, 1, 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr removal (exact_substring_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _exsub_reference(rows, L):
+    """Independent per-window python replay of the removal semantics."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for d, t in rows
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in toks.items():
+        for p in range(1, len(ws) - L + 2):
+            occ.setdefault(" ".join(ws[p - 1 : p - 1 + L]), []).append((d, p))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            fk = min(lst)
+            for d, p in lst:
+                if (d, p) != fk:
+                    removed[d].update(range(p, p + L))
+    return {
+        d: (
+            " ".join(w for i, w in enumerate(ws, 1) if i not in removed[d]),
+            len(ws),
+            len(removed[d]),
+        )
+        for d, ws in toks.items()
+    }
+
+
+def _run_exsub(spark, rows, L):
+    from tamer_spark.operators.runs import exact_substring_dedup
+
+    got = exact_substring_dedup(_docs(spark, rows), length=L).collect()
+    return {r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed) for r in got}
+
+
+def test_exsub_identical_docs_keep_first_copy(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z")]
+    got = _run_exsub(spark, rows, 4)
+    # doc 1 is the canonical copy (min (doc_id, pos) per window); doc 2's
+    # windows are all duplicates -> full coverage -> rebuilds to ''
+    assert got[1] == ("a b c d e f", 6, 0)
+    assert got[2] == ("", 6, 6)
+    assert got[3] == ("x y z", 3, 0)  # short doc passes through untouched
+
+
+def test_exsub_embedded_run_cut_from_later_doc(spark):
+    rows = [
+        (1, "p q r s t u v w"),
+        (2, "HEAD1 HEAD2 p q r s t u TAIL1 TAIL2"),
+    ]
+    got = _run_exsub(spark, rows, 4)
+    assert got == _exsub_reference(rows, 4)
+    # the shared 6-token run leaves doc 1 (canonical) intact and is cut
+    # whole from doc 2: overlapping windows merged into ONE interval
+    assert got[1] == ("p q r s t u v w", 8, 0)
+    assert got[2] == ("head1 head2 tail1 tail2", 10, 6)
+
+
+def test_exsub_within_doc_repeat_removed_once(spark):
+    rows = [(7, "m n o p GAP m n o p")]
+    got = _run_exsub(spark, rows, 4)
+    # second intra-doc occurrence removed, first kept
+    assert got == _exsub_reference(rows, 4)
+    assert got[7] == ("m n o p gap", 9, 4)
+
+
+def test_exsub_disjoint_intervals_splice(spark):
+    # two separate duplicated runs inside one doc, with survivors between
+    rows = [
+        (1, "a b c d MID e f g h"),
+        (2, "x1 a b c d x2 x3 e f g h x4"),
+    ]
+    got = _run_exsub(spark, rows, 4)
+    assert got == _exsub_reference(rows, 4)
+    assert got[2] == ("x1 x2 x3 x4", 12, 8)
+
+
+def test_exsub_randomized_matches_reference(spark):
+    # synthetic corpus: shared boilerplate block planted into many docs,
+    # plus per-doc unique filler and some whole-doc copies
+    import random
+
+    rng = random.Random(1234)
+    block = [f"b{i}" for i in range(6)]
+    rows = []
+    for d in range(1, 31):
+        ws = [f"u{d}x{j}" for j in range(rng.randrange(2, 10))]
+        if d % 2 == 0:
+            at = rng.randrange(0, len(ws) + 1)
+            ws = ws[:at] + block + ws[at:]
+        if d % 7 == 0:
+            ws = ws + ws  # intra-doc duplication
+        rows.append((d, " ".join(ws)))
+    rows.append((100, rows[3][1]))  # whole-doc copy of doc 4
+    L = 5
+    assert _run_exsub(spark, rows, L) == _exsub_reference(rows, L)
+
+
+def test_exsub_fixture_removal_is_consistent_with_pair_detection(spark):
+    """On the real fixture: after removal, re-detecting duplicated windows
+    must find ZERO window hash held by two distinct KEPT positions that
+    both existed before the splice (single-pass guarantee restricted to
+    surviving original positions). Weaker cross-check: every doc flagged
+    by substring_run_pairs loses tokens OR is the canonical keeper."""
+    from tamer_spark.operators.runs import exact_substring_dedup, substring_run_pairs
+    from tamer_spark.queries import _t
+    from tests.conftest import SF_DIR
+
+    docs = _t(spark, SF_DIR, "documents")
+    L = 12
+    cleaned = exact_substring_dedup(docs, length=L)
+    out = {r.doc_id: r for r in cleaned.collect()}
+    assert len(out) == docs.count()
+    touched = {d for d, r in out.items() if r.n_removed > 0}
+    assert touched, "fixture contains verbatim 12-token runs; some doc must lose tokens"
+    pairs = substring_run_pairs(docs, length=L, max_posting=None).collect()
+    for p in pairs:
+        # at least one side of every duplicate pair must have been cut
+        assert p.id_a in touched or p.id_b in touched
+    # removal is conservative: n_removed never exceeds n_tokens
+    assert all(0 <= r.n_removed <= r.n_tokens for r in out.values())
