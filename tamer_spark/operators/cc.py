@@ -170,6 +170,51 @@ def attach_cluster_ids(
     return out.join(sizes, "cluster_rep")
 
 
+def cluster_best_representatives(
+    clustered: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware representative election per near-dup cluster — the
+    keep-BEST policy production dedup actually runs (keep the longest /
+    highest-quality member; Penedo et al. 2023 §3.3 keep rules), where
+    ``attach_cluster_ids``'s min-id ``cluster_rep`` is only a stable
+    LABEL. Keeping ``best_id == id`` rows is the retention policy;
+    emitting the losers with their winner supports audit/provenance.
+
+    ``clustered`` is attach_cluster_ids output (id, cluster_rep, ...);
+    ``quality`` carries (id, quality_col). Winner per cluster = MAX
+    (quality, id) lexicographic struct — partial-aggregable (map-side
+    combine shrinks a 10k-member boilerplate cluster to one row per
+    partition before the exchange; never a row_number window, which
+    would pile the whole hot cluster into one task), ties broken by
+    highest id so the election is a total order. NULL quality ranks
+    below every non-NULL (struct comparison; a NULL-quality doc can
+    only win an all-NULL cluster, where the highest id wins).
+
+    Returns (id, cluster_rep, best_id, best_quality) — one row per input
+    row of ``clustered``. Shuffles: one agg + one join, both on
+    cluster_rep (cluster count ≤ corpus; the winners table is usually
+    broadcast-sized next to the corpus and AQE picks that up).
+    """
+    q = quality.select(F.col(id_col).alias(id_col), F.col(quality_col).alias("_q"))
+    scored = clustered.select(id_col, "cluster_rep").join(q, id_col, "left")
+    winners = scored.groupBy("cluster_rep").agg(
+        F.max(F.struct(F.col("_q").alias("q"), F.col(id_col).alias("i"))).alias("_w")
+    )
+    return (
+        clustered.select(id_col, "cluster_rep")
+        .join(winners, "cluster_rep")
+        .select(
+            id_col,
+            "cluster_rep",
+            F.col("_w.i").alias("best_id"),
+            F.col("_w.q").alias("best_quality"),
+        )
+    )
+
+
 def cc_incremental(
     prev_components: DataFrame,
     new_pairs: DataFrame,

@@ -1730,8 +1730,20 @@ def _clusters_oracle() -> str:
     FROM ({_lsh_oracle()})
     UNION ALL
     SELECT 'clusters', doc_id, cluster_rep, cluster_size FROM ({_clusters_oracle()})
+    UNION ALL
+    SELECT 'bestrep', m.doc_id, w.best_id, w.best_q
+    FROM ({_clusters_oracle()}) m
+    JOIN (
+      SELECT cluster_rep, doc_id AS best_id, CAST(n_chars AS BIGINT) AS best_q
+      FROM (
+        SELECT c.cluster_rep, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_rep
+                                  ORDER BY d.n_chars DESC, c.doc_id DESC) AS rn
+        FROM ({_clusters_oracle()}) c JOIN documents d USING (doc_id))
+      WHERE rn = 1
+    ) w USING (cluster_rep)
     """,
-    doc="The full banded MinHash LSH near-dup pipeline as one tagged union (r6 re-pack folds the formerly-standalone minhash_signatures gate in as the 'sigs' variant — all three stages were driver-green). sigs: the per-doc k-permutation signature itself, exploded to (doc, hash_index, value) — map-only, zero shuffles, read from the SAME persisted signature stage the pairs branch uses (one computation feeds all three variants). pairs: bucket join shuffles (band, sig) only — never the cross product; oversized buckets dropped (skew guard). clusters: the same pairs fed through distributed connected components (alternating large-star/small-star, operators/cc.py) → every doc labeled with its transitive cluster's min id + cluster size; singletons map to themselves. The cluster form is the 100 TB answer to pair-output blowup — a 10k-copy boilerplate cluster is 10k rows vs ~50M pairs; O(log n) rounds, each a groupBy-min shuffle on a shrinking edge set.",
+    doc="The full banded MinHash LSH near-dup pipeline as one tagged union (r6 re-pack folds the formerly-standalone minhash_signatures gate in as the 'sigs' variant — all three stages were driver-green). sigs: the per-doc k-permutation signature itself, exploded to (doc, hash_index, value) — map-only, zero shuffles, read from the SAME persisted signature stage the pairs branch uses (one computation feeds all three variants). pairs: bucket join shuffles (band, sig) only — never the cross product; oversized buckets dropped (skew guard). clusters: the same pairs fed through distributed connected components (alternating large-star/small-star, operators/cc.py) → every doc labeled with its transitive cluster's min id + cluster size; singletons map to themselves. The cluster form is the 100 TB answer to pair-output blowup — a 10k-copy boilerplate cluster is 10k rows vs ~50M pairs; O(log n) rounds, each a groupBy-min shuffle on a shrinking edge set. bestrep (r12): quality-aware representative election (operators/cc.cluster_best_representatives — the keep-BEST policy production dedup runs: RefinedWeb keeps the longest/highest-quality member, min-id cluster_rep is only a stable label): winner per cluster = MAX (n_chars, doc_id) lexicographic struct — partial-aggregable map-side combine (a 10k-member boilerplate cluster shrinks to one row per partition before the exchange; never a row_number window, which would pile the hot cluster into one task), ties broken by highest id; every doc emits (its id, winner id, winner quality) so keep = (k1 == k2) and losers carry provenance; the oracle replays the election as a DESC/DESC rank-1 window over the recursive-CTE clusters.",
 )
 def dedup_minhash_lsh_q(spark, sf):
     from tamer_spark.operators.cc import attach_cluster_ids
@@ -1764,7 +1776,22 @@ def dedup_minhash_lsh_q(spark, sf):
         F.col("cluster_rep").alias("k2"),
         F.col("cluster_size").cast("long").alias("n"),
     )
-    return _release_on_gc(s_out.unionByName(p_out).unionByName(c_out), sigs)
+    from tamer_spark.operators.cc import cluster_best_representatives
+
+    # the clusters frame feeds BOTH the 'clusters' row and the election —
+    # persist (doc-count-sized) so the O(log n) CC rounds run once
+    clusters = clusters.persist()
+    best = cluster_best_representatives(
+        clusters, d.select("doc_id", "n_chars"), quality_col="n_chars"
+    ).select(
+        F.lit("bestrep").alias("variant"),
+        F.col("doc_id").alias("k1"),
+        F.col("best_id").alias("k2"),
+        F.col("best_quality").cast("long").alias("n"),
+    )
+    return _release_on_gc(
+        s_out.unionByName(p_out).unionByName(c_out).unionByName(best), sigs, clusters
+    )
 
 
 _MH_INCR_ORACLE_TAIL = f"""

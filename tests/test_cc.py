@@ -188,3 +188,75 @@ def test_cc_incremental_round_count_collapses(spark):
     assert all(got[i] == 0 for i in list(range(n)) + list(range(n + 1, 2 * n + 1)))
     assert inc_stats["rounds"] < full_stats["rounds"], (inc_stats, full_stats)
     assert inc_stats["rounds"] <= 3, inc_stats
+
+
+def test_cluster_best_representatives_election_and_ties(spark):
+    from tamer_spark.operators.cc import cluster_best_representatives
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    clustered = attach_cluster_ids(docs, pairs)
+    quality = spark.createDataFrame(
+        # cluster {1,2,3}: doc 2 wins on quality; cluster {5,6}: tie on
+        # quality -> highest id (6) wins; singletons 4, 7 win themselves
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7), (6, 7), (7, None)],
+        "doc_id long, quality long",
+    )
+    got = {
+        r.doc_id: (r.best_id, r.best_quality)
+        for r in cluster_best_representatives(clustered, quality).collect()
+    }
+    assert got[1] == (2, 30) and got[2] == (2, 30) and got[3] == (2, 30)
+    assert got[5] == (6, 7) and got[6] == (6, 7)
+    assert got[4] == (4, 5)
+    # NULL-quality singleton wins its own cluster with NULL quality
+    assert got[7] == (7, None)
+
+
+def test_cluster_best_representatives_null_quality_loses(spark):
+    # NULL quality must rank below every non-NULL (struct-comparison
+    # NULLS-FIRST pin): in {1,2}, doc 2 has NULL quality and doc 1 a real
+    # one -> doc 1 wins even though 2 > 1
+    from tamer_spark.operators.cc import cluster_best_representatives
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    clustered = attach_cluster_ids(docs, pairs)
+    quality = spark.createDataFrame(
+        [(1, 3), (2, None)], "doc_id long, quality long"
+    )
+    got = {
+        r.doc_id: (r.best_id, r.best_quality)
+        for r in cluster_best_representatives(clustered, quality).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3)}
+
+
+def test_cluster_best_representatives_keep_policy_one_winner_per_cluster(spark):
+    # keep = (doc_id == best_id) retains exactly one doc per cluster, and
+    # it is the max-(quality, id) member — checked against a python replay
+    # on a random clustering
+    from tamer_spark.operators.cc import cluster_best_representatives
+
+    rng = random.Random(7)
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    quality = [(i, rng.randrange(5)) for i in range(n)]
+    qdf = spark.createDataFrame(quality, "doc_id long, quality long")
+    clustered = attach_cluster_ids(docs, pairs)
+    rows = cluster_best_representatives(clustered, qdf).collect()
+    by_cluster: dict[int, list] = {}
+    cl = {r.doc_id: r.cluster_rep for r in clustered.collect()}
+    for d, q in quality:
+        by_cluster.setdefault(cl[d], []).append((q, d))
+    expected_best = {c: max(v) for c, v in by_cluster.items()}
+    for r in rows:
+        q, d = expected_best[cl[r.doc_id]]
+        assert (r.best_id, r.best_quality) == (d, q)
+    kept = {r.doc_id for r in rows if r.doc_id == r.best_id}
+    assert len(kept) == len(expected_best)
