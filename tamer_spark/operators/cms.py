@@ -34,7 +34,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.functions.hashing import stable_hash64
 
-__all__ = ["cms_build", "cms_heavy_hitters", "cms_merge", "cms_query"]
+__all__ = [
+    "cms_build",
+    "cms_heavy_hitters",
+    "cms_merge",
+    "cms_query",
+    "cms_window_point_estimates",
+    "cms_windowed_cells",
+]
 
 
 def _bucket(token, r: int, w: int, seed: int):
@@ -65,6 +72,105 @@ def cms_build(
         ).alias("cell")
     ).select("cell.r", "cell.b")
     return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_windowed_cells(
+    df: DataFrame,
+    token_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    d: int = 4,
+    w: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-event-time-window CMS — the streaming form of ``cms_build``
+    (frequency monitoring over keys with unbounded cardinality, where
+    per-window COUNT-per-key state would grow without bound; the sketch
+    bounds state at ``d·w`` counters per live window, the vhist_1h /
+    dvu_1h monitoring posture).
+
+    Streaming-compatible: the per-occurrence ``d``-cell explode is a
+    stateless projection, and the groupBy(window, r, b) is a plain
+    windowed aggregation — call on a ``withWatermark``-ed stream and
+    drain; works identically on a batch frame (stream == batch pinned in
+    tests). NULL tokens are dropped (no key to count). Returns
+    ``(w, r, b, cnt)`` sparse cells — absent cell = 0, estimates are
+    min-over-rows per window (``cms_window_point_estimates``), and cells
+    are md5-deterministic so an oracle can replay the sketch exactly
+    (unlike HLL, whose streaming variant needs a tolerance contract)."""
+    cells = df.filter(F.col(token_col).isNotNull()).select(
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _bucket(F.col(token_col).cast("string"), r, w, seed).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy(
+        F.window(ts_col, window_duration).alias("w"), "cell.r", "cell.b"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_window_point_estimates(
+    cells: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    d: int = 4,
+    w: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-(window, probe) point estimates over ``cms_windowed_cells``
+    output: est = min over the ``d`` rows with absent cells an exact 0
+    (the cms_query rule, per window). Batch-side — run after the drain.
+
+    Window list = the windows that actually hold cells (a window with
+    zero counted tokens reports nothing, matching the sketch's own
+    scope). windows × probes is a deliberate tiny cross join (bounded by
+    time range × probe list, never data volume)."""
+    pcells = probes.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _bucket(F.col(token_col).cast("string"), r, w, seed).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(token_col, "cell.r", "cell.b")
+    # the window list derives FROM cells and joins back AGAINST cells — a
+    # self-join. Rename the probe side's join columns outright: subquery
+    # aliases are not enough here because a DRAINED streaming table's
+    # window attribute carries watermark metadata that trips the
+    # self-join condition resolver (observed on the memory-sink view).
+    c2 = cells.select(
+        F.col("w").alias("_cw"),
+        F.col("r").alias("_cr"),
+        F.col("b").alias("_cb"),
+        F.col("cnt").alias("_cnt"),
+    )
+    win = cells.select("w").distinct()
+    grid = win.crossJoin(F.broadcast(pcells))
+    return (
+        grid.join(
+            c2,
+            (F.col("w") == F.col("_cw"))
+            & (F.col("r") == F.col("_cr"))
+            & (F.col("b") == F.col("_cb")),
+            "left",
+        )
+        .groupBy("w", token_col)
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("est"))
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

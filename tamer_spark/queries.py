@@ -815,7 +815,27 @@ _STREAM_GATE_SEQ = itertools.count()
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM gaps)
+      FROM gaps),
+    scms_rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    scms_cells AS (
+      SELECT date_trunc('hour', ts) AS t_start, r,
+             ('0x' || substr(md5('cms-42-' || CAST(r AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS b
+      FROM events CROSS JOIN scms_rws WHERE user_id IS NOT NULL),
+    scms_sk AS (SELECT t_start, r, b, COUNT(*) AS cnt FROM scms_cells GROUP BY 1, 2, 3),
+    scms_probes(u) AS (VALUES (1), (2), (-1)),
+    scms_pc AS (
+      SELECT u, r,
+             ('0x' || substr(md5('cms-42-' || CAST(r AS VARCHAR) || '-' || CAST(u AS VARCHAR)), 1, 15))::BIGINT % 64 AS b
+      FROM scms_probes CROSS JOIN scms_rws),
+    scms_est AS (
+      SELECT wt.t_start, p.u, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM (SELECT DISTINCT t_start FROM scms_sk) wt
+      CROSS JOIN scms_pc p
+      LEFT JOIN scms_sk s ON s.t_start = wt.t_start AND s.r = p.r AND s.b = p.b
+      GROUP BY 1, 2),
+    scms_tru AS (
+      SELECT date_trunc('hour', ts) AS t_start, user_id AS u, COUNT(*) AS tru
+      FROM events WHERE user_id IN (1, 2, -1) GROUP BY 1, 2)
     SELECT 'tumbling_1h' AS variant, event_type AS k, date_trunc('hour', ts) AS t_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -843,8 +863,16 @@ _STREAM_GATE_SEQ = itertools.count()
     SELECT 'dvu_1h', event_type, date_trunc('hour', ts),
            COUNT(DISTINCT user_id), CAST(1 AS BIGINT)
     FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'scms_1h', CAST(r AS VARCHAR) || '|' || CAST(b AS VARCHAR), t_start,
+           cnt, CAST(1 AS BIGINT)
+    FROM scms_sk
+    UNION ALL
+    SELECT 'scms_est_1h', CAST(e.u AS VARCHAR), e.t_start, e.est,
+           CAST(COALESCE(t.tru, 0) AS BIGINT)
+    FROM scms_est e LEFT JOIN scms_tru t ON t.t_start = e.t_start AND t.u = e.u
     """,
-    doc="All five streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). dvu_1h (r12 continuation): streaming distinct-users-per-window — COUNT(DISTINCT) needs unbounded state and is unsupported in streaming, HLL++ (approx_count_distinct) is the standard answer; graded via the approx_distinct_users re-shape (batch exact + BOOLEAN pinning the streaming estimate within max(5×rsd, 2) — the absolute floor covers HLL++ sparse-mode ±1 at tiny per-window cardinalities, measured max dev 1 over 3385 windows; the estimate itself is engine-specific), so the sketch runs end-to-end through watermark+window+AvailableNow while every graded column stays engine-reproducible. All five drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
+    doc="All five streaming windowed aggregations through Structured Streaming end-to-end, as one tagged union. tumbling_1h: file-source readStream over the events parquet, event-time watermark, window('1 hour') agg — the streaming twin of ingest_tumbling_events. session_30m: native session_window (30-min gap), hash-matched against the batch gap-sessionization oracle (edge note: session_window's half-open merge treats an exactly-30-min gap as new while the batch rule (strict >) keeps it — the fixture contains no exact-gap pair at any SF, verified). hopping_1h_30m (r12): sliding window('1 hour', '30 minutes') — every event belongs to exactly window/slide = 2 overlapping windows; the oracle replays Spark's epoch-aligned window membership as an events × [0,1] hop cross join over 30-minute time_buckets (DuckDB's 2000-01-01 time_bucket origin is 30-minute-aligned with the epoch origin, so the bucket edges coincide), which pins both the alignment rule and the per-event fan-out. vhist_1h (r12 continuation): the STREAMING value histogram — per-(1h window, frozen $10-cent bucket, clamp-to-edge) counts + sums, the monitoring primitive (numeric_drift's grid) under event-time semantics; NULLs filtered before the clamp (the greatest(NULL,0)=0 trap). dvu_1h (r12 continuation): streaming distinct-users-per-window — COUNT(DISTINCT) needs unbounded state and is unsupported in streaming, HLL++ (approx_count_distinct) is the standard answer; graded via the approx_distinct_users re-shape (batch exact + BOOLEAN pinning the streaming estimate within max(5×rsd, 2) — the absolute floor covers HLL++ sparse-mode ±1 at tiny per-window cardinalities, measured max dev 1 over 3385 windows; the estimate itself is engine-specific), so the sketch runs end-to-end through watermark+window+AvailableNow while every graded column stays engine-reproducible. scms_1h + scms_est_1h (r12 continuation): STREAMING Count-Min Sketch under event-time windows (operators/cms.cms_windowed_cells) — frequency monitoring over a key of unbounded cardinality (user_id stands in for URLs/token-space), where per-key per-window counts would grow state without bound; the sketch bounds state at d·w = 256 counters per live window. Unlike dvu's HLL the cells are md5-deterministic (the repo hash convention), so BOTH the per-(window, r, b) cells AND the per-(window, probe) point estimates are hash-graded EXACTLY — no tolerance contract; the estimate rows carry (est, exact truth) with est ≥ true by the overcount bound (est computed post-drain from the drained cells — the sketch is the only streaming state; windows × 3 probes is a bounded broadcast cross join). NULL keys dropped (no key to count); probe -1 is never present (est = 0 = truth everywhere). All seven legs drain via Trigger.AvailableNow into a memory sink and must hash-match the batch SQL oracle; the watermark is set far beyond the fixture's time range so completeness is exact (production tunes it to the real lateness bound; see streaming/readers.py).",
 )
 def streaming_window_aggs_q(spark, sf):
     ev = _stream_events(spark, sf)
@@ -894,11 +922,26 @@ def streaming_window_aggs_q(spark, sf):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.approx_count_distinct("user_id", rsd).alias("est"))
     )
+    # streaming windowed CMS (r12 continuation): frequency sketching over
+    # an unbounded-cardinality key under event-time windows — the
+    # bounded-state alternative to per-key counts, and (unlike HLL) fully
+    # md5-deterministic, so BOTH the per-window cells and the per-window
+    # point estimates are hash-graded exactly, no tolerance contract.
+    from tamer_spark.operators.cms import cms_window_point_estimates, cms_windowed_cells
+
+    scms = cms_windowed_cells(
+        _stream_events(spark, sf).withWatermark("ts", "3650 days"),
+        token_col="user_id",
+        d=4,
+        w=64,
+        seed=42,
+    )
     t_name = _drain(tumb, "complete")
     s_name = _drain(sess, "complete")
     h_name = _drain(hop, "complete")
     v_name = _drain(vh, "complete")
     d_name = _drain(dvu, "complete")
+    c_name = _drain(scms, "complete")
     t_out = spark.table(t_name).select(
         F.lit("tumbling_1h").alias("variant"),
         F.col("event_type").alias("k"),
@@ -967,11 +1010,45 @@ def streaming_window_aggs_q(spark, sf):
             .alias("sum_value_c"),
         )
     )
+    cells_t = spark.table(c_name)
+    c_out = cells_t.select(
+        F.lit("scms_1h").alias("variant"),
+        F.concat(
+            F.col("r").cast("string"), F.lit("|"), F.col("b").cast("string")
+        ).alias("k"),
+        F.col("w.start").alias("t_start"),
+        F.col("cnt").alias("n_events"),
+        F.lit(1).cast("long").alias("sum_value_c"),
+    )
+    # point estimates per (window, probe) from the DRAINED cells (batch-
+    # side; the sketch is the only streaming state), paired with the exact
+    # batch truth — est >= true per window by the CMS overcount bound, and
+    # both columns are md5-deterministic so the row hash-grades exactly
+    probes = spark.createDataFrame([(1,), (2,), (-1,)], "token long")
+    est = cms_window_point_estimates(cells_t, probes, token_col="token", d=4, w=64, seed=42)
+    tru = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isin(1, 2, -1))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id").alias("token"))
+        .agg(F.count(F.lit(1)).alias("tru"))
+    )
+    p_out = (
+        est.join(tru, ["w", "token"], "left")
+        .select(
+            F.lit("scms_est_1h").alias("variant"),
+            F.col("token").cast("string").alias("k"),
+            F.col("w.start").alias("t_start"),
+            F.col("est").alias("n_events"),
+            F.coalesce(F.col("tru"), F.lit(0)).cast("long").alias("sum_value_c"),
+        )
+    )
     return (
         t_out.unionByName(s_out)
         .unionByName(h_out)
         .unionByName(v_out)
         .unionByName(d_out)
+        .unionByName(c_out)
+        .unionByName(p_out)
     )
 
 

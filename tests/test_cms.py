@@ -218,3 +218,81 @@ def test_heavy_hitters_d1_and_prebuilt_cells(spark):
 
     with _pytest.raises(ValueError):
         cms_heavy_hitters(df, min_count=1, d=0)
+
+
+def test_windowed_cells_stream_equals_batch_and_null_drop(spark, tmp_path):
+    """cms_windowed_cells: the streaming drain must equal the same helper
+    run on the batch frame (the sketch is a plain windowed agg), and NULL
+    keys contribute nothing."""
+    from datetime import datetime, timedelta
+
+    from tamer_spark.operators.cms import cms_windowed_cells
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(minutes=11 * i), (i % 5) if i % 7 else None)
+        for i in range(60)
+    ]
+    schema = "ts timestamp, uid long"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    batch_cells = {
+        (r.w.start, r.r, r.b): r.cnt
+        for r in cms_windowed_cells(
+            spark.read.parquet(src), token_col="uid", d=3, w=16, seed=9
+        ).collect()
+    }
+    stream = spark.readStream.schema(schema).parquet(src)
+    sc = cms_windowed_cells(
+        stream.withWatermark("ts", "10 days"), token_col="uid", d=3, w=16, seed=9
+    )
+    q = (
+        sc.writeStream.format("memory")
+        .queryName("cms_cells_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_cells = {
+        (r.w.start, r.r, r.b): r.cnt for r in spark.table("cms_cells_t").collect()
+    }
+    assert stream_cells == batch_cells
+    # NULL keys dropped: total per row r equals the count of non-NULL rows
+    n_nonnull = sum(1 for _, u in rows if u is not None)
+    for r in range(3):
+        assert sum(c for (_, rr, _), c in batch_cells.items() if rr == r) == n_nonnull
+
+
+def test_window_point_estimates_overcount_bound_and_exact_zero(spark, tmp_path):
+    """Per-window estimates: est >= true for present keys in EVERY window
+    (the CMS bound, per window), and a never-present probe reads an exact
+    0 in every window unless a collision inflates it (w sized so the tiny
+    key space cannot collide here)."""
+    from datetime import datetime, timedelta
+
+    from tamer_spark.operators.cms import cms_window_point_estimates, cms_windowed_cells
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(minutes=13 * i), i % 4) for i in range(80)]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    cells = cms_windowed_cells(df, token_col="uid", d=4, w=512, seed=5)
+    probes = spark.createDataFrame([(0,), (3,), (-1,)], "token long")
+    est = {
+        (r.w.start, r.token): r.est
+        for r in cms_window_point_estimates(
+            cells, probes, token_col="token", d=4, w=512, seed=5
+        ).collect()
+    }
+    truth: dict[tuple, int] = {}
+    for ts, uid in rows:
+        wstart = ts.replace(minute=0, second=0, microsecond=0)
+        truth[(wstart, uid)] = truth.get((wstart, uid), 0) + 1
+    windows = {w for (w, _) in truth}
+    assert len(est) == len(windows) * 3
+    for (w, u), e in est.items():
+        t = truth.get((w, u), 0)
+        assert e >= t
+        if u == -1:
+            assert e == 0  # absent probe, collision-free at w=512
