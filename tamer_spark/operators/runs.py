@@ -137,7 +137,7 @@ def exact_substring_dedup(
     + two small groupBys on duplicate rows, one doc-keyed join. The
     corpus is scanned twice (hash pass, rebuild pass) — both map-only.
     """
-    from tamer_spark.operators.dedup import _release_on_gc, normalize_text
+    from tamer_spark.operators.dedup import _release_on_gc
 
     # persist the posting table: keeper election and the posting⋈keeper
     # join would otherwise EACH re-derive the ~1 md5/token window-hash
@@ -157,6 +157,24 @@ def exact_substring_dedup(
         )
         .select(id_col, "pos")
     )
+    out = _remove_marked_windows(df, dups, text_col, id_col, length)
+    return _release_on_gc(out, wh)
+
+
+def _remove_marked_windows(
+    df: DataFrame,
+    dups: DataFrame,
+    text_col: str,
+    id_col: str,
+    length: int,
+) -> DataFrame:
+    """Shared removal tail for the batch and incremental ExactSubstr
+    operators: ``dups`` = (id, pos) window starts to cut; merge them into
+    maximal intervals and rebuild each doc's text from surviving tokens.
+    Returns (id, text_dedup, n_tokens, n_removed) — one row per ``df``
+    row, untouched docs pass through with their normalized text."""
+    from tamer_spark.operators.dedup import normalize_text
+
     # gaps-and-islands over removal windows [pos, pos+L-1]: a new island
     # starts when this window's start clears the running max end of all
     # previous windows by >1 (adjacent windows merge — same coverage,
@@ -211,12 +229,78 @@ def exact_substring_dedup(
             ),
         ),
     )
-    out = joined.select(
+    return joined.select(
         id_col,
         F.array_join(spliced, " ").alias("text_dedup"),
         F.size("_ws").cast("long").alias("n_tokens"),
         F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def exsub_window_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> DataFrame:
+    """Distinct window-hash index of a corpus — the ExactSubstr analog of
+    ``exact_index`` (operators/dedup_incremental.py): history reduced to
+    the set of L-token window hashes it contains (8 B/window before
+    distinct-ing, ~1 per token). Persist with
+    ``write_bucketed(idx, ..., ["h"])`` so per-epoch joins need no
+    exchange on the index side. Advance per epoch with
+    ``append_keys(index, distinct batch hashes)`` — after removal the
+    batch keeps exactly one occurrence of every batch hash (history-dup
+    hashes are already indexed), so ALL distinct batch hashes advance."""
+    return token_window_hashes(df, text_col, id_col, length).select("h").distinct()
+
+
+def exsub_dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> DataFrame:
+    """Per-epoch ExactSubstr removal against a frozen history index — the
+    O(batch) loop (the dedup_incremental posture): re-hashing a PB-scale
+    corpus per epoch to elect keepers is the trap; history is reduced
+    ONCE to its window-hash set and each new batch only hashes itself.
+
+    Canonicality is ARRIVAL ORDER (the incremental family's contract,
+    same as dedup_exact_incremental): a batch window whose hash exists in
+    the index is a duplicate occurrence — history holds the canonical
+    copy, so EVERY batch occurrence of it is cut (semi join). Windows new
+    to the index elect a batch-local keeper exactly like the batch
+    operator (groupBy + min-struct + join on the anti-join survivors).
+    When epoch ids are monotone with arrival, the epoch fold equals the
+    batch operator on the union (pinned in tests); with interleaved ids
+    they deliberately differ — frozen history cannot re-open.
+
+    Shuffles: the batch's window hashes only (one semi + one anti join
+    vs the index — exchange-free on the index side when bucketed — plus
+    the batch-local keeper groupBy+join), then the duplicate-only
+    interval/rebuild tail shared with the batch operator."""
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    wh = token_window_hashes(new_df, text_col, id_col, length).persist()
+    idx = index.select("h")
+    hist_dups = wh.join(idx, "h", "left_semi").select(id_col, "pos")
+    local = wh.join(idx, "h", "left_anti")
+    keep = local.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    local_dups = (
+        local.join(keep, "h")
+        .filter(
+            (F.col("_n") >= 2)
+            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
+        )
+        .select(id_col, "pos")
+    )
+    dups = hist_dups.unionByName(local_dups)
+    out = _remove_marked_windows(new_df, dups, text_col, id_col, length)
     return _release_on_gc(out, wh)
 
 

@@ -1687,6 +1687,12 @@ def all_oracles() -> dict[str, str]:
 
 _P = MERSENNE_P
 _K, _BANDS, _N, _MAX_BUCKET = 16, 4, 3, 1000
+# Shared window length for the exact-substring family: the detection gate
+# (substring_run_pairs), the removal gate variant (text_cleaning_docs
+# 'exsub'), and the incremental-removal gate variant (dedup_incremental
+# 'exsub') all use the same L so the graded surfaces describe one
+# duplicated-run population.
+_RUN_L = 12
 _COEFFS = minhash_coefficients(_K, seed=42)
 
 
@@ -1871,6 +1877,70 @@ def dedup_minhash_lsh_q(spark, sf):
     )
 
 
+def _exsub_epoch_removal_ctes(p: str, pred: str, idx: str) -> str:
+    """DuckDB replay of operators/runs.exsub_dedup_incremental for one
+    epoch: window hashes of the docs matching ``pred``, history hits
+    (every occurrence of an ``idx``-indexed hash cut), batch-local keeper
+    election among the rest, interval merge + rebuild — the exact
+    _EXSUB_ORACLE machinery with the keeper split in two tiers. Emits
+    ``{p}out (doc_id, text_dedup)``. CTE names are ``{p}``-prefixed so
+    two epochs coexist in one WITH."""
+    return f"""
+    {p}ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents WHERE {pred}),
+    {p}wh AS (SELECT doc_id,
+              CASE WHEN len(w) - {_RUN_L - 1} <= 0 THEN []
+                   ELSE list_transform(range(len(w) - {_RUN_L - 1}), i ->
+                        ('0x' || substr(md5(array_to_string(w[i+1:i+{_RUN_L}], ' ')), 1, 15))::BIGINT)
+              END AS hs
+             FROM {p}ws),
+    {p}e AS (SELECT doc_id, unnest(hs) AS h,
+                    CAST(generate_subscripts(hs, 1) AS BIGINT) AS pos FROM {p}wh),
+    {p}hist AS (SELECT doc_id, pos FROM {p}e WHERE h IN (SELECT h FROM {idx})),
+    {p}loc AS (SELECT * FROM {p}e WHERE h NOT IN (SELECT h FROM {idx})),
+    {p}keep AS (SELECT h, COUNT(*) AS n, min(ROW(doc_id, pos)) AS fk FROM {p}loc GROUP BY h),
+    {p}ldup AS (SELECT e.doc_id, e.pos FROM {p}loc e JOIN {p}keep k USING (h)
+                WHERE k.n >= 2 AND ROW(e.doc_id, e.pos) != k.fk),
+    {p}dup AS (SELECT doc_id, pos FROM {p}hist UNION ALL SELECT doc_id, pos FROM {p}ldup),
+    {p}mark AS (SELECT doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos + {_RUN_L - 1}) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                     THEN 1 ELSE 0 END AS newisl
+                FROM {p}dup),
+    {p}isl AS (SELECT doc_id, pos,
+               SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM {p}mark),
+    {p}iv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RUN_L - 1} AS e
+              FROM {p}isl GROUP BY doc_id, isl),
+    {p}tok AS (SELECT doc_id, unnest(w) AS word,
+                      CAST(generate_subscripts(w, 1) AS BIGINT) AS idx FROM {p}ws),
+    {p}kept AS (SELECT t.doc_id, t.idx, t.word FROM {p}tok t LEFT JOIN {p}iv v
+                ON t.doc_id = v.doc_id AND t.idx BETWEEN v.s AND v.e
+                WHERE v.doc_id IS NULL),
+    {p}reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_dedup
+               FROM {p}kept GROUP BY doc_id),
+    {p}out AS (SELECT w.doc_id, COALESCE(r.text_dedup, '') AS text_dedup
+               FROM {p}ws w LEFT JOIN {p}reb r USING (doc_id))"""
+
+
+# ExactSubstr-removal epoch indexes for the dedup_incremental gate: xi0 =
+# epoch 0's distinct window hashes; xi1 = xi0 ∪ epoch 1's distinct batch
+# hashes (ALL of them — the advance rule: after removal the batch keeps
+# exactly one occurrence of every batch hash).
+_EXSUB_INCR_ORACLE = f"""
+    xh0 AS (SELECT doc_id,
+            CASE WHEN len(w) - {_RUN_L - 1} <= 0 THEN []
+                 ELSE list_transform(range(len(w) - {_RUN_L - 1}), i ->
+                      ('0x' || substr(md5(array_to_string(w[i+1:i+{_RUN_L}], ' ')), 1, 15))::BIGINT)
+            END AS hs
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                 FROM documents WHERE doc_id % 3 = 0) t),
+    xi0 AS (SELECT DISTINCT unnest(hs) AS h FROM xh0),
+    {_exsub_epoch_removal_ctes("x1", "doc_id % 3 = 1", "xi0").lstrip()},
+    xi1 AS (SELECT h FROM xi0 UNION SELECT DISTINCT h FROM x1e),
+    {_exsub_epoch_removal_ctes("x2", "doc_id % 3 = 2", "xi1").lstrip()}"""
+
+
 _MH_INCR_ORACLE_TAIL = f"""
     mh_banded AS (
       SELECT doc_id, b AS band_id,
@@ -1913,7 +1983,8 @@ _MH_INCR_ORACLE_TAIL = f"""
                 WHERE rn = 1
                   AND NOT EXISTS (SELECT 1 FROM i1
                                   WHERE i1.content_hash = t.content_hash)),
-         {_MH_INCR_ORACLE_TAIL}
+         {_MH_INCR_ORACLE_TAIL},
+         {_EXSUB_INCR_ORACLE.lstrip()}
     SELECT 'exact' AS variant, CAST(1 AS BIGINT) AS epoch,
            CAST(doc_id AS BIGINT) AS doc_id, content_hash
     FROM s1
@@ -1928,6 +1999,10 @@ _MH_INCR_ORACLE_TAIL = f"""
     FROM documents d
     WHERE d.doc_id % 3 = 1
       AND NOT EXISTS (SELECT 1 FROM mh_coll c WHERE c.doc_id = d.doc_id)
+    UNION ALL
+    SELECT 'exsub', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x1out
+    UNION ALL
+    SELECT 'exsub', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x2out
     """,
     doc=(
         "Incremental dedup over three ingest epochs (documents split by "
@@ -1945,7 +2020,19 @@ _MH_INCR_ORACLE_TAIL = f"""
         "index (any-full-band collision drops, same k/bands/n/seed and "
         "banding expression as the dedup_minhash_lsh gate) — the DuckDB "
         "oracle recomputes the signatures and band collisions "
-        "independently. Replayed-epoch semantics mirror the reference's "
+        "independently. exsub (r12 continuation): ExactSubstr REMOVAL in "
+        "the epoch loop (operators/runs.exsub_dedup_incremental, same "
+        "_RUN_L=12 as the batch 'exsub' and detection gates) — history "
+        "reduced ONCE to its distinct window-hash set (exsub_window_index,"
+        " ~1 hash/token before distinct), every batch occurrence of an "
+        "indexed hash cut (arrival-order canonicality: frozen history "
+        "cannot re-open, the dedup_exact_incremental contract), batch-"
+        "local keepers elected among the rest exactly like the batch "
+        "operator, index advanced with ALL distinct batch hashes; the "
+        "graded content_hash is md5 of the REBUILT text so splice "
+        "correctness is on the surface; the oracle replays both epochs' "
+        "two-tier election + interval merge + rebuild with prefix-scoped "
+        "CTEs. Replayed-epoch semantics mirror the reference's "
         "fold-new-data-into-state loop (core/src/main/scala/tamer/"
         "Tamer.scala run loop) in the dedup domain."
     ),
@@ -1996,6 +2083,31 @@ def dedup_incremental_q(spark, sf):
         "content_hash", F.md5("text")
     )
 
+    # ExactSubstr-removal tier: epoch 0 seeds the window-hash index,
+    # epoch 1's removal runs against it, the index advances with ALL of
+    # epoch 1's distinct batch hashes (the operator's advance rule), and
+    # epoch 2 removes against the advanced index. The emitted
+    # content_hash is md5 of the REBUILT text — splice correctness is on
+    # the graded surface, not just removal counts.
+    from tamer_spark.operators.runs import (
+        exsub_dedup_incremental,
+        exsub_window_index,
+        token_window_hashes,
+    )
+
+    xi0 = exsub_window_index(e0, length=_RUN_L).localCheckpoint()
+    x1 = exsub_dedup_incremental(e1, xi0, length=_RUN_L).withColumn(
+        "content_hash", F.md5("text_dedup")
+    )
+    xi1 = (
+        xi0.unionByName(token_window_hashes(e1, length=_RUN_L).select("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    x2 = exsub_dedup_incremental(e2, xi1, length=_RUN_L).withColumn(
+        "content_hash", F.md5("text_dedup")
+    )
+
     def tag(df, variant, epoch):
         return df.select(
             F.lit(variant).alias("variant"),
@@ -2010,6 +2122,8 @@ def dedup_incremental_q(spark, sf):
         .unionByName(tag(b1, "bloom_verify", 1))
         .unionByName(tag(b2, "bloom_verify", 2))
         .unionByName(tag(m1, "minhash", 1))
+        .unionByName(tag(x1, "exsub", 1))
+        .unionByName(tag(x2, "exsub", 2))
     )
 
 
@@ -3802,10 +3916,8 @@ def line_dedup_docs_q(spark, sf):
     return dedup_lines_across_docs(d, min_doc_freq=_LINEX_MIN_DF)
 
 
-# Shared window length for the exact-substring family (the removal variant
-# below and the substring_run_pairs gate further down use the same L so the
-# two graded surfaces describe the same duplicated-run population).
-_RUN_L = 12
+# (_RUN_L, the exact-substring family's shared window length, is defined
+# next to the gate constants near the top of the module.)
 
 
 # ExactSubstr removal oracle (text_cleaning_docs 'exsub' variant): full

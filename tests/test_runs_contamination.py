@@ -319,3 +319,104 @@ def test_exsub_fixture_removal_is_consistent_with_pair_detection(spark):
         assert p.id_a in touched or p.id_b in touched
     # removal is conservative: n_removed never exceeds n_tokens
     assert all(0 <= r.n_removed <= r.n_tokens for r in out.values())
+
+
+def test_exsub_incremental_monotone_ids_equals_batch_on_union(spark):
+    """With epoch ids monotone in arrival order, the epoch fold (index
+    from e0, incremental removal of e1) must equal the batch operator on
+    the union, restricted to e1's docs — min-(doc_id, pos) keeper
+    election and history-precedence coincide exactly then."""
+    from tamer_spark.operators.runs import (
+        exact_substring_dedup,
+        exsub_dedup_incremental,
+        exsub_window_index,
+    )
+
+    block = "s1 s2 s3 s4 s5"
+    e0_rows = [(1, f"a b {block} c"), (2, "u v w x y z")]
+    e1_rows = [
+        (10, f"h1 h2 {block} h3"),       # history dup -> block cut
+        (11, "n1 n2 n3 n4 n5 n6"),        # clean
+        (12, "q1 q2 q3 q4 QQ q1 q2 q3 q4"),  # batch-local intra-doc dup
+        (13, "n1 n2 n3 n4 n5 n6"),        # batch-local whole-doc dup of 11
+    ]
+    L = 4
+    e0, e1 = _docs(spark, e0_rows), _docs(spark, e1_rows)
+    idx = exsub_window_index(e0, length=L)
+    inc = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed)
+        for r in exsub_dedup_incremental(e1, idx, length=L).collect()
+    }
+    full = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(e0.unionByName(e1), length=L).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full
+    assert inc[10][2] > 0 and inc[13] == ("", 6, 6) and inc[11][2] == 0
+
+
+def test_exsub_incremental_history_wins_over_smaller_batch_id(spark):
+    """Arrival-order canonicality: a batch doc with a SMALLER id than the
+    history holder still loses every occurrence of an indexed window —
+    frozen history cannot re-open (the dedup_exact_incremental
+    contract), which is exactly where the epoch fold deliberately
+    diverges from batch-on-union."""
+    from tamer_spark.operators.runs import (
+        exact_substring_dedup,
+        exsub_dedup_incremental,
+        exsub_window_index,
+    )
+
+    L = 4
+    e0 = _docs(spark, [(100, "k1 k2 k3 k4")])
+    e1 = _docs(spark, [(1, "k1 k2 k3 k4")])  # smaller id, same content
+    idx = exsub_window_index(e0, length=L)
+    got = exsub_dedup_incremental(e1, idx, length=L).collect()[0]
+    assert (got.text_dedup, got.n_removed) == ("", 4)
+    # batch-on-union would instead keep doc 1 (min id) and empty doc 100
+    batch = {
+        r.doc_id: r.n_removed
+        for r in exact_substring_dedup(
+            e0.unionByName(e1), length=L
+        ).collect()
+    }
+    assert batch == {1: 0, 100: 4}
+
+
+def test_exsub_incremental_index_advance_two_epochs(spark):
+    """Epoch 2 must dedup against the ADVANCED index (e0 hashes union
+    e1's distinct hashes): a window first seen in e1 is canonical there
+    and must be cut from e2."""
+    from tamer_spark.operators.dedup_incremental import append_keys
+    from tamer_spark.operators.runs import (
+        exsub_dedup_incremental,
+        exsub_window_index,
+        token_window_hashes,
+    )
+
+    L = 4
+    e0 = _docs(spark, [(1, "a1 a2 a3 a4 a5")])
+    e1 = _docs(spark, [(10, "b1 b2 b3 b4 b5")])
+    e2 = _docs(
+        spark,
+        [
+            (20, f"z1 b1 b2 b3 b4 z2"),   # dup vs e1's windows
+            (21, "a2 a3 a4 a5"),           # dup vs e0's windows
+            (22, "fresh f2 f3 f4 f5"),     # clean
+        ],
+    )
+    idx0 = exsub_window_index(e0, length=L)
+    s1 = exsub_dedup_incremental(e1, idx0, length=L)
+    assert s1.collect()[0].n_removed == 0
+    idx1 = append_keys(
+        idx0.withColumnRenamed("h", "content_hash"),
+        token_window_hashes(e1, length=L).select(
+            F.col("h").alias("content_hash")
+        ).distinct(),
+    ).withColumnRenamed("content_hash", "h")
+    got = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental(e2, idx1, length=L).collect()
+    }
+    assert got == {20: 4, 21: 4, 22: 0}
