@@ -261,3 +261,68 @@ def numeric_drift(
         .select(_bucket_expr(lo, width, n_buckets).alias("bucket"))
     )
     return category_drift(bucket(epoch_a), bucket(epoch_b), ("bucket",))
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_col: str,
+    text_col: str = "text",
+    n_window: int = 0,
+) -> DataFrame:
+    """Vocabulary-growth / OOV monitor — the fourth monitoring leg
+    (Heaps' law planning curve): per ordered ingestion bucket (epoch
+    number, crawl snapshot index), how many NEVER-SEEN-BEFORE terms
+    arrived and what the cumulative vocabulary is. A bucket whose
+    new-term count jumps signals a domain shift (new language, new
+    source, encoding damage) before any quality score moves; the curve's
+    flattening rate is the Heaps exponent capacity planners fit.
+
+    ``bucket_col`` must be ordered by arrival (the caller owns the
+    mapping — epoch number in the steady-state loop). Exact, integer-
+    only: a term's debut bucket is ``min(bucket)`` (partial-aggregable),
+    new-terms-per-bucket is a count over the vocabulary-sized debut
+    table, and the cumulative sum runs over the ≤ #buckets-row result —
+    the only window in the plan, bounded by the bucket count, never by
+    data (``n_window`` pins the expectation: when > 0, raises if the
+    bucket count exceeds it — the max_groups guard convention).
+
+    Returns (bucket, n_occurrences, n_new_terms, cum_vocab) — buckets
+    with occurrences but zero debuts surface with 0, not a missing row.
+
+    Scale shape: one vocabulary-bounded min agg + one occurrence count
+    per bucket (both partial-aggregable; the corpus shuffles its words
+    once), then bucket-count-sized joins and window.
+    """
+    from pyspark.sql import Window
+
+    from tamer_spark.operators.dedup import normalize_text
+
+    toks = (
+        docs.select(
+            F.col(bucket_col).alias("bucket"),
+            F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    debut = toks.groupBy("word").agg(F.min("bucket").alias("fb"))
+    newt = debut.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new_terms")
+    )
+    occ = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    out = occ.join(newt, "bucket", "left").withColumn(
+        "n_new_terms", F.coalesce(F.col("n_new_terms"), F.lit(0))
+    )
+    if n_window:
+        n = out.count()
+        if n > n_window:
+            raise ValueError(
+                f"vocab_growth: {n} buckets exceeds n_window={n_window}; "
+                "the cumulative window is meant for a bounded epoch count"
+            )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "bucket",
+        "n_occurrences",
+        "n_new_terms",
+        F.sum("n_new_terms").over(cum).alias("cum_vocab"),
+    )

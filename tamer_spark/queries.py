@@ -4464,6 +4464,21 @@ def heavy_hitters_docs_q(spark, sf):
     FROM ({_heavy_oracle()})
     UNION ALL
     SELECT 'sgram', pair, rank, cnt, CAST(NULL AS DOUBLE) FROM ({_SGRAM_ORACLE})
+    UNION ALL
+    SELECT 'vgrow', CAST(bucket AS VARCHAR), CAST(n_new_terms AS BIGINT),
+           CAST(cum_vocab AS BIGINT), CAST(n_occurrences AS DOUBLE)
+    FROM (
+      WITH vmx AS (SELECT MAX(doc_id) // 10 + 1 AS wdt FROM documents),
+      vtok AS (SELECT doc_id // wdt AS bucket,
+                      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+               FROM documents CROSS JOIN vmx),
+      vtok2 AS (SELECT * FROM vtok WHERE length(word) > 0),
+      vdeb AS (SELECT word, MIN(bucket) AS fb FROM vtok2 GROUP BY word),
+      vnew AS (SELECT fb AS bucket, COUNT(*) AS n_new_terms FROM vdeb GROUP BY fb),
+      vocc AS (SELECT bucket, COUNT(*) AS n_occurrences FROM vtok2 GROUP BY bucket)
+      SELECT o.bucket, o.n_occurrences, COALESCE(n.n_new_terms, 0) AS n_new_terms,
+             SUM(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY o.bucket) AS cum_vocab
+      FROM vocc o LEFT JOIN vnew n USING (bucket))
     """,
     doc=(
         "Corpus term statistics as one tagged union (r6 window re-pack; "
@@ -4503,7 +4518,16 @@ def heavy_hitters_docs_q(spark, sf):
         "ride ONE (doc_id, pos) window exchange as stacked lead() columns, "
         "the reverse direction is a map-side transpose (no second scan), "
         "counts partial-aggregate on the vocab² pair space, top-20 via "
-        "TakeOrdered + a <=k rank window."
+        "TakeOrdered + a <=k rank window. "
+        "vgrow (r12 continuation): vocabulary-growth / OOV monitor "
+        "(operators/drift.vocab_growth, the Heaps-curve planning "
+        "statistic) — per ordered ingestion bucket (doc_id div "
+        "(max div 10 + 1), derived in-plan via a broadcast 1-row max) "
+        "the never-seen-before term count (debut = min(bucket), partial-"
+        "aggregable over the vocabulary) and cumulative vocab (the only "
+        "window, over <= #buckets rows, n_window-guarded); zero-debut "
+        "buckets surface with 0; a new-term spike flags domain shift "
+        "before any quality score moves."
     ),
 )
 def term_stats_docs_q(spark, sf):
@@ -4580,12 +4604,31 @@ def term_stats_docs_q(spark, sf):
         F.col("cnt").alias("n"),
         F.lit(None).cast("double").alias("score"),
     )
+    # vocabulary growth (r12 continuation): ordered ingestion buckets
+    # derived in-plan (doc_id div (max_id div 10 + 1) — the max rides a
+    # broadcast 1-row cross join, no collect), then the vocab_growth
+    # monitor (operators/drift.py)
+    from tamer_spark.operators.drift import vocab_growth
+
+    d = _t(spark, sf, "documents")
+    mx = d.agg(F.expr("max(doc_id) div 10").alias("_w10"))
+    db = d.crossJoin(F.broadcast(mx)).select(
+        F.expr("doc_id div (_w10 + 1)").alias("vb"), "text"
+    )
+    vgrow = vocab_growth(db, "vb", n_window=64).select(
+        F.lit("vgrow").alias("variant"),
+        F.col("bucket").cast("string").alias("term"),
+        F.col("n_new_terms").alias("id"),
+        F.col("cum_vocab").alias("n"),
+        F.col("n_occurrences").cast("double").alias("score"),
+    )
     return (
         ngram.unionByName(tfidf)
         .unionByName(cms)
         .unionByName(pmi)
         .unionByName(heavy)
         .unionByName(sgram)
+        .unionByName(vgrow)
     )
 
 

@@ -198,3 +198,53 @@ def test_numeric_drift_nulls_never_reach_bucket_zero(spark):
     per = numeric_drift(a, b, "val", lo=0, width=10, n_buckets=4).collect()
     assert {(r.bucket, r.n_a, r.n_b) for r in per} == {(0, 1, 1)}
     assert all(r.drift_ppm == 0 for r in per)
+
+
+def test_vocab_growth_curve_and_zero_debut_bucket(spark):
+    from tamer_spark.operators.drift import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a"),        # debuts: a, b
+            (0, "b c"),          # debut: c
+            (1, "a b c"),        # no debuts — bucket must still surface
+            (2, "d a"),          # debut: d
+        ],
+        "vb long, text string",
+    )
+    got = {
+        r.bucket: (r.n_occurrences, r.n_new_terms, r.cum_vocab)
+        for r in vocab_growth(docs, "vb").collect()
+    }
+    assert got == {0: (5, 3, 3), 1: (3, 0, 3), 2: (2, 1, 4)}
+
+
+def test_vocab_growth_debut_is_min_bucket_and_normalization(spark):
+    # a term seen in buckets 2 then 0 debuts at 0 (min, not first-row);
+    # normalization lowercases and collapses whitespace before counting
+    from tamer_spark.operators.drift import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(2, "Zeta  yy"), (0, "zeta"), (1, "YY")],
+        "vb long, text string",
+    )
+    got = {
+        r.bucket: (r.n_new_terms, r.cum_vocab)
+        for r in vocab_growth(docs, "vb").collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 2), 2: (0, 2)}
+
+
+def test_vocab_growth_n_window_guard(spark):
+    import pytest
+
+    from tamer_spark.operators.drift import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(5)], "vb long, text string"
+    )
+    with pytest.raises(ValueError, match="exceeds n_window"):
+        vocab_growth(docs, "vb", n_window=3)
+    # generous bound passes and the last bucket's cum equals total vocab
+    rows = vocab_growth(docs, "vb", n_window=64).collect()
+    assert max(r.cum_vocab for r in rows) == 5
