@@ -537,7 +537,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry

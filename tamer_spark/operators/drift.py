@@ -297,8 +297,14 @@ def vocab_growth(
 
     from tamer_spark.operators.dedup import normalize_text
 
+    # NULL buckets dropped outright: a debut "at NULL" is meaningless for
+    # an ORDERED growth curve, and NULL ordering in the cumulative window
+    # is the one place the engines disagree (Spark NULLS FIRST asc,
+    # DuckDB NULLS LAST) — the same divergence class as the r11
+    # concat_ws/|| finding, killed at the source
     toks = (
-        docs.select(
+        docs.filter(F.col(bucket_col).isNotNull())
+        .select(
             F.col(bucket_col).alias("bucket"),
             F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
         )

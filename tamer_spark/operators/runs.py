@@ -172,7 +172,11 @@ def _remove_marked_windows(
     operators: ``dups`` = (id, pos) window starts to cut; merge them into
     maximal intervals and rebuild each doc's text from surviving tokens.
     Returns (id, text_dedup, n_tokens, n_removed) — one row per ``df``
-    row, untouched docs pass through with their normalized text."""
+    row, untouched docs pass through with their normalized text.
+
+    NULL-text contract (pinned cross-engine): a NULL text yields
+    (NULL, NULL, 0) — nothing to cut, the text stays NULL, n_tokens is
+    NULL (ANSI size semantics) and n_removed is 0."""
     from tamer_spark.operators.dedup import normalize_text
 
     # gaps-and-islands over removal windows [pos, pos+L-1]: a new island

@@ -1919,7 +1919,9 @@ def _exsub_epoch_removal_ctes(p: str, pred: str, idx: str) -> str:
                 WHERE v.doc_id IS NULL),
     {p}reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_dedup
                FROM {p}kept GROUP BY doc_id),
-    {p}out AS (SELECT w.doc_id, COALESCE(r.text_dedup, '') AS text_dedup
+    {p}out AS (SELECT w.doc_id,
+                      CASE WHEN w.w IS NULL THEN NULL
+                           ELSE COALESCE(r.text_dedup, '') END AS text_dedup
                FROM {p}ws w LEFT JOIN {p}reb r USING (doc_id))"""
 
 
@@ -3961,9 +3963,12 @@ _EXSUB_ORACLE = f"""
                    WHERE v.doc_id IS NULL),
          xreb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_dedup,
                          COUNT(*) AS n_kept FROM xkept GROUP BY doc_id)
-    SELECT w.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+    SELECT w.doc_id,
+           CASE WHEN w.w IS NULL THEN NULL
+                ELSE COALESCE(r.text_dedup, '') END AS text_dedup,
            CAST(len(w.w) AS BIGINT) AS n_tokens,
-           CAST(len(w.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+           CAST(CASE WHEN w.w IS NULL THEN 0
+                     ELSE len(w.w) - COALESCE(r.n_kept, 0) END AS BIGINT) AS n_removed
     FROM xws w LEFT JOIN xreb r USING (doc_id)
     """
 

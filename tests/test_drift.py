@@ -248,3 +248,22 @@ def test_vocab_growth_n_window_guard(spark):
     # generous bound passes and the last bucket's cum equals total vocab
     rows = vocab_growth(docs, "vb", n_window=64).collect()
     assert max(r.cum_vocab for r in rows) == 5
+
+
+def test_vocab_growth_null_bucket_dropped(spark):
+    # NULL buckets are dropped at the source: debut-at-NULL is
+    # meaningless for an ordered curve, and NULL window ordering is
+    # engine-divergent — so neither the occurrences nor the debuts of a
+    # NULL-bucket doc may influence any real bucket
+    from tamer_spark.operators.drift import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (None, "a z q"), (1, "b c")],
+        "vb long, text string",
+    )
+    got = {
+        r.bucket: (r.n_occurrences, r.n_new_terms, r.cum_vocab)
+        for r in vocab_growth(docs, "vb").collect()
+    }
+    # 'z'/'q' never debut anywhere; 'a' debuts at 0 (not at NULL)
+    assert got == {0: (2, 2, 2), 1: (2, 1, 3)}

@@ -420,3 +420,42 @@ def test_exsub_incremental_index_advance_two_epochs(spark):
         for r in exsub_dedup_incremental(e2, idx1, length=L).collect()
     }
     assert got == {20: 4, 21: 4, 22: 0}
+
+
+def test_exsub_null_text_contract_matches_duckdb_replay(spark):
+    """NULL-text contract, three-engine convention: a NULL text yields
+    (NULL, NULL, 0) from BOTH the operator and the gate's oracle SQL
+    (the fixture carries no NULL texts, so this pin is the only guard on
+    that branch — the r11 concat_ws/|| lesson)."""
+    import math
+
+    import duckdb
+
+    from tamer_spark.operators.runs import exact_substring_dedup
+    from tamer_spark.queries import _EXSUB_ORACLE
+
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 tail1 tail2"),
+        (2, "pre w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 post"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.text_dedup, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, length=12).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    norm = lambda v: None if (isinstance(v, float) and math.isnan(v)) else v  # noqa: E731
+    want = sorted(
+        tuple(norm(x) for x in r)
+        for r in con.execute(_EXSUB_ORACLE).fetchall()
+    )
+    assert got == want
+    by_id = dict((t[0], t[1:]) for t in got)
+    assert by_id[3] == (None, None, 0)
+    assert by_id[4] == ("", 1, 0)
+    # doc 2 lost exactly the shared 12-token run, doc 1 kept it
+    assert by_id[1][2] == 0 and by_id[2] == ("pre post", 14, 12)
