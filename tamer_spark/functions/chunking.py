@@ -57,3 +57,44 @@ def chunk_text_expr(text: Column, words_per_chunk: int = 50) -> Column:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(ws, i * words_per_chunk + 1, words_per_chunk)),
     )
+
+
+def chunk_text_overlap_expr(
+    text: Column, words_per_chunk: int = 50, overlap: int = 10
+) -> Column:
+    """Sliding-window chunking with overlap — the RAG-ingestion shape
+    (retrieval chunks overlap so a fact straddling a boundary is whole in
+    at least one chunk; LangChain/LlamaIndex-style splitters default to
+    10-20% overlap). Chunk ``i`` covers words
+    ``[i·stride + 1, i·stride + words_per_chunk]`` with
+    ``stride = words_per_chunk − overlap``; the last chunk may be short;
+    a doc of ≤ words_per_chunk words is one chunk.
+
+    Chunk count is ``(n − wpc + stride − 1) div stride + 1`` — the
+    double-division-then-truncate below is exact because the numerator is
+    a word count (< 2^53, exactly representable, and IEEE division of
+    exact operands rounds an integer-valued quotient to itself). The
+    whole expression is codegen'd JVM array math (zero shuffles), and
+    ``overlap = 0`` degrades to ``chunk_text_expr`` (pinned in tests)."""
+    if not 0 <= overlap < words_per_chunk:
+        raise ValueError(
+            f"overlap must be in [0, words_per_chunk): got {overlap} vs {words_per_chunk}"
+        )
+    from tamer_spark.operators.dedup import normalize_text
+
+    stride = words_per_chunk - overlap
+    ws = F.split(normalize_text(text), " ")
+    n = F.size(ws).cast("long")
+    # integer ceil-div: (n - wpc + stride - 1) div stride — positive in
+    # the branch where it's used, so truncation == floor (exactness per
+    # the docstring note)
+    extra = ((n - F.lit(words_per_chunk) + F.lit(stride - 1)) / F.lit(stride)).cast(
+        "long"
+    )
+    n_chunks = F.when(n <= words_per_chunk, F.lit(1).cast("long")).otherwise(extra + 1)
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, (i * stride + 1).cast("int"), words_per_chunk)
+        ),
+    )

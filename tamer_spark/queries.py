@@ -4889,8 +4889,16 @@ def approx_distinct_users(spark, sf):
     UNION ALL
     SELECT 'bpe', d.doc_id, COALESCE(b.n_tokens, 0), COALESCE(b.toks, '')
     FROM documents d LEFT JOIN bpe b USING (doc_id)
+    UNION ALL
+    SELECT 'overlap', doc_id, CAST(c.chunk_id AS BIGINT), c.chunk FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(
+               CASE WHEN len(w) <= 50 THEN 1
+                    ELSE (len(w) - 50 + 39) // 40 + 1 END),
+               i -> {'chunk_id': i, 'chunk': array_to_string(w[CAST(i*40+1 AS BIGINT):CAST(i*40+50 AS BIGINT)], ' ')})) AS c
+      FROM ws) t
     """,
-    doc="Tokenization surface as one tagged union. chunk: context-window chunking (50-word budget) via JVM array slicing + posexplode; UDTF twin tested equivalent in tests/test_bucketing_chunking.py. bpe: the Arrow-batched BPE tokenizer (functions/bpe.py apply_bpe — mapInPandas with an LRU per-word encode cache) run end-to-end under a fixed non-interacting merge table, gating the exact TOKEN SEQUENCE per document: the merges are pairwise char-disjoint and feed no later merge, so greedy rank-priority application provably equals independent replace-all, which the oracle expresses as char-spacing + string replaces. Merge LEARNING (train_bpe — distributed top-K word frequencies, driver-side merge recurrence) is pytest-pinned in tests/test_bpe.py; the recurrence is not SQL-expressible.",
+    doc="Tokenization surface as one tagged union. chunk: context-window chunking (50-word budget) via JVM array slicing + posexplode; UDTF twin tested equivalent in tests/test_bucketing_chunking.py. overlap (r12 continuation): sliding-window chunking (functions/chunking.chunk_text_overlap_expr, 50-word budget / 10-word overlap, stride 40 — the RAG-ingestion shape: a fact straddling a boundary is whole in at least one chunk); chunk count via integer ceil-div (double-division exactness documented), codegen'd array math, zero shuffles; overlap=0 degrades to the plain chunker (pinned). bpe: the Arrow-batched BPE tokenizer (functions/bpe.py apply_bpe — mapInPandas with an LRU per-word encode cache) run end-to-end under a fixed non-interacting merge table, gating the exact TOKEN SEQUENCE per document: the merges are pairwise char-disjoint and feed no later merge, so greedy rank-priority application provably equals independent replace-all, which the oracle expresses as char-spacing + string replaces. Merge LEARNING (train_bpe — distributed top-K word frequencies, driver-side merge recurrence) is pytest-pinned in tests/test_bpe.py; the recurrence is not SQL-expressible.",
 )
 def chunk_documents(spark, sf):
     from tamer_spark.functions.bpe import GATE_MERGES, apply_bpe
@@ -4914,7 +4922,20 @@ def chunk_documents(spark, sf):
         F.col("n_tokens").alias("idx"),
         F.array_join("tokens", " ").alias("content"),
     )
-    return chunks.unionByName(toks)
+    from tamer_spark.functions.chunking import chunk_text_overlap_expr
+
+    ov = d.select(
+        "doc_id",
+        F.posexplode_outer(chunk_text_overlap_expr(F.col("text"), 50, 10)).alias(
+            "chunk_id", "chunk"
+        ),
+    ).select(
+        F.lit("overlap").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("idx"),
+        F.col("chunk").alias("content"),
+    )
+    return chunks.unionByName(toks).unionByName(ov)
 
 
 @q(
