@@ -492,6 +492,9 @@ HEADLINE = {
     # grouped two-pass percentile (r12): per-group grids, driver targets
     # bounded by groups·buckets, one (group, bucket) rank window
     "grouped_percentiles_orders": None,
+    # vocabulary-growth monitor (r12): one vocabulary-bounded debut agg +
+    # per-bucket occurrence counts + a <= #buckets-row cumulative window
+    "vocab_growth_docs": None,
 }
 
 # HEAP-ISOLATED GROUPS (round 5): each group warms up, times, and tears down
@@ -528,7 +531,7 @@ GROUPS: list[tuple[str, list[str]]] = [
         "substring_run_pairs", "contamination_score_docs", "exsub_dedup_docs",
         "dsir_select_docs", "seeded_shuffle_docs", "event_anomaly_daily",
         "heavy_hitters_docs", "global_percentiles_orders", "domain_cap_docs",
-        "skipgram_top_pairs", "grouped_percentiles_orders",
+        "skipgram_top_pairs", "grouped_percentiles_orders", "vocab_growth_docs",
     ]),
 ]
 
@@ -590,6 +593,7 @@ SERIES = {
     "domain_cap_docs": "r12",
     "skipgram_top_pairs": "r12",
     "grouped_percentiles_orders": "r12",
+    "vocab_growth_docs": "r12",
 }
 
 

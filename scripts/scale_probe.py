@@ -115,6 +115,13 @@ OPS = [
     # probe existing is itself the evidence that the removal half dodges
     # the pair half's blowup.
     "exsub_dedup_docs",
+    # r12 continuation: vocabulary-growth monitor — one vocabulary-bounded
+    # debut agg + per-bucket occurrence counts + a #buckets-row window;
+    # expect ~linear in corpus tokens. The builder derives bucket width
+    # from each corpus's OWN max(doc_id) (div 10 + 1), so the salted-id
+    # synthesis still yields ~10 buckets and the n_window=64 guard holds
+    # at every step.
+    "vocab_growth_docs",
     # r12 continuation: skip-gram pair mining — one (doc_id, pos) window
     # + vocab²-bounded count; expect ~linear in corpus tokens
     "skipgram_top_pairs",

@@ -38,6 +38,8 @@ __all__ = [
     "value_histogram",
     "histogram_merge",
     "numeric_drift",
+    "vocab_growth",
+    "vocab_growth_incremental",
 ]
 
 
@@ -331,4 +333,37 @@ def vocab_growth(
         "n_occurrences",
         "n_new_terms",
         F.sum("n_new_terms").over(cum).alias("cum_vocab"),
+    )
+
+
+def vocab_growth_incremental(
+    batch: DataFrame,
+    term_index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-epoch OOV measurement against a FROZEN term index — the
+    O(batch) form of ``vocab_growth`` (whose debut election re-shuffles
+    the whole corpus's words; the wrong loop once history is PB-scale,
+    the dedup_incremental posture applied to monitoring): history is
+    reduced once to its distinct-term set, the epoch hashes only itself.
+
+    Returns one row: (n_occurrences, n_terms, n_new_terms) — the epoch's
+    token count, distinct-term count, and terms absent from the index.
+    Advance the index with ``append_keys(index, batch distinct terms)``
+    (all of them — after this epoch every batch term is seen).
+
+    Shuffles: one batch-vocabulary agg + one anti-join vs the index
+    (exchange-free on the index side when bucketed on ``term``)."""
+    from tamer_spark.operators.dedup import normalize_text
+
+    toks = batch.select(
+        F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    terms = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    new = terms.join(term_index.select(F.col("term").alias("word")), "word", "left_anti")
+    return (
+        terms.agg(
+            F.sum("c").alias("n_occurrences"), F.count(F.lit(1)).alias("n_terms")
+        )
+        .crossJoin(F.broadcast(new.agg(F.count(F.lit(1)).alias("n_new_terms"))))
     )

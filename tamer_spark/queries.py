@@ -6712,6 +6712,17 @@ def transition_counts_events_q(spark, sf):
     return transition_counts(_t(spark, sf, "events"))
 
 
+def vocab_growth_docs_q(spark, sf):
+    from tamer_spark.operators.drift import vocab_growth
+
+    d = _t(spark, sf, "documents")
+    mx = d.agg(F.expr("max(doc_id) div 10").alias("_w10"))
+    db = d.crossJoin(F.broadcast(mx)).select(
+        F.expr("doc_id div (_w10 + 1)").alias("vb"), "text"
+    )
+    return vocab_growth(db, "vb", n_window=64)
+
+
 
 STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi_active_customers": join_semi_active_customers,
@@ -6776,6 +6787,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_percentiles_orders": global_percentiles_orders_q,
     "grouped_percentiles_orders": grouped_percentiles_orders_q,
     "domain_cap_docs": domain_cap_docs_q,
+    "vocab_growth_docs": vocab_growth_docs_q,
 }
 
 
