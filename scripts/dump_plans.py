@@ -45,6 +45,8 @@ SHOW = [
     ("domain_cap_docs", "Per-domain cap (r12): group counts broadcast back, mega-groups threshold-cut map-side to ~cap·slack rows, survivor recount folds into per-group metadata via a bounded agg — exactly ONE rank window, fed by the skew-splittable join."),
     ("skipgram_top_pairs", "Skip-gram pairs (r12): all ±offsets ride ONE (doc_id, pos) exchange as stacked leads; both directions emitted map-side (struct explode, no self-union); vocab²-bounded partial-agg count; top-k via TakeOrderedAndProject."),
     ("grouped_percentiles_orders", "Grouped two-pass percentile (r12): per-group grids broadcast back; pass-2 semi-joins to ONLY the target (group, bucket) cells before the rank window — no per-group sort of full groups anywhere."),
+    ("exsub_dedup_docs", "ExactSubstr removal (r12): keeper election = groupBy(h) partial aggs + one posting⋈keeper equi-join (never a window-over-h — hot boilerplate hashes shrink map-side); duplicate-only interval assembly; O(n_tokens) splice rebuild; the corpus scans exactly twice (hash pass + rebuild pass, plan-pinned)."),
+    ("vocab_growth_docs", "Vocabulary-growth monitor (r12): one vocabulary-bounded debut agg (min bucket, partial-aggregable) + per-bucket occurrence counts; the ONLY window runs over ≤ #buckets rows — nothing data-sized sorts."),
 ]
 
 def main() -> None:
