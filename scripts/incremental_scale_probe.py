@@ -59,6 +59,27 @@ def synth_batch(spark, n: int, dup_fraction: float, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def synth_exsub_docs(spark, n_docs: int, path: str, prefix: str, dup_of: str | None = None, dup_fraction: float = 0.0) -> None:
+    """15-token docs (4 windows at L=12) with per-doc-unique tokens;
+    ``dup_fraction`` of rows verbatim-copy the ``dup_of`` corpus's doc
+    (id mod base) so window hashes collide at every index scale."""
+    from pyspark.sql import functions as F
+
+    toks = [F.concat(F.lit(f"{prefix}t{j}x"), F.col("src").cast("string")) for j in range(15)]
+    n_dup = int(n_docs * dup_fraction)
+    df = spark.range(n_docs).select(
+        (F.col("id") + (20_000_000 if dup_of else 0)).alias("doc_id"),
+        F.col("id").alias("src"),
+    )
+    text = F.concat_ws(" ", *toks)
+    if dup_of:
+        dup_toks = [
+            F.concat(F.lit(f"{dup_of}t{j}x"), F.col("src").cast("string")) for j in range(15)
+        ]
+        text = F.when(F.col("src") < n_dup, F.concat_ws(" ", *dup_toks)).otherwise(text)
+    df.select("doc_id", text.alias("text")).write.mode("overwrite").parquet(path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-index", type=int, default=500_000)
@@ -66,6 +87,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=100_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--m-bits", type=int, default=1 << 27)  # 16 MB sidecar
+    ap.add_argument("--exsub-base-docs", type=int, default=50_000)
+    ap.add_argument("--exsub-batch", type=int, default=10_000)
     args = ap.parse_args()
 
     import tamer_spark
@@ -74,6 +97,7 @@ def main() -> None:
         dedup_exact_incremental_bloom,
         exact_bloom_index_df,
     )
+    from tamer_spark.operators.runs import exsub_dedup_incremental, exsub_window_index
 
     spark = tamer_spark.get_spark("incremental-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,6 +151,30 @@ def main() -> None:
                     )
                 ),
             }
+            # exsub arm: window-hash index of s× history docs (4 windows/doc
+            # at L=12), fixed batch with ~20 % history-dup docs — measures
+            # the removal epoch's anti/semi joins + splice as the index
+            # grows. Same posture as 'exact': the joins scan the index per
+            # epoch (bucketed persistence removes the exchange, not the
+            # scan); a bloom sidecar over window hashes is the same future
+            # lever as the digest sidecar.
+            hist_path = str(SCRATCH / f"exsub_hist_{s}x")
+            synth_exsub_docs(spark, args.exsub_base_docs * s, hist_path, "h")
+            xidx_path = str(SCRATCH / f"exsub_idx_{s}x")
+            exsub_window_index(
+                spark.read.parquet(hist_path), length=12
+            ).write.mode("overwrite").parquet(xidx_path)
+            xidx = spark.read.parquet(xidx_path)
+            xbatch_path = str(SCRATCH / "exsub_batch")
+            if s == args.scales[0]:
+                synth_exsub_docs(
+                    spark, args.exsub_batch, xbatch_path, "b", dup_of="h", dup_fraction=0.2
+                )
+            xbatch = spark.read.parquet(xbatch_path)
+            rec["exsub_index_rows"] = xidx.count()
+            rec["exsub_s"] = timed(
+                lambda: exsub_dedup_incremental(xbatch, xidx, length=12)
+            )
             out[f"{s}x"] = rec
             print(f"# {s}x: {rec}", file=sys.stderr)
         print(json.dumps({"batch": args.batch, "base_index": args.base_index, "results": out}))
