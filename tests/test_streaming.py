@@ -441,3 +441,96 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
     # the far-outside clicks never join
     assert all((c - i).total_seconds() <= 1800 for _, i, c in got)
+
+
+def test_streaming_exsub_removal_epochs(spark, tmp_path):
+    """ExactSubstr REMOVAL on the streaming runtime: each micro-batch cuts
+    its duplicated token runs against the persisted window-hash index via
+    foreachBatch (rebuilt texts appended to the corpus, the batch's
+    distinct window hashes appended to the index), so a verbatim run seen
+    in ANY earlier epoch — or earlier in the same batch — survives exactly
+    once corpus-wide while every host doc keeps its unique remainder
+    (row-preserving, unlike the drop-a-doc dedup fold above)."""
+    import pyspark.sql.functions as SF
+
+    from tamer_spark.operators.runs import (
+        exsub_dedup_incremental,
+        exsub_window_index,
+        token_window_hashes,
+    )
+    from tamer_spark.sinks import ParquetEpochSink
+
+    L = 4
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus_sink = ParquetEpochSink(str(tmp_path / "out"))
+    index_sink = ParquetEpochSink(str(tmp_path / "widx"))
+    seed = spark.createDataFrame(
+        [(1, "k1 k2 k3 k4 k5", 0)], "doc_id long, text string, n_removed long"
+    )
+    corpus_sink.write(seed, 0)
+    seed = seed.select("doc_id", "text")
+    index_sink.write(exsub_window_index(seed, length=L), 0)
+
+    def fold(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        idx = (
+            index_sink.read(s).filter(SF.col("epoch") <= epoch_id).select("h")
+        )
+        cut = exsub_dedup_incremental(batch_df, idx, length=L).persist()
+        corpus_sink.write(
+            cut.select("doc_id", SF.col("text_dedup").alias("text"), "n_removed"),
+            epoch_id + 1,
+        )
+        index_sink.write(
+            token_window_hashes(batch_df, length=L)
+            .select("h")
+            .distinct()
+            .join(idx, "h", "left_anti"),
+            epoch_id + 1,
+        )
+        cut.unpersist()
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    # epoch 1: one doc embeds the seed's run (cut, remainder kept), one
+    # fresh doc, and an intra-batch pair sharing a novel run
+    spark.createDataFrame(
+        [
+            (10, "pre k1 k2 k3 k4 k5 post"),
+            (11, "n1 n2 n3 n4 n5"),
+            (12, "x0 n1 n2 n3 n4 n5 x1"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(str(src))
+    run_available_now_foreach_batch(stream, str(tmp_path / "cp"), fold, output_mode="append")
+    # epoch 2: a doc embedding epoch-1's novel run — the ADVANCED index
+    # must cut it
+    spark.createDataFrame(
+        [(20, "z1 n1 n2 n3 n4 z2")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+    run_available_now_foreach_batch(stream, str(tmp_path / "cp"), fold, output_mode="append")
+
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in corpus_sink.read(spark).filter(SF.col("epoch") > 0).collect()
+    }
+    # doc 10 lost the 5-token seed run but kept its remainder; doc 11 is
+    # canonical for the novel run; doc 12 (intra-batch later (id, pos))
+    # lost it; doc 20 lost it against the advanced index
+    assert got[10] == ("pre post", 5)
+    assert got[11] == ("n1 n2 n3 n4 n5", 0)
+    assert got[12] == ("x0 x1", 5)
+    assert got[20] == ("z1 z2", 4)
+    # every batch doc survives as a row (row-preserving contract)
+    assert set(got) == {10, 11, 12, 20}
+    # crash-replay: re-running a committed epoch's fold overwrites its own
+    # partitions — corpus unchanged
+    replay = spark.createDataFrame(
+        [(20, "z1 n1 n2 n3 n4 z2")], "doc_id long, text string"
+    )
+    fold(replay, 1)
+    got2 = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in corpus_sink.read(spark).filter(SF.col("epoch") > 0).collect()
+    }
+    assert got2 == got
