@@ -603,3 +603,47 @@ def template_fingerprint_col(text: Column) -> Column:
     s = F.regexp_replace(s, TEMPLATE_HEX_RE, "<H>")
     s = F.regexp_replace(s, TEMPLATE_DIGIT_RE, "0")
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+# Unicode-script profiling: ONE pattern table drives the Spark columns AND
+# the generated oracle SQL (the sign_rows single-derivation rule — a drift
+# in one copy silently breaks operator↔oracle equality). Ranges are
+# literal-char classes built with chr() so the identical pattern string
+# works in Java regex and RE2 — the engines disagree on \\p{script} SYNTAX
+# (Java \\p{IsHan} vs RE2 \\p{Han}) but both accept codepoint ranges.
+# 'latin' includes Latin-1/Ext-A/B letters (C0–24F; the × ÷ signs ride
+# along — a documented heuristic, they never appear in prose counts that
+# matter). 'cjk' = Han + hiragana + katakana (the routing question is
+# "CJK pipeline or not", not language ID — lang_id_col owns that).
+SCRIPT_PATTERNS: dict[str, str] = {
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3040)}-{chr(0x30FF)}]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "hangul": f"[{chr(0xAC00)}-{chr(0xD7A3)}]",
+    "latin": f"[A-Za-z{chr(0x00C0)}-{chr(0x024F)}]",
+}
+
+
+def script_count_cols(text: Column) -> list[Column]:
+    """Per-script character counts, one ``n_<script>`` column per
+    SCRIPT_PATTERNS entry — the multilingual routing signal (which
+    pipeline: CJK segmentation? Arabic shaping? plain Latin?) computed at
+    parquet-scan rate, zero shuffles, before any per-language stage."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in sorted(SCRIPT_PATTERNS.items())
+    ]
+
+
+def dominant_script_col(text: Column) -> Column:
+    """The majority script, alphabetical-first on ties (a total order —
+    the lang_id_col convention), 'none' when no script chars at all."""
+    counts = {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in sorted(SCRIPT_PATTERNS.items())
+    }
+    g = F.greatest(*counts.values())
+    out = F.lit("none")
+    for name in sorted(SCRIPT_PATTERNS, reverse=True):
+        out = F.when((g > 0) & (counts[name] == g), F.lit(name)).otherwise(out)
+    return out

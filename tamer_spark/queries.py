@@ -1533,8 +1533,31 @@ def _text_profile_oracle() -> str:
     case_branches = " ".join(
         f"WHEN g > 0 AND s_{lang} = g THEN '{lang}'" for lang in sorted(score_exprs)
     )
+    from tamer_spark.functions.text import SCRIPT_PATTERNS
+
+    # script profiling: the SAME literal-char-class patterns drive the Spark
+    # columns (script_count_cols) and this SQL — single derivation, and
+    # codepoint ranges are the Java-regex/RE2 common subset (\\p{{script}}
+    # syntax is NOT). Every doc gets one planted non-Latin snippet
+    # (doc_id % 4) so all four non-Latin classes are live on the fixture.
+    scr_plant = (
+        "CASE doc_id % 4 WHEN 0 THEN ' Привет мир' WHEN 1 THEN ' 你好 こんにちは' "
+        "WHEN 2 THEN ' مرحبا بالعالم' ELSE ' 안녕하세요' END"
+    )
+    scr_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(st, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in sorted(SCRIPT_PATTERNS.items())
+    )
+    scr_names = sorted(SCRIPT_PATTERNS)
+    scr_g = "greatest(" + ", ".join(f"n_{n}" for n in scr_names) + ")"
+    scr_case = " ".join(f"WHEN sg > 0 AND n_{n} = sg THEN '{n}'" for n in scr_names)
+    scr_cols = ", ".join(f"scro.n_{n}" for n in scr_names)
     return f"""
     WITH stats AS ({_stats_oracle()}),
+    scrsrc AS (SELECT doc_id, text || {scr_plant} AS st FROM documents),
+    scr AS (SELECT doc_id, {scr_counts} FROM scrsrc),
+    scrg AS (SELECT *, {scr_g} AS sg FROM scr),
+    scro AS (SELECT *, CASE {scr_case} ELSE 'none' END AS script_pred FROM scrg),
     tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens FROM documents),
     lang_scored AS (SELECT doc_id, {scores_sql} FROM documents),
     lang_g AS (SELECT *, {greatest_sql} AS g FROM lang_scored),
@@ -1575,22 +1598,35 @@ def _text_profile_oracle() -> str:
     SELECT stats.*, tok.n_tokens, lang.lang_pred, fp.fingerprint,
            stop.cleaned_hash, stop.n_kept,
            pii.n_emails, pii.n_phones, pii.scrubbed_hash,
-           reps.n_shingles, reps.n_distinct, reps.repetition
+           reps.n_shingles, reps.n_distinct, reps.repetition,
+           {scr_cols}, scro.script_pred
     FROM stats
       JOIN tok USING (doc_id) JOIN lang USING (doc_id) JOIN fp USING (doc_id)
       JOIN stop USING (doc_id) JOIN pii USING (doc_id) JOIN reps USING (doc_id)
+      JOIN scro USING (doc_id)
     """
 
 
 @q(
     "text_profile",
     _text_profile_oracle(),
-    doc="Full per-document text profile in one pass: quality-score stats, BPE-ish token count, marker-word language ID, rolling-hash fingerprint, stopword removal (fingerprinted), PII detect+redact (emails/phones planted on 1-in-7 docs), and 3-gram repetition ratio. Fully map-only — zero shuffles: repetition is per-document, so the shingle set is a row-local array (array_distinct), not an exploded agg (8x faster at sf0.1 and no exchange at 100 TB). The shingle array is materialized in its own select so CollapseProject cannot re-inline it per reference.",
+    doc="Full per-document text profile in one pass: quality-score stats, BPE-ish token count, marker-word language ID, rolling-hash fingerprint, stopword removal (fingerprinted), PII detect+redact (emails/phones planted on 1-in-7 docs), and 3-gram repetition ratio, plus (r12) Unicode-script profiling — per-script char counts (Latin/Cyrillic/CJK/Arabic/Hangul literal-range classes, the Java-regex/RE2 common subset; \\p{script} syntax is engine-divergent) and the dominant script with alphabetical-first ties, over a derivation planting one non-Latin snippet per doc (doc_id %% 4) so all classes are live on the ASCII fixture — the multilingual ROUTING signal (CJK segmentation? Arabic shaping?) upstream of lang_id's language call. Fully map-only — zero shuffles: repetition is per-document, so the shingle set is a row-local array (array_distinct), not an exploded agg (8x faster at sf0.1 and no exchange at 100 TB). The shingle array is materialized in its own select so CollapseProject cannot re-inline it per reference.",
 )
 def text_profile_q(spark, sf):
+    from tamer_spark.functions.text import dominant_script_col, script_count_cols
     from tamer_spark.operators.dedup import normalize_text
 
     d = _t(spark, sf, "documents")
+    # script-profile plant (mirrored in the oracle's scr_plant CASE):
+    # every doc gains one non-Latin snippet so all four non-Latin script
+    # classes are live on the ASCII fixture
+    script_planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 你好 こんにちは"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا بالعالم"))
+        .otherwise(F.lit(" 안녕하세요")),
+    )
     planted = F.concat(
         F.col("text"),
         F.when(
@@ -1646,6 +1682,8 @@ def text_profile_q(spark, sf):
         (F.lit(1.0) - F.size(F.array_distinct("_sh")).cast("double") / F.size("_sh")).alias(
             "repetition"
         ),
+        *script_count_cols(script_planted),
+        dominant_script_col(script_planted).alias("script_pred"),
     )
 
 
