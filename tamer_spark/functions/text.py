@@ -635,15 +635,28 @@ def script_count_cols(text: Column) -> list[Column]:
     ]
 
 
-def dominant_script_col(text: Column) -> Column:
-    """The majority script, alphabetical-first on ties (a total order —
-    the lang_id_col convention), 'none' when no script chars at all."""
-    counts = {
-        name: F.regexp_count(text, F.lit(pat))
-        for name, pat in sorted(SCRIPT_PATTERNS.items())
-    }
-    g = F.greatest(*counts.values())
+def dominant_script_from_counts(counts: dict[str, Column]) -> Column:
+    """The majority script from PRE-COMPUTED count columns — use this when
+    the counts are already staged (script_count_cols in a prior select):
+    the greatest + tie chain references every count ~3×, and deriving it
+    from the text would pay ~15 regexp passes where 5 suffice (measured
+    +47 % on the text_profile gate before this split). Alphabetical-first
+    on ties (a total order — the lang_id_col convention), 'none' when no
+    script chars at all."""
+    g = F.greatest(*[counts[n] for n in sorted(counts)])
     out = F.lit("none")
-    for name in sorted(SCRIPT_PATTERNS, reverse=True):
+    for name in sorted(counts, reverse=True):
         out = F.when((g > 0) & (counts[name] == g), F.lit(name)).otherwise(out)
     return out
+
+
+def dominant_script_col(text: Column) -> Column:
+    """From-text convenience over ``dominant_script_from_counts`` — fine
+    standalone; inside a profile that ALSO emits the counts, stage them
+    once and use the from-counts form."""
+    return dominant_script_from_counts(
+        {
+            name: F.regexp_count(text, F.lit(pat))
+            for name, pat in sorted(SCRIPT_PATTERNS.items())
+        }
+    )

@@ -1663,9 +1663,21 @@ def text_profile_q(spark, sf):
             ),
         )
     )
+    # script counts staged ONCE next to the shingle array — script_pred's
+    # greatest/tie chain references every count ~3×, and an unstaged form
+    # re-evaluates the five regexp passes per reference (measured +47 %
+    # on this gate; CollapseProject keeps non-cheap staged exprs intact)
+    from tamer_spark.functions.text import SCRIPT_PATTERNS, dominant_script_from_counts
+
+    scr_names = sorted(SCRIPT_PATTERNS)
     staged = d.select(
-        "doc_id", "text", F.split(normalize_text(F.col("text")), " ").alias("_ws")
-    ).select("doc_id", "text", shingles.alias("_sh"))
+        "doc_id",
+        "text",
+        F.split(normalize_text(F.col("text")), " ").alias("_ws"),
+        *script_count_cols(script_planted),
+    ).select(
+        "doc_id", "text", shingles.alias("_sh"), *[f"n_{n}" for n in scr_names]
+    )
     return staged.select(
         "doc_id",
         *text_stats_cols(F.col("text")),
@@ -1682,8 +1694,10 @@ def text_profile_q(spark, sf):
         (F.lit(1.0) - F.size(F.array_distinct("_sh")).cast("double") / F.size("_sh")).alias(
             "repetition"
         ),
-        *script_count_cols(script_planted),
-        dominant_script_col(script_planted).alias("script_pred"),
+        *[F.col(f"n_{n}") for n in scr_names],
+        dominant_script_from_counts(
+            {n: F.col(f"n_{n}") for n in scr_names}
+        ).alias("script_pred"),
     )
 
 
