@@ -54,3 +54,17 @@ def test_latin_extended_counts_and_duckdb_parity(spark):
         ).fetchone()[0]
         assert getattr(r, f"n_{name}") == want, name
     assert r.n_latin == 14  # é ñ Đ đ all inside C0-24F; fullwidth ａ excluded
+
+
+def test_gate_stages_script_counts_once(spark):
+    """Plan pin for the staged-counts fix: each script pattern must be
+    evaluated exactly ONCE in the text_profile plan — the dominant-script
+    chain references every count ~3x, and an unstaged form re-inlines the
+    regexp per reference (measured +47% on the gate)."""
+    from tamer_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["text_profile"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, pat in SCRIPT_PATTERNS.items():
+        assert plan.count(pat) == 1, (name, plan.count(pat))
