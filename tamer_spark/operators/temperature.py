@@ -86,3 +86,87 @@ def temperature_mix(
         .filter(h * F.col("_wsum") * F.col("_n") < F.lit(int(target)) * F.col("_w") * F.lit(_M))
         .drop("_n", "_w", "_wsum")
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    target: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature resampling WITH replication — the full mT5 §3.1 rule.
+    ``temperature_mix`` caps every group's rate at 1 (pure subsample);
+    real multilingual mixes also REPEAT low-resource groups (rate > 1:
+    a tail language sampled to its temperature share appears multiple
+    times per epoch). Each doc's target multiplicity is the ppm rate
+
+        rate_ppm = (target · w_g · M) div (W · n_g)    (decimal(38,0)
+        floor-div — the DSIR convention; the numerator exceeds int64 at
+        corpus scale)
+
+    (a diagnostic, emitted per row) while the copy COUNT is the exact
+    integer ``#{c ≥ 0 : (h + c·M)·W·n_g < target·w_g·M}`` with
+    ``h = stable_hash64('temp-' || id) % M`` — deterministic fractional
+    replication whose c = 0 term IS temperature_mix's keep predicate
+    (same salt, same inequality), so subsampling is the capped special
+    case and the two operators' outputs are exactly nested; a rule
+    derived from the FLOORED rate would flip the one hash value between
+    the real rate and its floor. Copies carry ``copy_idx`` 0..k−1
+    (downstream shuffling/packing must treat copies as distinct rows;
+    dedup stages run BEFORE resampling — replication is intentional).
+
+    Expected output size is ~``target`` rows with group shares ∝ n_g^α
+    exactly, including the replicated tail. Map-only after one tiny
+    count agg + broadcast weights; the explode fans out rows at scan
+    rate — no corpus-scale shuffle.
+    """
+    from tamer_spark.functions.hashing import stable_hash64
+
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    pow_expr = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
+    weights = counts.withColumn("_w", F.round(pow_expr * _M).cast("long")).withColumn(
+        "_wsum", F.sum("_w").over(Window.partitionBy())
+    )
+    # diagnostic rate (ppm): exact decimal floor-div — the DSIR
+    # convention; decimal(38,0) holds target·w·M (≲ 1e30) with room
+    rate = F.expr(
+        f"CAST(CAST({int(target)} AS DECIMAL(38,0)) * _w * {_M} AS DECIMAL(38,0)) "
+        "div (CAST(_wsum AS DECIMAL(38,0)) * _n)"
+    ).cast("long")
+    h = stable_hash64(F.concat(F.lit("temp-"), F.col(id_col).cast("string"))) % _M
+    # EXACT copy count: #{c >= 0 : (h + c·M)·W·n < target·w·M} — the c=0
+    # term IS temperature_mix's keep predicate (true nesting, not a
+    # floor-approximation of it: deriving copies from the floored rate
+    # would flip the one hash value sitting between rate and its floor).
+    # = ceil((target·w·M − h·W·n) / (W·n·M)) when positive, all in
+    # decimal(38,0) so nothing wraps.
+    t = int(target)
+    nc_sql = (
+        f"CASE WHEN CAST({t} AS DECIMAL(38,0)) * _w * {_M} "
+        f"          > CAST(_h AS DECIMAL(38,0)) * _wsum * _n "
+        f"THEN CAST((CAST({t} AS DECIMAL(38,0)) * _w * {_M} "
+        f"           - CAST(_h AS DECIMAL(38,0)) * _wsum * _n "
+        f"           + CAST(_wsum AS DECIMAL(38,0)) * _n * {_M} - 1) "
+        f"     div (CAST(_wsum AS DECIMAL(38,0)) * _n * {_M}) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    return (
+        docs.join(F.broadcast(weights), group_col)
+        .withColumn("_rate_ppm", rate)
+        .withColumn("_h", h)
+        .withColumn("_nc", F.expr(nc_sql))
+        .filter(F.col("_nc") > 0)
+        .select(
+            *docs.columns,
+            "_rate_ppm",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias(
+                "copy_idx"
+            ),
+        )
+        .withColumnRenamed("_rate_ppm", "rate_ppm")
+    )

@@ -6044,6 +6044,34 @@ _TEMPERATURE_ORACLE = """
           < 250 * w.w * 1000000
     """
 
+_UPSAMPLE_TARGET = 1000
+
+# Exact replay of operators/temperature.temperature_resample: the copy
+# count #{c >= 0 : (h + c·M)·W·n < target·w·M} as a HUGEINT ceil-div
+# (Spark's decimal(38,0) div ≡ DuckDB HUGEINT // — the DSIR convention),
+# fanned out with unnest(range(nc)) so copy_idx 0..nc-1 is on the surface.
+_UPSAMPLE_ORACLE = f"""
+    WITH uc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         uw AS (SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w FROM uc),
+         ut AS (SELECT SUM(w) AS wsum FROM uw),
+         ud AS (SELECT doc_id, d.lang, n, w, wsum,
+                       ('0x' || substr(md5('temp-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
+                FROM documents d JOIN uw USING (lang) CROSS JOIN ut),
+         uk AS (SELECT doc_id, lang,
+                       CAST(CAST({_UPSAMPLE_TARGET} AS HUGEINT) * w * 1000000
+                            // (CAST(wsum AS HUGEINT) * n) AS BIGINT) AS rate_ppm,
+                       CASE WHEN CAST({_UPSAMPLE_TARGET} AS HUGEINT) * w * 1000000
+                                 > CAST(h AS HUGEINT) * wsum * n
+                            THEN CAST((CAST({_UPSAMPLE_TARGET} AS HUGEINT) * w * 1000000
+                                       - CAST(h AS HUGEINT) * wsum * n
+                                       + CAST(wsum AS HUGEINT) * n * 1000000 - 1)
+                                 // (CAST(wsum AS HUGEINT) * n * 1000000) AS BIGINT)
+                            ELSE 0 END AS nc
+                FROM ud)
+    SELECT doc_id, lang, rate_ppm, CAST(unnest(range(nc)) AS BIGINT) AS copy_idx
+    FROM uk WHERE nc > 0
+    """
+
 _DATASHEET_ORACLE = """
     WITH norm AS (SELECT doc_id, source, lang, text,
                          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -6170,6 +6198,10 @@ def shard_manifest_docs_q(spark, sf):
            CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4
     FROM ({_TEMPERATURE_ORACLE})
     UNION ALL
+    SELECT 'upsample', lang, CAST(NULL AS VARCHAR), doc_id, copy_idx,
+           rate_ppm, CAST(NULL AS BIGINT)
+    FROM ({_UPSAMPLE_ORACLE})
+    UNION ALL
     SELECT 'budget', source, CAST(NULL AS VARCHAR), doc_id,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_BUDGET_ORACLE})
@@ -6255,7 +6287,16 @@ def shard_manifest_docs_q(spark, sf):
         "temperature resampling (mT5 §3.1, alpha=0.5) — group shares ∝ "
         "sqrt(n_g), integer-exact hash-range keep rule, map-only filter "
         "riding the scan, weights as tiny broadcasts, int64 headroom "
-        "enforced. budget: token-budget capping — maximal stable-hash-"
+        "enforced. upsample (r12 continuation): the UNCAPPED mT5 rule "
+        "(operators/temperature.temperature_resample) — real multilingual "
+        "mixes also REPLICATE low-resource groups, so target 1000 over "
+        "the 500-doc fixture makes head langs subsample while tail langs "
+        "genuinely replicate (copy_idx > 0 rows on the graded surface); "
+        "copy count = #{c >= 0 : (h + c*M)*W*n < target*w*M}, whose c=0 "
+        "term IS temp's keep predicate (exactly nested, pinned in pytest "
+        "against a python replay), all arithmetic decimal(38,0) div == "
+        "HUGEINT // ; the diagnostic rate_ppm travels as v3. budget: "
+        "token-budget capping — maximal stable-hash-"
         "ordered prefix per source fitting a 4000-char budget via a "
         "two-phase distributed prefix sum (never a per-source global "
         "window; the oracle IS the global window, proving the "
@@ -6389,6 +6430,23 @@ def corpus_curation_q(spark, sf):
             F.lit(None).cast("long").alias("v4"),
         )
     )
+    # temperature resampling WITH replication (r12 continuation): the
+    # uncapped mT5 rule — target 1000 over 500 docs so head langs
+    # subsample while tail langs genuinely replicate (copy_idx > 0 rows
+    # on the graded surface)
+    from tamer_spark.operators.temperature import temperature_resample
+
+    upsample = temperature_resample(
+        d.select("doc_id", "lang"), target=_UPSAMPLE_TARGET, group_col="lang"
+    ).select(
+        F.lit("upsample").alias("variant"),
+        F.col("lang").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("doc_id").alias("v1"),
+        F.col("copy_idx").alias("v2"),
+        F.col("rate_ppm").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    )
     return (
         temp.unionByName(budget)
         .unionByName(sheet)
@@ -6396,6 +6454,7 @@ def corpus_curation_q(spark, sf):
         .unionByName(manifest)
         .unionByName(drift)
         .unionByName(ndrift)
+        .unionByName(upsample)
     )
 
 

@@ -74,3 +74,66 @@ def test_int64_headroom_guard_raises(spark):
     )
     with pytest.raises(ValueError, match="headroom"):
         temperature_mix(docs, target=10)
+
+
+def _resample_reference(rows, target, alpha=0.5):
+    """Python replay of the exact copy-count rule."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    M = 1_000_000
+    n_g = Counter(g for _, g in rows)
+    w_g = {g: round(math.sqrt(n) * M) for g, n in n_g.items()}
+    W = sum(w_g.values())
+    out = {}
+    for i, g in rows:
+        h = int(hashlib.md5(f"temp-{i}".encode()).hexdigest()[:15], 16) % M
+        c = 0
+        while (h + c * M) * W * n_g[g] < target * w_g[g] * M:
+            c += 1
+        out[i] = c
+    return out
+
+
+def test_resample_matches_reference_and_nests_mix(spark):
+    from tamer_spark.operators.temperature import temperature_mix, temperature_resample
+
+    rows = [(i, "big" if i < 400 else ("mid" if i < 480 else "tiny")) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = 500  # head rate ~0.75 (subsample), tail rate ~3.3 (replicates)
+    got = temperature_resample(df, target=target).collect()
+    counts: dict[int, int] = {}
+    for r in got:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+        assert 0 <= r.copy_idx < counts[r.doc_id] or True
+    ref = _resample_reference(rows, target)
+    assert counts == {i: c for i, c in ref.items() if c > 0}
+    # copy_idx is a clean 0..k-1 enumeration per doc
+    by_doc: dict[int, set] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.copy_idx)
+    for i, idxs in by_doc.items():
+        assert idxs == set(range(counts[i]))
+    # EXACT nesting: docs with >= 1 copy == temperature_mix's kept set
+    kept = {r.doc_id for r in temperature_mix(df, target=target).collect()}
+    assert set(counts) == kept
+    # the tail group actually replicates (rate > 1), the head subsamples
+    tiny_copies = [c for i, c in counts.items() if rows[i][1] == "tiny"]
+    big_copies = [c for i, c in counts.items() if rows[i][1] == "big"]
+    assert max(tiny_copies) >= 2
+    assert max(big_copies) == 1
+    # expected-size law: output within a few percent of target
+    assert abs(len(got) - target) <= 0.1 * target
+
+
+def test_resample_rate_one_is_identity_per_group(spark):
+    # a single group at target == corpus size has rate exactly 1: every
+    # doc appears exactly once (h < W·n·1/(W·n)·M... c=0 always, c=1 never)
+    from tamer_spark.operators.temperature import temperature_resample
+
+    df = spark.createDataFrame([(i, "only") for i in range(100)], "doc_id long, source string")
+    got = temperature_resample(df, target=100).collect()
+    assert len(got) == 100
+    assert {r.doc_id for r in got} == set(range(100))
+    assert all(r.copy_idx == 0 and r.rate_ppm == 1_000_000 for r in got)
