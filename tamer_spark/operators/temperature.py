@@ -125,8 +125,17 @@ def temperature_resample(
 
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
+    clash = {"copy_idx", "rate_ppm"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"temperature_resample emits {sorted(clash)}; rename those input columns"
+        )
     from pyspark.sql import Window
 
+    # NULL groups drop out (the join below never matches NULL == NULL) —
+    # identical in the SQL oracle's JOIN USING, and the right call: a doc
+    # with no group has no temperature share. Same behavior as
+    # temperature_mix.
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     pow_expr = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
     weights = counts.withColumn("_w", F.round(pow_expr * _M).cast("long")).withColumn(

@@ -137,3 +137,18 @@ def test_resample_rate_one_is_identity_per_group(spark):
     assert len(got) == 100
     assert {r.doc_id for r in got} == set(range(100))
     assert all(r.copy_idx == 0 and r.rate_ppm == 1_000_000 for r in got)
+
+
+def test_resample_rejects_reserved_columns_and_drops_null_groups(spark):
+    import pytest
+
+    from tamer_spark.operators.temperature import temperature_resample
+
+    bad = spark.createDataFrame([(1, "a", 0)], "doc_id long, source string, copy_idx long")
+    with pytest.raises(ValueError, match="copy_idx"):
+        temperature_resample(bad, target=10)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, source string"
+    )
+    got = temperature_resample(df, target=2).collect()
+    assert all(r.doc_id != 2 for r in got)  # NULL group has no share
