@@ -5096,18 +5096,58 @@ _Q10_SQL = """
 """
 
 
+# Q4-style: order-priority counts gated by a CORRELATED EXISTS (the
+# TPC-H Q4 shape re-keyed to the fixture's columns — lineitem carries no
+# commit/receipt dates, so the late-shipment predicate is
+# l_shipdate > o_orderdate). Q12-style: urgent-vs-rest CASE counts per
+# line status through the orders⋈lineitem join. Q14-style: promo revenue
+# share as two exact-cents sums through the part join (the ratio is
+# derivable; keeping both legs integer keeps the hash surface exact).
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+_Q12_SQL = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+"""
+
+_Q14_SQL = """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cc,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_cc
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
 _Q6_Q10_SQL = f"""
-    WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL})
-    SELECT q10.c_custkey, q10.c_name, q10.revenue_cc,
-           q6.revenue_cc AS q6_revenue_cc, q6.n_items AS q6_n_items
-    FROM q10 CROSS JOIN q6
+    WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL}),
+         q4 AS ({_Q4_SQL}), q12 AS ({_Q12_SQL}), q14 AS ({_Q14_SQL})
+    SELECT 'q10' AS variant, c_name AS k, c_custkey AS v1, revenue_cc AS v2 FROM q10
+    UNION ALL
+    SELECT 'q6', 'all', n_items, revenue_cc FROM q6
+    UNION ALL
+    SELECT 'q4', o_orderpriority, order_count, CAST(NULL AS BIGINT) FROM q4
+    UNION ALL
+    SELECT 'q12', l_linestatus, high_line_count, low_line_count FROM q12
+    UNION ALL
+    SELECT 'q14', 'all', promo_cc, total_cc FROM q14
 """
 
 
 @q(
     "sql_q6_q10",
     _Q6_Q10_SQL,
-    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API): TPC-H Q6-style scan-agg (both predicates reach the parquet scan) cross-joined as a 1-row broadcast onto the Q10-style returned-item top-20. One ANSI string runs verbatim on Spark AND DuckDB.",
+    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), five TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact).",
 )
 def sql_q6_q10(spark, sf):
     from tamer_spark.sql import register_tables
