@@ -5129,9 +5129,22 @@ _Q14_SQL = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
+# Q13-style: the customer order-count DISTRIBUTION — LEFT JOIN so
+# order-less customers land in the c_count = 0 bucket (COUNT(o_orderkey)
+# counts non-NULLs, the outer-join NULL-semantics trap), then a second
+# aggregation over the first's output.
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+    GROUP BY c_count
+"""
+
 _Q6_Q10_SQL = f"""
     WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL}),
-         q4 AS ({_Q4_SQL}), q12 AS ({_Q12_SQL}), q14 AS ({_Q14_SQL})
+         q4 AS ({_Q4_SQL}), q12 AS ({_Q12_SQL}), q14 AS ({_Q14_SQL}),
+         q13 AS ({_Q13_SQL})
     SELECT 'q10' AS variant, c_name AS k, c_custkey AS v1, revenue_cc AS v2 FROM q10
     UNION ALL
     SELECT 'q6', 'all', n_items, revenue_cc FROM q6
@@ -5141,13 +5154,15 @@ _Q6_Q10_SQL = f"""
     SELECT 'q12', l_linestatus, high_line_count, low_line_count FROM q12
     UNION ALL
     SELECT 'q14', 'all', promo_cc, total_cc FROM q14
+    UNION ALL
+    SELECT 'q13', '' || c_count, custdist, CAST(NULL AS BIGINT) FROM q13
 """
 
 
 @q(
     "sql_q6_q10",
     _Q6_Q10_SQL,
-    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), five TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact).",
+    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), five TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact), and Q13 the customer order-count distribution — LEFT JOIN so order-less customers land in c_count = 0 (COUNT(col) NULL semantics through an outer join) under a second-level aggregation; verbatim-ANSI footnote: Spark rejects bare CAST(x AS VARCHAR) (length required) while DuckDB rejects STRING, so the shared string renders ints with '' || x.",
 )
 def sql_q6_q10(spark, sf):
     from tamer_spark.sql import register_tables
