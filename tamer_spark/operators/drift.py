@@ -320,20 +320,33 @@ def vocab_growth(
     out = occ.join(newt, "bucket", "left").withColumn(
         "n_new_terms", F.coalesce(F.col("n_new_terms"), F.lit(0))
     )
+    cached = None
     if n_window:
-        n = out.count()
+        # The guard must run the corpus-scale tokenize/agg pipeline to
+        # learn the bucket count — persist the bucket-sized frame so the
+        # guard's execution and the returned plan share it (r12 ADVICE:
+        # a bare count here doubled the corpus work and made plan
+        # construction side-effectful). Lifetime tied to the result via
+        # the repo's _release_on_gc convention.
+        from tamer_spark.operators.dedup import _release_on_gc
+
+        cached = out.persist()
+        n = cached.count()
         if n > n_window:
+            cached.unpersist()
             raise ValueError(
                 f"vocab_growth: {n} buckets exceeds n_window={n_window}; "
                 "the cumulative window is meant for a bounded epoch count"
             )
+        out = cached
     cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return out.select(
+    result = out.select(
         "bucket",
         "n_occurrences",
         "n_new_terms",
         F.sum("n_new_terms").over(cum).alias("cum_vocab"),
     )
+    return result if cached is None else _release_on_gc(result, cached)
 
 
 def vocab_growth_incremental(

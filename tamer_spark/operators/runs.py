@@ -253,9 +253,15 @@ def exsub_window_index(
     distinct-ing, ~1 per token). Persist with
     ``write_bucketed(idx, ..., ["h"])`` so per-epoch joins need no
     exchange on the index side. Advance per epoch with
-    ``append_keys(index, distinct batch hashes)`` — after removal the
-    batch keeps exactly one occurrence of every batch hash (history-dup
-    hashes are already indexed), so ALL distinct batch hashes advance."""
+    ``append_keys(index, distinct batch hashes)`` — ALL distinct batch
+    hashes advance. NOTE the index tracks PRE-splice batch content, not
+    the retained corpus: a batch-local keeper's tokens can be swallowed
+    when its interval merges with an adjacent/overlapping removed
+    interval, so an advanced hash's L-gram may survive in no retained
+    text. That matches the batch operator's single-pass (no re-chase)
+    contract — treating such a window as "seen" keeps the fold
+    deterministic; re-chasing swallowed keepers would make removal
+    order-dependent."""
     return token_window_hashes(df, text_col, id_col, length).select("h").distinct()
 
 
@@ -287,6 +293,25 @@ def exsub_dedup_incremental(
     interval/rebuild tail shared with the batch operator."""
     from tamer_spark.operators.dedup import _release_on_gc
 
+    out, wh = exsub_dedup_incremental_with_cache(
+        new_df, index, text_col, id_col, length
+    )
+    return _release_on_gc(out, wh)
+
+
+def exsub_dedup_incremental_with_cache(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """``exsub_dedup_incremental`` returning ``(result, cached_window_hashes)``
+    so the caller driving the epoch loop can advance the index from the
+    SAME persisted hash stage the removal consumed (``cached.select('h')
+    .distinct()``) instead of re-running the md5-per-token map pass — the
+    minhash_lsh_pairs_with_cache contract: hold the cache until the final
+    derived plan is dropped, wiring ``_release_on_gc(final, cached)``."""
     wh = token_window_hashes(new_df, text_col, id_col, length).persist()
     idx = index.select("h")
     hist_dups = wh.join(idx, "h", "left_semi").select(id_col, "pos")
@@ -305,7 +330,7 @@ def exsub_dedup_incremental(
     )
     dups = hist_dups.unionByName(local_dups)
     out = _remove_marked_windows(new_df, dups, text_col, id_col, length)
-    return _release_on_gc(out, wh)
+    return out, wh
 
 
 def substring_run_pairs(

@@ -125,10 +125,25 @@ def temperature_resample(
 
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
-    clash = {"copy_idx", "rate_ppm"} & set(docs.columns)
+    # Emitted names AND internal working columns: _rate_ppm/_h/_nc are
+    # injected below and the broadcast join adds _n/_w/_wsum — the nc and
+    # rate expressions are name-resolved SQL strings, so a caller column
+    # shadowing any of them would either throw ambiguous-reference or
+    # silently feed the wrong column (r12 ADVICE).
+    clash = {
+        "copy_idx",
+        "rate_ppm",
+        "_rate_ppm",
+        "_h",
+        "_nc",
+        "_n",
+        "_w",
+        "_wsum",
+    } & set(docs.columns)
     if clash:
         raise ValueError(
-            f"temperature_resample emits {sorted(clash)}; rename those input columns"
+            f"temperature_resample uses {sorted(clash)} internally; "
+            "rename those input columns"
         )
     from pyspark.sql import Window
 
