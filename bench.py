@@ -650,6 +650,44 @@ def host_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def load_avg_1m() -> float | None:
+    """1-minute load average at call time (None where unsupported). Emitted
+    with every bench (start/end/max-between-groups) so the record ITSELF
+    carries co-tenant-load attribution: the r12 verdict's calib-decoupling
+    finding was that single-threaded host_calib_s does not track 32-thread
+    query load — a high load average next to a flagged entry says "host
+    window", without a separate same-code A/B rerun."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — getloadavg exists on this platform
+        return None
+
+
+def shuffle_calibration(spark) -> float:
+    """Seconds (median of 3) for a FIXED all-core Spark shuffle job —
+    16M rows in 32 partitions hashed to ~1M keys, partial-agg + exchange +
+    final count. The CONCURRENT twin of host_calibration: single-thread
+    calib tracks per-core speed, this tracks 32-thread shuffle throughput,
+    and the two decouple under co-tenant load (r12 verdict: calib fell
+    0.335→0.281 while six entries rose). When a round's query ratios move
+    with shuffle_calib but not host_calib, the shift is ambient parallel
+    contention, not a plan change. The job is code-frozen (series r13);
+    changing it requires a dual-reported transition round like SERIES."""
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        (
+            spark.range(0, 16_000_000, 1, 32)
+            .select((F.col("id") * 2654435761 % 1_000_003).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n"))
+            .collect()
+        )
+        samples.append(time.monotonic() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
@@ -668,6 +706,7 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    load_samples = [load_avg_1m()]
 
     for gname, names in run_groups:
         # per-group warm-up pass: JIT-compile the generated code, prime
@@ -727,6 +766,7 @@ def main() -> None:
             warm.pop(name, None)
         warm.clear()
         _teardown_group(spark)
+        load_samples.append(load_avg_1m())
 
     total = round(sum(times.values()), 3)
     # DETAIL line (spread/series/iteration count) goes to STDERR: the driver
@@ -750,6 +790,17 @@ def main() -> None:
         # shipped loop measures ~0.24-0.26 s on the r10 reference host
         # (SCALING.md host-calibration note) — that is the r11 anchor.
         "host_calib_s": host_calibration(),
+        # 32-thread shuffle-throughput reference (see shuffle_calibration):
+        # the concurrent twin of host_calib_s, measured after it under the
+        # same ambient conditions. r13 series anchor.
+        "shuffle_calib_s": shuffle_calibration(spark),
+        # 1-min load average sampled at start, after every group, at end —
+        # the in-record co-tenant-load attribution (see load_avg_1m).
+        "load_avg_1m": {
+            "start": load_samples[0],
+            "end": load_samples[-1],
+            "max": max((s for s in load_samples if s is not None), default=None),
+        },
     }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}

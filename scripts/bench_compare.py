@@ -55,6 +55,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r13 attribution fields: 32-thread shuffle calib + 1-min load averages
+    # (bench.py shuffle_calibration/load_avg_1m). When the shuffle-calib
+    # ratio moves with the query ratios but host_calib does not, the shift
+    # is ambient parallel contention (the r12 calib-decoupling finding) —
+    # the record itself now carries that evidence.
+    s_old, s_new = old.get("shuffle_calib_s"), new.get("shuffle_calib_s")
+    shuffle_ratio = (s_new / s_old) if s_old and s_new else None
+    loads = {"old": old.get("load_avg_1m"), "new": new.get("load_avg_1m")}
+    if shuffle_ratio is not None:
+        print(
+            f"# shuffle_calib: {s_old} -> {s_new} (ratio {shuffle_ratio:.3f}); "
+            f"load_avg_1m old={loads['old']} new={loads['new']}",
+            file=sys.stderr,
+        )
+
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     removed = sorted(set(old["queries"]) - set(new["queries"]))
@@ -86,6 +101,11 @@ def main() -> None:
                 # record without host_calib_s): every "norm" value is raw
                 "calib_ratio": None if calib_missing else round(calib, 3),
                 "calib_missing": calib_missing,
+                # concurrent-throughput + load attribution (null pre-r13)
+                "shuffle_calib_ratio": (
+                    round(shuffle_ratio, 3) if shuffle_ratio else None
+                ),
+                "load_avg_1m": loads,
                 "total_raw_ratio": round(total_ratio, 3) if total_ratio else None,
                 "total_norm_ratio": round(total_ratio / calib, 3) if total_ratio else None,
                 "n_compared": len(shared),
