@@ -102,11 +102,17 @@ OPS = [
     # and candidates stay proportional). Domain cap — count + threshold
     # cut + ~cap·slack-row windows; expect ~flat-linear (groups grow n×
     # but survivors stay ~cap·slack per group).
-    # (global/grouped_percentiles_orders are NOT probed: the event_anomaly
-    # rule — synthesize_nx explodes only documents/embeddings, orders is
-    # copied unchanged, so a probe would time the same data three times.)
     "heavy_hitters_docs",
     "domain_cap_docs",
+    # r13: grouped two-pass percentile — synthesize_nx now explodes ORDERS
+    # as well (n× rows per o_orderpriority group, group count fixed), so
+    # the #groups-bounded claim is probeable: pass 1 is one partial-agg
+    # histogram per group, pass 2 refines only target buckets — expect
+    # ~linear in rows with a fixed driver-side grid.
+    # (global_percentiles_orders shares the same machinery with keys=();
+    # the grouped form is the harder shape and covers it.
+    # event_anomaly_daily stays unprobed: events is still copied unchanged.)
+    "grouped_percentiles_orders",
     # r12 continuation: ExactSubstr REMOVAL — unlike its pair-detection
     # sibling (excluded above: pairs grow C(n,2)-quadratically under the
     # n× verbatim synthesis), removal never forms pairs: the duplicate-
@@ -156,7 +162,21 @@ def synthesize_nx(spark, src: str, dst: Path, n: int = 10) -> None:
         .write.mode("overwrite")
         .parquet(str(dst / "embeddings.parquet"))
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+    # orders exploded too (r13): the grouped-percentile probe needs n× rows
+    # PER GROUP (copies keep o_orderpriority/o_totalprice, so each group's
+    # value multiset scales n× with identical group count — the regime the
+    # #groups-bounded grid claim is about). Key salted like doc_id. No
+    # other probed op reads orders, so existing series are unaffected.
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    (
+        o.crossJoin(copies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("copy") * 10_000_000)
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(dst / "orders.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem", "events"):
         p = Path(src) / f"{t}.parquet"
         if p.is_dir():
             shutil.copytree(p, dst / p.name, dirs_exist_ok=True)
