@@ -6610,6 +6610,60 @@ def rollup_merge_on_read_q(spark, sf):
     return merged.select("event_type", "n_partials", "n_events", "sum_value_c")
 
 
+# Standalone builder kept for reference (graded via table_maintenance
+# 'compact'). The manifest is SYNTHESIZED from orders — one "file" per
+# (year, month) with exact integer bytes (32/row + priority-string length)
+# — because the oracle can only see tables, not the filesystem; the same
+# plan_compaction drives the real rewrite (sinks/layout.compact_planned),
+# whose filesystem half is pinned by tests/test_layout.py round-trips.
+_COMPACT_TARGET = 20_000
+
+
+def compaction_plan_orders_q(spark, sf):
+    from tamer_spark.sinks.layout import plan_compaction
+
+    o = _t(spark, sf, "orders")
+    files = (
+        o.groupBy(
+            F.year("o_orderdate").alias("part_year"),
+            F.month("o_orderdate").alias("part_month"),
+        )
+        .agg(
+            (F.count(F.lit(1)) * 32 + F.sum(F.length("o_orderpriority")))
+            .cast("long")
+            .alias("bytes")
+        )
+        .select(
+            F.concat(
+                F.lit("orders/"),
+                F.col("part_year").cast("string"),
+                F.lit("/"),
+                F.col("part_month").cast("string"),
+                F.lit(".parquet"),
+            ).alias("path"),
+            "bytes",
+            F.col("part_year").cast("long").alias("part_year"),
+        )
+    )
+    return plan_compaction(files, _COMPACT_TARGET, partition_cols=["part_year"])
+
+
+_COMPACT_ORACLE = f"""
+    WITH cf AS (
+      SELECT 'orders/' || CAST(year(o_orderdate) AS VARCHAR) || '/' ||
+             CAST(month(o_orderdate) AS VARCHAR) || '.parquet' AS path,
+             CAST(COUNT(*)*32 + SUM(length(o_orderpriority)) AS BIGINT) AS bytes,
+             CAST(year(o_orderdate) AS BIGINT) AS part_year
+      FROM orders GROUP BY year(o_orderdate), month(o_orderdate))
+    SELECT path, bytes, part_year,
+           CAST((SUM(bytes) OVER (PARTITION BY part_year
+                   ORDER BY bytes DESC, path
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+    FROM cf
+    """
+
+
 _PROFILE_COUNTS = "(SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1)"
 _PROFILE_ORACLE = f"""
     SELECT 'profile_hh' AS variant, CAST(key AS VARCHAR) AS k, n AS v1,
@@ -6642,6 +6696,9 @@ _PROFILE_ORACLE = f"""
     SELECT 'rollup', event_type, n_partials, n_events, CAST(sum_value_c AS VARCHAR)
     FROM ({_ROLLUP_ORACLE})
     UNION ALL
+    SELECT 'compact', path, bin, bytes, CAST(part_year AS VARCHAR)
+    FROM ({_COMPACT_ORACLE})
+    UNION ALL
     {_PROFILE_ORACLE}
     """,
     doc=(
@@ -6657,7 +6714,22 @@ _PROFILE_ORACLE = f"""
         "versions as 'open'. rollup: continuous-aggregate merge-on-read "
         "(operators/rollup.py merge_partials) — per-event-day partials "
         "merged by the associative SUM fold; reads touch only rollup "
-        "rows, never raw events. profile_hh/profile_summary (r10, "
+        "rows, never raw events. compact (r13, sinks/layout.py "
+        "plan_compaction): small-file compaction planning — the OPTIMIZE "
+        "maintenance verb the engine's per-epoch commits make necessary "
+        "(engine.py run loop lands one output per epoch; reference "
+        "Tamer.scala:150-186 commits per (epoch, partition)). One row per "
+        "file with its deterministic bin assignment: within a partition "
+        "(year), files ordered (bytes DESC, path) fill bins by integer "
+        "cumulative-bytes div target — one window over the MANIFEST "
+        "(file count, never data bytes), replayable in any engine, which "
+        "is what makes a 100 TB rewrite auditable before it runs. The "
+        "manifest is synthesized from orders (one file per month, exact "
+        "integer bytes) because the oracle sees tables, not filesystems; "
+        "the filesystem rewrite half (compact_planned: skip-right-sized "
+        "singletons, ONE broadcast-routed job, repartitionByRange one "
+        "bin per file) is pinned by tests/test_layout.py round-trips. "
+        "profile_hh/profile_summary (r10, "
         "operators/skew.py): the measurement step before choosing a "
         "join/groupBy strategy on a fact table — exact top-10 hottest "
         "events.user_id keys ((n DESC, key) total order, TakeOrdered "
@@ -6694,6 +6766,13 @@ def table_maintenance_q(spark, sf):
         F.col("n_events").alias("v2"),
         F.col("sum_value_c").cast("string").alias("payload"),
     )
+    comp = compaction_plan_orders_q(spark, sf).select(
+        F.lit("compact").alias("variant"),
+        F.col("path").alias("k"),
+        F.col("bin").alias("v1"),
+        F.col("bytes").alias("v2"),
+        F.col("part_year").cast("string").alias("payload"),
+    )
     from tamer_spark.operators.skew import heavy_hitters, key_counts, skew_summary
 
     e = _t(spark, sf, "events")
@@ -6719,7 +6798,13 @@ def table_maintenance_q(spark, sf):
             F.col("skew_ppm").cast("string"), F.lit("|"), F.col("suggested_salt").cast("string")
         ).alias("payload"),
     )
-    return dq.unionByName(scd2).unionByName(roll).unionByName(hh).unionByName(summ)
+    return (
+        dq.unionByName(scd2)
+        .unionByName(roll)
+        .unionByName(comp)
+        .unionByName(hh)
+        .unionByName(summ)
+    )
 
 
 # _RUN_L is defined next to the text_cleaning_docs 'exsub' oracle (the
@@ -6953,6 +7038,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_containment": dedup_ngram_containment_q,
     "heavy_hitters_docs": heavy_hitters_docs_q,
     "global_percentiles_orders": global_percentiles_orders_q,
+    "compaction_plan_orders": compaction_plan_orders_q,
     "grouped_percentiles_orders": grouped_percentiles_orders_q,
     "domain_cap_docs": domain_cap_docs_q,
     "vocab_growth_docs": vocab_growth_docs_q,

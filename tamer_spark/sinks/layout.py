@@ -106,6 +106,167 @@ def compact_small_files(
     return n_files
 
 
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Deterministic bin-packing manifest for small-file compaction — the
+    OPTIMIZE planning step (r13). The reference's run loop commits one
+    output per (epoch, partition) (core/src/main/scala/tamer/Tamer.scala:150-186
+    — its sink is Kafka; ours lands parquet per epoch via the same loop,
+    tamer_spark/engine.py), so a steady-state pipeline accretes exactly the
+    small-file pattern this plans away.
+
+    Input: one row per data file — ``path_col`` (unique), ``bytes_col``,
+    plus any ``partition_cols`` (files never pack across partitions).
+    Output: the input plus ``bin`` (BIGINT, dense per partition) — the
+    manifest. The rule is sorted sequential fill: within a partition,
+    order files by (bytes DESC, path) and assign each to
+    ``floor(cumulative_bytes_before_it / target_bytes)`` — bins are
+    contiguous runs of that order, every bin's fill is < target + its last
+    file's overflow, and already-target-sized files land alone in their
+    own bin (their byte span covers it), so the rewrite step can skip them
+    untouched. Chosen over first-fit-decreasing deliberately: FFD needs a
+    stateful per-partition fold (a sequential scan no window expresses),
+    while this rule is ONE window — replayable in any engine, which is
+    what makes the manifest auditable before a 100 TB rewrite runs.
+
+    Scale shape: one window over the FILE MANIFEST (rows = file count,
+    never data bytes) partitioned by the table partition — at a million
+    files this is a few MB through one exchange. Deterministic: (bytes
+    DESC, path) is a total order because paths are unique.
+    """
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    pc = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*pc)
+        .orderBy(F.col(bytes_col).desc(), F.col(path_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(bytes_col).over(w) - F.col(bytes_col)
+    # integer `div`, not float `/`: cumulative bytes at 100 TB (~1e14)
+    # approach double's exact-integer ceiling, and the manifest must be
+    # bit-reproducible (the repo's integer-arithmetic convention)
+    return (
+        files.withColumn("_cum_before", cum_before.cast("long"))
+        .withColumn("bin", F.expr(f"_cum_before div {int(target_bytes)}"))
+        .drop("_cum_before")
+    )
+
+
+def list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
+    """(path, bytes) manifest of a directory's parquet data files, via the
+    JVM Hadoop FileSystem (works unchanged on HDFS/S3A at scale; driver-side
+    listing is the metadata operation every table format performs). Hidden
+    and marker files excluded. Recurses one partition-directory level is NOT
+    attempted — pass the leaf directory (partition-aware callers list per
+    partition and union, keeping partition values as manifest columns)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    rows = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith((".", "_")):
+            rows.append((st.getPath().toString(), int(st.getLen())))
+    return spark.createDataFrame(rows, "path string, bytes long")
+
+
+def compact_planned(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_rewrite_fraction: float = 0.5,
+    tmp_suffix: str = "__compact_tmp",
+) -> DataFrame:
+    """Manifest-driven small-file compaction of a parquet directory — the
+    OPTIMIZE execute step over ``plan_compaction``'s manifest. Returns the
+    manifest ACTED ON (path, bytes, bin, rewritten) so the caller can audit
+    and journal it (the deterministic-output contract the shards sink set).
+
+    Files in a bin that is a SINGLETON already ≥ ``min_rewrite_fraction`` ×
+    target are left untouched — the 100 TB property that matters: OPTIMIZE
+    on an append-heavy table must touch the day's small tail, not rewrite
+    the petabytes that are already right-sized. Everything else is read in
+    ONE job, routed to its bin via a broadcast manifest join on
+    ``input_file_name()``, and written with ``repartitionByRange(n_bins,
+    bin)`` — bin ids are dense integers, so range partitioning puts ~one
+    bin per output partition = ~one target-sized file per bin, with no
+    driver-side per-bin loop (Delta's OPTIMIZE schedules a job per bin
+    batch; at 800k bins that loop IS the bottleneck, the range shuffle
+    isn't). Rewritten files replace the originals atomically-per-directory
+    (write aside, then swap the rewritten originals out)."""
+    import os
+    import re
+    import shutil
+
+    def norm_path(p: str) -> str:
+        """URI → local filesystem path (the local-FS swap below; on a real
+        object store the swap is rename/delete via the same Hadoop fs)."""
+        return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    manifest = plan_compaction(list_parquet_files(spark, path), target_bytes)
+    # a bin whose files already meet the target: exactly one file, big enough
+    from pyspark.sql import Window
+
+    wbin = Window.partitionBy("bin")
+    # the listing is already driver-materialized (list_parquet_files builds
+    # the frame from literal rows), so the manifest cannot observe the swap
+    # below — no checkpoint needed; the window runs over file-count rows
+    manifest = manifest.withColumn(
+        "rewritten",
+        ~(
+            (F.count(F.lit(1)).over(wbin) == 1)
+            & (F.col("bytes") >= int(min_rewrite_fraction * target_bytes))
+        ),
+    )
+    todo = manifest.filter("rewritten")
+    paths = [r.path for r in todo.select("path").collect()]  # file NAMES, not data
+    if paths:
+        n_bins = todo.select("bin").distinct().count()
+        # input_file_name() renders the scheme as file:///x while the Hadoop
+        # listing renders file:/x — join on the scheme-stripped form (both
+        # sides come from the SAME filesystem, so the path part is identical)
+        norm = lambda c: F.regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")  # noqa: E731
+        df = spark.read.parquet(*paths).withColumn(
+            "_file", norm(F.input_file_name())
+        )
+        routed = df.join(
+            F.broadcast(todo.select(norm(F.col("path")).alias("_file"), "bin")),
+            "_file",
+        )
+        tmp = path.rstrip("/") + tmp_suffix
+        (
+            routed.repartitionByRange(max(n_bins, 1), "bin")
+            .drop("_file", "bin")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # fail CLOSED before deleting anything: this operator removes source
+        # files, so an unmatched routing row (a regression in the join above
+        # would silently drop data) must abort with the originals intact
+        n_src, n_out = df.count(), spark.read.parquet(tmp).count()
+        if n_src != n_out:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_planned: rewrote {n_out} rows but sources hold "
+                f"{n_src}; aborting before deleting originals"
+            )
+        for p in paths:
+            os.remove(norm_path(p))
+        for name in os.listdir(tmp):
+            if not name.startswith((".", "_")):
+                shutil.move(os.path.join(tmp, name), os.path.join(path, name))
+        shutil.rmtree(tmp)
+    return manifest.select("path", "bytes", "bin", "rewritten")
+
+
 def morton_order(cols: list[Column], bits: int = 10) -> Column:
     """Z-order (Morton) key: interleave the low ``bits`` bits of each column.
 

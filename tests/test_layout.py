@@ -71,3 +71,103 @@ def test_zorder_write_localizes_ranges(spark, tmp_path):
     assert out.filter((F.col("a") < 10) & (F.col("b") < 10)).count() == df.filter(
         (F.col("a") < 10) & (F.col("b") < 10)
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# r13: manifest-driven compaction (plan_compaction / compact_planned)
+# ---------------------------------------------------------------------------
+
+
+def _py_plan(files, target):
+    """Python twin of plan_compaction's sorted-sequential-fill rule."""
+    out = {}
+    by_part = {}
+    for path, nbytes, part in files:
+        by_part.setdefault(part, []).append((path, nbytes))
+    for part, fs in by_part.items():
+        fs.sort(key=lambda t: (-t[1], t[0]))
+        cum = 0
+        for path, nbytes in fs:
+            out[path] = cum // target
+            cum += nbytes
+    return out
+
+
+def test_plan_compaction_matches_python_reference(spark):
+    from tamer_spark.sinks.layout import plan_compaction
+
+    files = [
+        ("p1/a", 10, "p1"), ("p1/b", 10, "p1"), ("p1/c", 10, "p1"),
+        ("p1/big", 120, "p1"),  # >= target: must land alone in its bin span
+        ("p1/d", 7, "p1"),
+        ("p2/a", 30, "p2"), ("p2/b", 30, "p2"), ("p2/c", 1, "p2"),
+    ]
+    df = spark.createDataFrame(files, "path string, bytes long, part string")
+    got = {
+        r.path: r.bin
+        for r in plan_compaction(df, 100, partition_cols=["part"]).collect()
+    }
+    assert got == _py_plan(files, 100)
+    # the oversized file owns bin 0 alone (its span covers the target)
+    assert got["p1/big"] == 0
+    assert all(b > 0 for p, b in got.items() if p.startswith("p1/") and p != "p1/big")
+
+
+def test_plan_compaction_deterministic_across_runs_and_input_order(spark):
+    from tamer_spark.sinks.layout import plan_compaction
+
+    files = [(f"f{i:03d}", (i * 37) % 50 + 1, f"p{i % 3}") for i in range(60)]
+    df1 = spark.createDataFrame(files, "path string, bytes long, part string")
+    df2 = spark.createDataFrame(
+        list(reversed(files)), "path string, bytes long, part string"
+    ).repartition(7)
+    m1 = sorted(map(tuple, plan_compaction(df1, 64, ["part"]).collect()))
+    m2 = sorted(map(tuple, plan_compaction(df2, 64, ["part"]).collect()))
+    assert m1 == m2  # shards-style: same manifest whatever the input layout
+
+
+def test_plan_compaction_rejects_nonpositive_target(spark):
+    import pytest
+
+    from tamer_spark.sinks.layout import plan_compaction
+
+    df = spark.createDataFrame([("a", 1)], "path string, bytes long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        plan_compaction(df, 0)
+
+
+def test_compact_planned_roundtrip_merges_small_skips_big(spark, tmp_path):
+    from tamer_spark.sinks.layout import compact_planned
+
+    p = str(tmp_path / "tbl")
+    # 16 small files + 1 already-big file (written separately so it stays one)
+    spark.range(0, 4_000).repartition(16).write.parquet(p)
+    spark.range(4_000, 400_000).coalesce(1).write.mode("append").parquet(p)
+    before = set(_parquet_files(p))
+    assert len(before) == 17
+    big = max(before, key=lambda f: __import__("os").path.getsize(f))
+
+    target = __import__("os").path.getsize(big)  # big file ~= one target
+    manifest = compact_planned(spark, p, target_bytes=target).collect()
+
+    after = set(_parquet_files(p))
+    assert big in after  # right-sized singleton untouched
+    assert len(after) < len(before)  # small files merged
+    # data intact, exactly once
+    got = sorted(r.id for r in spark.read.parquet(p).collect())
+    assert got == list(range(400_000))
+    # manifest audit: the big file is the only non-rewritten entry
+    skipped = [r.path for r in manifest if not r.rewritten]
+    assert [s.removeprefix("file:") for s in skipped] == [big]
+
+
+def test_compact_planned_noop_when_all_right_sized(spark, tmp_path):
+    from tamer_spark.sinks.layout import compact_planned
+
+    p = str(tmp_path / "ok")
+    spark.range(100_000).coalesce(2).write.parquet(p)
+    before = sorted(_parquet_files(p))
+    sizes = [__import__("os").path.getsize(f) for f in before]
+    manifest = compact_planned(spark, p, target_bytes=min(sizes)).collect()
+    assert sorted(_parquet_files(p)) == before  # nothing rewritten on disk
+    assert all(not r.rewritten for r in manifest)

@@ -354,3 +354,14 @@ def test_shard_manifest_partial_aggregates_before_exchange(spark):
     # partial aggregation present, and it sits BELOW the first exchange
     assert "partial_" in plan, plan
     assert plan.index("Exchange") < plan.index("partial_"), plan
+
+
+def test_compaction_plan_single_manifest_window(spark):
+    # r13 compact leg: ONE partial-agg shuffle synthesizes the file manifest
+    # and ONE window exchange assigns bins — the manifest (file-count rows)
+    # is the only thing that ever moves; no join, no extra exchange
+    df = _spark_fn("compaction_plan_orders")(spark, SF_DIR)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 2, plan
+    assert "partial" in plan.lower(), plan  # manifest agg combines map-side
+    assert "Join" not in plan, plan
