@@ -5143,10 +5143,38 @@ _Q13_SQL = """
     GROUP BY c_count
 """
 
+# r13: the gate's first OVER clause — ROW_NUMBER top-3 orders per priority
+# under a total order ((price DESC, o_orderkey) — rank ties never exist), the
+# window-function parser/planner leg the gate lacked. rn rides the key so the
+# rank itself is on the hashed surface, not just membership.
+_QTOPK_SQL = """
+    SELECT o_orderpriority, rn, o_orderkey, price_c FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                         o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+"""
+
+# r13: Q2/Q17-shaped CORRELATED SCALAR SUBQUERY (Q2's per-group MIN shape,
+# integer-exact via cents): customers holding their nation's maximum
+# balance. Both planners decorrelate to an aggregate + join; ties emit
+# every holder, which the hash surface captures.
+_Q2MAX_SQL = """
+    SELECT c_nationkey, c_custkey, bal_c FROM (
+      SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer) c
+    WHERE bal_c = (SELECT MAX(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
 _Q6_Q10_SQL = f"""
     WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL}),
          q4 AS ({_Q4_SQL}), q12 AS ({_Q12_SQL}), q14 AS ({_Q14_SQL}),
-         q13 AS ({_Q13_SQL})
+         q13 AS ({_Q13_SQL}), qtopk AS ({_QTOPK_SQL}), q2max AS ({_Q2MAX_SQL})
     SELECT 'q10' AS variant, c_name AS k, c_custkey AS v1, revenue_cc AS v2 FROM q10
     UNION ALL
     SELECT 'q6', 'all', n_items, revenue_cc FROM q6
@@ -5158,13 +5186,17 @@ _Q6_Q10_SQL = f"""
     SELECT 'q14', 'all', promo_cc, total_cc FROM q14
     UNION ALL
     SELECT 'q13', '' || c_count, custdist, CAST(NULL AS BIGINT) FROM q13
+    UNION ALL
+    SELECT 'qtopk', o_orderpriority || '#' || rn, o_orderkey, price_c FROM qtopk
+    UNION ALL
+    SELECT 'q2max', '' || c_nationkey, c_custkey, bal_c FROM q2max
 """
 
 
 @q(
     "sql_q6_q10",
     _Q6_Q10_SQL,
-    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), five TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact), and Q13 the customer order-count distribution — LEFT JOIN so order-less customers land in c_count = 0 (COUNT(col) NULL semantics through an outer join) under a second-level aggregation; verbatim-ANSI footnote: Spark rejects bare CAST(x AS VARCHAR) (length required) while DuckDB rejects STRING, so the shared string renders ints with '' || x.",
+    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), eight TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact), and Q13 the customer order-count distribution — LEFT JOIN so order-less customers land in c_count = 0 (COUNT(col) NULL semantics through an outer join) under a second-level aggregation; (r13) qtopk — the gate's first OVER clause: ROW_NUMBER top-3 orders per priority under a total order (price DESC, o_orderkey), rn riding the hashed key so the rank itself is graded; and q2max — a Q2/Q17-shaped CORRELATED SCALAR SUBQUERY (per-nation MAX balance holders, integer cents; both planners decorrelate to aggregate + join, ties emit every holder); verbatim-ANSI footnote: Spark rejects bare CAST(x AS VARCHAR) (length required) while DuckDB rejects STRING, so the shared string renders ints with '' || x.",
 )
 def sql_q6_q10(spark, sf):
     from tamer_spark.sql import register_tables
