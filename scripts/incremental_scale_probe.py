@@ -97,7 +97,12 @@ def main() -> None:
         dedup_exact_incremental_bloom,
         exact_bloom_index_df,
     )
-    from tamer_spark.operators.runs import exsub_dedup_incremental, exsub_window_index
+    from tamer_spark.operators.runs import (
+        exsub_bloom_index_df,
+        exsub_dedup_incremental,
+        exsub_dedup_incremental_bloom,
+        exsub_window_index,
+    )
 
     spark = tamer_spark.get_spark("incremental-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -174,6 +179,25 @@ def main() -> None:
             rec["exsub_index_rows"] = xidx.count()
             rec["exsub_s"] = timed(
                 lambda: exsub_dedup_incremental(xbatch, xidx, length=12)
+            )
+            # r13: the window-hash bloom sidecar landed (exsub_bloom_index_df
+            # / exsub_dedup_incremental_bloom) — the arm that shows the
+            # epoch cost decoupling from index growth (prob mode touches no
+            # index; verify mode joins only the positive sliver)
+            xwords_path = str(SCRATCH / f"exsub_bloom_{s}x")
+            t0 = time.monotonic()
+            exsub_bloom_index_df(xidx, m_bits=args.m_bits).write.mode(
+                "overwrite"
+            ).parquet(xwords_path)
+            rec["exsub_sidecar_build_s"] = round(time.monotonic() - t0, 3)
+            xwords = spark.read.parquet(xwords_path)
+            rec["exsub_bloom_prob_s"] = timed(
+                lambda: exsub_dedup_incremental_bloom(xbatch, xwords, length=12)
+            )
+            rec["exsub_bloom_verify_s"] = timed(
+                lambda: exsub_dedup_incremental_bloom(
+                    xbatch, xwords, index=xidx, length=12
+                )
             )
             out[f"{s}x"] = rec
             print(f"# {s}x: {rec}", file=sys.stderr)

@@ -333,6 +333,105 @@ def exsub_dedup_incremental_with_cache(
     return out, wh
 
 
+def exsub_bloom_index_df(
+    index: DataFrame,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Distributed bloom sidecar over an ``exsub_window_index`` frame's
+    window hashes — the ExactSubstr analog of ``exact_bloom_index_df``
+    (operators/dedup_incremental.py), and the measured future lever
+    SCALING.md named for the exsub epoch loop. Persist as parquet
+    (m_bits/64 rows); advance per epoch with ``bloom_merge_df(words,
+    exsub_bloom_index_df(distinct batch hashes, m_bits=...))`` — bloom
+    union is exact, history is never rebuilt. Size ``m_bits`` at ~10-14
+    bits per window hash (~1 hash per history token after distinct-ing)."""
+    from tamer_spark.operators.bloom import bloom_words_df
+
+    return bloom_words_df(index, "h", m_bits=m_bits, k=k)
+
+
+def exsub_dedup_incremental_bloom(
+    new_df: DataFrame,
+    words: DataFrame | list[int],
+    m_bits: int | None = None,
+    k: int | None = None,
+    index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 50,
+) -> DataFrame:
+    """Per-epoch ExactSubstr removal against a BLOOM SIDECAR of the
+    window-hash index — the scan-elimination tier over
+    ``exsub_dedup_incremental``, whose semi+anti joins still READ the
+    whole index every epoch (~8 B/window ≈ 8 B/history-token: at a
+    1e12-token corpus that is a multi-TB read per epoch dwarfing any real
+    batch — the same economics that motivated
+    ``dedup_exact_incremental_bloom``, measured by
+    scripts/incremental_scale_probe.py's exsub arm).
+
+    - ``index=None`` (probabilistic): bloom-POSITIVE batch windows are
+      treated as history duplicates and spliced out. No false negatives →
+      every true duplicate window is guaranteed removed (the
+      dedup-critical direction); a false positive splices out a NOVEL
+      L-token window at the bloom's FP rate (~0.1-1 % when sized) — for
+      corpus curation that is bounded, acceptable text loss, the same
+      stance the exact tier and bloom.py's decontamination take.
+      Per-epoch cost is O(batch) with NO index access of any kind.
+    - ``index`` given (verify): bloom-positive windows get the exact
+      semi/anti join; bloom FPs fall back into the batch-local keeper
+      pool, so output is BIT-IDENTICAL to ``exsub_dedup_incremental``
+      (pinned in tests) while the index join's batch side shrinks to the
+      positive sliver (true dups + FP·novel).
+
+    Batch-local keeper election over the non-history windows is identical
+    to the exact path, so the modes differ only in cross-epoch membership.
+    Advance the sidecar with ``bloom_merge_df(words,
+    exsub_bloom_index_df(distinct batch hashes))`` — the with_cache form
+    exposes the persisted hash stage so the advance re-reads no text."""
+    from tamer_spark.operators.bloom import _parse_word_col, bloom_might_contain
+    from tamer_spark.operators.dedup import _release_on_gc
+
+    if isinstance(words, DataFrame):
+        _, frame_m, frame_k = _parse_word_col(words)
+        m_bits = frame_m if m_bits is None else m_bits
+        k = frame_k if k is None else k
+    else:
+        if m_bits is None:
+            raise ValueError(
+                "exsub_dedup_incremental_bloom: m_bits is required with a "
+                "plan-literal word list — a bare list cannot carry its "
+                "modulus (exsub_bloom_index_df's frame form encodes both)"
+            )
+        k = 5 if k is None else k
+    wh = token_window_hashes(new_df, text_col, id_col, length).persist()
+    probed = bloom_might_contain(wh, "h", words, m_bits, k=k)
+    pos = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
+    local = probed.filter(~F.col("bloom_hit")).drop("bloom_hit")
+    if index is None:
+        hist_dups = pos.select(id_col, "pos")
+    else:
+        idx = index.select("h")
+        hist_dups = pos.join(idx, "h", "left_semi").select(id_col, "pos")
+        # bloom false positives are NOVEL windows: back to the local pool
+        local = local.unionByName(pos.join(idx, "h", "left_anti"))
+    keep = local.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    local_dups = (
+        local.join(keep, "h")
+        .filter(
+            (F.col("_n") >= 2)
+            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
+        )
+        .select(id_col, "pos")
+    )
+    dups = hist_dups.unionByName(local_dups)
+    out = _remove_marked_windows(new_df, dups, text_col, id_col, length)
+    return _release_on_gc(out, wh)
+
+
 def substring_run_pairs(
     df: DataFrame,
     text_col: str = "text",

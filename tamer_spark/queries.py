@@ -2057,6 +2057,10 @@ _MH_INCR_ORACLE_TAIL = f"""
     SELECT 'exsub', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x1out
     UNION ALL
     SELECT 'exsub', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x2out
+    UNION ALL
+    SELECT 'exsub_bloomv', CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x1out
+    UNION ALL
+    SELECT 'exsub_bloomv', CAST(2 AS BIGINT), CAST(doc_id AS BIGINT), md5(text_dedup) FROM x2out
     """,
     doc=(
         "Incremental dedup over three ingest epochs (documents split by "
@@ -2086,7 +2090,18 @@ _MH_INCR_ORACLE_TAIL = f"""
         "graded content_hash is md5 of the REBUILT text so splice "
         "correctness is on the surface; the oracle replays both epochs' "
         "two-tier election + interval merge + rebuild with prefix-scoped "
-        "CTEs. Replayed-epoch semantics mirror the reference's "
+        "CTEs. exsub_bloomv (r13): both exsub epochs replayed through the "
+        "WINDOW-HASH bloom sidecar (operators/runs."
+        "exsub_dedup_incremental_bloom, verify mode — bloom-positive "
+        "windows get the exact join, FPs fall back to the local keeper "
+        "pool), sidecar advanced per epoch by bloom_merge_df with the "
+        "cached hash stage's distinct hashes, bit-identical to exsub by "
+        "construction — the oracle replays the SAME removal SQL under the "
+        "second tag, so a bloom false-negative or broken sidecar merge is "
+        "a hash mismatch (the digest tier's bloom_verify pattern carried "
+        "to the ExactSubstr tier; probabilistic mode is probed by "
+        "scripts/incremental_scale_probe.py and pytest-pinned). "
+        "Replayed-epoch semantics mirror the reference's "
         "fold-new-data-into-state loop (core/src/main/scala/tamer/"
         "Tamer.scala run loop) in the dedup domain."
     ),
@@ -2163,6 +2178,29 @@ def dedup_incremental_q(spark, sf):
     x2 = exsub_dedup_incremental(e2, xi1, length=_RUN_L).withColumn(
         "content_hash", F.md5("text_dedup")
     )
+    # exsub bloom sidecar replay (r13, verify mode: bit-identical to the
+    # exsub legs — a false negative or broken window-hash sidecar merge is
+    # a hash mismatch). Sidecar advanced by bloom_merge_df with epoch 1's
+    # distinct hashes from the SAME cached stage the removal used (bh1),
+    # exactly as a real loop would — never rebuilt over history.
+    from tamer_spark.operators.bloom import bloom_merge_df
+    from tamer_spark.operators.runs import (
+        exsub_bloom_index_df,
+        exsub_dedup_incremental_bloom,
+    )
+
+    xm = 1 << 16
+    xw0 = exsub_bloom_index_df(xi0, m_bits=xm).localCheckpoint()
+    bx1 = exsub_dedup_incremental_bloom(
+        e1, xw0, index=xi0, length=_RUN_L
+    ).withColumn("content_hash", F.md5("text_dedup"))
+    # localCheckpoint while the wh1 cache is warm: the sidecar advance then
+    # reads the checkpointed hashes, never re-running the md5-per-token pass
+    bh1 = wh1.select("h").distinct().localCheckpoint()
+    xw1 = bloom_merge_df(xw0, exsub_bloom_index_df(bh1, m_bits=xm))
+    bx2 = exsub_dedup_incremental_bloom(
+        e2, xw1, index=xi1, length=_RUN_L
+    ).withColumn("content_hash", F.md5("text_dedup"))
 
     def tag(df, variant, epoch):
         return df.select(
@@ -2180,6 +2218,8 @@ def dedup_incremental_q(spark, sf):
         .unionByName(tag(m1, "minhash", 1))
         .unionByName(tag(x1, "exsub", 1))
         .unionByName(tag(x2, "exsub", 2))
+        .unionByName(tag(bx1, "exsub_bloomv", 1))
+        .unionByName(tag(bx2, "exsub_bloomv", 2))
     )
 
 

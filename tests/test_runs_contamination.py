@@ -459,3 +459,136 @@ def test_exsub_null_text_contract_matches_duckdb_replay(spark):
     assert by_id[4] == ("", 1, 0)
     # doc 2 lost exactly the shared 12-token run, doc 1 kept it
     assert by_id[1][2] == 0 and by_id[2] == ("pre post", 14, 12)
+
+
+def test_exsub_bloom_verify_mode_bit_identical_to_exact(spark):
+    """Verify mode (sidecar prefilter + exact join on positives) must be
+    BIT-IDENTICAL to exsub_dedup_incremental — bloom FPs fall back into
+    the batch-local keeper pool. Tiny m_bits forces real false positives,
+    so the fallback path is actually exercised, not just compiled."""
+    from tamer_spark.operators.runs import (
+        exsub_bloom_index_df,
+        exsub_dedup_incremental,
+        exsub_dedup_incremental_bloom,
+        exsub_window_index,
+    )
+
+    block = "s1 s2 s3 s4 s5"
+    e0 = _docs(spark, [(1, f"a b {block} c"), (2, "u v w x y z")])
+    e1 = _docs(
+        spark,
+        [
+            (10, f"h1 h2 {block} h3"),
+            (11, "n1 n2 n3 n4 n5 n6"),
+            (12, "q1 q2 q3 q4 QQ q1 q2 q3 q4"),
+            (13, "n1 n2 n3 n4 n5 n6"),
+        ],
+    )
+    L = 4
+    idx = exsub_window_index(e0, length=L)
+    exact = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed)
+        for r in exsub_dedup_incremental(e1, idx, length=L).collect()
+    }
+    for m_bits in (64, 1 << 16):  # 64 bits over ~10 hashes -> FPs certain
+        got = {
+            r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed)
+            for r in exsub_dedup_incremental_bloom(
+                e1, exsub_bloom_index_df(idx, m_bits=m_bits), index=idx, length=L
+            ).collect()
+        }
+        assert got == exact, m_bits
+
+
+def test_exsub_bloom_probabilistic_never_keeps_a_true_dup(spark):
+    """Probabilistic mode: no false negatives — every window the exact
+    path removes is removed here too (per-doc n_removed >=); with a
+    well-sized sidecar the outputs coincide exactly on this fixture."""
+    from tamer_spark.operators.runs import (
+        exsub_bloom_index_df,
+        exsub_dedup_incremental,
+        exsub_dedup_incremental_bloom,
+        exsub_window_index,
+    )
+
+    L = 4
+    e0 = _docs(spark, [(1, "k1 k2 k3 k4 k5"), (2, "m1 m2 m3 m4")])
+    e1 = _docs(
+        spark,
+        [
+            (10, "z0 k1 k2 k3 k4 z1"),  # history dup
+            (11, "f1 f2 f3 f4 f5"),      # novel
+            (12, "g1 g2 g3 g4 g1 g2 g3 g4"),  # local dup
+        ],
+    )
+    idx = exsub_window_index(e0, length=L)
+    exact = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental(e1, idx, length=L).collect()
+    }
+    sized = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental_bloom(
+            e1, exsub_bloom_index_df(idx, m_bits=1 << 16), length=L
+        ).collect()
+    }
+    assert sized == exact
+    tiny = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental_bloom(
+            e1, exsub_bloom_index_df(idx, m_bits=64), length=L
+        ).collect()
+    }
+    assert all(tiny[d] >= exact[d] for d in exact)  # FPs only over-remove
+
+
+def test_exsub_bloom_sidecar_merge_advance_equals_rebuild(spark):
+    """The sidecar advances by bloom_merge_df with the epoch's distinct
+    batch hashes (from the with_cache stage) — after the merge, epoch 2's
+    verify-mode removal equals the exact path against the advanced index
+    (the fold==rebuild discipline carried to the sidecar)."""
+    from tamer_spark.operators.bloom import bloom_merge_df
+    from tamer_spark.operators.runs import (
+        exsub_bloom_index_df,
+        exsub_dedup_incremental,
+        exsub_dedup_incremental_bloom,
+        exsub_dedup_incremental_with_cache,
+        exsub_window_index,
+    )
+
+    L = 4
+    m = 1 << 16
+    e0 = _docs(spark, [(1, "a1 a2 a3 a4 a5")])
+    e1 = _docs(spark, [(10, "b1 b2 b3 b4 b5")])
+    e2 = _docs(spark, [(20, "z1 b1 b2 b3 b4 z2"), (21, "a2 a3 a4 a5"), (22, "c1 c2 c3 c4")])
+    idx0 = exsub_window_index(e0, length=L)
+    w0 = exsub_bloom_index_df(idx0, m_bits=m)
+    _, wh1 = exsub_dedup_incremental_with_cache(e1, idx0, length=L)
+    bh1 = wh1.select("h").distinct()
+    idx1 = idx0.unionByName(bh1).distinct().localCheckpoint()
+    w1_merged = bloom_merge_df(w0, exsub_bloom_index_df(bh1, m_bits=m))
+    w1_rebuilt = exsub_bloom_index_df(idx1, m_bits=m)
+    assert sorted(map(tuple, w1_merged.collect())) == sorted(
+        map(tuple, w1_rebuilt.collect())
+    )
+    got = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental_bloom(
+            e2, w1_merged, index=idx1, length=L
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.n_removed
+        for r in exsub_dedup_incremental(e2, idx1, length=L).collect()
+    }
+    assert got == exact == {20: 4, 21: 4, 22: 0}
+
+
+def test_exsub_bloom_list_requires_m_bits(spark):
+    import pytest
+
+    from tamer_spark.operators.runs import exsub_dedup_incremental_bloom
+
+    e1 = _docs(spark, [(1, "a b c d")])
+    with pytest.raises(ValueError, match="m_bits is required"):
+        exsub_dedup_incremental_bloom(e1, [0] * 4)
