@@ -260,11 +260,70 @@ def compact_planned(
             )
         for p in paths:
             os.remove(norm_path(p))
-        for name in os.listdir(tmp):
+        # the swap runs on local paths: `path` may arrive as a file: URI
+        # (e.g. from compact_partitioned's Hadoop listing)
+        tmp_local, path_local = norm_path(tmp), norm_path(path)
+        for name in os.listdir(tmp_local):
             if not name.startswith((".", "_")):
-                shutil.move(os.path.join(tmp, name), os.path.join(path, name))
-        shutil.rmtree(tmp)
+                shutil.move(
+                    os.path.join(tmp_local, name), os.path.join(path_local, name)
+                )
+        shutil.rmtree(tmp_local)
     return manifest.select("path", "bytes", "bin", "rewritten")
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_rewrite_fraction: float = 0.5,
+) -> DataFrame:
+    """``compact_planned`` over a hive-partitioned table root: every
+    ``key=value`` partition directory (any nesting depth) is compacted as
+    its own leaf — files never pack across partitions, matching
+    ``plan_compaction``'s partition contract. Returns the union of the
+    per-partition manifests with a ``partition`` column (the relative
+    partition path) for the audit journal.
+
+    The per-partition loop is driver-side but bounded by the DIRECTORY
+    count, and each iteration's rewrite is a distributed job touching only
+    that partition's small tail — the Delta OPTIMIZE execution shape
+    (per-partition job scheduling). On a 100 TB table run it under a
+    partition predicate (compact yesterday's landing partitions, not the
+    whole history) by passing the partition subtree as ``root``."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def leaf_dirs(path: str) -> list[str]:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(conf)
+        subs = [
+            st.getPath().toString()
+            for st in fs.listStatus(hpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subs:
+            return [path]
+        out: list[str] = []
+        for s in subs:
+            out.extend(leaf_dirs(s))
+        return out
+
+    import re
+
+    strip = lambda p: re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)  # noqa: E731
+    nroot = strip(root if "://" in root or root.startswith("file:") else root)
+    manifests = []
+    for leaf in sorted(leaf_dirs(root)):
+        rel = strip(leaf).removeprefix(nroot).strip("/")
+        m = compact_planned(
+            spark, leaf, target_bytes, min_rewrite_fraction
+        ).withColumn("partition", F.lit(rel))
+        manifests.append(m)
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m)
+    return out
 
 
 def morton_order(cols: list[Column], bits: int = 10) -> Column:

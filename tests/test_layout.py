@@ -171,3 +171,22 @@ def test_compact_planned_noop_when_all_right_sized(spark, tmp_path):
     manifest = compact_planned(spark, p, target_bytes=min(sizes)).collect()
     assert sorted(_parquet_files(p)) == before  # nothing rewritten on disk
     assert all(not r.rewritten for r in manifest)
+
+
+def test_compact_partitioned_per_partition_isolation(spark, tmp_path):
+    from tamer_spark.sinks.layout import compact_partitioned
+
+    root = str(tmp_path / "ptbl")
+    df = spark.range(40_000).withColumn("p", (F.col("id") % 2).cast("string"))
+    df.repartition(8).write.partitionBy("p").parquet(root)
+    assert len(_parquet_files(root)) == 16  # 8 files per partition
+    manifest = compact_partitioned(spark, root, target_bytes=1 << 30).collect()
+    # every partition collapses to its own single file — never merged across
+    assert sorted({r.partition for r in manifest}) == ["p=0", "p=1"]
+    files = _parquet_files(root)
+    assert len(files) == 2
+    by_part = {f.split("/")[-2] for f in files}
+    assert by_part == {"p=0", "p=1"}
+    got = spark.read.parquet(root)
+    assert got.count() == 40_000
+    assert got.filter("p = '0' AND id % 2 <> 0").count() == 0
