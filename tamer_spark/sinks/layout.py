@@ -182,7 +182,6 @@ def compact_planned(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
-    min_rewrite_fraction: float = 0.5,
     tmp_suffix: str = "__compact_tmp",
 ) -> DataFrame:
     """Manifest-driven small-file compaction of a parquet directory — the
@@ -190,10 +189,12 @@ def compact_planned(
     manifest ACTED ON (path, bytes, bin, rewritten) so the caller can audit
     and journal it (the deterministic-output contract the shards sink set).
 
-    Files in a bin that is a SINGLETON already ≥ ``min_rewrite_fraction`` ×
-    target are left untouched — the 100 TB property that matters: OPTIMIZE
-    on an append-heavy table must touch the day's small tail, not rewrite
-    the petabytes that are already right-sized. Everything else is read in
+    SINGLETON bins are left untouched — rewriting one file alone can only
+    reproduce one file (this operator never splits), so it is pure wasted
+    IO whatever the file's size; right-sized files land alone in their own
+    bin by the planner's byte-span rule, which is the 100 TB property that
+    matters: OPTIMIZE on an append-heavy table touches the day's small
+    tail, never the petabytes already right-sized. Everything else is read in
     ONE job, routed to its bin via a broadcast manifest join on
     ``input_file_name()``, and written with ``repartitionByRange(n_bins,
     bin)`` — bin ids are dense integers, so range partitioning puts ~one
@@ -220,11 +221,7 @@ def compact_planned(
     # the frame from literal rows), so the manifest cannot observe the swap
     # below — no checkpoint needed; the window runs over file-count rows
     manifest = manifest.withColumn(
-        "rewritten",
-        ~(
-            (F.count(F.lit(1)).over(wbin) == 1)
-            & (F.col("bytes") >= int(min_rewrite_fraction * target_bytes))
-        ),
+        "rewritten", F.count(F.lit(1)).over(wbin) > 1
     )
     todo = manifest.filter("rewritten")
     paths = [r.path for r in todo.select("path").collect()]  # file NAMES, not data
@@ -276,7 +273,6 @@ def compact_partitioned(
     spark: SparkSession,
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
-    min_rewrite_fraction: float = 0.5,
 ) -> DataFrame:
     """``compact_planned`` over a hive-partitioned table root: every
     ``key=value`` partition directory (any nesting depth) is compacted as
@@ -316,9 +312,9 @@ def compact_partitioned(
     manifests = []
     for leaf in sorted(leaf_dirs(root)):
         rel = strip(leaf).removeprefix(nroot).strip("/")
-        m = compact_planned(
-            spark, leaf, target_bytes, min_rewrite_fraction
-        ).withColumn("partition", F.lit(rel))
+        m = compact_planned(spark, leaf, target_bytes).withColumn(
+            "partition", F.lit(rel)
+        )
         manifests.append(m)
     out = manifests[0]
     for m in manifests[1:]:
