@@ -197,7 +197,12 @@ class CurationSink:
         )
         s3 = s2.join(dirty, "doc_id", "left_anti").localCheckpoint()
         n_out = s3.count()
-        s3.write.mode("overwrite").parquet(str(CURATED / f"epoch={epoch}"))
+        # repartition(4) simulates the many-task epoch write a real cluster
+        # produces (one file per task) — the small-file accretion the r13
+        # maintenance step at the bottom of this example then compacts
+        s3.repartition(4).write.mode("overwrite").parquet(
+            str(CURATED / f"epoch={epoch}")
+        )
         s3.select(F.md5("text").alias("content_hash")).distinct().write.mode(
             "overwrite"
         ).parquet(str(INDEX / f"epoch={epoch}"))
@@ -377,4 +382,47 @@ assert _fold_sample == _rebuild_sample, "bottom-k fold != rebuild"
 print(
     f"monitoring sidecars: {len(_fold_hist)} histogram cells and "
     f"{len(_fold_sample)} audit-sample rows fold == rebuild across {len(epochs)} epochs"
+)
+
+# ------------------------------------------------------------------
+# r13 maintenance verb: the epoch sink writes each epoch as its own
+# directory of task files — exactly the small-file accretion pattern
+# OPTIMIZE exists for. Compact the curated table per partition and
+# demand the reader-visible corpus is untouched: same rows, same
+# epoch layout, never packed across epochs, fewer-or-equal files.
+# ------------------------------------------------------------------
+from tamer_spark.sinks.layout import compact_partitioned
+
+
+def _data_files(root) -> list[str]:
+    import glob as _glob
+
+    return [
+        f
+        for f in _glob.glob(f"{root}/**/*.parquet", recursive=True)
+        if not f.rsplit("/", 1)[-1].startswith((".", "_"))
+    ]
+
+
+_before_files = _data_files(CURATED)
+_before_corpus = sorted((r.doc_id, r.text) for r in _full.collect())
+_manifest = compact_partitioned(spark, str(CURATED), target_bytes=1 << 30).collect()
+_after_files = _data_files(CURATED)
+_after_corpus = sorted(
+    (r.doc_id, r.text)
+    for r in spark.read.option("basePath", str(CURATED))
+    .parquet(str(CURATED) + "/epoch=*")
+    .select("doc_id", "text")
+    .collect()
+)
+assert _after_corpus == _before_corpus, "compaction changed the corpus"
+assert sorted({m.partition for m in _manifest}) == [f"epoch={e}" for e in epochs]
+assert len(_after_files) <= len(_before_files)
+for e in epochs:  # one target-sized file per epoch partition afterwards
+    n = len([f for f in _after_files if f"epoch={e}/" in f])
+    assert n == 1, (e, n)
+print(
+    f"maintenance: compacted {len(_before_files)} epoch-sink files -> "
+    f"{len(_after_files)} ({len(_manifest)} manifest rows, "
+    f"{sum(1 for m in _manifest if m.rewritten)} rewritten), corpus bit-identical"
 )
