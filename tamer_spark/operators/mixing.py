@@ -341,3 +341,47 @@ def bottomk_merge(samples: list[DataFrame], k: int, id_col: str = "doc_id", salt
     # corpus — the sketch law is over the id SET, not the multiset
     u = reduce(DataFrame.unionByName, (s.select(id_col) for s in samples)).distinct()
     return bottomk_sample(u, k, id_col=id_col, salt=salt)
+
+
+def bottomk_grouped(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample-",
+) -> DataFrame:
+    """STRATIFIED deterministic sample: ``bottomk_sample`` independently
+    per ``group_col`` stratum — k rows per language/source/domain, the
+    eval-set construction rule (a global uniform sample starves tail
+    strata; per-stratum bottom-k guarantees every stratum its k). Same
+    hash, same salt, same mergeable-sketch law — PER GROUP:
+    ``grouped(A ∪ B) == grouped(grouped(A) ∪ grouped(B))`` (fold per-epoch
+    grouped samples by re-applying this over their union of (group, id)
+    rows; dedup on id within group is inherited from the rank).
+
+    NULL ids are dropped (cannot be hashed); a NULL group is its OWN
+    stratum — both engines group NULLs together under PARTITION BY, and
+    dropping undocumented rows from a sample silently biases it (the
+    winsorize left-join stance). Returns (group_col, id_col, sample_rank
+    1..min(k, stratum size)).
+
+    Scale shape: ONE exchange on the group + a per-group rank window —
+    the grouped-top-k plan; unlike the global form there is no
+    TakeOrdered shortcut (per-group heads are not a Spark primitive), so
+    a mega-stratum pays its own sort and AQE's skew split is the relief
+    valve, same posture as cap_per_group's rank stage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = stable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        group_col, id_col, h.alias("_h")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )

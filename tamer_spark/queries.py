@@ -5267,6 +5267,7 @@ def doc_split_sample_q(spark, sf):
 
 
 _BOTTOMK_K = 100
+_BOTTOMK_GRP_K = 5
 
 
 @q(
@@ -5289,6 +5290,14 @@ _BOTTOMK_K = 100
           FROM documents)
     WHERE sample_rank <= {_BOTTOMK_K}
     UNION ALL
+    SELECT 'bottomk_grp', doc_id, lang, 'sample', CAST(sample_rank AS BIGINT)
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   ('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                   doc_id ASC) AS sample_rank
+          FROM documents)
+    WHERE sample_rank <= {_BOTTOMK_GRP_K}
+    UNION ALL
     SELECT 'cluster', doc_id, CAST(NULL AS VARCHAR),
            CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END,
            cluster_rep
@@ -5296,7 +5305,7 @@ _BOTTOMK_K = 100
                  ('0x' || substr(md5('csplit-' || CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
           FROM ({_clusters_oracle()}))
     """,
-    doc="Dataset splitting as one tagged union (r11 re-pack of the driver-green per-doc gate). doc: stable 80/10/10 train/val/test split + reproducible 20% sample membership in one map-only pass (salted hash ranges — membership never shifts when the corpus grows, unlike percent_rank splits; content-independent, identical rows on any engine/run/partitioning — rand() is none of those). cluster (r11): LEAKAGE-SAFE split — near-duplicate clusters never straddle a boundary (Lee et al. 2022 §6: eval examples with a near-copy in train are the contamination doc-hash splits produce); the split hash is computed over each doc's transitive near-dup cluster representative (MinHash-LSH pairs → connected components, the dedup-clustering path), singletons hash themselves, so it strictly generalizes the per-doc rule; the oracle replays signatures, banding, the recursive-CTE closure, AND the assignment. bottomk (r12): deterministic 100-row uniform sample as a BOTTOM-K sketch (smallest salted hashes; Cohen & Kaplan 2007 lineage) — the distributed, MERGEABLE reservoir replacement: TakeOrderedAndProject plan (per-partition heads, no global sort), rank window over the <=k survivors only; the fold-equals-rebuild sketch property (the O(k)-per-epoch incremental story) is pinned in pytest.",
+    doc="Dataset splitting as one tagged union (r11 re-pack of the driver-green per-doc gate). doc: stable 80/10/10 train/val/test split + reproducible 20% sample membership in one map-only pass (salted hash ranges — membership never shifts when the corpus grows, unlike percent_rank splits; content-independent, identical rows on any engine/run/partitioning — rand() is none of those). cluster (r11): LEAKAGE-SAFE split — near-duplicate clusters never straddle a boundary (Lee et al. 2022 §6: eval examples with a near-copy in train are the contamination doc-hash splits produce); the split hash is computed over each doc's transitive near-dup cluster representative (MinHash-LSH pairs → connected components, the dedup-clustering path), singletons hash themselves, so it strictly generalizes the per-doc rule; the oracle replays signatures, banding, the recursive-CTE closure, AND the assignment. bottomk (r12): deterministic 100-row uniform sample as a BOTTOM-K sketch (smallest salted hashes; Cohen & Kaplan 2007 lineage) — the distributed, MERGEABLE reservoir replacement: TakeOrderedAndProject plan (per-partition heads, no global sort), rank window over the <=k survivors only; the fold-equals-rebuild sketch property (the O(k)-per-epoch incremental story) is pinned in pytest. bottomk_grp (r13): STRATIFIED deterministic sample — bottomk_sample independently per lang (operators/mixing.bottomk_grouped; k=5 per stratum), the eval-set construction rule (a global uniform sample starves tail strata); same salt/hash as the global form so the two samples are drawn from ONE permutation, per-group mergeable (fold == rebuild per stratum, pinned), NULL group = its own stratum (dropping undocumented rows biases a sample — the winsorize stance); one exchange on the group + a per-group rank window (no per-group TakeOrdered primitive exists; AQE skew split is the mega-stratum relief, the cap_per_group posture).",
 )
 def split_sample_docs(spark, sf):
     from tamer_spark.operators.dedup import minhash_lsh_pairs
@@ -5319,6 +5328,15 @@ def split_sample_docs(spark, sf):
         F.lit("sample").alias("split"),
         F.col("sample_rank").alias("v"),
     )
+    from tamer_spark.operators.mixing import bottomk_grouped
+
+    bkg = bottomk_grouped(d, _BOTTOMK_GRP_K, "lang").select(
+        F.lit("bottomk_grp").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("k1"),
+        F.lit("sample").alias("split"),
+        F.col("sample_rank").alias("v"),
+    )
     pairs = minhash_lsh_pairs(d, k=_K, bands=_BANDS, n=_N, seed=42, max_bucket=_MAX_BUCKET)
     cluster = leakage_safe_split(d.select("doc_id"), pairs).select(
         F.lit("cluster").alias("variant"),
@@ -5327,7 +5345,7 @@ def split_sample_docs(spark, sf):
         "split",
         F.col("cluster_rep").alias("v"),
     )
-    return doc.unionByName(bk).unionByName(cluster)
+    return doc.unionByName(bk).unionByName(bkg).unionByName(cluster)
 
 
 _MIX_HEAVY = ("src0", "src1", "src2", "src3", "src4")
