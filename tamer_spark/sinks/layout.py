@@ -122,8 +122,8 @@ def plan_compaction(
 
     Input: one row per data file — ``path_col`` (unique), ``bytes_col``,
     plus any ``partition_cols`` (files never pack across partitions).
-    Output: the input plus ``bin`` (BIGINT, dense per partition) — the
-    manifest. The rule is sorted sequential fill: within a partition,
+    Output: the input plus ``bin`` (BIGINT, monotone per partition;
+    gaps appear where a file spans several target sizes) — the manifest. The rule is sorted sequential fill: within a partition,
     order files by (bytes DESC, path) and assign each to
     ``floor(cumulative_bytes_before_it / target_bytes)`` — bins are
     contiguous runs of that order, every bin's fill is < target + its last
@@ -197,8 +197,8 @@ def compact_planned(
     tail, never the petabytes already right-sized. Everything else is read in
     ONE job, routed to its bin via a broadcast manifest join on
     ``input_file_name()``, and written with ``repartitionByRange(n_bins,
-    bin)`` — bin ids are dense integers, so range partitioning puts ~one
-    bin per output partition = ~one target-sized file per bin, with no
+    bin)`` — range partitioning over the (monotone, sampled) bin ids puts
+    ~one bin per output partition = ~one target-sized file per bin, with no
     driver-side per-bin loop (Delta's OPTIMIZE schedules a job per bin
     batch; at 800k bins that loop IS the bottleneck, the range shuffle
     isn't). Rewritten files replace the originals atomically-per-directory
@@ -213,7 +213,6 @@ def compact_planned(
         return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
 
     manifest = plan_compaction(list_parquet_files(spark, path), target_bytes)
-    # a bin whose files already meet the target: exactly one file, big enough
     from pyspark.sql import Window
 
     wbin = Window.partitionBy("bin")
