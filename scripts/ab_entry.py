@@ -29,14 +29,16 @@ import statistics
 import sys
 import time
 
-# resolve the arm tree explicitly ($SPARK_GRAFT_AB_TREE, default cwd), never
-# from this script's location: sys.path[0] is the scripts/ dir of the MAIN
-# checkout, which must not shadow the arm under test
-sys.path.pop(0)
-sys.path.insert(0, os.path.abspath(os.environ.get("SPARK_GRAFT_AB_TREE", os.getcwd())))
-
-
 def main() -> None:
+    # resolve the arm tree explicitly ($SPARK_GRAFT_AB_TREE, default cwd),
+    # never from this script's location: sys.path[0] is the scripts/ dir of
+    # the MAIN checkout, which must not shadow the arm under test. Done
+    # INSIDE main() so merely importing this script (the scripts-smoke
+    # guard) does not mutate the importing process's sys.path.
+    sys.path.pop(0)
+    sys.path.insert(
+        0, os.path.abspath(os.environ.get("SPARK_GRAFT_AB_TREE", os.getcwd()))
+    )
     entry = sys.argv[1] if len(sys.argv) > 1 else "winnow_overlap_pairs_docs"
     n_iter = int(os.environ.get("SPARK_GRAFT_AB_ITERS", "7"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
