@@ -6789,6 +6789,10 @@ _PROFILE_ORACLE = f"""
     SELECT 'compact', path, bin, bytes, CAST(part_year AS VARCHAR)
     FROM ({_COMPACT_ORACLE})
     UNION ALL
+    SELECT 'compact_bins', CAST(part_year AS VARCHAR) || '#' || CAST(bin AS VARCHAR),
+           COUNT(*), CAST(SUM(bytes) AS BIGINT), CAST(part_year AS VARCHAR)
+    FROM ({_COMPACT_ORACLE}) GROUP BY part_year, bin
+    UNION ALL
     {_PROFILE_ORACLE}
     """,
     doc=(
@@ -6819,6 +6823,8 @@ _PROFILE_ORACLE = f"""
         "the filesystem rewrite half (compact_planned: skip-right-sized "
         "singletons, ONE broadcast-routed job, repartitionByRange one "
         "bin per file) is pinned by tests/test_layout.py round-trips. "
+        "compact_bins: the ops-facing journal view — files + exact byte "
+        "fill per (partition, bin), one tiny agg over the same manifest. "
         "profile_hh/profile_summary (r10, "
         "operators/skew.py): the measurement step before choosing a "
         "join/groupBy strategy on a fact table — exact top-10 hottest "
@@ -6856,11 +6862,25 @@ def table_maintenance_q(spark, sf):
         F.col("n_events").alias("v2"),
         F.col("sum_value_c").cast("string").alias("payload"),
     )
-    comp = compaction_plan_orders_q(spark, sf).select(
+    comp_plan = compaction_plan_orders_q(spark, sf)
+    comp = comp_plan.select(
         F.lit("compact").alias("variant"),
         F.col("path").alias("k"),
         F.col("bin").alias("v1"),
         F.col("bytes").alias("v2"),
+        F.col("part_year").cast("string").alias("payload"),
+    )
+    # the ops-facing summary: files + fill per bin — what an OPTIMIZE
+    # journal row records (one tiny agg over the manifest, same plan)
+    comp_bins = comp_plan.groupBy("part_year", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"), F.sum("bytes").alias("bin_bytes")
+    ).select(
+        F.lit("compact_bins").alias("variant"),
+        F.concat(
+            F.col("part_year").cast("string"), F.lit("#"), F.col("bin").cast("string")
+        ).alias("k"),
+        F.col("n_files").alias("v1"),
+        F.col("bin_bytes").alias("v2"),
         F.col("part_year").cast("string").alias("payload"),
     )
     from tamer_spark.operators.skew import heavy_hitters, key_counts, skew_summary
@@ -6892,6 +6912,7 @@ def table_maintenance_q(spark, sf):
         dq.unionByName(scd2)
         .unionByName(roll)
         .unionByName(comp)
+        .unionByName(comp_bins)
         .unionByName(hh)
         .unionByName(summ)
     )
