@@ -591,7 +591,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs", "vocab_growth_docs"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -646,7 +646,12 @@ SERIES = {
     "domain_cap_docs": "r12",
     "skipgram_top_pairs": "r12",
     "grouped_percentiles_orders": "r12",
-    "vocab_growth_docs": "r12",
+    # r13: the n_window guard now persists the bucket frame and the
+    # returned plan reads the cache (one corpus execution, not two — the
+    # r12 ADVICE fix), so the entry times a DIFFERENT shape and joins
+    # _NO_WARM_KEEP (iterations otherwise alternate riding the previous
+    # iteration's plan-equal cache until its finalizer fires mid-iteration)
+    "vocab_growth_docs": "r13-cached-guard",
 }
 
 
