@@ -113,6 +113,12 @@ OPS = [
     # the grouped form is the harder shape and covers it.
     # event_anomaly_daily stays unprobed: events is still copied unchanged.)
     "grouped_percentiles_orders",
+    # r13: the composed lexical+semantic serving path (exact cosine kNN for
+    # 10 queries + BM25 top-20 + RRF fuse) — per-query output is bounded at
+    # k, the kNN fold and BM25 tf shuffle grow with the corpus; expect
+    # ~linear. (ivfadc/hard_negatives stay excluded: hot-index memo timing
+    # and the pair-blowup rule respectively.)
+    "hybrid_retrieval_rrf",
     # r12 continuation: ExactSubstr REMOVAL — unlike its pair-detection
     # sibling (excluded above: pairs grow C(n,2)-quadratically under the
     # n× verbatim synthesis), removal never forms pairs: the duplicate-
