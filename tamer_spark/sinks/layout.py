@@ -249,7 +249,10 @@ def compact_planned(
         # would silently drop data) must abort with the originals intact
         n_src, n_out = df.count(), spark.read.parquet(tmp).count()
         if n_src != n_out:
-            shutil.rmtree(tmp, ignore_errors=True)
+            # norm: tmp may be URI-form (file:/…) when called from
+            # compact_partitioned's Hadoop listing — a raw rmtree would
+            # silently no-op and leave the aside dir behind
+            shutil.rmtree(norm_path(tmp), ignore_errors=True)
             raise RuntimeError(
                 f"compact_planned: rewrote {n_out} rows but sources hold "
                 f"{n_src}; aborting before deleting originals"

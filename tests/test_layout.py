@@ -190,3 +190,29 @@ def test_compact_partitioned_per_partition_isolation(spark, tmp_path):
     got = spark.read.parquet(root)
     assert got.count() == 40_000
     assert got.filter("p = '0' AND id % 2 <> 0").count() == 0
+
+
+def test_compact_planned_fails_closed_on_routing_loss(spark, tmp_path, monkeypatch):
+    """Fault injection: if the file-routing join ever drops rows (the bug
+    class the r13 URI-normalization fix was for), the operator must abort
+    BEFORE deleting any original — data intact, tmp cleaned up."""
+    import pytest
+
+    from tamer_spark.sinks import layout
+
+    p = str(tmp_path / "tbl")
+    spark.range(10_000).repartition(4).write.parquet(p)
+    before = sorted(_parquet_files(p))
+
+    real_ifn = layout.F.input_file_name
+    monkeypatch.setattr(
+        layout.F, "input_file_name", lambda: layout.F.lit("file:///bogus")
+    )
+    try:
+        with pytest.raises(RuntimeError, match="aborting before deleting"):
+            layout.compact_planned(spark, p, target_bytes=1 << 30)
+    finally:
+        monkeypatch.setattr(layout.F, "input_file_name", real_ifn)
+    assert sorted(_parquet_files(p)) == before  # originals untouched
+    assert not [d for d in __import__("os").listdir(str(tmp_path)) if "compact_tmp" in d]
+    assert spark.read.parquet(p).count() == 10_000
