@@ -6754,6 +6754,31 @@ _COMPACT_ORACLE = f"""
     """
 
 
+_STATS_ORACLE = """
+    SELECT 'o_orderkey' AS col, CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+           CAST(MAX(o_orderkey) AS BIGINT) AS mx,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nn,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT), CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_c', CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'odate_epoch', CAST(MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(epoch(o_orderdate) AS BIGINT)) AS BIGINT)
+    FROM orders
+    """
+
+
 _PROFILE_COUNTS = "(SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1)"
 _PROFILE_ORACLE = f"""
     SELECT 'profile_hh' AS variant, CAST(key AS VARCHAR) AS k, n AS v1,
@@ -6793,6 +6818,9 @@ _PROFILE_ORACLE = f"""
            COUNT(*), CAST(SUM(bytes) AS BIGINT), CAST(part_year AS VARCHAR)
     FROM ({_COMPACT_ORACLE}) GROUP BY part_year, bin
     UNION ALL
+    SELECT 'stats', col, mn, mx, CAST(nn AS VARCHAR) || '|' || CAST(nd AS VARCHAR)
+    FROM ({_STATS_ORACLE})
+    UNION ALL
     {_PROFILE_ORACLE}
     """,
     doc=(
@@ -6825,6 +6853,12 @@ _PROFILE_ORACLE = f"""
         "bin per file) is pinned by tests/test_layout.py round-trips. "
         "compact_bins: the ops-facing journal view — files + exact byte "
         "fill per (partition, bin), one tiny agg over the same manifest. "
+        "stats (r13, operators/quality.column_stats): ANALYZE-style column "
+        "statistics — per column min/max/NULL-count/exact NDV in ONE "
+        "aggregate pass over orders (integer domains: keys, cents, epoch "
+        "seconds — the cross-engine convention), the maintenance verb "
+        "behind CBO numbers and ingest validation; NULL contracts "
+        "(min/max skip, n_nulls counts, NDV excludes) replay-pinned. "
         "profile_hh/profile_summary (r10, "
         "operators/skew.py): the measurement step before choosing a "
         "join/groupBy strategy on a fact table — exact top-10 hottest "
@@ -6908,11 +6942,32 @@ def table_maintenance_q(spark, sf):
             F.col("skew_ppm").cast("string"), F.lit("|"), F.col("suggested_salt").cast("string")
         ).alias("payload"),
     )
+    from tamer_spark.operators.quality import column_stats
+
+    o = _t(spark, sf, "orders")
+    stats = column_stats(
+        o,
+        [
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_custkey", F.col("o_custkey")),
+            ("price_c", cents("o_totalprice")),
+            ("odate_epoch", F.unix_timestamp("o_orderdate").cast("long")),
+        ],
+    ).select(
+        F.lit("stats").alias("variant"),
+        F.col("column").alias("k"),
+        F.col("min_v").alias("v1"),
+        F.col("max_v").alias("v2"),
+        F.concat(
+            F.col("n_nulls").cast("string"), F.lit("|"), F.col("n_distinct").cast("string")
+        ).alias("payload"),
+    )
     return (
         dq.unionByName(scd2)
         .unionByName(roll)
         .unionByName(comp)
         .unionByName(comp_bins)
+        .unionByName(stats)
         .unionByName(hh)
         .unionByName(summ)
     )

@@ -63,3 +63,51 @@ def test_referential_and_uniqueness_empty_inputs(spark):
     assert _rows(referential_check(child, parent, "fk", "pk")) == {"fk_orphaned": 0}
     empty = spark.createDataFrame([], "k long")
     assert _rows(uniqueness_check(empty, ["k"])) == {"k_duplicated": 0}
+
+
+def test_column_stats_exact_and_null_semantics(spark):
+    # min/max skip NULLs, n_nulls counts them, NDV excludes them — replayed
+    # against DuckDB so the engine contracts can never drift silently
+    import duckdb
+
+    from tamer_spark.operators.quality import column_stats
+
+    rows = [(1, None), (2, 5), (2, 7), (None, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(
+        (r.column, r.min_v, r.max_v, r.n_nulls, r.n_distinct)
+        for r in column_stats(df, [("a", F.col("a")), ("b", F.col("b"))]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = sorted(
+        con.execute(
+            """
+            SELECT 'a', MIN(a), MAX(a), COUNT(*)-COUNT(a), COUNT(DISTINCT a) FROM t
+            UNION ALL
+            SELECT 'b', MIN(b), MAX(b), COUNT(*)-COUNT(b), COUNT(DISTINCT b) FROM t
+            """
+        ).fetchall()
+    )
+    assert got == oracle == [("a", 1, 2, 1, 2), ("b", 5, 7, 1, 2)]
+
+
+def test_column_stats_single_aggregate_no_join(spark):
+    # ONE aggregate pass: no join, no window — the expand for the multi
+    # count_distinct is the only multiplier
+    from tamer_spark.operators.quality import column_stats
+    from tamer_spark.plans import explain_str
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    plan = explain_str(column_stats(df, [("id", F.col("id")), ("v", F.col("v"))]))
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_column_stats_rejects_empty_specs(spark):
+    import pytest
+
+    from tamer_spark.operators.quality import column_stats
+
+    with pytest.raises(ValueError, match="at least one"):
+        column_stats(spark.range(1), [])
