@@ -120,3 +120,47 @@ def column_stats(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame:
     return wide.select(F.explode(rows).alias("s")).select(
         "s.column", "s.min_v", "s.max_v", "s.n_nulls", "s.n_distinct"
     )
+
+
+def column_stats_grouped(
+    df: DataFrame, keys: list[str], specs: list[tuple[str, Column]]
+) -> DataFrame:
+    """``column_stats`` per ``keys`` group — the PER-PARTITION statistics
+    catalog: partition-level min/max IS the data-skipping index every
+    table format keeps (parquet row-group stats, Delta/Iceberg file
+    stats), and per-partition NULL/NDV is how a drifted landing partition
+    is localized without scanning its neighbors. One partial-aggregable
+    groupBy over the data (rows out = #groups × #specs); NULL group keys
+    form their own group (both engines' GROUP BY NULL rule — dropping a
+    misrouted partition from its own stats report would hide exactly the
+    feed bug the report exists to catch).
+
+    Returns (keys..., column, min_v, max_v, n_nulls, n_distinct)."""
+    if not specs:
+        raise ValueError("column_stats_grouped needs at least one (name, column) spec")
+    if not keys:
+        raise ValueError("column_stats_grouped needs group keys; use column_stats")
+    aggs = []
+    for name, c in specs:
+        aggs += [
+            F.min(c).cast("long").alias(f"_mn_{name}"),
+            F.max(c).cast("long").alias(f"_mx_{name}"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"_nn_{name}"),
+            F.count_distinct(c).cast("long").alias(f"_nd_{name}"),
+        ]
+    wide = df.groupBy(*keys).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col(f"_mn_{name}").alias("min_v"),
+                F.col(f"_mx_{name}").alias("max_v"),
+                F.col(f"_nn_{name}").alias("n_nulls"),
+                F.col(f"_nd_{name}").alias("n_distinct"),
+            )
+            for name, _ in specs
+        ]
+    )
+    return wide.select(*keys, F.explode(rows).alias("s")).select(
+        *keys, "s.column", "s.min_v", "s.max_v", "s.n_nulls", "s.n_distinct"
+    )

@@ -6821,6 +6821,13 @@ _PROFILE_ORACLE = f"""
     SELECT 'stats', col, mn, mx, CAST(nn AS VARCHAR) || '|' || CAST(nd AS VARCHAR)
     FROM ({_STATS_ORACLE})
     UNION ALL
+    SELECT 'pstats', CAST(year(o_orderdate) AS VARCHAR) || '#price_c',
+           CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) || '|' ||
+           CAST(COUNT(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+    FROM orders GROUP BY year(o_orderdate)
+    UNION ALL
     {_PROFILE_ORACLE}
     """,
     doc=(
@@ -6859,6 +6866,11 @@ _PROFILE_ORACLE = f"""
         "seconds — the cross-engine convention), the maintenance verb "
         "behind CBO numbers and ingest validation; NULL contracts "
         "(min/max skip, n_nulls counts, NDV excludes) replay-pinned. "
+        "pstats: the same stats PER PARTITION (order year) — partition-"
+        "level min/max is the data-skipping index table formats keep, and "
+        "per-partition nulls/NDV localizes a drifted landing partition "
+        "without scanning its neighbors (column_stats_grouped, one "
+        "partial-aggregable groupBy; NULL keys keep their own group). "
         "profile_hh/profile_summary (r10, "
         "operators/skew.py): the measurement step before choosing a "
         "join/groupBy strategy on a fact table — exact top-10 hottest "
@@ -6962,12 +6974,28 @@ def table_maintenance_q(spark, sf):
             F.col("n_nulls").cast("string"), F.lit("|"), F.col("n_distinct").cast("string")
         ).alias("payload"),
     )
+    from tamer_spark.operators.quality import column_stats_grouped
+
+    pstats = column_stats_grouped(
+        o.withColumn("_yr", F.year("o_orderdate").cast("long")),
+        ["_yr"],
+        [("price_c", cents("o_totalprice"))],
+    ).select(
+        F.lit("pstats").alias("variant"),
+        F.concat(F.col("_yr").cast("string"), F.lit("#"), F.col("column")).alias("k"),
+        F.col("min_v").alias("v1"),
+        F.col("max_v").alias("v2"),
+        F.concat(
+            F.col("n_nulls").cast("string"), F.lit("|"), F.col("n_distinct").cast("string")
+        ).alias("payload"),
+    )
     return (
         dq.unionByName(scd2)
         .unionByName(roll)
         .unionByName(comp)
         .unionByName(comp_bins)
         .unionByName(stats)
+        .unionByName(pstats)
         .unionByName(hh)
         .unionByName(summ)
     )

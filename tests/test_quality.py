@@ -111,3 +111,44 @@ def test_column_stats_rejects_empty_specs(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         column_stats(spark.range(1), [])
+
+
+def test_column_stats_grouped_matches_duckdb_incl_null_group(spark):
+    import duckdb
+
+    from tamer_spark.operators.quality import column_stats_grouped
+
+    rows = [("p1", 1), ("p1", 3), ("p2", None), ("p2", 9), (None, 4)]
+    df = spark.createDataFrame(rows, "p string, v long")
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(
+        (
+            (r.p, r.column, r.min_v, r.max_v, r.n_nulls, r.n_distinct)
+            for r in column_stats_grouped(df, ["p"], [("v", F.col("v"))]).collect()
+        ),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = sorted(
+        ((p, "v", mn, mx, nn, nd)
+         for p, mn, mx, nn, nd in con.execute(
+            "SELECT p, MIN(v), MAX(v), COUNT(*)-COUNT(v), COUNT(DISTINCT v) FROM t GROUP BY p"
+         ).fetchall()),
+        key=key,
+    )
+    assert got == oracle
+    assert any(p is None for p, *_ in got)  # NULL key keeps its own group
+
+
+def test_column_stats_grouped_guards(spark):
+    import pytest
+
+    from tamer_spark.operators.quality import column_stats_grouped
+
+    df = spark.range(1).withColumn("p", F.lit("a"))
+    with pytest.raises(ValueError, match="group keys"):
+        column_stats_grouped(df, [], [("id", F.col("id"))])
+    with pytest.raises(ValueError, match="at least one"):
+        column_stats_grouped(df, ["p"], [])
