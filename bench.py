@@ -2,7 +2,16 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "host_calib_s": ..., "shuffle_calib_s": ..., "load_avg_1m": {...}}
+
+The last three fields are the in-record noise attribution (r13):
+single-thread host calibration, the 32-thread shuffle-calibration twin,
+and the 1-min load average sampled at start / after every group / at end
+— scripts/bench_compare.py consumes them so a round-over-round flag can
+be attributed to a host window without a separate same-code A/B rerun
+(scripts/ab_entry.py remains the per-entry A/B harness when one is
+needed).
 
 Each query is executed to completion (count) so lazy plans actually run; time
 includes plan + execution, not session startup. Per-query value is the MEDIAN
