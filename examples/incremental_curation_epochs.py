@@ -426,3 +426,37 @@ print(
     f"{len(_after_files)} ({len(_manifest)} manifest rows, "
     f"{sum(1 for m in _manifest if m.rewritten)} rewritten), corpus bit-identical"
 )
+
+# ------------------------------------------------------------------
+# r13 catalog step: ANALYZE the curated table per partition — the
+# per-epoch min/max/null/NDV rows a stats journal keeps (partition-
+# level min/max is the data-skipping index; per-partition NDV
+# localizes a drifted epoch without scanning its neighbors).
+# ------------------------------------------------------------------
+from tamer_spark.operators.quality import column_stats_grouped
+
+_stats = {
+    (r.epoch, r.column): (r.min_v, r.max_v, r.n_nulls, r.n_distinct)
+    for r in column_stats_grouped(
+        spark.read.option("basePath", str(CURATED)).parquet(str(CURATED) + "/epoch=*"),
+        ["epoch"],
+        [
+            ("doc_id", F.col("doc_id")),
+            ("len_chars", F.length("text").cast("long")),
+        ],
+    ).collect()
+}
+assert set(_stats) == {(e, c) for e in epochs for c in ("doc_id", "len_chars")}
+for e in epochs:
+    mn, mx, nn, nd = _stats[(e, "doc_id")]
+    n_curated = sink.stats[e]["out"]
+    assert nn == 0 and nd == n_curated, (e, _stats[(e, "doc_id")], n_curated)
+    assert mn <= mx
+print(
+    "catalog: per-epoch column stats journaled — "
+    + "; ".join(
+        f"epoch {e}: doc_id ndv={_stats[(e, 'doc_id')][3]}, "
+        f"len[{_stats[(e, 'len_chars')][0]}, {_stats[(e, 'len_chars')][1]}]"
+        for e in epochs
+    )
+)
