@@ -31,11 +31,17 @@ import time
 
 def main() -> None:
     # resolve the arm tree explicitly ($SPARK_GRAFT_AB_TREE, default cwd),
-    # never from this script's location: sys.path[0] is the scripts/ dir of
-    # the MAIN checkout, which must not shadow the arm under test. Done
-    # INSIDE main() so merely importing this script (the scripts-smoke
-    # guard) does not mutate the importing process's sys.path.
-    sys.path.pop(0)
+    # never from this script's location: the scripts/ dir of the MAIN
+    # checkout must not shadow the arm under test. Remove it by VALUE —
+    # sys.path[0] is only this directory under direct `python scripts/...`
+    # invocation; under `python -m` or embedded use popping by position
+    # would drop an unrelated entry. Done INSIDE main() so merely importing
+    # this script (the scripts-smoke guard) does not mutate the importing
+    # process's sys.path.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    for _p in list(sys.path):
+        if _p and os.path.abspath(_p) == _here:
+            sys.path.remove(_p)
     sys.path.insert(
         0, os.path.abspath(os.environ.get("SPARK_GRAFT_AB_TREE", os.getcwd()))
     )

@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 
 
 def estimate_size_bytes(spark: SparkSession, path: str) -> int:
-    import os
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith("."))
-    return total
+    """Recursive byte size of ``path`` via the Hadoop FileSystem content
+    summary — one metadata call, works unchanged on local/HDFS/S3A (the
+    r14 unification: no local-only ``os.walk`` path survives in this
+    module, so a helper can't silently mis-measure an object store)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
 
 
 def plan_size_mb(df: DataFrame) -> float | None:
@@ -90,20 +92,17 @@ def write_sized(
 def compact_small_files(
     spark: SparkSession, path: str, target_file_mb: int = 128, tmp_suffix: str = "__compact_tmp"
 ) -> int:
-    """Rewrite ``path`` to ~target-sized files; returns the new file count.
-
-    Read → repartition by measured size → write alongside → atomic swap.
-    """
-    import shutil
-
-    size_mb = estimate_size_bytes(spark, path) / (1024 * 1024)
-    n_files = max(1, math.ceil(size_mb / target_file_mb))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + tmp_suffix
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return n_files
+    """Rewrite ``path`` to ~target-sized files; returns the resulting file
+    count. Thin wrapper over the manifest-driven ``compact_planned`` (r14
+    unification — one swap implementation, Hadoop-FS throughout, so no
+    local-only rewrite path can be picked up for an object store).
+    Compared to the pre-r14 whole-directory rewrite this also inherits the
+    better behavior: already-right-sized singleton files are skipped, and
+    the fail-closed row-count guard runs before any original is removed."""
+    compact_planned(
+        spark, path, target_bytes=target_file_mb * 1024 * 1024, tmp_suffix=tmp_suffix
+    )
+    return list_parquet_files(spark, path).count()
 
 
 def plan_compaction(
@@ -160,6 +159,47 @@ def plan_compaction(
     )
 
 
+def plan_splits(
+    manifest: DataFrame,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+    split_bytes: int | None = None,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """SPLIT half of OPTIMIZE planning (r14) over ``plan_compaction``'s
+    manifest: oversized files are the other face of the small-files
+    problem (a skewed epoch writing one 2 GB file serializes every
+    downstream scan task that reads it past ``maxPartitionBytes`` row-group
+    boundaries, and re-compaction can never improve it by merging).
+
+    Adds two columns: ``n_in_bin`` (files sharing the row's bin) and
+    ``split_k`` — the number of ~target-sized outputs the file should be
+    rewritten into. A file splits only when it is ALONE in its bin (the
+    planner's byte-span rule puts every oversized file alone, so a merge
+    candidate never also splits) and larger than ``split_bytes`` (default
+    ``2 * target_bytes``: splitting a 1.3×-target file would produce two
+    UNDER-sized files — strictly worse); then ``split_k =
+    ceil(bytes / target_bytes)``, else 1. Same replayability contract as
+    the bin rule: one window count + integer arithmetic, reproducible in
+    any engine, auditable before a 100 TB rewrite runs.
+    """
+    from pyspark.sql import Window
+
+    if split_bytes is None:
+        split_bytes = 2 * target_bytes
+    w = Window.partitionBy(*(partition_cols or []), "bin")
+    t = int(target_bytes)
+    return manifest.withColumn("n_in_bin", F.count(F.lit(1)).over(w)).withColumn(
+        "split_k",
+        F.when(
+            (F.col("n_in_bin") == 1) & (F.col(bytes_col) > int(split_bytes)),
+            F.expr(f"({bytes_col} + {t} - 1) div {t}"),
+        )
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+
+
 def list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
     """(path, bytes) manifest of a directory's parquet data files, via the
     JVM Hadoop FileSystem (works unchanged on HDFS/S3A at scale; driver-side
@@ -183,64 +223,95 @@ def compact_planned(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     tmp_suffix: str = "__compact_tmp",
+    split_bytes: int | None = None,
 ) -> DataFrame:
-    """Manifest-driven small-file compaction of a parquet directory — the
-    OPTIMIZE execute step over ``plan_compaction``'s manifest. Returns the
-    manifest ACTED ON (path, bytes, bin, rewritten) so the caller can audit
-    and journal it (the deterministic-output contract the shards sink set).
+    """Manifest-driven compaction of a parquet directory — the OPTIMIZE
+    execute step over ``plan_compaction`` + ``plan_splits``. Returns the
+    manifest ACTED ON (path, bytes, bin, split_k, rewritten) so the caller
+    can audit and journal it (the deterministic-output contract the shards
+    sink set).
 
-    SINGLETON bins are left untouched — rewriting one file alone can only
-    reproduce one file (this operator never splits), so it is pure wasted
-    IO whatever the file's size; right-sized files land alone in their own
-    bin by the planner's byte-span rule, which is the 100 TB property that
-    matters: OPTIMIZE on an append-heavy table touches the day's small
-    tail, never the petabytes already right-sized. Everything else is read in
+    RIGHT-SIZED singleton files are left untouched — they land alone in
+    their own bin by the planner's byte-span rule, which is the 100 TB
+    property that matters: OPTIMIZE on an append-heavy table touches the
+    day's small tail, never the petabytes already right-sized. OVERSIZED
+    singletons (bytes > ``split_bytes``, default 2× target — the skewed-
+    epoch 2 GB file) are SPLIT (r14) into ``split_k = ceil(bytes/target)``
+    ~target-sized outputs inside the same one-job rewrite: their rows are
+    routed to ``split_k`` distinct route keys by a deterministic
+    row-content hash (``xxhash64`` over the data columns — map-typed
+    columns, which Spark cannot hash, are excluded from the hash input),
+    so the assignment is reproducible run-to-run with no window and no
+    per-file driver logic. Everything else is read in
     ONE job, routed to its bin via a broadcast manifest join on
     ``input_file_name()``, and written with ``repartitionByRange(n_bins,
     bin)`` — range partitioning over the (monotone, sampled) bin ids puts
     ~one bin per output partition = ~one target-sized file per bin, with no
     driver-side per-bin loop (Delta's OPTIMIZE schedules a job per bin
     batch; at 800k bins that loop IS the bottleneck, the range shuffle
-    isn't). Rewritten files replace the originals atomically-per-directory
-    (write aside, then swap the rewritten originals out)."""
-    import os
-    import re
-    import shutil
+    isn't). The swap runs through the SAME Hadoop FileSystem handle as the
+    listing (r14 — local/HDFS/S3A uniformly), ordered for no-data-loss:
+    rewritten files are renamed INTO the directory first (fresh part-file
+    names cannot collide with originals), and only then are the originals
+    deleted. A crash mid-swap can therefore leave transient DUPLICATE
+    rows (recover by deleting either the surviving originals or the
+    moved-in rewrites — both sides are auditable from the returned
+    manifest plus a directory listing), but never missing rows; the
+    pre-swap fail-closed count guard additionally aborts with originals
+    intact if the rewrite lost anything."""
+    jvm = spark.sparkContext._jvm
+    jPath = jvm.org.apache.hadoop.fs.Path
+    fs = jPath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
 
-    def norm_path(p: str) -> str:
-        """URI → local filesystem path (the local-FS swap below; on a real
-        object store the swap is rename/delete via the same Hadoop fs)."""
-        return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
-
-    manifest = plan_compaction(list_parquet_files(spark, path), target_bytes)
-    from pyspark.sql import Window
-
-    wbin = Window.partitionBy("bin")
     # the listing is already driver-materialized (list_parquet_files builds
     # the frame from literal rows), so the manifest cannot observe the swap
-    # below — no checkpoint needed; the window runs over file-count rows
-    manifest = manifest.withColumn(
-        "rewritten", F.count(F.lit(1)).over(wbin) > 1
-    )
+    # below — no checkpoint needed; the windows run over file-count rows
+    manifest = plan_splits(
+        plan_compaction(list_parquet_files(spark, path), target_bytes),
+        target_bytes,
+        split_bytes=split_bytes,
+    ).withColumn("rewritten", (F.col("n_in_bin") > 1) | (F.col("split_k") > 1))
     todo = manifest.filter("rewritten")
-    paths = [r.path for r in todo.select("path").collect()]  # file NAMES, not data
+    rows = todo.select("path", "bin", "split_k", "n_in_bin").collect()  # file NAMES, not data
+    paths = [r.path for r in rows]
     if paths:
-        n_bins = todo.select("bin").distinct().count()
+        # one output partition per route key: each merged bin is one route,
+        # each split file owns split_k routes
+        n_routes = len({r.bin for r in rows if r.n_in_bin > 1}) + sum(
+            r.split_k for r in rows if r.split_k > 1
+        )
         # input_file_name() renders the scheme as file:///x while the Hadoop
         # listing renders file:/x — join on the scheme-stripped form (both
         # sides come from the SAME filesystem, so the path part is identical)
         norm = lambda c: F.regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")  # noqa: E731
-        df = spark.read.parquet(*paths).withColumn(
-            "_file", norm(F.input_file_name())
-        )
+        df = spark.read.parquet(*paths)
+        hashable = [
+            f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
+        ]
+        df = df.withColumn("_file", norm(F.input_file_name()))
         routed = df.join(
-            F.broadcast(todo.select(norm(F.col("path")).alias("_file"), "bin")),
+            F.broadcast(
+                todo.select(norm(F.col("path")).alias("_file"), "bin", "split_k")
+            ),
             "_file",
+        )
+        # route = bin * 1e6 + sub-slot: bins are per-partition monotone longs
+        # (≤ total_bytes/target ≈ 8e5 at 100 TB/128 MB), so the scaled key
+        # stays far inside int64; sub-slot 0 for merged bins, a deterministic
+        # row-content hash slot for split files
+        sub = F.when(
+            F.col("split_k") > 1,
+            F.pmod(
+                F.xxhash64(*hashable) if hashable else F.lit(0), F.col("split_k")
+            ),
+        ).otherwise(F.lit(0))
+        routed = routed.withColumn(
+            "_route", F.col("bin") * F.lit(1_000_000) + sub
         )
         tmp = path.rstrip("/") + tmp_suffix
         (
-            routed.repartitionByRange(max(n_bins, 1), "bin")
-            .drop("_file", "bin")
+            routed.repartitionByRange(max(int(n_routes), 1), "_route")
+            .drop("_file", "bin", "split_k", "_route")
             .write.mode("overwrite")
             .parquet(tmp)
         )
@@ -249,26 +320,25 @@ def compact_planned(
         # would silently drop data) must abort with the originals intact
         n_src, n_out = df.count(), spark.read.parquet(tmp).count()
         if n_src != n_out:
-            # norm: tmp may be URI-form (file:/…) when called from
-            # compact_partitioned's Hadoop listing — a raw rmtree would
-            # silently no-op and leave the aside dir behind
-            shutil.rmtree(norm_path(tmp), ignore_errors=True)
+            fs.delete(jPath(tmp), True)
             raise RuntimeError(
                 f"compact_planned: rewrote {n_out} rows but sources hold "
                 f"{n_src}; aborting before deleting originals"
             )
+        # no-data-loss order: move the rewrites IN first (fresh job-UUID
+        # part names cannot collide with originals), delete originals last
+        dst = jPath(path)
+        for st in fs.listStatus(jPath(tmp)):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith((".", "_")):
+                if not fs.rename(st.getPath(), jPath(dst, name)):
+                    raise RuntimeError(
+                        f"compact_planned: rename {name} into {path} failed"
+                    )
         for p in paths:
-            os.remove(norm_path(p))
-        # the swap runs on local paths: `path` may arrive as a file: URI
-        # (e.g. from compact_partitioned's Hadoop listing)
-        tmp_local, path_local = norm_path(tmp), norm_path(path)
-        for name in os.listdir(tmp_local):
-            if not name.startswith((".", "_")):
-                shutil.move(
-                    os.path.join(tmp_local, name), os.path.join(path_local, name)
-                )
-        shutil.rmtree(tmp_local)
-    return manifest.select("path", "bytes", "bin", "rewritten")
+            fs.delete(jPath(p), False)
+        fs.delete(jPath(tmp), True)
+    return manifest.select("path", "bytes", "bin", "split_k", "rewritten")
 
 
 def compact_partitioned(
@@ -310,7 +380,7 @@ def compact_partitioned(
     import re
 
     strip = lambda p: re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)  # noqa: E731
-    nroot = strip(root if "://" in root or root.startswith("file:") else root)
+    nroot = strip(root)
     manifests = []
     for leaf in sorted(leaf_dirs(root)):
         rel = strip(leaf).removeprefix(nroot).strip("/")

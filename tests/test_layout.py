@@ -216,3 +216,89 @@ def test_compact_planned_fails_closed_on_routing_loss(spark, tmp_path, monkeypat
     assert sorted(_parquet_files(p)) == before  # originals untouched
     assert not [d for d in __import__("os").listdir(str(tmp_path)) if "compact_tmp" in d]
     assert spark.read.parquet(p).count() == 10_000
+
+
+# ---------------------------------------------------------------------------
+# r14: oversized-file SPLIT leg (plan_splits / compact_planned split routing)
+# ---------------------------------------------------------------------------
+
+
+def _py_split(files, target, split_bytes=None):
+    """Python twin of plan_splits over _py_plan's bins."""
+    if split_bytes is None:
+        split_bytes = 2 * target
+    bins = _py_plan(files, target)
+    from collections import Counter
+
+    n_in_bin = Counter((p.split("/")[0], b) for p, b in bins.items())
+    out = {}
+    for path, nbytes, part in files:
+        alone = n_in_bin[(part, bins[path])] == 1
+        out[path] = (nbytes + target - 1) // target if alone and nbytes > split_bytes else 1
+    return out
+
+
+def test_plan_splits_matches_python_reference(spark):
+    from tamer_spark.sinks.layout import plan_compaction, plan_splits
+
+    files = [
+        ("p1/a", 10, "p1"), ("p1/b", 10, "p1"),
+        ("p1/huge", 450, "p1"),   # 4.5 targets → split into 5
+        ("p1/big", 150, "p1"),    # 1.5 targets, alone in bin but ≤ 2× → keep
+        ("p2/a", 60, "p2"), ("p2/b", 60, "p2"),  # merged bin → never split
+    ]
+    df = spark.createDataFrame(files, "path string, bytes long, part string")
+    m = plan_splits(
+        plan_compaction(df, 100, partition_cols=["part"]), 100, partition_cols=["part"]
+    )
+    got = {r.path: r.split_k for r in m.collect()}
+    assert got == _py_split(files, 100)
+    assert got["p1/huge"] == 5 and got["p1/big"] == 1 and got["p2/a"] == 1
+
+
+def test_compact_planned_splits_oversized_file(spark, tmp_path):
+    import os
+
+    from tamer_spark.sinks.layout import compact_planned
+
+    p = str(tmp_path / "tbl")
+    # one oversized file (~4 targets) + 4 small files
+    spark.range(0, 400_000).coalesce(1).write.parquet(p)
+    big = _parquet_files(p)[0]
+    target = os.path.getsize(big) // 4
+    spark.range(400_000, 404_000).repartition(4).write.mode("append").parquet(p)
+
+    manifest = {r.path: r for r in compact_planned(spark, p, target_bytes=target).collect()}
+    mbig = manifest[next(k for k in manifest if k.endswith(os.path.basename(big)))]
+    assert mbig.split_k >= 3 and mbig.rewritten
+    assert not os.path.exists(big)  # original oversized file swapped out
+    files = _parquet_files(p)
+    # the oversized file became ~split_k files; small tail merged into ~1
+    assert len(files) >= mbig.split_k  # split outputs present
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[-1] < os.path.getsize(big) if os.path.exists(big) else True
+    got = sorted(r.id for r in spark.read.parquet(p).collect())
+    assert got == list(range(404_000))  # rows intact, exactly once
+
+
+def test_compact_planned_split_routing_deterministic(spark, tmp_path):
+    """Two identical tables compacted independently must split into the
+    SAME row→output-file groups (content-hash routing, no nondeterminism)."""
+    import os
+
+    from tamer_spark.sinks.layout import compact_planned
+
+    groups = []
+    for arm in ("a", "b"):
+        p = str(tmp_path / arm)
+        spark.range(100_000).withColumn("v", F.col("id") * 7).coalesce(1).write.parquet(p)
+        target = os.path.getsize(_parquet_files(p)[0]) // 3
+        compact_planned(spark, p, target_bytes=target)
+        out = (
+            spark.read.parquet(p)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        )
+        groups.append(sorted(tuple(r.ids) for r in out.collect()))
+    assert groups[0] == groups[1]
