@@ -5211,10 +5211,34 @@ _Q2MAX_SQL = """
                    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
 """
 
+# r14: the window-FRAME leg — a running aggregate (ROWS BETWEEN UNBOUNDED
+# PRECEDING AND CURRENT ROW) and a 3-row moving sum (ROWS BETWEEN 2
+# PRECEDING AND CURRENT ROW) over the same named WINDOW-clause base, the
+# frame syntax the gate's parser surface lacked (qtopk's ROW_NUMBER has no
+# explicit frame). (o_orderdate, o_orderkey) is a total order per
+# priority, so both frames are deterministic; both SUMs are BIGINT-cast in
+# the final projection (an un-cast DuckDB window SUM widens to HUGEINT →
+# float64 in pandas → driver-hash mismatch).
+_QRUN_SQL = """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(SUM(price_c) OVER w_run AS BIGINT) AS run_c,
+           CAST(SUM(price_c) OVER w_mov AS BIGINT) AS mov3_c
+    FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM orders) t
+    WINDOW w_run AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_mov AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
 _Q6_Q10_SQL = f"""
     WITH q6 AS ({_Q6_SQL}), q10 AS ({_Q10_SQL}),
          q4 AS ({_Q4_SQL}), q12 AS ({_Q12_SQL}), q14 AS ({_Q14_SQL}),
-         q13 AS ({_Q13_SQL}), qtopk AS ({_QTOPK_SQL}), q2max AS ({_Q2MAX_SQL})
+         q13 AS ({_Q13_SQL}), qtopk AS ({_QTOPK_SQL}), q2max AS ({_Q2MAX_SQL}),
+         qrun AS ({_QRUN_SQL})
     SELECT 'q10' AS variant, c_name AS k, c_custkey AS v1, revenue_cc AS v2 FROM q10
     UNION ALL
     SELECT 'q6', 'all', n_items, revenue_cc FROM q6
@@ -5230,13 +5254,15 @@ _Q6_Q10_SQL = f"""
     SELECT 'qtopk', o_orderpriority || '#' || rn, o_orderkey, price_c FROM qtopk
     UNION ALL
     SELECT 'q2max', '' || c_nationkey, c_custkey, bal_c FROM q2max
+    UNION ALL
+    SELECT 'qrun', o_orderpriority || '#' || o_orderkey, run_c, mov3_c FROM qrun
 """
 
 
 @q(
     "sql_q6_q10",
     _Q6_Q10_SQL,
-    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), eight TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact), and Q13 the customer order-count distribution — LEFT JOIN so order-less customers land in c_count = 0 (COUNT(col) NULL semantics through an outer join) under a second-level aggregation; (r13) qtopk — the gate's first OVER clause: ROW_NUMBER top-3 orders per priority under a total order (price DESC, o_orderkey), rn riding the hashed key so the rank itself is graded; and q2max — a Q2/Q17-shaped CORRELATED SCALAR SUBQUERY (per-nation MAX balance holders, integer cents; both planners decorrelate to aggregate + join, ties emit every holder); verbatim-ANSI footnote: Spark rejects bare CAST(x AS VARCHAR) (length required) while DuckDB rejects STRING, so the shared string renders ints with '' || x.",
+    doc="SQL-authored surface (spark.sql end to end — the parser feeds the same Catalyst planning as the DataFrame API), nine TPC-H-shaped queries as one tagged union, ONE ANSI string running verbatim on Spark AND DuckDB: Q6 scan-agg (both predicates reach the parquet scan), Q10 returned-item top-20, and (r12) Q4 order-priority counts gated by a CORRELATED EXISTS (decorrelated to a semi join by both planners; the late-shipment predicate re-keyed to l_shipdate > o_orderdate since the fixture lineitem carries no commit/receipt dates), Q12 urgent-vs-rest CASE counts per line status, and Q14 promo revenue share as two exact-cents sums through the part join (the float ratio is derivable — integer legs keep the hash surface exact), and Q13 the customer order-count distribution — LEFT JOIN so order-less customers land in c_count = 0 (COUNT(col) NULL semantics through an outer join) under a second-level aggregation; (r13) qtopk — the gate's first OVER clause: ROW_NUMBER top-3 orders per priority under a total order (price DESC, o_orderkey), rn riding the hashed key so the rank itself is graded; and q2max — a Q2/Q17-shaped CORRELATED SCALAR SUBQUERY (per-nation MAX balance holders, integer cents; both planners decorrelate to aggregate + join, ties emit every holder); and (r14) qrun — the window-FRAME leg: a running SUM (ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) and a 3-row moving SUM (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) sharing a named WINDOW-clause base over a per-priority (o_orderdate, o_orderkey) total order, both BIGINT-cast in the final projection (an un-cast DuckDB window SUM widens to HUGEINT → float64 in pandas — the driver-hash trap); verbatim-ANSI footnote: Spark rejects bare CAST(x AS VARCHAR) (length required) while DuckDB rejects STRING, so the shared string renders ints with '' || x.",
 )
 def sql_q6_q10(spark, sf):
     from tamer_spark.sql import register_tables
@@ -6754,6 +6780,188 @@ _COMPACT_ORACLE = f"""
     """
 
 
+# Standalone builder kept for reference (graded via table_maintenance
+# 'split'). Manifest synthesized at TWO granularities on purpose: monthly
+# files are small enough to MERGE into bins (n_in_bin > 1 → never split),
+# while the per-year file is oversized (> 2× target) and alone in its bin
+# span, so it must SPLIT into ceil(bytes/target) outputs — both faces of
+# the OPTIMIZE planning rule exercised on the same hashed surface. The
+# filesystem half (row-content-hash routing to split_k route keys in one
+# job) is pinned by tests/test_layout.py.
+def compaction_split_orders_q(spark, sf):
+    from tamer_spark.sinks.layout import plan_compaction, plan_splits
+
+    o = _t(spark, sf, "orders")
+    sized = (F.count(F.lit(1)) * 32 + F.sum(F.length("o_orderpriority"))).cast("long")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("part_year"),
+            F.month("o_orderdate").alias("part_month"),
+        )
+        .agg(sized.alias("bytes"))
+        .select(
+            F.concat(
+                F.lit("orders/"),
+                F.col("part_year").cast("string"),
+                F.lit("/"),
+                F.col("part_month").cast("string"),
+                F.lit(".parquet"),
+            ).alias("path"),
+            "bytes",
+            F.col("part_year").cast("long").alias("part_year"),
+        )
+    )
+    yearly = (
+        o.groupBy(F.year("o_orderdate").alias("part_year"))
+        .agg(sized.alias("bytes"))
+        .select(
+            F.concat(
+                F.lit("orders/"), F.col("part_year").cast("string"), F.lit(".parquet")
+            ).alias("path"),
+            "bytes",
+            F.col("part_year").cast("long").alias("part_year"),
+        )
+    )
+    files = monthly.unionByName(yearly)
+    return plan_splits(
+        plan_compaction(files, _COMPACT_TARGET, partition_cols=["part_year"]),
+        _COMPACT_TARGET,
+        partition_cols=["part_year"],
+    )
+
+
+_SPLIT_ORACLE = f"""
+    WITH cf AS (
+      SELECT 'orders/' || CAST(year(o_orderdate) AS VARCHAR) || '/' ||
+             CAST(month(o_orderdate) AS VARCHAR) || '.parquet' AS path,
+             CAST(COUNT(*)*32 + SUM(length(o_orderpriority)) AS BIGINT) AS bytes,
+             CAST(year(o_orderdate) AS BIGINT) AS part_year
+      FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+      UNION ALL
+      SELECT 'orders/' || CAST(year(o_orderdate) AS VARCHAR) || '.parquet',
+             CAST(COUNT(*)*32 + SUM(length(o_orderpriority)) AS BIGINT),
+             CAST(year(o_orderdate) AS BIGINT)
+      FROM orders GROUP BY year(o_orderdate)),
+    binned AS (
+      SELECT path, bytes, part_year,
+             CAST((SUM(bytes) OVER (PARTITION BY part_year
+                     ORDER BY bytes DESC, path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM cf)
+    SELECT path, bytes, part_year, bin,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY part_year, bin) = 1
+                       AND bytes > {2 * _COMPACT_TARGET}
+                     THEN (bytes + {_COMPACT_TARGET} - 1) // {_COMPACT_TARGET}
+                     ELSE 1 END AS BIGINT) AS split_k
+    FROM binned
+    """
+
+
+# Standalone builder kept for reference (graded via table_maintenance
+# 'lifecycle'/'lifecycle_plan'). The epochs example's END-STATE invariant
+# (examples/incremental_curation_epochs.py runs the per-epoch maintenance
+# verbs; this puts the composed lifecycle itself on the hashed surface):
+# ingest 3 epochs through the REAL incremental fold (dedup_exact_incremental
+# from a cold empty index, index advanced per epoch), then run the two
+# maintenance verbs on the final curated corpus — ANALYZE column stats
+# (the catalog) and the OPTIMIZE compaction plan over a per-epoch file
+# manifest synthesized from the curated rows. The oracle recomputes the
+# curated set GLOBALLY (one window: first epoch containing a digest, then
+# min doc_id within it — provably equal to the fold since epoch =
+# doc_id % 3), so a fold that drops/duplicates anything, a stats pass
+# that disagrees with the corpus, or a plan over stale rows all surface
+# as hash mismatches: "the catalog agrees with the curated corpus".
+_LC_TARGET = 1_000_000
+
+
+def epoch_lifecycle_q(spark, sf):
+    from tamer_spark.operators.dedup_incremental import (
+        append_keys,
+        dedup_exact_incremental,
+        exact_index,
+    )
+    from tamer_spark.operators.quality import column_stats
+    from tamer_spark.sinks.layout import plan_compaction
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    idx = exact_index(d.limit(0))  # cold start: empty index
+    curated = None
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        s = dedup_exact_incremental(batch, idx).localCheckpoint()
+        idx = append_keys(idx, s.select("content_hash"))
+        tagged = s.select("doc_id", "text", F.lit(i).cast("long").alias("epoch"))
+        curated = tagged if curated is None else curated.unionByName(tagged)
+    stats = column_stats(
+        curated,
+        [
+            ("doc_id", F.col("doc_id")),
+            ("text_len", F.length("text").cast("long")),
+            ("epoch", F.col("epoch")),
+        ],
+    )
+    nrows = curated.agg(F.count(F.lit(1)).cast("long").alias("v1"))
+    files = (
+        curated.groupBy("epoch")
+        .agg((F.count(F.lit(1)) * 16 + F.sum(F.length("text"))).cast("long").alias("bytes"))
+        .select(
+            F.concat(
+                F.lit("curated/epoch="), F.col("epoch").cast("string"), F.lit(".parquet")
+            ).alias("path"),
+            "bytes",
+        )
+    )
+    plan = plan_compaction(files, _LC_TARGET)
+    return stats, nrows, plan
+
+
+_LIFECYCLE_ORACLE = f"""
+    WITH curated AS (
+      SELECT doc_id, text, epoch FROM (
+        SELECT doc_id, text, doc_id % 3 AS epoch,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id % 3, doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1),
+    cstats AS (
+      SELECT 'doc_id' AS col, CAST(MIN(doc_id) AS BIGINT) AS mn,
+             CAST(MAX(doc_id) AS BIGINT) AS mx,
+             CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS nn,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM curated
+      UNION ALL
+      SELECT 'text_len', CAST(MIN(length(text)) AS BIGINT),
+             CAST(MAX(length(text)) AS BIGINT),
+             CAST(COUNT(*) - COUNT(text) AS BIGINT),
+             CAST(COUNT(DISTINCT length(text)) AS BIGINT)
+      FROM curated
+      UNION ALL
+      SELECT 'epoch', CAST(MIN(epoch) AS BIGINT), CAST(MAX(epoch) AS BIGINT),
+             CAST(COUNT(*) - COUNT(epoch) AS BIGINT),
+             CAST(COUNT(DISTINCT epoch) AS BIGINT)
+      FROM curated),
+    lfiles AS (
+      SELECT 'curated/epoch=' || CAST(epoch AS VARCHAR) || '.parquet' AS path,
+             CAST(COUNT(*)*16 + SUM(length(text)) AS BIGINT) AS bytes
+      FROM curated GROUP BY epoch),
+    lplan AS (
+      SELECT path, bytes,
+             CAST((SUM(bytes) OVER (ORDER BY bytes DESC, path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bytes) // {_LC_TARGET} AS BIGINT) AS bin
+      FROM lfiles)
+    SELECT 'lifecycle' AS variant, col AS k, mn AS v1, mx AS v2,
+           CAST(nn AS VARCHAR) || '|' || CAST(nd AS VARCHAR) AS payload
+    FROM cstats
+    UNION ALL
+    SELECT 'lifecycle', 'rows', (SELECT CAST(COUNT(*) AS BIGINT) FROM curated),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    UNION ALL
+    SELECT 'lifecycle_plan', path, bin, bytes, CAST(NULL AS VARCHAR) FROM lplan
+    """
+
+
 _STATS_ORACLE = """
     SELECT 'o_orderkey' AS col, CAST(MIN(o_orderkey) AS BIGINT) AS mn,
            CAST(MAX(o_orderkey) AS BIGINT) AS mx,
@@ -6818,6 +7026,12 @@ _PROFILE_ORACLE = f"""
            COUNT(*), CAST(SUM(bytes) AS BIGINT), CAST(part_year AS VARCHAR)
     FROM ({_COMPACT_ORACLE}) GROUP BY part_year, bin
     UNION ALL
+    SELECT 'split', path, split_k, bytes,
+           CAST(part_year AS VARCHAR) || '#' || CAST(bin AS VARCHAR)
+    FROM ({_SPLIT_ORACLE})
+    UNION ALL
+    SELECT variant, k, v1, v2, payload FROM ({_LIFECYCLE_ORACLE}) lc
+    UNION ALL
     SELECT 'stats', col, mn, mx, CAST(nn AS VARCHAR) || '|' || CAST(nd AS VARCHAR)
     FROM ({_STATS_ORACLE})
     UNION ALL
@@ -6860,6 +7074,28 @@ _PROFILE_ORACLE = f"""
         "bin per file) is pinned by tests/test_layout.py round-trips. "
         "compact_bins: the ops-facing journal view — files + exact byte "
         "fill per (partition, bin), one tiny agg over the same manifest. "
+        "split (r14, sinks/layout.plan_splits): the OTHER face of the "
+        "small-files problem — oversized files (the skewed epoch writing "
+        "one 2 GB file) plan into split_k = ceil(bytes/target) outputs "
+        "when alone in their bin AND > 2x target (splitting a 1.3x file "
+        "would produce two UNDER-sized files); manifest synthesized at "
+        "two granularities (monthly files merge, the per-year file "
+        "splits) so both verbs replay in the same window; the one-job "
+        "row-content-hash routing that executes the split is pinned by "
+        "tests/test_layout.py determinism + round-trip tests. "
+        "lifecycle/lifecycle_plan (r14): the epochs example's END-STATE "
+        "invariant on the hashed surface — 3 ingest epochs through the "
+        "REAL incremental fold (dedup_exact_incremental from a cold empty "
+        "index, index advanced per epoch), then the composed maintenance "
+        "verbs on the final curated corpus: ANALYZE column stats "
+        "(doc_id/text_len/epoch min/max/nulls/NDV + row count = the "
+        "catalog) and the OPTIMIZE bin plan over a per-epoch synthesized "
+        "manifest; the oracle recomputes the curated set GLOBALLY (first "
+        "epoch containing a digest, then min doc_id — equal to the fold "
+        "because epoch = doc_id % 3), so 'catalog agrees with curated "
+        "corpus after N epochs + compaction + stats' is itself the hash "
+        "gate (ingest → dedup → compact → stats as ONE graded "
+        "composition). "
         "stats (r13, operators/quality.column_stats): ANALYZE-style column "
         "statistics — per column min/max/NULL-count/exact NDV in ONE "
         "aggregate pass over orders (integer domains: keys, cents, epoch "
@@ -6918,6 +7154,47 @@ def table_maintenance_q(spark, sf):
     )
     # the ops-facing summary: files + fill per bin — what an OPTIMIZE
     # journal row records (one tiny agg over the manifest, same plan)
+    lc_stats, lc_rows, lc_plan = epoch_lifecycle_q(spark, sf)
+    lifecycle = (
+        lc_stats.select(
+            F.lit("lifecycle").alias("variant"),
+            F.col("column").alias("k"),
+            F.col("min_v").alias("v1"),
+            F.col("max_v").alias("v2"),
+            F.concat(
+                F.col("n_nulls").cast("string"),
+                F.lit("|"),
+                F.col("n_distinct").cast("string"),
+            ).alias("payload"),
+        )
+        .unionByName(
+            lc_rows.select(
+                F.lit("lifecycle").alias("variant"),
+                F.lit("rows").alias("k"),
+                F.col("v1"),
+                F.lit(None).cast("long").alias("v2"),
+                F.lit(None).cast("string").alias("payload"),
+            )
+        )
+        .unionByName(
+            lc_plan.select(
+                F.lit("lifecycle_plan").alias("variant"),
+                F.col("path").alias("k"),
+                F.col("bin").alias("v1"),
+                F.col("bytes").alias("v2"),
+                F.lit(None).cast("string").alias("payload"),
+            )
+        )
+    )
+    splitv = compaction_split_orders_q(spark, sf).select(
+        F.lit("split").alias("variant"),
+        F.col("path").alias("k"),
+        F.col("split_k").alias("v1"),
+        F.col("bytes").alias("v2"),
+        F.concat(
+            F.col("part_year").cast("string"), F.lit("#"), F.col("bin").cast("string")
+        ).alias("payload"),
+    )
     comp_bins = comp_plan.groupBy("part_year", "bin").agg(
         F.count(F.lit(1)).alias("n_files"), F.sum("bytes").alias("bin_bytes")
     ).select(
@@ -6994,6 +7271,8 @@ def table_maintenance_q(spark, sf):
         .unionByName(roll)
         .unionByName(comp)
         .unionByName(comp_bins)
+        .unionByName(splitv)
+        .unionByName(lifecycle)
         .unionByName(stats)
         .unionByName(pstats)
         .unionByName(hh)
@@ -7233,6 +7512,7 @@ STANDALONE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_docs": heavy_hitters_docs_q,
     "global_percentiles_orders": global_percentiles_orders_q,
     "compaction_plan_orders": compaction_plan_orders_q,
+    "compaction_split_orders": compaction_split_orders_q,
     "grouped_percentiles_orders": grouped_percentiles_orders_q,
     "domain_cap_docs": domain_cap_docs_q,
     "vocab_growth_docs": vocab_growth_docs_q,

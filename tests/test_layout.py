@@ -302,3 +302,22 @@ def test_compact_planned_split_routing_deterministic(spark, tmp_path):
         )
         groups.append(sorted(tuple(r.ids) for r in out.collect()))
     assert groups[0] == groups[1]
+
+
+def test_zorder_quantile_cuts_balance_and_nulls(spark):
+    from tamer_spark.sinks.layout import zorder_key, zorder_quantile_cuts
+
+    df = spark.range(8_000).select(
+        (F.col("id") % 64).alias("a"),
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id") % 16).alias("b"),
+    )
+    cuts = zorder_quantile_cuts(df, ["a", "b"], bits=6)
+    # dedup: b has only 16 distinct values → at most 16 cuts survive
+    assert len(cuts["b"]) <= 16 and len(cuts["a"]) <= 63
+    keyed = zorder_key(df, ["a", "b"], bits=6)
+    stats = keyed.agg(
+        F.min("_z").alias("mn"), F.countDistinct("_z").alias("nd")
+    ).collect()[0]
+    assert stats.mn >= 0 and stats.nd > 50  # interleave actually spreads
+    # NULLs land in bucket 0 deterministically (no NULL keys, no nulls-last drift)
+    assert keyed.filter(F.col("b").isNull() & F.col("_z").isNull()).count() == 0

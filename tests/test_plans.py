@@ -365,3 +365,31 @@ def test_compaction_plan_single_manifest_window(spark):
     assert shuffle_count(df) <= 2, plan
     assert "partial" in plan.lower(), plan  # manifest agg combines map-side
     assert "Join" not in plan, plan
+
+
+def test_compaction_split_plan_reuses_partition_exchange(spark):
+    # r14 split leg: TWO manifest aggs (monthly + yearly synthesis) and ONE
+    # window exchange on part_year that BOTH windows share — the
+    # (part_year, bin) split-count window is satisfied by the part_year
+    # clustering, so the split rule adds zero shuffles; no join, and never
+    # a SinglePartition global sort
+    df = _spark_fn("compaction_split_orders")(spark, SF_DIR)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 3, plan
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_zorder_key_no_single_partition_sort(spark):
+    # r14 scale fix (VERDICT r13 #1): z-order rank normalization must not
+    # run a SinglePartition global-window sort per column — cut points come
+    # from one approxQuantile sketch job and bucket assignment is map-side
+    from tamer_spark.sinks.layout import zorder_key
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") * 37 % 101).alias("b")
+    )
+    keyed = zorder_key(df, ["a", "b"], bits=6).repartitionByRange(8, "_z")
+    plan = explain_str(keyed)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
