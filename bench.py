@@ -61,7 +61,7 @@ def _minhash_lsh_pairs_only(spark, sf_dir):
     # warm-signature banding+join only (~1.5 s at sf0.1); from round 3 the
     # number is the full cold path (~2.2 s) and is iteration-stable.
     return Q.minhash_lsh_pairs(
-        Q._t(spark, sf_dir, "documents"), k=Q._K, bands=Q._BANDS, n=Q._N, seed=42,
+        Q._t(spark, sf_dir, "documents", floor=True), k=Q._K, bands=Q._BANDS, n=Q._N, seed=42,
         max_bucket=Q._MAX_BUCKET,
     )
 
@@ -118,7 +118,7 @@ def _semdedup_frozen(spark, sf_dir):
     # max_cluster-bounded)
     from tamer_spark.operators.similarity import semdedup
 
-    emb = Q._t(spark, sf_dir, "embeddings")
+    emb = Q._t(spark, sf_dir, "embeddings", floor=True)
     return semdedup(emb, threshold=0.3, model=_ivf_model(spark, sf_dir))
 
 
@@ -176,7 +176,7 @@ def _cms_sketch_docs(spark, sf_dir):
     from tamer_spark.operators.dedup import normalize_text
 
     toks = (
-        Q._t(spark, sf_dir, "documents")
+        Q._t(spark, sf_dir, "documents", floor=True)
         .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
         .filter(F.col("word").isNotNull())
     )
@@ -367,7 +367,7 @@ def _exsub_incremental_epoch(spark, sf_dir):
         idx = exsub_window_index(hist, length=_RUN_L).persist()
         idx.count()
         _MEMO[key] = idx
-    batch = Q._t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    batch = Q._t(spark, sf_dir, "documents", floor=True).filter(F.col("doc_id") % 10 == 0)
     return exsub_dedup_incremental(batch, _MEMO[key], length=_RUN_L)
 
 

@@ -22,6 +22,8 @@ Cross-engine determinism conventions (the whole point of this module):
 from __future__ import annotations
 
 import itertools
+import os
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -56,11 +58,90 @@ class Query:
     doc: str = ""
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_SCAN_FLOOR_CONF = "spark.tamer_spark.scan.parallelismFloor"
+_SCAN_FLOOR_MIN_BYTES_CONF = "spark.tamer_spark.scan.parallelismFloor.minBytes"
+
+
+def _parse_bytes_conf(v, default: int) -> int:
+    """'134217728' / '128m' / '128MB' → bytes; anything unparsable → default."""
+    m = re.match(r"^\s*(\d+)\s*([kmg]?)b?\s*$", str(v), re.IGNORECASE)
+    if not m:
+        return default
+    return int(m.group(1)) * {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
+        m.group(2).lower()
+    ]
+
+
+def _scan_parallelism_floor(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Unsplittable-input parallelism floor (r14; optimization guide §2.5/§2.6).
+
+    The fixture tables ship as ONE parquet file with ONE row group, so every
+    scan plans exactly one task and all the map-heavy work stacked above it
+    (normalize_text + md5 chains, staged HOF arrays, regex scans — the bulk
+    of the bench's CPU) serializes onto 1 of N cores while the other N-1
+    idle. That is the guide's unsplittable-input case ("one huge
+    unsplittable file … repartition immediately after the read"): when the
+    file would scan in fewer splits than the session's parallelism, insert
+    ONE keyless round-robin repartition so map work spreads across all
+    slots.
+
+    OPT-IN PER CALL SITE (``_t(..., floor=True)``), not blanket: the
+    repair only pays when the per-row map work above the scan is heavy
+    relative to one round-robin exchange of the table. Interleaved
+    on/off A/B at sf0.1 (2026-08-17): md5-dense pipelines win big
+    (winnow 0.49×, heavy_hitters 0.51×, cms_sketch 0.57×), while
+    cheap-map queries LOSE (q1_pricing_summary 2.16×, dedup_exact 2.17×
+    — one md5 per doc does not amortize the exchange), so each call
+    site that opts in carries its own measured ratio
+    (OPTIMIZATION_r14.md).
+
+    Scale-adaptive by construction, not a local[32] constant: the trigger
+    compares ceil(bytes / maxPartitionBytes) against
+    ``sc.defaultParallelism``, so a production table (100 TB ≈ 800k splits
+    ≫ cores) never fires and the plan carries no extra exchange; the
+    driver's lower-core bench run adapts the same way (defaultParallelism
+    follows ``local[N]``). Files under ``minBytes`` (default 32 KB —
+    broadcast-sized dims like region/nation/supplier) are left alone: the
+    exchange would cost more than the parallelism buys. Values are
+    partition-count independent by the repo's determinism conventions (no
+    partition-order-sensitive expressions in any query path; every rank /
+    limit carries a total-order tie-break — audited r14), so results and
+    oracle hashes are unchanged; the driver re-verifies every gate. Plan
+    pins are unaffected: ``plans.inspect.shuffle_count`` counts keyed
+    exchanges only, and this repair is RoundRobinPartitioning (pinned in
+    tests/test_scan_floor.py, including the at-scale no-op). Set
+    ``spark.tamer_spark.scan.parallelismFloor=off`` to disable.
+    """
+    if str(spark.conf.get(_SCAN_FLOOR_CONF, "auto")).lower() == "off":
+        return df
+    try:
+        n_bytes = os.path.getsize(path)
+    except OSError:
+        # non-local path (hdfs/s3a): tables at that scale are splittable
+        return df
+    if n_bytes < _parse_bytes_conf(
+        spark.conf.get(_SCAN_FLOOR_MIN_BYTES_CONF, "32768"), 32768
+    ):
+        return df
+    max_pb = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)),
+        128 << 20,
+    )
+    target = spark.sparkContext.defaultParallelism
+    if -(-n_bytes // max_pb) >= target:
+        return df
+    return df.repartition(target)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, floor: bool = False) -> DataFrame:
     # Defensive: the driver runs these queries with ITS OWN session. The
     # DuckDB oracle reads parquet timestamps as naive/UTC, so Spark must
     # interpret them in UTC too or toPandas shifts wall times.
+    # ``floor=True`` opts this read into the unsplittable-input
+    # parallelism floor — only call sites whose per-row map work measured
+    # faster with it (see _scan_parallelism_floor).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.parquet has shipped with two physical types for ts across
         # testdata generations: TIMESTAMP(NANOS) (Spark rejects by default —
@@ -69,12 +150,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-UTC TIMESTAMP so downstream window/date logic sees the
         # same wall times either way). Adapt on the observed schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _scan_parallelism_floor(spark, df, path) if floor else df
+    df = spark.read.parquet(path)
+    return _scan_parallelism_floor(spark, df, path) if floor else df
 
 
 # DuckDB views see events.ts as TIMESTAMP_NS; shadow the view with a
@@ -1784,7 +1868,7 @@ def _minhash_sig_ctes() -> str:
 # Standalone builder kept for plan pins / bench (graded via the merged
 # dedup_minhash_lsh gate's 'sigs' variant).
 def minhash_signatures_q(spark, sf):
-    sigs = minhash_signatures(_t(spark, sf, "documents"), k=_K, n=_N, seed=42)
+    sigs = minhash_signatures(_t(spark, sf, "documents", floor=True), k=_K, n=_N, seed=42)
     # posexplode_OUTER, deliberately: plain posexplode makes
     # InferFiltersFromGenerate add `size(signature) > 0` above this Generate,
     # and PushDownPredicates then substitutes the ENTIRE staged signature
@@ -1884,7 +1968,7 @@ def dedup_minhash_lsh_q(spark, sf):
     from tamer_spark.operators.cc import attach_cluster_ids
     from tamer_spark.operators.dedup import _release_on_gc, minhash_lsh_pairs_with_cache
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", floor=True)
     # hold the signature cache until the UNION result is dropped — the sigs
     # variant, the pairs branch, and the cc seed all read it
     pairs, sigs = minhash_lsh_pairs_with_cache(
@@ -4190,7 +4274,7 @@ def dedup_embedding_cosine(spark, sf):
 def _embedding_neardup_pairs(spark, sf):
     from tamer_spark.operators.similarity import lsh_bucket_from_quantized, quantize_embedding, _dot
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", floor=True)
     # squared norm once per vector (not per candidate pair); pair work is a
     # single dot. sqrt(a.n2 * b.n2) keeps the arithmetic (and the rounded
     # cosine) bit-identical to the per-pair formulation.
@@ -4537,7 +4621,7 @@ def heavy_hitters_docs_q(spark, sf):
     from tamer_spark.operators.dedup import normalize_text
 
     toks = (
-        _t(spark, sf, "documents")
+        _t(spark, sf, "documents", floor=True)
         .select(F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word"))
         .filter(F.col("word").isNotNull())
     )
@@ -5444,7 +5528,7 @@ _DSIR_ORACLE = f"""
 def dsir_select_docs_q(spark, sf):
     from tamer_spark.operators.dsir import dsir_select
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", floor=True)
     return dsir_select(
         d.filter(F.col("source") != _DSIR_TARGET),
         d.filter(F.col("source") == _DSIR_TARGET),
@@ -6118,7 +6202,7 @@ _WINNOW_FP_CTES = """
 def winnow_fingerprints_docs_q(spark, sf):
     from tamer_spark.functions.text import winnow_fingerprints
 
-    fp = winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+    fp = winnow_fingerprints(_t(spark, sf, "documents", floor=True), k=4, w=5)
     # explode_outer, NOT explode: the array is never empty (>=1 fingerprint
     # per doc), and plain explode lets InferFiltersFromGenerate re-inline
     # the whole staged hashing expression into a size()>0 filter (the
@@ -6129,7 +6213,7 @@ def winnow_fingerprints_docs_q(spark, sf):
 def winnow_overlap_pairs_docs_q(spark, sf):
     from tamer_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
 
-    fps = winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+    fps = winnow_fingerprints(_t(spark, sf, "documents", floor=True), k=4, w=5)
     return winnow_overlap_pairs(fps, min_shared=2, max_posting=None)
 
 
@@ -7334,7 +7418,7 @@ def substring_run_pairs_q(spark, sf):
     from tamer_spark.operators.runs import substring_run_pairs
 
     return substring_run_pairs(
-        _t(spark, sf, "documents"), length=_RUN_L, min_windows=1, max_posting=1000
+        _t(spark, sf, "documents", floor=True), length=_RUN_L, min_windows=1, max_posting=1000
     )
 
 
