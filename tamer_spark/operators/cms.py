@@ -272,10 +272,13 @@ def cms_heavy_hitters(
     same as cms_query.
 
     The collected sketch is model-parameter-sized (≤ d·w int64 cells, a
-    few KB at the defaults) — the repo's bounded-collect convention; it is
-    re-materialized as d tiny broadcast sides so the build aggregation
-    runs ONCE, not once per join. NULL tokens are dropped in both passes
-    (they cannot be hashed; mirror any NULL filter in the oracle).
+    few KB at the defaults) — the repo's bounded-collect convention; while
+    ``d·w`` stays plan-literal-sized (≤ 65536 cells) it is inlined as d
+    dense constant-folded lookup arrays so the pass-2 estimate is map-side
+    arithmetic in the same codegen stage as the bucket hashes (r14 — was d
+    broadcast-join probes, which the degenerate-sketch fallback still
+    uses). NULL tokens are dropped in both passes (they cannot be hashed;
+    mirror any NULL filter in the oracle).
 
     Returns (token, n) with n the EXACT count, only rows meeting the
     threshold. Deterministic: plain SQL ``GROUP BY token HAVING`` oracle.
@@ -307,18 +310,44 @@ def cms_heavy_hitters(
         occ_keep = lambda est: est >= F.lit(min_count)  # noqa: E731
         exact_keep = lambda n: n >= F.lit(min_count)  # noqa: E731
 
-    occ = toks.select(
-        "token", *[_bucket(F.col("token"), r, w, seed).alias(f"_b{r}") for r in range(d)]
-    )
-    for r in range(d):
-        side = spark.createDataFrame(
-            [(c.b, c.cnt) for c in cells if c.r == r], schema=f"_b{r} long, _c{r} long"
+    if d * w <= 65536:
+        # r14 (guide §2.4/§3.1): the sketch is model-parameter-sized, so
+        # inline it as d dense literal arrays (arr_r[b] = cnt, absent = 0 —
+        # exactly the former LEFT-join + coalesce semantics) and make the
+        # per-occurrence estimate pure map-side arithmetic in the SAME
+        # codegen stage that computes the bucket hashes. This removes the d
+        # BroadcastExchange + d ExistingRDD-scan probe joins the before-plan
+        # carried (plans/r14/heavy_hitters_docs_before.txt ops (5)-(23));
+        # est values are identical cell-by-cell, and est only routes
+        # candidates — the exact recount + threshold fix the output either
+        # way. The bound keeps degenerate (huge d·w) sketches off the plan-
+        # literal path; they fall back to the join probes below.
+        dense: list[list[int]] = [[0] * w for _ in range(d)]
+        for c in cells:
+            dense[c.r][c.b] = c.cnt
+        est_cells = [
+            F.element_at(
+                F.lit(dense[r]).cast("array<bigint>"),
+                (_bucket(F.col("token"), r, w, seed) + 1).cast("int"),
+            )
+            for r in range(d)
+        ]
+        est = F.least(*est_cells) if d > 1 else est_cells[0]
+        cand = toks.filter(occ_keep(est)).select("token")
+    else:
+        occ = toks.select(
+            "token",
+            *[_bucket(F.col("token"), r, w, seed).alias(f"_b{r}") for r in range(d)],
         )
-        occ = occ.join(F.broadcast(side), f"_b{r}", "left")
-    est_cells = [F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long")) for r in range(d)]
-    # F.least needs >= 2 columns; d=1 is a valid (if loose) CMS depth
-    est = F.least(*est_cells) if d > 1 else est_cells[0]
-    cand = occ.filter(occ_keep(est)).select("token")
+        for r in range(d):
+            side = spark.createDataFrame(
+                [(c.b, c.cnt) for c in cells if c.r == r], schema=f"_b{r} long, _c{r} long"
+            )
+            occ = occ.join(F.broadcast(side), f"_b{r}", "left")
+        est_cells = [F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long")) for r in range(d)]
+        # F.least needs >= 2 columns; d=1 is a valid (if loose) CMS depth
+        est = F.least(*est_cells) if d > 1 else est_cells[0]
+        cand = occ.filter(occ_keep(est)).select("token")
     return (
         cand.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

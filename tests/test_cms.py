@@ -174,13 +174,32 @@ def test_heavy_hitters_prefilter_actually_prunes(spark):
     df = spark.createDataFrame(rows, "word string")
     out = cms_heavy_hitters(df, min_count=50, d=4, w=4096, seed=SEED)
     assert {(r.token, r.n) for r in out.collect()} == {("hot", 100)}
-    # plan shape: d broadcast joins feed a filter BEFORE the exact count's
-    # exchange — the tail never shuffles (est(tail_i) < 50 at this width
-    # with overwhelming probability; deterministic under the fixed seed)
+    # plan shape (r14): the sketch is inlined as dense literal arrays, so
+    # the estimate filter is pure map-side arithmetic BEFORE the exact
+    # count's exchange — no join machinery at all, and the tail never
+    # shuffles (est(tail_i) < 50 at this width with overwhelming
+    # probability; deterministic under the fixed seed).
     # AQE's executed-plan string repeats the tree under "== Initial Plan ==";
     # pin the FINAL segment only
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.index("Filter") < plan.index("Exchange"), plan
+
+
+def test_heavy_hitters_join_fallback_equivalence(spark):
+    """A sketch too large to inline as a plan literal (d·w > 65536) takes
+    the broadcast-join probe path — output identical to the literal path
+    and to the naive exact path."""
+    from tamer_spark.operators.cms import cms_heavy_hitters
+
+    toks = _tokens(spark)
+    got = {
+        (r.token, r.n)
+        for r in cms_heavy_hitters(
+            toks, min_count=50, d=2, w=65536, seed=SEED
+        ).collect()
+    }
+    assert got == _hh_exact(toks, 50)
 
 
 def test_heavy_hitters_empty_and_validation(spark):
