@@ -211,7 +211,9 @@ def bloom_might_contain(
             f"budget ({_LITERAL_WORDS_MAX}); keep index-scale filters "
             "distributed — build with bloom_words_df and pass the DataFrame"
         )
-    d = df.withColumn("_bw", F.array(*[F.lit(w).cast("long") for w in words]))
+    from tamer_spark.functions.litfast import lit_longs
+
+    d = df.withColumn("_bw", lit_longs(words))
     cond = None
     for i in range(k):
         d = d.withColumn(

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from tamer_spark.functions.hashing import stable_hash64
+from tamer_spark.functions.litfast import lit_double_matrix
 from tamer_spark.operators.similarity import quantize_embedding
 
 __all__ = ["pq_train", "pq_encode", "pq_search_adc", "ivfadc_search"]
@@ -53,8 +54,9 @@ def _codebook_literal(codebook: list[list[int]]) -> Column:
     codeword subtrees — ~16× fewer expression nodes than the per-codeword
     struct formulation, which cut the fixed plan-compile overhead that
     dominated pq_encode/adc at bench SF. Arithmetic is unchanged
-    (identical element order, identical sums) so results stay bit-exact."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+    (identical element order, identical sums) so results stay bit-exact.
+    Built via litfast (one py4j call, same folded Literal — r14)."""
+    return lit_double_matrix([[float(x) for x in c] for c in codebook])
 
 
 def _sq_l2(sub: Column, codeword: Column) -> Column:

@@ -56,7 +56,9 @@ def random_projection(
     beats out_dim per-row expression subtrees); per row the work is
     out_dim zip_with dot products over the staged quantized vector.
     Frozen signs → new epochs project without touching history."""
-    sm = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    from tamer_spark.functions.litfast import lit_double_matrix
+
+    sm = lit_double_matrix(signs)
     out_dim = len(signs)
     qv = quantize_embedding(F.col(vec_col))
     staged = df.select(F.col(id_col), qv.alias("_qv"))

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tamer_spark.functions.hashing import stable_hash64
+from tamer_spark.functions.litfast import lit_double_matrix
 
 QUANT = 1000  # milli-unit quantization
 
@@ -90,7 +91,7 @@ def _planes_literal(planes: int, dim: int, seed: int) -> Column:
     from tamer_spark.functions.hashing import sign_rows
 
     rows = sign_rows("lsh", seed, planes, dim)
-    return F.array(*[F.array(*[F.lit(c) for c in row]) for row in rows])
+    return lit_double_matrix(rows)
 
 
 def _proj_at(qv: Column, pl: Column, p: int) -> Column:
@@ -345,7 +346,7 @@ def _nearest_centroids(qv: Column, centroids: list[list[float]], n: int) -> Colu
     instead of k per-centroid expression subtrees, which shrinks the plan
     ~k× and cuts fixed compile overhead (see operators/pq.py
     _codebook_literal); arithmetic and tie-breaks are unchanged."""
-    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cb = lit_double_matrix([[float(x) for x in c] for c in centroids])
     scored = F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.struct(

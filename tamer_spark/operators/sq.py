@@ -107,9 +107,11 @@ def _bounds_arrays(
     literal each (the PQ _codebook_literal argument: lambda-indexed
     element_at can't constant-fold, so share the array instead of
     emitting per-dimension expression subtrees)."""
-    mins = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
-    spans = F.array(*[F.lit(float(mx - mn)) for mn, mx in bounds])
-    mins_scaled = F.array(*[F.lit(int(mn) * levels).cast("long") for mn, _ in bounds])
+    from tamer_spark.functions.litfast import lit_doubles, lit_longs
+
+    mins = lit_doubles(float(mn) for mn, _ in bounds)
+    spans = lit_doubles(float(mx - mn) for mn, mx in bounds)
+    mins_scaled = lit_longs(int(mn) * levels for mn, _ in bounds)
     return mins, spans, mins_scaled
 
 
