@@ -600,7 +600,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs", "vocab_growth_docs"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs", "vocab_growth_docs", "contrastive_pairs", "hard_negatives"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -643,8 +643,6 @@ SERIES = {
     "url_dedup_docs": "r11",
     "fix_encoding_docs": "r11",
     "seeded_shuffle_docs": "r11",
-    "hard_negatives": "r11",
-    "contrastive_pairs": "r12",
     "line_dedup_docs": "r12",
     "sq8_search": "r12-hot-codes",
     "cms_sketch_docs": "r12",
@@ -661,6 +659,13 @@ SERIES = {
     # _NO_WARM_KEEP (iterations otherwise alternate riding the previous
     # iteration's plan-equal cache until its finalizer fires mid-iteration)
     "vocab_growth_docs": "r13-cached-guard",
+    # r14: the miners persist the bucketed LSH projection internally (it
+    # feeds BOTH self-join sides; without the persist the quantize+LSH
+    # chain runs twice per corpus) with a GC-tied release — same class as
+    # vocab_growth_docs above: the timed shape changed, so both join
+    # _NO_WARM_KEEP and start a new series.
+    "contrastive_pairs": "r14-cached-bucket",
+    "hard_negatives": "r14-cached-bucket",
 }
 
 
