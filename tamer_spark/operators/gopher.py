@@ -62,10 +62,9 @@ the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.functions.text import STOPWORDS
-from tamer_spark.operators.dedup import normalize_text
 
 __all__ = ["gopher_signals", "STOP_GOPHER", "TOP_NGRAMS_DEFAULT", "DUP_NGRAMS_DEFAULT"]
 
@@ -79,13 +78,32 @@ DUP_NGRAMS_DEFAULT = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10
 _BULLETS = ("•", "-", "*")
 
 
-def _arr_chars(col):
+# r14: every column below is rendered as ONE SQL string handed to a single
+# F.expr/selectExpr parse instead of a chain of per-op py4j Column calls —
+# gopher_signals' plan CONSTRUCTION was measured at ~5.5k driver→JVM
+# round-trips ≈ 1.6 s per call at sf0.1 against 0.15 s of execution (the
+# litfast principle applied to whole expressions). The parsed trees are the
+# same expressions op for op; stage structure (selects, joins, windows,
+# aggregations — and therefore the physical plan) is unchanged.
+
+
+def _arr_chars(col: str) -> str:
     """Exact character count of a string array (spaces excluded)."""
-    return F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return f"aggregate({col}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
 
 
-def _frac(num, den):
-    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+def _frac(num: str, den: str) -> str:
+    return f"CASE WHEN {den} > 0 THEN {num} / {den} ELSE 0.0D END"
+
+
+def _d(x: float) -> str:
+    """Exact double literal (repr round-trips binary64; litfast contract)."""
+    return repr(float(x)) + "D"
+
+
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal (escape quotes and backslashes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _top_col(n: int) -> str:
@@ -129,73 +147,74 @@ def gopher_signals(
     dup_ngrams=(), line_signals=False``).
     """
     raw = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw"))
-    base = raw.select("doc_id", "_raw", normalize_text(F.col("_raw")).alias("_t"))
+    # normalize_text (operators/dedup.py) rendered as SQL — same expression
+    base = raw.selectExpr(
+        "doc_id", "_raw", "trim(regexp_replace(lower(_raw), '\\\\s+', ' ')) AS _t"
+    )
     # staged word array: multiply-referenced, so CollapseProject keeps it
     # materialized (the dedup.py inlining-trap discipline)
-    ws = base.select(
-        "doc_id",
-        "_raw",
-        "_t",
-        F.filter(F.split(F.col("_t"), " "), lambda x: F.length(x) > 0).alias("_ws"),
+    ws = base.selectExpr(
+        "doc_id", "_raw", "_t", "filter(split(_t, ' '), x -> length(x) > 0) AS _ws"
     )
 
-    def occurrences(sym: str):
-        removed = F.length(F.col("_t")) - F.length(
-            F.replace(F.col("_t"), F.lit(sym), F.lit(""))
-        )
-        return removed / len(sym) if len(sym) > 1 else removed
+    def occurrences(sym: str) -> str:
+        removed = f"(length(_t) - length(replace(_t, {_sq(sym)}, '')))"
+        return f"{removed} / {len(sym)}" if len(sym) > 1 else removed
 
     # §A1.1 symbols: '#' or '...' — the Unicode ellipsis counts too (ADVICE
     # r4: the ASCII form was missing; each non-overlapping '...' is ONE symbol)
-    symbols = occurrences("#") + occurrences("…") + occurrences("...")
+    symbols = f"{occurrences('#')} + {occurrences('…')} + {occurrences('...')}"
 
     line_cols = []
     if line_signals:
-        from tamer_spark.functions.text import trim_nonempty
-
-        lines = trim_nonempty(F.split(F.col("_raw"), "\n"))
-        paras = trim_nonempty(F.split(F.col("_raw"), "\n\n"))
-        is_ellipsis = lambda x: x.endswith("...") | x.endswith("…")  # noqa: E731
-        is_bullet = lambda x: reduce_or([x.startswith(b) for b in _BULLETS])
+        # functions/text.trim_nonempty rendered as SQL (the pinned
+        # list_filter(list_transform(...)) staging convention). The arrays
+        # are STAGED as columns like _ws (multiply-referenced, CollapseProject
+        # keeps them materialized; within-Project subexpression elimination
+        # already computed them once at runtime — staging also keeps the
+        # ANALYZED tree small, which is the plan-construction cost)
+        ws = ws.selectExpr(
+            "*",
+            "filter(transform(split(_raw, '\\\\n'), x -> trim(x)), x -> length(x) > 0) AS _lines",
+            "filter(transform(split(_raw, '\\\\n\\\\n'), x -> trim(x)), x -> length(x) > 0) AS _paras",
+        )
+        is_ellipsis = "x -> endswith(x, '...') OR endswith(x, '…')"
+        is_bullet = "x -> " + " OR ".join(f"startswith(x, {_sq(b)})" for b in _BULLETS)
         line_cols = [
-            F.size(lines).cast("long").alias("n_lines"),
-            F.size(paras).cast("long").alias("n_paragraphs"),
-            (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_dup_lines"),
-            (F.size(paras) - F.size(F.array_distinct(paras))).cast("long").alias("n_dup_paragraphs"),
-            (_arr_chars(lines) - _arr_chars(F.array_distinct(lines))).alias("dup_line_chars"),
-            (_arr_chars(paras) - _arr_chars(F.array_distinct(paras))).alias("dup_para_chars"),
-            F.size(F.filter(lines, is_ellipsis)).cast("long").alias("n_ellipsis_lines"),
-            F.size(F.filter(lines, is_bullet)).cast("long").alias("n_bullet_lines"),
-            _arr_chars(lines).alias("_line_chars"),
-            _arr_chars(paras).alias("_para_chars"),
+            "CAST(size(_lines) AS BIGINT) AS n_lines",
+            "CAST(size(_paras) AS BIGINT) AS n_paragraphs",
+            "CAST(size(_lines) - size(array_distinct(_lines)) AS BIGINT) AS n_dup_lines",
+            "CAST(size(_paras) - size(array_distinct(_paras)) AS BIGINT) AS n_dup_paragraphs",
+            f"{_arr_chars('_lines')} - {_arr_chars('array_distinct(_lines)')} AS dup_line_chars",
+            f"{_arr_chars('_paras')} - {_arr_chars('array_distinct(_paras)')} AS dup_para_chars",
+            f"CAST(size(filter(_lines, {is_ellipsis})) AS BIGINT) AS n_ellipsis_lines",
+            f"CAST(size(filter(_lines, {is_bullet})) AS BIGINT) AS n_bullet_lines",
+            f"{_arr_chars('_lines')} AS _line_chars",
+            f"{_arr_chars('_paras')} AS _para_chars",
         ]
 
-    sig = ws.select(
+    stop_arr = "array(" + ", ".join(_sq(w) for w in STOPWORDS) + ")"
+    gopher_arr = "array(" + ", ".join(_sq(w) for w in STOP_GOPHER) + ")"
+    sig = ws.selectExpr(
         "doc_id",
         "_ws",
-        F.size("_ws").cast("long").alias("n_words"),
-        _arr_chars(F.col("_ws")).alias("total_chars"),
-        symbols.cast("long").alias("_symbols"),
-        F.size(
-            F.array_intersect("_ws", F.array(*[F.lit(w) for w in STOPWORDS]))
-        ).cast("long").alias("n_stopwords"),
-        F.size(
-            F.array_intersect("_ws", F.array(*[F.lit(w) for w in STOP_GOPHER]))
-        ).cast("long").alias("n_gopher_stopwords"),
+        "CAST(size(_ws) AS BIGINT) AS n_words",
+        f"{_arr_chars('_ws')} AS total_chars",
+        f"CAST({symbols} AS BIGINT) AS _symbols",
+        f"CAST(size(array_intersect(_ws, {stop_arr})) AS BIGINT) AS n_stopwords",
+        f"CAST(size(array_intersect(_ws, {gopher_arr})) AS BIGINT) AS n_gopher_stopwords",
         *line_cols,
-    ).select(
+    ).selectExpr(
         "*",
-        _frac(F.col("total_chars"), F.col("n_words")).alias("mean_word_len"),
-        _frac(F.col("_symbols"), F.col("n_words")).alias("symbol_word_ratio"),
+        f"{_frac('total_chars', 'n_words')} AS mean_word_len",
+        f"{_frac('_symbols', 'n_words')} AS symbol_word_ratio",
     )
     # alpha fraction needs _ws again — separate select so the staged array
     # is still a plain reference (CollapseProject discipline as above)
-    sig = sig.withColumn(
-        "alpha_word_frac",
-        F.when(
-            F.col("n_words") > 0,
-            F.size(F.filter("_ws", lambda x: x.rlike("[a-z]"))) / F.col("n_words"),
-        ).otherwise(F.lit(0.0)),
+    sig = sig.selectExpr(
+        "*",
+        "CASE WHEN n_words > 0 THEN size(filter(_ws, x -> x RLIKE '[a-z]')) / n_words"
+        " ELSE 0.0D END AS alpha_word_frac",
     )
 
     # ---- n-gram repetition family: ONE (doc_id, n, gram) shuffle for all
@@ -205,59 +224,50 @@ def gopher_signals(
     all_ns = sorted(set(ns_top) | set(ns_dup))
     out = sig
     if all_ns:
-        wn = sig.select(
-            "doc_id", "_ws", F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("n")
+        wn = sig.selectExpr(
+            "doc_id", "_ws",
+            f"explode(array({', '.join(str(n) for n in all_ns)})) AS n",
         )
         # grams with their 0-based start position; a doc shorter than n
         # contributes none. slice is 1-based, length n.
-        grams = wn.select(
+        grams = wn.selectExpr(
             "doc_id",
             "n",
-            F.when(
-                F.size("_ws") >= F.col("n"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_ws") - F.col("n")),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(
-                            F.slice(F.col("_ws"), i + 1, F.col("n")), " "
-                        ).alias("g"),
-                    ),
-                ),
-            )
-            .otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-            .alias("_gs"),
+            "CASE WHEN size(_ws) >= n THEN"
+            " transform(sequence(0, size(_ws) - n),"
+            " i -> named_struct('pos', i, 'g', array_join(slice(_ws, i + 1, n), ' ')))"
+            " ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, g: STRING>>) END AS _gs",
         )
-        occ = grams.select(
-            "doc_id", "n", F.explode("_gs").alias("s")
-        ).select("doc_id", "n", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+        occ = grams.selectExpr("doc_id", "n", "explode(_gs) AS s").selectExpr(
+            "doc_id", "n", "s.pos AS pos", "s.g AS g"
+        )
         # ONE shuffle of the gram stream: counts for every n, plus the
         # occurrence-position lists (dup ns only — the conditional collect
         # keeps top-only ns payload-free) so the dup-coverage leg never
         # re-explodes or re-shuffles the 9x-text occurrence stream
+        dup_in = (
+            f"n IN ({', '.join(str(n) for n in ns_dup)})" if ns_dup else "false"
+        )
         cnts = occ.groupBy("doc_id", "n", "g").agg(
-            F.count(F.lit(1)).alias("c"),
-            F.collect_list(
-                F.when(F.col("n").isin(ns_dup) if ns_dup else F.lit(False), F.col("pos"))
-            ).alias("ps"),
+            F.expr("count(1)").alias("c"),
+            F.expr(f"collect_list(CASE WHEN {dup_in} THEN pos END)").alias("ps"),
         )
         if ns_top:
-            w = Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "g")
+            top_in = f"n IN ({', '.join(str(n) for n in ns_top)})"
             top = (
-                cnts.filter(F.col("n").isin(ns_top))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(
-                    "doc_id",
-                    "n",
-                    (F.col("c") * (F.length("g") - (F.col("n") - 1)))
-                    .cast("long")
-                    .alias("topchars"),
+                cnts.filter(top_in)
+                .withColumn(
+                    "_rn",
+                    F.expr("row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g)"),
+                )
+                .filter("_rn = 1")
+                .selectExpr(
+                    "doc_id", "n", "CAST(c * (length(g) - (n - 1)) AS BIGINT) AS topchars"
                 )
             )
             topw = top.groupBy("doc_id").agg(
                 *[
-                    F.max(F.when(F.col("n") == n, F.col("topchars"))).alias(f"_top{n}")
+                    F.expr(f"max(CASE WHEN n = {n} THEN topchars END)").alias(f"_top{n}")
                     for n in ns_top
                 ]
             )
@@ -268,75 +278,67 @@ def gopher_signals(
             # re-derived from the carried position lists, grams-side
             # cardinality (already grouped), never the raw occurrence stream
             cov = (
-                cnts.filter(F.col("n").isin(ns_dup) & (F.col("c") >= 2))
-                .select("doc_id", "n", F.explode("ps").alias("pos"))
-                .select(
-                    "doc_id",
-                    "n",
-                    F.explode(
-                        F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-                    ).alias("widx"),
+                cnts.filter(f"{dup_in} AND c >= 2")
+                .selectExpr("doc_id", "n", "explode(ps) AS pos")
+                .selectExpr(
+                    "doc_id", "n", "explode(sequence(pos, pos + n - 1)) AS widx"
                 )
                 .distinct()
             )
             wl = sig.select(
                 "doc_id", F.posexplode("_ws").alias("widx", "_w")
-            ).select("doc_id", "widx", F.length("_w").cast("long").alias("wlen"))
+            ).selectExpr("doc_id", "widx", "CAST(length(_w) AS BIGINT) AS wlen")
             covc = cov.join(wl, ["doc_id", "widx"]).groupBy("doc_id", "n").agg(
-                F.sum("wlen").alias("cov")
+                F.expr("sum(wlen)").alias("cov")
             )
             covw = covc.groupBy("doc_id").agg(
                 *[
-                    F.max(F.when(F.col("n") == n, F.col("cov"))).alias(f"_cov{n}")
+                    F.expr(f"max(CASE WHEN n = {n} THEN cov END)").alias(f"_cov{n}")
                     for n in ns_dup
                 ]
             )
             out = out.join(covw, "doc_id", "left")
-    for n in ns_top:
-        out = out.withColumn(
-            _top_col(n),
-            _frac(F.coalesce(F.col(f"_top{n}"), F.lit(0)), F.col("total_chars")),
-        )
-    for n in ns_dup:
-        out = out.withColumn(
-            f"dup_{n}gram_char_frac",
-            _frac(F.coalesce(F.col(f"_cov{n}"), F.lit(0)), F.col("total_chars")),
-        )
+    frac_cols = [
+        f"{_frac(f'coalesce(_top{n}, 0)', 'total_chars')} AS {_top_col(n)}"
+        for n in ns_top
+    ] + [
+        f"{_frac(f'coalesce(_cov{n}, 0)', 'total_chars')} AS dup_{n}gram_char_frac"
+        for n in ns_dup
+    ]
+    if frac_cols:
+        out = out.selectExpr("*", *frac_cols)
 
     rules = [
-        F.col("n_words").between(min_words, max_words),
-        F.col("mean_word_len") >= min_mean_word_len,
-        F.col("mean_word_len") <= max_mean_word_len,
-        F.col("symbol_word_ratio") < max_symbol_ratio,
-        F.col("alpha_word_frac") > min_alpha_frac,
-        F.col("n_gopher_stopwords") >= min_stopwords,
-        *[F.col(_top_col(n)) < thr for n, thr in top_ngrams],
-        *[F.col(f"dup_{n}gram_char_frac") < thr for n, thr in dup_ngrams],
+        f"n_words BETWEEN {min_words} AND {max_words}",
+        f"mean_word_len >= {_d(min_mean_word_len)}",
+        f"mean_word_len <= {_d(max_mean_word_len)}",
+        f"symbol_word_ratio < {_d(max_symbol_ratio)}",
+        f"alpha_word_frac > {_d(min_alpha_frac)}",
+        f"n_gopher_stopwords >= {min_stopwords}",
+        *[f"{_top_col(n)} < {_d(thr)}" for n, thr in top_ngrams],
+        *[f"dup_{n}gram_char_frac < {_d(thr)}" for n, thr in dup_ngrams],
     ]
     ratio_cols = []
     if line_signals:
         ratio_cols = [
-            _frac(F.col("n_dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
-            _frac(F.col("dup_line_chars"), F.col("_line_chars")).alias("dup_line_char_frac"),
-            _frac(F.col("n_dup_paragraphs"), F.col("n_paragraphs")).alias("dup_para_frac"),
-            _frac(F.col("dup_para_chars"), F.col("_para_chars")).alias("dup_para_char_frac"),
-            _frac(F.col("n_ellipsis_lines"), F.col("n_lines")).alias("ellipsis_line_ratio"),
-            _frac(F.col("n_bullet_lines"), F.col("n_lines")).alias("bullet_line_ratio"),
+            f"{_frac('n_dup_lines', 'n_lines')} AS dup_line_frac",
+            f"{_frac('dup_line_chars', '_line_chars')} AS dup_line_char_frac",
+            f"{_frac('n_dup_paragraphs', 'n_paragraphs')} AS dup_para_frac",
+            f"{_frac('dup_para_chars', '_para_chars')} AS dup_para_char_frac",
+            f"{_frac('n_ellipsis_lines', 'n_lines')} AS ellipsis_line_ratio",
+            f"{_frac('n_bullet_lines', 'n_lines')} AS bullet_line_ratio",
         ]
-    out = out.select("*", *ratio_cols)
-    if line_signals:
+        out = out.selectExpr("*", *ratio_cols)
         rules += [
-            F.col("dup_line_frac") < max_dup_line_frac,
-            F.col("dup_line_char_frac") < max_dup_line_char_frac,
-            F.col("dup_para_frac") < max_dup_para_frac,
-            F.col("dup_para_char_frac") < max_dup_para_char_frac,
-            F.col("ellipsis_line_ratio") < max_ellipsis_line_ratio,
-            F.col("bullet_line_ratio") < max_bullet_line_ratio,
+            f"dup_line_frac < {_d(max_dup_line_frac)}",
+            f"dup_line_char_frac < {_d(max_dup_line_char_frac)}",
+            f"dup_para_frac < {_d(max_dup_para_frac)}",
+            f"dup_para_char_frac < {_d(max_dup_para_char_frac)}",
+            f"ellipsis_line_ratio < {_d(max_ellipsis_line_ratio)}",
+            f"bullet_line_ratio < {_d(max_bullet_line_ratio)}",
         ]
-    keep = rules[0]
-    for r in rules[1:]:
-        keep = keep & r
-    out = out.withColumn("keep", keep.cast("long"))
+    keep = " AND ".join(f"({r})" for r in rules)
+    out = out.selectExpr("*", f"CAST(({keep}) AS BIGINT) AS keep")
 
     cols = [
         "doc_id",
@@ -366,11 +368,6 @@ def gopher_signals(
             "ellipsis_line_ratio",
             "bullet_line_ratio",
         ]
-    return out.select(*cols, "keep")
-
-
-def reduce_or(conds):
-    out = conds[0]
-    for c in conds[1:]:
-        out = out | c
-    return out
+    # selectExpr, not select: plain-name projection serializes the whole
+    # list in one RPC instead of one Column conversion per name
+    return out.selectExpr(*cols, "keep")

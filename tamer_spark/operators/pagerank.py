@@ -66,22 +66,36 @@ def pagerank(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # e and deg are joined on the same key every round — pre-combine ONCE so
+    # each round references a single loop-invariant (src, dst, deg) subtree
+    # (identical inner joins, associativity; exchange reuse dedups it at
+    # runtime) instead of re-planning e and deg separately per round.
+    ed = e.join(deg, "src")
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-    r0 = nodes.crossJoin(F.broadcast(n_row)).select(
+    # Loop-invariant (node, n) frame. Each round's update uses ONLY node/n
+    # from the previous ranks (the new rank is base + damped inflow — it
+    # never reads the old rank column outside contrib), and the node set is
+    # round-invariant, so joining contrib back onto THIS frame instead of
+    # onto ranks makes the lineage LINEAR in iters. The old form referenced
+    # ranks twice per round (contrib + the left side), doubling the plan
+    # per round: 2^iters copies of the edge derivation — 176 parquet scans
+    # / 270 Exchanges at iters=3 (plans/r14/pagerank_cust_supp_before.txt)
+    # for a query whose data passes need ~14. Row-for-row the same
+    # expressions → identical results (oracle-gated).
+    nodes_n = nodes.crossJoin(F.broadcast(n_row))
+    r0 = nodes_n.select(
         "node", F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("rank"), "n"
     )
     ranks = r0
     for _ in range(iters):
         contrib = (
-            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .join(deg, "src")
+            ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .select("dst", F.expr("rank div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            ranks.select("node", "n")
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes_n.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
                 F.expr(
