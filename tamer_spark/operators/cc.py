@@ -51,14 +51,22 @@ __all__ = ["connected_components", "attach_cluster_ids", "cc_incremental"]
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) symmetric → for each u, connect strictly-larger neighbors to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    The output is a MULTISET (r14): the former trailing ``.distinct()``
+    cost a full O(|E|) exchange per round, and every consumer tolerates
+    duplicates — ``_small_star``'s min-aggregate is duplicate-invariant
+    and its own trailing ``.distinct()`` dedups the round's result, so
+    ``cur`` is identical round-for-round either way (A/B at sf0.1 over
+    the bench LSH pair graph: median ratio 0.83, 0 differing component
+    rows; one fewer shuffle per round at any scale, dup inflation bounded
+    by |sym| = 2|E|)."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

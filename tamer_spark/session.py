@@ -35,7 +35,6 @@ _DEFAULTS: dict[str, str] = {
     # 128 MB parquet split — default, stated explicitly because it's the
     # knob that controls task count on a 100 TB scan (~800k tasks).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
@@ -47,11 +46,26 @@ def get_spark(app_name: str = "tamer_spark", master: str | None = None, **conf: 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``).
     Extra ``conf`` entries override the defaults.
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    merged = {**_DEFAULTS, **conf}
+    # Shuffle partitions derive from the session's core count instead of a
+    # constant tuned for local[32] (the driver also runs the bench at lower
+    # core counts to measure scaling — a hard-coded 32 misshapes those
+    # runs). Resolution order: $SPARK_GRAFT_SHUFFLE_PARTITIONS (explicit
+    # override — on a real cluster set ~2-3x total executor cores, e.g.
+    # ~10k at 1000 executors x 4 cores, and let AQE coalesce down), else
+    # $SPARK_GRAFT_CPUS, else the machine's core count. At the driver's
+    # local[32] this resolves to 32 — numerically identical to the
+    # previous constant, so the bench series is unaffected there.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if not shuffle_parts:
+        try:
+            shuffle_parts = str(max(1, int(cpus)))
+        except ValueError:  # cpus == "*" or malformed — use physical cores
+            shuffle_parts = str(os.cpu_count() or 8)
+    merged = {**_DEFAULTS, "spark.sql.shuffle.partitions": shuffle_parts, **conf}
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

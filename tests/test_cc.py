@@ -56,6 +56,32 @@ def test_empty_edges(spark):
     assert connected_components(df).count() == 0
 
 
+def test_large_star_multiset_round_equals_distinct_round(spark):
+    # r14: _large_star dropped its trailing .distinct() (one fewer exchange
+    # per round). Pin the invariant that makes that safe: a round
+    # (_small_star ∘ _large_star) over a graph WITH duplicate edges lands
+    # on exactly the distinct round's edge SET — _small_star's
+    # min-aggregate is duplicate-invariant and its trailing distinct
+    # dedups, so cur is identical round-for-round.
+    from tamer_spark.operators.cc import _large_star, _small_star
+
+    rng = random.Random(11)
+    n = 60
+    base = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    base = [e for e in base if e[0] != e[1]]
+    dup_edges = base + base[::2] + base[::3]  # heavy duplication
+    df_dup = spark.createDataFrame(dup_edges, "src long, dst long")
+    df_dst = spark.createDataFrame(base, "src long, dst long").distinct()
+
+    round_dup = _small_star(_large_star(df_dup))
+    round_dst = _small_star(_large_star(df_dst))
+    assert round_dup.exceptAll(round_dst.distinct()).count() == 0
+    assert round_dst.exceptAll(round_dup.distinct()).count() == 0
+    # and the round output itself is already a distinct set (small_star's
+    # trailing distinct) even under duplicated input
+    assert round_dup.count() == round_dup.distinct().count()
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(7)
     n = 300
