@@ -244,16 +244,23 @@ def compact_planned(
     so the assignment is reproducible run-to-run with no window and no
     per-file driver logic. Everything else is read in
     ONE job, routed to its bin via a broadcast manifest join on
-    ``input_file_name()``, and written with ``repartitionByRange(n_bins,
-    bin)`` — range partitioning over the (monotone, sampled) bin ids puts
-    ~one bin per output partition = ~one target-sized file per bin, with no
-    driver-side per-bin loop (Delta's OPTIMIZE schedules a job per bin
-    batch; at 800k bins that loop IS the bottleneck, the range shuffle
-    isn't). The swap runs through the SAME Hadoop FileSystem handle as the
-    listing (r14 — local/HDFS/S3A uniformly), ordered for no-data-loss:
-    rewritten files are renamed INTO the directory first (fresh part-file
-    names cannot collide with originals), and only then are the originals
-    deleted. A crash mid-swap can therefore leave transient DUPLICATE
+    ``input_file_name()``, hash-``repartition(n_routes, route)``-ed, and
+    written ``partitionBy(route)`` into the tmp dir — every route's rows
+    hash to exactly one task and the partitioned write gives each route
+    its own file even when two routes collide into one task, so output =
+    exactly one ~target-sized file per route, with no driver-side per-bin
+    loop (Delta's OPTIMIZE schedules a job per bin batch; at 800k bins
+    that loop IS the bottleneck, the one hash shuffle isn't). Hash
+    partitioning is chosen over ``repartitionByRange`` deliberately:
+    range partitioning SAMPLES its boundaries with an RDD-id-derived seed
+    (RangePartitioner.sketch), so which routes coalesce into one output
+    file changes run-to-run — a nondeterministic rewrite of a table whose
+    manifest claims auditability — and the sampling itself is an extra
+    pass over the data. The swap runs through the SAME Hadoop FileSystem
+    handle as the listing (r14 — local/HDFS/S3A uniformly), ordered for
+    no-data-loss: rewritten files are renamed INTO the directory first
+    (route-tagged fresh part names cannot collide with originals), and
+    only then are the originals deleted. A crash mid-swap can therefore leave transient DUPLICATE
     rows (recover by deleting either the surviving originals or the
     moved-in rewrites — both sides are auditable from the returned
     manifest plus a directory listing), but never missing rows; the
@@ -310,15 +317,25 @@ def compact_planned(
         )
         tmp = path.rstrip("/") + tmp_suffix
         (
-            routed.repartitionByRange(max(int(n_routes), 1), "_route")
-            .drop("_file", "bin", "split_k", "_route")
+            routed.repartition(max(int(n_routes), 1), "_route")
+            .drop("_file", "bin", "split_k")
             .write.mode("overwrite")
+            .partitionBy("_route")
             .parquet(tmp)
         )
         # fail CLOSED before deleting anything: this operator removes source
         # files, so an unmatched routing row (a regression in the join above
-        # would silently drop data) must abort with the originals intact
-        n_src, n_out = df.count(), spark.read.parquet(tmp).count()
+        # would silently drop data) must abort with the originals intact.
+        # An all-rows-dropped rewrite writes NO partition dirs (partitionBy
+        # of an empty frame), which read.parquet cannot even infer a schema
+        # from — count data files first and treat none as 0 rows.
+        tmp_parts = [
+            st
+            for st in fs.listStatus(jPath(tmp))
+            if st.isDirectory() and st.getPath().getName().startswith("_route=")
+        ]
+        n_src = df.count()
+        n_out = spark.read.parquet(tmp).count() if tmp_parts else 0
         if n_src != n_out:
             fs.delete(jPath(tmp), True)
             raise RuntimeError(
@@ -326,15 +343,19 @@ def compact_planned(
                 f"{n_src}; aborting before deleting originals"
             )
         # no-data-loss order: move the rewrites IN first (fresh job-UUID
-        # part names cannot collide with originals), delete originals last
+        # part names, tagged with their route dir so two routes written by
+        # one task cannot collide, nor with originals), delete originals
+        # last
         dst = jPath(path)
-        for st in fs.listStatus(jPath(tmp)):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith((".", "_")):
-                if not fs.rename(st.getPath(), jPath(dst, name)):
-                    raise RuntimeError(
-                        f"compact_planned: rename {name} into {path} failed"
-                    )
+        for part in tmp_parts:
+            route = part.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(part.getPath()):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith((".", "_")):
+                    if not fs.rename(st.getPath(), jPath(dst, f"part-r{route}-{name.removeprefix('part-')}")):
+                        raise RuntimeError(
+                            f"compact_planned: rename {name} into {path} failed"
+                        )
         for p in paths:
             fs.delete(jPath(p), False)
         fs.delete(jPath(tmp), True)
