@@ -16,7 +16,9 @@ public literature) in pure DataFrame ops:
 * small-star: every node links its smaller-or-equal neighbors to that
   minimum.
 
-Each round is two groupBy-min shuffles keyed by node id; the edge set
+Each round is two window-min exchanges keyed by node id (r14: the
+neighborhood minimum rides the node exchange as an unordered window
+aggregate — no per-round groupBy + self-join); the edge set
 monotonically contracts toward star graphs centered on each component's
 minimum id. Convergence is O(log n) rounds *regardless of graph diameter*
 — the reason to prefer it over naive min-label propagation, whose round
@@ -44,7 +46,7 @@ this is part of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["connected_components", "attach_cluster_ids", "cc_incremental"]
 
@@ -60,11 +62,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
     ``cur`` is identical round-for-round either way (A/B at sf0.1 over
     the bench LSH pair graph: median ratio 0.83, 0 differing component
     rows; one fewer shuffle per round at any scale, dup inflation bounded
-    by |sym| = 2|E|)."""
+    by |sym| = 2|E|).
+
+    The neighborhood minimum is a WINDOW aggregate over partitionBy(src)
+    (r14, guide §2.4 — same-keyed operations share one exchange), not the
+    former groupBy(src) + self-join back on src: the join consumed the
+    same exchange twice (ReusedExchange) plus a join operator per round,
+    while the unordered window computes min(dst) in one pass over the one
+    exchange with no sort and no join (A/B at sf0.1 over the bench LSH
+    pair graph: full-CC median 1.98 → 1.47 s, 0 differing rows, same
+    round count). Skew posture unchanged: a hot src neighborhood lands in
+    one task under either form."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    w = Window.partitionBy("src")
     return (
-        sym.join(m, "src")
+        sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -72,14 +84,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Point each edge from its larger endpoint; connect the smaller-or-equal
-    neighborhood (and the center itself) to its minimum."""
+    neighborhood (and the center itself) to its minimum. Same window-over-
+    one-exchange form as ``_large_star`` (r14) — no groupBy+join round
+    trip."""
     directed = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    m = directed.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
-    joined = directed.join(m, "src")
-    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    center = joined.select("src", F.col("m").alias("dst"))
+    w = Window.partitionBy("src")
+    withm = directed.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+    to_min = withm.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = withm.select("src", F.col("m").alias("dst"))
     return to_min.union(center).filter(F.col("src") != F.col("dst")).distinct()
 
 
