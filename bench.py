@@ -600,7 +600,7 @@ GROUPS: list[tuple[str, list[str]]] = [
 # makes timed iterations alternate between warm- and cold-cache executions
 # depending on GC order. Dropping the warm plan (finalizer unpersists) makes
 # every timed iteration deterministically cold.
-_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "dsir_select_docs", "exsub_dedup_docs", "vocab_growth_docs", "contrastive_pairs", "hard_negatives"}
+_NO_WARM_KEEP = {"dedup_minhash_lsh", "semdedup", "quality_ppl_bucket", "semdedup_incremental", "substring_run_pairs", "exsub_dedup_docs", "vocab_growth_docs", "contrastive_pairs", "hard_negatives"}
 
 # FROZEN timing definitions, by the round that (re)defined them. A number is
 # comparable across rounds only within its series; redefining what an entry
@@ -638,7 +638,13 @@ SERIES = {
     "exsub_dedup_docs": "r12",
     "exsub_incremental_epoch": "r13-hot-index",
     "exsub_bloom_epoch": "r13-hot-sidecar",
-    "dsir_select_docs": "r11-cold",  # raw-feature persist released per iter
+    # r14: dsir_select dropped its internal raw-feature persist for the
+    # occurrence-level pipeline (map-only featurize straight into bounded
+    # partial aggs — no (doc, bucket) count materialization, nothing
+    # cached, so the entry also leaves _NO_WARM_KEEP: there is no
+    # plan-lifetime state left to alternate on). Timed shape changed →
+    # new series.
+    "dsir_select_docs": "r14-occurrence",
     "strip_markup_docs": "r11",
     "url_dedup_docs": "r11",
     "fix_encoding_docs": "r11",

@@ -49,19 +49,24 @@ Two deliberate deviations, both following standing repo conventions:
   exact cross-engine. Inclusion probability is ∝ weight in the DLT sense;
   change ``seed`` for an independent replicate.
 
-Shuffle profile (the 100 TB posture, docs/SCALING.md):
+Shuffle profile (the 100 TB posture, docs/SCALING.md; r14 — the
+occurrence-level pipeline, no per-(doc, bucket) count materialization):
 
-* featurize: map-only staged arrays (no exploded self-join), then ONE
-  partial-aggregated ``groupBy(doc_id, bucket)`` — shuffle rows bounded by
-  docs × min(buckets, doc n-gram types), i.e. ≤ ``buckets`` rows per doc
-  regardless of document length;
-* bucket totals: ``groupBy(bucket)`` over those counts — ≤ ``buckets``
-  rows out, partial-aggregated;
-* ratio table: ``buckets`` rows, built once, **broadcast** onto the
-  per-doc counts (plan-pinned) — never a shuffled join of the corpus
+* featurize: map-only staged arrays (no exploded self-join, no shuffle) —
+  one ``(doc_id, b, c=1)`` row per n-gram occurrence;
+* bucket totals: ``groupBy(bucket)`` straight over the occurrence stream
+  — partial-aggregates to ≤ partitions × ``buckets`` rows before the one
+  bounded exchange (the CMS fixed-size-shuffle property), per corpus;
+* ratio table: ``buckets`` rows, built once, **broadcast** onto the raw
+  occurrences (plan-pinned) — never a shuffled join of the corpus
   against a tiny table. Beyond ~1e8 buckets, pre-partition both sides by
   bucket instead;
-* weight: one partial-aggregated ``groupBy(doc_id)``;
+* weight: one partial-aggregated ``groupBy(doc_id)`` over the broadcast-
+  joined occurrences — docs are row-local, so the map side collapses to
+  ~one row per doc before the exchange (the former pipeline shuffled a
+  docs × min(buckets, doc types) count frame TWICE — once to build it,
+  once into the weight agg — for no consumer that needed it; integer
+  sums regroup associatively, so results are bit-identical);
 * selection: ``orderBy(priority).limit(k)`` plans as
   TakeOrderedAndProject — per-partition top-k + a k·partitions driver
   merge, never a global sort of the corpus (plan-pinned).
@@ -87,6 +92,7 @@ from tamer_spark.operators.dedup import normalize_text
 
 __all__ = [
     "hashed_ngram_buckets",
+    "hashed_ngram_occurrences",
     "dsir_ratio_table",
     "dsir_importance_weights",
     "dsir_priority_sample",
@@ -96,26 +102,37 @@ __all__ = [
 _DEC = "CAST({} AS DECIMAL(38,0))"
 
 
-def hashed_ngram_buckets(
+def hashed_ngram_occurrences(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 1024,
 ) -> DataFrame:
-    """Per-document hashed n-gram features: ``(doc_id, b, c)`` — bucket id
-    and count of word unigram+bigram instances hashing into it.
+    """Per-OCCURRENCE hashed n-gram stream: ``(doc_id, b, c=1)`` — one row
+    per word unigram+bigram instance, MAP-ONLY (no shuffle at all).
 
-    Word split is over :func:`normalize_text` (the corpus-wide convention, so
-    DSIR features agree with the dedup/LM operators' token stream). Bigrams
-    are built row-locally with the staged-array pattern from
+    This is the shuffle-free form both DSIR consumers actually want
+    (r14, guide §2.3 "aggregate before you shuffle" — on the RIGHT key):
+    the ratio table only needs per-BUCKET totals (``groupBy(b)``
+    partial-aggregates occurrences to ≤ partitions·buckets rows) and the
+    weight only needs a per-DOC sum of centered ratios
+    (``groupBy(doc_id)`` partial-aggregates to ≤ one row per doc per
+    partition — docs are row-local, so effectively one row per doc).
+    Materializing per-(doc, bucket) counts first — the former pipeline —
+    paid an extra docs·min(buckets, doc types) exchange that neither
+    consumer needed; integer sums regroup associatively, so results are
+    bit-identical either way.
+
+    Word split is over :func:`normalize_text` (the corpus-wide convention,
+    so DSIR features agree with the dedup/LM operators' token stream).
+    Bigrams are built row-locally with the staged-array pattern from
     ``operators/lm.py`` — a when-guard keeps ``sequence(1, size-1)`` from
     going descending on 1-word docs, and the explode is ``_outer`` so
     InferFiltersFromGenerate can't re-inline the staged arrays into a
-    pushed-down filter. Map-only until the single (doc, bucket) count
-    shuffle.
+    pushed-down filter.
     """
     if buckets < 1:
-        raise ValueError(f"hashed_ngram_buckets: buckets must be >= 1, got {buckets}")
+        raise ValueError(f"hashed_ngram_occurrences: buckets must be >= 1, got {buckets}")
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
@@ -140,12 +157,29 @@ def hashed_ngram_buckets(
     ng = staged.select(
         "doc_id", F.explode_outer("_ngs").alias("_ng")
     )
+    return ng.select(
+        "doc_id",
+        F.pmod(stable_hash64(F.col("_ng")), F.lit(buckets)).alias("b"),
+        F.lit(1).cast("long").alias("c"),
+    )
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-document hashed n-gram features: ``(doc_id, b, c)`` — bucket id
+    and count of word unigram+bigram instances hashing into it. One
+    (doc, bucket) count shuffle over :func:`hashed_ngram_occurrences`.
+    Kept for callers that want the counts themselves; the DSIR pipeline
+    consumes the occurrence stream directly (see there for why).
+    """
     return (
-        ng.select(
-            "doc_id", F.pmod(stable_hash64(F.col("_ng")), F.lit(buckets)).alias("b")
-        )
+        hashed_ngram_occurrences(docs, text_col, id_col, buckets)
         .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
 
 
@@ -160,10 +194,12 @@ def dsir_ratio_table(
         r_b = (scale · (ct_b+1) · (N_raw+buckets)) div ((cr_b+1) · (N_tgt+buckets))
 
     — the add-one-smoothed ``p_target/p_raw`` ratio in parts-per-``scale``,
-    floored (exact integer, engine-portable). Inputs are
-    :func:`hashed_ngram_buckets` frames; buckets absent from one corpus get
-    the smoothed count 1. The output is ≤ ``buckets`` rows — broadcast it
-    (``dsir_importance_weights`` does).
+    floored (exact integer, engine-portable). Inputs are ``(doc_id, b, c)``
+    frames — :func:`hashed_ngram_occurrences` (c=1 per instance; the
+    groupBy here partial-aggregates them map-side) or
+    :func:`hashed_ngram_buckets` counts, identical sums either way;
+    buckets absent from one corpus get the smoothed count 1. The output is
+    ≤ ``buckets`` rows — broadcast it (``dsir_importance_weights`` does).
     """
     if scale < 1:
         raise ValueError(f"dsir_ratio_table: scale must be >= 1, got {scale}")
@@ -290,17 +326,21 @@ def dsir_select(
     weight every raw doc, priority-sample ``k`` ∝ weight. Returns
     ``(doc_id, weight, sel_rank)`` for the selected docs.
 
-    Cost shape: one map+count-shuffle pass per corpus, one broadcast of the
-    ≤ ``buckets``-row ratio table, one ``groupBy(doc_id)`` weight shuffle,
-    one TakeOrdered — nothing quadratic, no driver-side corpus state. The
-    raw feature frame feeds two plan branches (the ratio table's ``q`` side
-    and the weight join), so it is persisted for the plan's lifetime and
-    released when the result is dropped (the ``semdedup`` pattern)."""
-    from tamer_spark.operators.dedup import _release_on_gc
-
-    raw_counts = hashed_ngram_buckets(raw_docs, text_col, id_col, buckets).persist()
-    tgt_counts = hashed_ngram_buckets(target_docs, text_col, id_col, buckets)
-    ratios = dsir_ratio_table(tgt_counts, raw_counts, buckets, scale)
-    weights = dsir_importance_weights(raw_counts, ratios, scale)
-    out = dsir_priority_sample(weights, k, u_mod, seed)
-    return _release_on_gc(out, raw_counts)
+    Cost shape (r14 — the occurrence-level pipeline, see
+    :func:`hashed_ngram_occurrences`): featurize is MAP-ONLY; the only
+    exchanges are the bounded per-bucket totals (≤ partitions·buckets
+    rows per corpus), the per-doc weight partial agg (≈ one row per doc),
+    the broadcast of the ≤ ``buckets``-row ratio table, and one
+    TakeOrdered — nothing quadratic, no driver-side corpus state. The raw
+    occurrence stream feeds two plan branches (the ratio table's ``q``
+    side and the weight sum), and is deliberately NOT persisted: both
+    consumers are map-into-partial-agg scans, and re-running the map-only
+    featurize twice beats writing a corpus-sized occurrence cache (the
+    cms_heavy_hitters two-scan trade; interleaved A/B at sf0.1 —
+    per-round medians: no-persist 0.63× the former persisted
+    (doc, bucket)-counts pipeline, values identical)."""
+    raw_occ = hashed_ngram_occurrences(raw_docs, text_col, id_col, buckets)
+    tgt_occ = hashed_ngram_occurrences(target_docs, text_col, id_col, buckets)
+    ratios = dsir_ratio_table(tgt_occ, raw_occ, buckets, scale)
+    weights = dsir_importance_weights(raw_occ, ratios, scale)
+    return dsir_priority_sample(weights, k, u_mod, seed)
