@@ -721,9 +721,20 @@ def minhash_lsh_pairs_with_cache(
         # silently drop EVERY bucket and return zero pairs — the silent-
         # empty mode-contract trap (r12; same class as the r11 salted_join
         # fix), pinned in tests/test_dedup_incremental.py.
-        bucket_sizes = banded.groupBy("band_id", "band_sig").count()
-        small = bucket_sizes.filter(F.col("count") <= max_bucket).drop("count")
-        banded = banded.join(small, ["band_id", "band_sig"])
+        # The cap is a WINDOW count over partitionBy(band) (r14, the cc
+        # discipline — guide §2.4 same-keyed ops share one exchange), not
+        # the former groupBy + join-back: the count rides the same band
+        # exchange the self-join below needs anyway, dropping a join
+        # operator and the dual agg branch (A/B at sf0.1, cold like the
+        # bench entry: per-round median ratio ~0.9, pairs identical).
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_id", "band_sig")
+        banded = (
+            banded.withColumn("_bc", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
