@@ -40,6 +40,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     persist_edges: bool = False,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Ranks after ``iters`` exact power-iteration rounds over DIRECTED
     ``edges``. Returns (node, rank) for every node appearing as src or
@@ -54,10 +55,21 @@ def pagerank(
     join), so the default is off; turn it ON when the edge input is
     expensive relative to memory bandwidth (a corpus-scale multi-join at
     real scale), where per-round re-derivation dominates instead. Values
-    are identical either way (persist is physical only)."""
+    are identical either way (persist is physical only).
+
+    ``dedup_edges``: degrees and contributions assume DISTINCT edges, so
+    the input is deduplicated by default. A caller whose edge derivation
+    is distinct BY CONSTRUCTION passes ``False`` to skip that full O(|E|)
+    exchange (guide §2.4's "a distinct on data that is already unique" —
+    r14: the bench graph's A/B measured 0.75× median; at 100 TB it is a
+    full shuffle of the edge list saved). Passing ``False`` with
+    duplicated edges silently inflates those edges' degrees and
+    contributions — the flag is a caller-side contract, not a hint."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if dedup_edges:
+        e = e.distinct()
     if persist_edges:
         e = e.persist()
     nodes = (

@@ -45,3 +45,18 @@ def test_deterministic_and_integer(spark):
 def test_invalid_iters_rejected(spark):
     with pytest.raises(ValueError):
         _ranks(spark, [(0, 1)], iters=0)
+
+
+def test_dedup_edges_false_equals_default_on_distinct_input(spark):
+    # r14: dedup_edges=False skips the O(|E|) distinct for callers whose
+    # edges are distinct by construction — pin that on such input the
+    # ranks are identical to the default path, and that the default path
+    # really does dedup (duplicated edges with dedup on == distinct input)
+    edges = [(i, (i * 7) % 11) for i in range(11) if i != (i * 7) % 11]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+    b = {r.node: r.rank for r in pagerank(df, iters=3, dedup_edges=False).collect()}
+    assert a == b
+    dup = spark.createDataFrame(edges + edges[::2], "src long, dst long")
+    c = {r.node: r.rank for r in pagerank(dup, iters=3).collect()}
+    assert c == a
