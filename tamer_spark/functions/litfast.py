@@ -29,7 +29,13 @@ import math
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["lit_doubles", "lit_double_matrix", "lit_longs"]
+__all__ = [
+    "lit_doubles",
+    "lit_double_matrix",
+    "lit_longs",
+    "sql_doubles",
+    "sql_double_matrix",
+]
 
 
 def _fmt_double(x: float) -> str | None:
@@ -37,6 +43,27 @@ def _fmt_double(x: float) -> str | None:
     if not math.isfinite(v):
         return None
     return repr(v) + "D"
+
+
+def sql_doubles(xs) -> str:
+    """The ``array(...)`` SQL fragment behind ``lit_doubles`` — for callers
+    composing LARGER one-parse expressions (r14: whole-column SQL rendering;
+    one string concat here instead of one more F.expr round-trip). Raises on
+    non-finite values (no SQL literal form): callers in the quantized-model
+    family never produce them by the determinism contract."""
+    parts = []
+    for x in xs:
+        p = _fmt_double(x)
+        if p is None:
+            raise ValueError("non-finite value has no SQL literal form")
+        parts.append(p)
+    return "array(" + ",".join(parts) + ")"
+
+
+def sql_double_matrix(rows) -> str:
+    """``array(array(...), ...)`` SQL fragment behind ``lit_double_matrix``
+    (same contract as sql_doubles)."""
+    return "array(" + ",".join(sql_doubles(r) for r in rows) + ")"
 
 
 def lit_doubles(xs) -> Column:

@@ -35,6 +35,45 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+# --- one-parse SQL twins (r14) -------------------------------------------
+# The Column builders above cost one py4j round-trip PER OPERATOR, and the
+# ANN/model-state family stacks hundreds of them per plan (ivfadc_search
+# measured 1028 RPCs ≈ 0.7-1.0 s of build per call at sf0.1 vs ~0.6 s of
+# execution). These render the SAME expressions as SQL fragments so a whole
+# output column is ONE F.expr/selectExpr parse; the parsed trees are
+# identical op for op (0.0D = F.lit(0.0), lambda forms parse to the same
+# LambdaFunction nodes), so plans and results cannot differ — verified by
+# the full oracle gate and the pinned plan tests.
+
+def quantize_sql(vec: str) -> str:
+    """SQL fragment of ``quantize_embedding``."""
+    return f"transform({vec}, x -> round(CAST(x AS DOUBLE) * {QUANT}))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL fragment of ``_dot``."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def nearest_centroids_sql(qv: str, centroids: list[list[float]], n: int) -> str:
+    """SQL fragment of ``_nearest_centroids``: the centroid table is the
+    same single shared 2D literal, rendered inline inside the lambda (the
+    parsed tree holds it once, exactly where the Column form's shared
+    ``cb`` Column sits)."""
+    from tamer_spark.functions.litfast import sql_double_matrix
+
+    cb = sql_double_matrix([[float(x) for x in c] for c in centroids])
+    dist = (
+        f"aggregate(zip_with({qv}, element_at({cb}, CAST(i + 1 AS INT)),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v)"
+    )
+    scored = (
+        f"transform(sequence(0, {len(centroids) - 1}),"
+        f" i -> named_struct('dist', {dist}, 'cid', CAST(i AS BIGINT)))"
+    )
+    return f"transform(slice(array_sort({scored}), 1, {n}), s -> s.cid)"
+
+
 def cosine_knn(
     df: DataFrame,
     queries: DataFrame,

@@ -1697,91 +1697,150 @@ def _text_profile_oracle() -> str:
     doc="Full per-document text profile in one pass: quality-score stats, BPE-ish token count, marker-word language ID, rolling-hash fingerprint, stopword removal (fingerprinted), PII detect+redact (emails/phones planted on 1-in-7 docs), and 3-gram repetition ratio, plus (r12) Unicode-script profiling — per-script char counts (Latin/Cyrillic/CJK/Arabic/Hangul literal-range classes, the Java-regex/RE2 common subset; \\p{script} syntax is engine-divergent) and the dominant script with alphabetical-first ties, over a derivation planting one non-Latin snippet per doc (doc_id %% 4) so all classes are live on the ASCII fixture — the multilingual ROUTING signal (CJK segmentation? Arabic shaping?) upstream of lang_id's language call. Fully map-only — zero shuffles: repetition is per-document, so the shingle set is a row-local array (array_distinct), not an exploded agg (8x faster at sf0.1 and no exchange at 100 TB). The shingle array is materialized in its own select so CollapseProject cannot re-inline it per reference.",
 )
 def text_profile_q(spark, sf):
-    from tamer_spark.functions.text import dominant_script_col, script_count_cols
-    from tamer_spark.operators.dedup import normalize_text
+    # r14: every column rendered as ONE SQL string into staged selectExpr
+    # calls (the gopher_signals one-parse discipline) — this gate's plan
+    # CONSTRUCTION dominated its bench entry (~1.9 s build vs ~0.1 s exec
+    # probed at sf0.1) because each helper chained dozens of per-op py4j
+    # Column calls. The rendered expressions are the same trees the Column
+    # helpers built (nested-when chains flattened to the equivalent ordered
+    # CASE, the exact flat form the DuckDB oracle uses); stage structure
+    # (three selects staging _ws, script counts, then _sh) is unchanged.
+    from tamer_spark.functions.text import LANG_MARKERS, SCRIPT_PATTERNS
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     d = _t(spark, sf, "documents")
     # script-profile plant (mirrored in the oracle's scr_plant CASE):
     # every doc gains one non-Latin snippet so all four non-Latin script
     # classes are live on the ASCII fixture
-    script_planted = F.concat(
-        F.col("text"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
-        .when(F.col("doc_id") % 4 == 1, F.lit(" 你好 こんにちは"))
-        .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا بالعالم"))
-        .otherwise(F.lit(" 안녕하세요")),
+    script_planted = (
+        "concat(text, CASE WHEN doc_id % 4 = 0 THEN ' Привет мир'"
+        " WHEN doc_id % 4 = 1 THEN ' 你好 こんにちは'"
+        " WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم'"
+        " ELSE ' 안녕하세요' END)"
     )
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" contact me at user"), F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(""),
+    planted = (
+        "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
+        " concat(' contact me at user', CAST(doc_id AS STRING),"
+        " '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+        " ELSE '' END)"
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(planted, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    email, phone = sq(_EMAIL_PAT), sq(_PHONE_PAT)
+    scrubbed = (
+        f"md5(regexp_replace(regexp_replace({planted}, {email}, '<EMAIL>'),"
+        f" {phone}, '<PHONE>'))"
     )
-    kept = F.filter(
-        F.split(normalize_text(F.col("text")), " "), lambda w: ~w.isin(*STOPWORDS)
+    stop_in = ", ".join(sq(w) for w in STOPWORDS)
+    kept = (
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+        f" w -> NOT (w IN ({stop_in})))"
     )
     # Row-local 3-gram shingle array (same semantics as shingle_string_rows:
     # docs shorter than n words contribute their whole normalized text as one
     # shingle). Aliased in its own select — referenced 3× below, and the
     # element_at accesses bind to the materialized `_ws`, not a re-inlined
     # split (the O(words²) trap documented on shingle_string_rows).
-    words = F.col("_ws")
-    shingles = F.when(
-        F.size(words) < 3, F.array(F.concat_ws(" ", words))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        )
+    shingles = (
+        "CASE WHEN size(_ws) < 3 THEN array(concat_ws(' ', _ws))"
+        " ELSE transform(sequence(1, size(_ws) - 2),"
+        " i -> concat_ws(' ', element_at(_ws, i), element_at(_ws, i + 1),"
+        " element_at(_ws, i + 2))) END"
     )
+    # per-word marker count (functions/text._count_marker rendered): matches
+    # of '[^A-Za-z]{w}[^A-Za-z]' over the space-padded text
+    def marker(w: str) -> str:
+        return (
+            "size(regexp_extract_all(concat(' ', text, ' '),"
+            f" {sq(f'[^A-Za-z]{w}[^A-Za-z]')}, 0))"
+        )
+
+    # text_stats_cols rendered (exact-int counts + IEEE ratios of exact ints)
+    n_chars = "length(text)"
+    n_words = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE size(split(trim(text), '\\\\s+')) END"
+    )
+    n_digits = "size(regexp_extract_all(text, '[0-9]', 0))"
+    punct_pat = sq("[!-/:-@\\[-`{-~]")
+    n_punct = f"size(regexp_extract_all(text, {punct_pat}, 0))"
+    n_spaces = "size(regexp_extract_all(text, ' ', 0))"
+    n_stop = " + ".join(marker(w) for w in STOPWORDS)
+    stats_cols = [
+        f"CAST({n_chars} AS BIGINT) AS n_chars_calc",
+        f"CAST({n_words} AS BIGINT) AS n_words",
+        f"CAST({n_digits} AS BIGINT) AS n_digits",
+        f"CAST({n_punct} AS BIGINT) AS n_punct",
+        f"CAST({n_digits} AS DOUBLE) / greatest({n_chars}, 1) AS digit_ratio",
+        f"CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1) AS punct_ratio",
+        f"CAST({n_spaces} AS DOUBLE) / greatest({n_chars}, 1) AS space_ratio",
+        f"CAST({n_stop} AS DOUBLE) / greatest({n_words}, 1) AS stopword_ratio",
+        f"CAST({n_chars} AS DOUBLE) / greatest({n_words}, 1) AS avg_word_len",
+    ]
+    # lang_id_col rendered: argmax of marker sums, ties → language-code order
+    # (the Column helper's reversed nested-when chain IS this ordered CASE)
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: "(" + " + ".join(marker(w) for w in LANG_MARKERS[lang]) + ")"
+        for lang in langs
+    }
+    lang_g = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    lang_pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN ({lang_g} > 0) AND ({scores[lang]} = {lang_g}) THEN '{lang}'"
+            for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    # doc_fingerprint_col rendered: polynomial rolling hash of word hashes
+    fingerprint = (
+        "aggregate(split(trim(text), '\\\\s+'), CAST(0 AS BIGINT),"
+        " (acc, w) -> (acc * 31 +"
+        " (CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 1000000007))"
+        " % 1000000007)"
+    )
+    scr_names = sorted(SCRIPT_PATTERNS)
     # script counts staged ONCE next to the shingle array — script_pred's
     # greatest/tie chain references every count ~3×, and an unstaged form
     # re-evaluates the five regexp passes per reference (measured +47 %
     # on this gate; CollapseProject keeps non-cheap staged exprs intact)
-    from tamer_spark.functions.text import SCRIPT_PATTERNS, dominant_script_from_counts
-
-    scr_names = sorted(SCRIPT_PATTERNS)
-    staged = d.select(
+    scr_g = "greatest(" + ", ".join(f"n_{n}" for n in scr_names) + ")"
+    script_pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN ({scr_g} > 0) AND (n_{n} = {scr_g}) THEN '{n}'"
+            for n in scr_names
+        )
+        + " ELSE 'none' END"
+    )
+    staged = d.selectExpr(
         "doc_id",
         "text",
-        F.split(normalize_text(F.col("text")), " ").alias("_ws"),
-        *script_count_cols(script_planted),
-    ).select(
-        "doc_id", "text", shingles.alias("_sh"), *[f"n_{n}" for n in scr_names]
-    )
-    return staged.select(
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS _ws",
+        *[
+            f"CAST(regexp_count({script_planted}, {sq(SCRIPT_PATTERNS[n])}) AS BIGINT)"
+            f" AS n_{n}"
+            for n in scr_names
+        ],
+    ).selectExpr("doc_id", "text", f"{shingles} AS _sh", *[f"n_{n}" for n in scr_names])
+    return staged.selectExpr(
         "doc_id",
-        *text_stats_cols(F.col("text")),
-        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
-        lang_id_col(F.col("text")).alias("lang_pred"),
-        doc_fingerprint_col(F.col("text")),
-        F.md5(F.array_join(kept, " ")).alias("cleaned_hash"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_PAT), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_PAT), 0)).cast("long").alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_hash"),
-        F.size("_sh").cast("long").alias("n_shingles"),
-        F.size(F.array_distinct("_sh")).cast("long").alias("n_distinct"),
-        (F.lit(1.0) - F.size(F.array_distinct("_sh")).cast("double") / F.size("_sh")).alias(
-            "repetition"
-        ),
-        *[F.col(f"n_{n}") for n in scr_names],
-        dominant_script_from_counts(
-            {n: F.col(f"n_{n}") for n in scr_names}
-        ).alias("script_pred"),
+        *stats_cols,
+        f"CAST(size(regexp_extract_all(text, {sq(TOKEN_PATTERN)}, 0)) AS BIGINT)"
+        " AS n_tokens",
+        f"{lang_pred} AS lang_pred",
+        f"{fingerprint} AS fingerprint",
+        f"md5(array_join({kept}, ' ')) AS cleaned_hash",
+        f"CAST(size({kept}) AS BIGINT) AS n_kept",
+        f"CAST(size(regexp_extract_all({planted}, {email}, 0)) AS BIGINT) AS n_emails",
+        f"CAST(size(regexp_extract_all({planted}, {phone}, 0)) AS BIGINT) AS n_phones",
+        f"{scrubbed} AS scrubbed_hash",
+        "CAST(size(_sh) AS BIGINT) AS n_shingles",
+        "CAST(size(array_distinct(_sh)) AS BIGINT) AS n_distinct",
+        "1.0D - CAST(size(array_distinct(_sh)) AS DOUBLE) / size(_sh) AS repetition",
+        *[f"n_{n}" for n in scr_names],
+        f"{script_pred} AS script_pred",
     )
 
 
