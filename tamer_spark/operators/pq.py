@@ -37,14 +37,61 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from tamer_spark.functions.hashing import stable_hash64
-from tamer_spark.functions.litfast import lit_double_matrix
-from tamer_spark.operators.similarity import quantize_embedding
+from tamer_spark.functions.litfast import lit_double_matrix, sql_double_matrix
+from tamer_spark.operators.similarity import quantize_embedding, quantize_sql
 
 __all__ = ["pq_train", "pq_encode", "pq_search_adc", "ivfadc_search"]
 
 
 def _sub_slice(qv: Column, j: int, dsub: int) -> Column:
     return F.slice(qv, j * dsub + 1, dsub)
+
+
+# --- one-parse SQL twins (r14) -------------------------------------------
+# The serving-path builders (pq_encode / pq_search_adc / ivfadc_search)
+# construct their plans from these SQL fragments handed to selectExpr in a
+# handful of parses, instead of one py4j round-trip per Column operator:
+# ivfadc_search measured 1028 RPCs ≈ 0.6-0.8 s of driver-side build per
+# call at sf0.1 against ~0.5 s of execution (.scratch/rpc_attr.py). The
+# fragments parse to the identical analyzed trees the Column helpers built
+# (0.0D ≡ F.lit(0.0), `arr[0]` ≡ Column.__getitem__, named_struct ≡
+# aliased F.struct), so plans and results are unchanged — verified by the
+# before/after formatted-plan diff and the full oracle gate.
+
+
+def _sub_slice_sql(qv: str, j: int, dsub: int) -> str:
+    return f"slice({qv}, {j * dsub + 1}, {dsub})"
+
+
+def _sq_l2_sql(sub: str, codeword: str) -> str:
+    return (
+        f"aggregate(zip_with({sub}, {codeword}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (a, v) -> a + v)"
+    )
+
+
+def _codebook_sql(codebook: list[list[int]]) -> str:
+    """SQL fragment of ``_codebook_literal`` (same single shared 2D array)."""
+    return sql_double_matrix([[float(x) for x in c] for c in codebook])
+
+
+def _nearest_code_sql(sub: str, codebook: list[list[int]]) -> str:
+    """SQL fragment of ``_nearest_code``."""
+    cb = _codebook_sql(codebook)
+    dist = _sq_l2_sql(sub, f"element_at({cb}, CAST(i + 1 AS INT))")
+    scored = (
+        f"transform(sequence(0, {len(codebook) - 1}),"
+        f" i -> named_struct('dist', {dist}, 'cid', CAST(i AS BIGINT)))"
+    )
+    return f"array_sort({scored})[0].cid"
+
+
+def _adc_tab_sql(j: int, codebook: list[list[int]], dsub: int, qv: str = "qv2") -> str:
+    """SQL fragment of one per-query ADC distance table (``_tab{j}``)."""
+    cb = _codebook_sql(codebook)
+    sub = _sub_slice_sql(qv, j, dsub)
+    dist = _sq_l2_sql(sub, f"element_at({cb}, CAST(i + 1 AS INT))")
+    return f"transform(sequence(0, {len(codebook) - 1}), i -> {dist})"
 
 
 def _codebook_literal(codebook: list[list[int]]) -> Column:
@@ -176,25 +223,18 @@ def pq_encode(
     """
     m, k = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
-    base = df.select(
-        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    base = df.selectExpr(
+        f"{id_col} AS vec_id", f"{quantize_sql(vec_col)} AS qv"
     )
-    coded = base.select(
-        "vec_id",
-        F.array(
-            *[
-                _nearest_code(_sub_slice(F.col("qv"), j, dsub), codebooks[j])
-                for j in range(m)
-            ]
-        ).alias("codes"),
+    codes = ", ".join(
+        _nearest_code_sql(_sub_slice_sql("qv", j, dsub), codebooks[j])
+        for j in range(m)
     )
+    coded = base.selectExpr("vec_id", f"array({codes}) AS codes")
     if k**m - 1 > 0x7FFFFFFFFFFFFFFF:
-        return coded.select("vec_id", "codes", F.lit(None).cast("long").alias("code"))
-    packed = None
-    for j in range(m):
-        term = F.col("codes")[j] * (k ** (m - 1 - j))
-        packed = term if packed is None else packed + term
-    return coded.select("vec_id", "codes", packed.cast("long").alias("code"))
+        return coded.selectExpr("vec_id", "codes", "CAST(NULL AS BIGINT) AS code")
+    packed = " + ".join(f"codes[{j}] * {k ** (m - 1 - j)}" for j in range(m))
+    return coded.selectExpr("vec_id", "codes", f"CAST({packed} AS BIGINT) AS code")
 
 
 def pq_search_adc(
@@ -216,45 +256,38 @@ def pq_search_adc(
     rank ties break on neighbor id. At 100 TB, compose with the IVF coarse
     quantizer (probe lists, then ADC within them) for the IVFADC layout.
     """
-    from pyspark.sql import Window
-
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{quantize_sql(vec_col)} AS qv2"
     )
     # distance tables as array columns: tab_j[c] = ||q_sub_j - codeword_c||²
     # (one transform over the shared codebook literal per subspace — see
     # _codebook_literal for why this beats per-codeword expressions)
-    k = len(codebooks[0])
-
-    def _tab_col(j: int) -> Column:
-        cbj = _codebook_literal(codebooks[j])
-        sub = _sub_slice(F.col("qv2"), j, dsub)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: _sq_l2(sub, F.element_at(cbj, (i + F.lit(1)).cast("int"))),
-        ).alias(f"_tab{j}")
-
-    tabs = q.select("query_id", *[_tab_col(j) for j in range(m)])
-    dist = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_tab{j}"), (F.col("codes")[j] + 1).cast("int"))
-        dist = term if dist is None else dist + term
+    tabs = q.selectExpr(
+        "query_id",
+        *[f"{_adc_tab_sql(j, codebooks[j], dsub)} AS _tab{j}" for j in range(m)],
+    )
+    dist = " + ".join(
+        f"element_at(_tab{j}, CAST(codes[{j}] + 1 AS INT))" for j in range(m)
+    )
     scored = (
         coded.crossJoin(F.broadcast(tabs))
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("approx_dist", dist)
+        .filter("query_id != vec_id")
+        .selectExpr("*", f"{dist} AS approx_dist")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY approx_dist ASC, vec_id ASC) AS rank",
+        )
+        .filter(f"rank <= {topk}")
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "vec_id AS neighbor_id",
             "approx_dist",
-            F.col("rank").cast("long").alias("rank"),
+            "CAST(rank AS BIGINT) AS rank",
         )
     )
 
@@ -291,59 +324,55 @@ def ivfadc_search(
     the same probe set for any shortlist ≥ k (the rerank can only fix ADC's
     quantization mistakes within the shortlist, pinned in tests/test_pq.py).
     """
-    from tamer_spark.operators.similarity import _dot, _nearest_centroids
-    from pyspark.sql import Window
+    from tamer_spark.operators.similarity import dot_sql, nearest_centroids_sql
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    kk = len(codebooks[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
-    ).select(
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{quantize_sql(vec_col)} AS qv2"
+    ).selectExpr(
         "query_id",
         "qv2",
-        # _outer: keeps the centroid-ranking expression out of an inferred
-        # pushed-down filter (never empty — see ivf_search)
-        F.explode_outer(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
+        # explode_OUTER: keeps the centroid-ranking expression out of an
+        # inferred pushed-down filter (never empty — see ivf_search)
+        f"explode_outer({nearest_centroids_sql('qv2', centroids, nprobe)}) AS cluster",
     )
-
-    def _tab_col(j: int):
-        cbj = _codebook_literal(codebooks[j])
-        sub = _sub_slice(F.col("qv2"), j, dsub)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(kk - 1)),
-            lambda i: _sq_l2(sub, F.element_at(cbj, (i + F.lit(1)).cast("int"))),
-        ).alias(f"_tab{j}")
-
-    qtabs = q.select("query_id", "qv2", "cluster", *[_tab_col(j) for j in range(m)])
-    adc = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_tab{j}"), (F.col("codes")[j] + 1).cast("int"))
-        adc = term if adc is None else adc + term
+    qtabs = q.selectExpr(
+        "query_id",
+        "qv2",
+        "cluster",
+        *[f"{_adc_tab_sql(j, codebooks[j], dsub)} AS _tab{j}" for j in range(m)],
+    )
+    adc = " + ".join(
+        f"element_at(_tab{j}, CAST(codes[{j}] + 1 AS INT))" for j in range(m)
+    )
     cand = (
-        index.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"), "cluster", "codes"
-        )
+        index.selectExpr("vec_id AS neighbor_id", "qv AS cv", "cluster", "codes")
         .join(F.broadcast(qtabs), "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_adc", adc)
+        .filter("query_id != neighbor_id")
+        .selectExpr("*", f"{adc} AS _adc")
     )
-    ws = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("neighbor_id"))
-    short = cand.withColumn("_srank", F.row_number().over(ws)).filter(
-        F.col("_srank") <= shortlist
+    short = cand.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY _adc ASC, neighbor_id ASC) AS _srank",
+    ).filter(f"_srank <= {shortlist}")
+    cosine = (
+        f"({dot_sql('qv2', 'cv')}) / SQRT(({dot_sql('qv2', 'qv2')})"
+        f" * ({dot_sql('cv', 'cv')}))"
     )
-    cosine = _dot(F.col("qv2"), F.col("cv")) / F.sqrt(
-        _dot(F.col("qv2"), F.col("qv2")) * _dot(F.col("cv"), F.col("cv"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        short.withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select(
+        short.selectExpr("*", f"{cosine} AS cosine")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
         )
     )
