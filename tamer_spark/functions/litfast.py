@@ -35,6 +35,7 @@ __all__ = [
     "lit_longs",
     "sql_doubles",
     "sql_double_matrix",
+    "sql_longs",
 ]
 
 
@@ -64,6 +65,14 @@ def sql_double_matrix(rows) -> str:
     """``array(array(...), ...)`` SQL fragment behind ``lit_double_matrix``
     (same contract as sql_doubles)."""
     return "array(" + ",".join(sql_doubles(r) for r in rows) + ")"
+
+
+def sql_longs(xs) -> str:
+    """``array<bigint>`` SQL fragment behind ``lit_longs`` (non-empty)."""
+    vals = [int(x) for x in xs]
+    if not vals:
+        raise ValueError("empty array literal — use lit_longs for the typed empty form")
+    return "array(" + ",".join(f"{v}L" for v in vals) + ")"
 
 
 def lit_doubles(xs) -> Column:

@@ -26,9 +26,7 @@ No analog in the reference engine; training-data extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-
-from tamer_spark.operators.similarity import quantize_embedding
+from pyspark.sql import DataFrame
 
 __all__ = ["rp_signs", "random_projection"]
 
@@ -56,22 +54,18 @@ def random_projection(
     beats out_dim per-row expression subtrees); per row the work is
     out_dim zip_with dot products over the staged quantized vector.
     Frozen signs → new epochs project without touching history."""
-    from tamer_spark.functions.litfast import lit_double_matrix
+    # one-parse SQL construction (r14): same tree, one selectExpr parse
+    # (see operators/pq.py's twin rationale); the 2D sign literal stays
+    # shared because the lambda-indexed element_at cannot constant-fold
+    from tamer_spark.functions.litfast import sql_double_matrix
+    from tamer_spark.operators.similarity import quantize_sql
 
-    sm = lit_double_matrix(signs)
+    sm = sql_double_matrix(signs)
     out_dim = len(signs)
-    qv = quantize_embedding(F.col(vec_col))
-    staged = df.select(F.col(id_col), qv.alias("_qv"))
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(out_dim - 1)),
-        lambda j: F.aggregate(
-            F.zip_with(
-                F.col("_qv"),
-                F.element_at(sm, (j + F.lit(1)).cast("int")),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    staged = df.selectExpr(id_col, f"{quantize_sql(vec_col)} AS _qv")
+    proj = (
+        f"transform(sequence(0, {out_dim - 1}),"
+        f" j -> aggregate(zip_with(_qv, element_at({sm}, CAST(j + 1 AS INT)),"
+        " (x, s) -> x * s), 0.0D, (acc, v) -> acc + v))"
     )
-    return staged.select(id_col, proj.alias(out_col))
+    return staged.selectExpr(id_col, f"{proj} AS {out_col}")

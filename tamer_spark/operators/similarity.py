@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tamer_spark.functions.hashing import stable_hash64
 from tamer_spark.functions.litfast import lit_double_matrix
 
 QUANT = 1000  # milli-unit quantization
@@ -74,6 +73,38 @@ def nearest_centroids_sql(qv: str, centroids: list[list[float]], n: int) -> str:
     return f"transform(slice(array_sort({scored}), 1, {n}), s -> s.cid)"
 
 
+def stable_hash64_sql(col: str) -> str:
+    """SQL fragment of ``functions.hashing.stable_hash64``."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _proj_sql(qv: str, row: list[float]) -> str:
+    """SQL fragment of ``_proj_at`` with the plane row pre-folded out of the
+    shared 2D literal — exactly what ConstantFolding does to the Column
+    form's foldable ``element_at(planes, p + 1)``, so the optimized plan is
+    unchanged."""
+    from tamer_spark.functions.litfast import sql_doubles
+
+    return (
+        f"aggregate(zip_with({qv}, {sql_doubles(row)}, (x, s) -> x * s),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket_sql(qv: str, planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """SQL fragment of ``lsh_bucket_from_quantized`` (same unrolled plane
+    loop, same ±1 rows from sign_rows)."""
+    from tamer_spark.functions.hashing import sign_rows
+
+    rows = sign_rows("lsh", seed, planes, dim)
+    terms = ["CAST(0 AS BIGINT)"]
+    for p in range(planes):
+        terms.append(
+            f"(CASE WHEN {_proj_sql(qv, rows[p])} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def cosine_knn(
     df: DataFrame,
     queries: DataFrame,
@@ -93,27 +124,37 @@ def cosine_knn(
     output — sums of quantized coordinates; re-quantizing would scale them
     ×1000 again and overflow nothing but mean something else).
     """
-    quant = (lambda c: c) if pre_quantized else quantize_embedding
+    quant = (lambda c: c) if pre_quantized else quantize_sql
     # Squared norms are per-vector, so compute them once per side; per-pair
     # work is then a single dot product. Same arithmetic as before
     # (sqrt(qn2*cn2), not sqrt(qn2)*sqrt(cn2)) so results are bit-identical.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quant(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("qn2"))
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"), quant(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", _dot(F.col("cv"), F.col("cv")).alias("cn2"))
-    dot = _dot(F.col("qv"), F.col("cv"))
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{quant(vec_col)} AS qv"
+    ).selectExpr("query_id", "qv", f"{dot_sql('qv', 'qv')} AS qn2")
+    c = df.selectExpr(
+        f"{id_col} AS neighbor_id", f"{quant(vec_col)} AS cv"
+    ).selectExpr("neighbor_id", "cv", f"{dot_sql('cv', 'cv')} AS cn2")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
-        .select("query_id", "neighbor_id", "cosine")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"({dot_sql('qv', 'cv')}) / SQRT(qn2 * cn2) AS cosine",
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
+        )
     )
 
 
@@ -202,12 +243,14 @@ def _cap_bucket_candidates(c: DataFrame, max_bucket: int | None) -> DataFrame:
     """
     if max_bucket is None:
         return c
-    wcap = Window.partitionBy("bucket").orderBy(
-        stable_hash64(F.col("neighbor_id").cast("string")), "neighbor_id"
-    )
     return (
-        c.withColumn("_bslot", F.row_number().over(wcap))
-        .filter(F.col("_bslot") <= max_bucket)
+        c.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY bucket ORDER BY"
+            f" {stable_hash64_sql('CAST(neighbor_id AS STRING)')} ASC,"
+            " neighbor_id ASC) AS _bslot",
+        )
+        .filter(f"_bslot <= {max_bucket}")
         .drop("_bslot")
     )
 
@@ -228,34 +271,41 @@ def cosine_knn_lsh(
     multi-probe neighboring buckets. Bucket join shuffles on bucket_id only;
     ``max_bucket`` bounds candidates per bucket (see _cap_bucket_candidates).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv")
-    ).select(
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{quantize_sql(vec_col)} AS qv"
+    ).selectExpr(
         "query_id",
         "qv",
-        lsh_bucket_from_quantized(F.col("qv"), planes, dim).alias("bucket"),
-        _dot(F.col("qv"), F.col("qv")).alias("qn2"),
+        f"{lsh_bucket_sql('qv', planes, dim)} AS bucket",
+        f"{dot_sql('qv', 'qv')} AS qn2",
     )
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col)).alias("cv")
-    ).select(
+    c = df.selectExpr(
+        f"{id_col} AS neighbor_id", f"{quantize_sql(vec_col)} AS cv"
+    ).selectExpr(
         "neighbor_id",
         "cv",
-        lsh_bucket_from_quantized(F.col("cv"), planes, dim).alias("bucket"),
-        _dot(F.col("cv"), F.col("cv")).alias("cn2"),
+        f"{lsh_bucket_sql('cv', planes, dim)} AS bucket",
+        f"{dot_sql('cv', 'cv')} AS cn2",
     )
     c = _cap_bucket_candidates(c, max_bucket)
-    dot = _dot(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
+        .filter("query_id != neighbor_id")
+        .selectExpr("*", f"({dot_sql('qv', 'cv')}) / SQRT(qn2 * cn2) AS cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
+        )
     )
 
 
@@ -485,11 +535,11 @@ def ivf_append(
     where the reference keeps all state-advance decisions (tamer's state
     fold).
     """
-    base = new_df.select(
-        F.col(id_col).alias("vec_id"), quantize_embedding(F.col(vec_col)).alias("qv")
+    base = new_df.selectExpr(
+        f"{id_col} AS vec_id", f"{quantize_sql(vec_col)} AS qv"
     )
-    return base.select(
-        "vec_id", "qv", _nearest_centroids(F.col("qv"), centroids, 1)[0].alias("cluster")
+    return base.selectExpr(
+        "vec_id", "qv", f"{nearest_centroids_sql('qv', centroids, 1)}[0] AS cluster"
     )
 
 
@@ -501,14 +551,12 @@ def _salt_shard(assigned: DataFrame, max_cluster: int | None) -> DataFrame:
     so the DuckDB oracle's uncapped semantics are guaranteed by
     construction, ADVICE r4)."""
     if max_cluster is None:
-        return assigned.withColumn("_shard", F.lit(0).cast("long"))
+        return assigned.selectExpr("*", "CAST(0 AS BIGINT) AS _shard")
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
-    return (
-        assigned.join(F.broadcast(sizes), "cluster")
-        .withColumn("_shard", F.pmod(
-            stable_hash64(F.col("vec_id").cast("string")),
-            F.ceil(F.col("_csize") / max_cluster).cast("long"),
-        ))
+    return assigned.join(F.broadcast(sizes), "cluster").selectExpr(
+        "*",
+        f"pmod({stable_hash64_sql('CAST(vec_id AS STRING)')},"
+        f" CAST(CEIL(_csize / {max_cluster}) AS BIGINT)) AS _shard",
     )
 
 
@@ -571,27 +619,26 @@ def semdedup(
     # file), not per pair — the pair predicate then costs one dot product,
     # same arithmetic (sqrt(n2a*n2b) of exact integer dots) so results are
     # bit-identical, ~3x less per-pair array work (measured at sf0.1)
-    sharded = _salt_shard(assigned, max_cluster).select(
-        "vec_id", "qv", "cluster", "_shard", _dot(F.col("qv"), F.col("qv")).alias("_n2")
+    sharded = _salt_shard(assigned, max_cluster).selectExpr(
+        "vec_id", "qv", "cluster", "_shard", f"{dot_sql('qv', 'qv')} AS _n2"
     )
-    a = sharded.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",
-        F.col("_n2").alias("_n2a"),
+    a = sharded.selectExpr(
+        "vec_id AS id_a", "qv AS va", "cluster", "_shard", "_n2 AS _n2a"
     )
-    b = sharded.select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard",
-        F.col("_n2").alias("_n2b"),
+    b = sharded.selectExpr(
+        "vec_id AS id_b", "qv AS vb", "cluster", "_shard", "_n2 AS _n2b"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("_n2a") * F.col("_n2b"))
     drops = (
         a.join(b, ["cluster", "_shard"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
+        .filter("id_a < id_b")
+        .filter(
+            f"({dot_sql('va', 'vb')}) / SQRT(_n2a * _n2b) >= {float(threshold)!r}D"
+        )
+        .selectExpr("id_b AS vec_id")
         .distinct()
     )
-    out = assigned.join(drops, "vec_id", "left_anti").select(
-        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    out = assigned.join(drops, "vec_id", "left_anti").selectExpr(
+        "vec_id", "CAST(cluster AS BIGINT) AS cluster"
     )
     return _release_on_gc(out, assigned)
 
@@ -635,28 +682,26 @@ def semdedup_incremental(
     ).unionByName(assigned_new.withColumn("_new", F.lit(True)))
     # the union feeds the size agg + both join sides; persist for the run
     union = union.persist()
-    sharded = _salt_shard(union, max_cluster).select(
-        "vec_id", "qv", "cluster", "_shard", "_new",
-        _dot(F.col("qv"), F.col("qv")).alias("_n2"),
+    sharded = _salt_shard(union, max_cluster).selectExpr(
+        "vec_id", "qv", "cluster", "_shard", "_new", f"{dot_sql('qv', 'qv')} AS _n2"
     )
-    a = sharded.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), "cluster", "_shard",
-        F.col("_n2").alias("_n2a"),
+    a = sharded.selectExpr(
+        "vec_id AS id_a", "qv AS va", "cluster", "_shard", "_n2 AS _n2a"
     )
-    b = sharded.filter("_new").select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), "cluster", "_shard",
-        F.col("_n2").alias("_n2b"),
+    b = sharded.filter("_new").selectExpr(
+        "vec_id AS id_b", "qv AS vb", "cluster", "_shard", "_n2 AS _n2b"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("_n2a") * F.col("_n2b"))
     drops = (
         a.join(b, ["cluster", "_shard"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
+        .filter("id_a < id_b")
+        .filter(
+            f"({dot_sql('va', 'vb')}) / SQRT(_n2a * _n2b) >= {float(threshold)!r}D"
+        )
+        .selectExpr("id_b AS vec_id")
         .distinct()
     )
-    out = assigned_new.join(drops, "vec_id", "left_anti").select(
-        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    out = assigned_new.join(drops, "vec_id", "left_anti").selectExpr(
+        "vec_id", "CAST(cluster AS BIGINT) AS cluster"
     )
     from tamer_spark.operators.dedup import _release_on_gc
 
@@ -678,31 +723,38 @@ def ivf_search(
     equi-join on cluster id — at 100 TB the inverted file is bucketed by
     cluster so probes touch only matching buckets.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_embedding(F.col(vec_col)).alias("qv2")
-    ).select(
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{quantize_sql(vec_col)} AS qv2"
+    ).selectExpr(
         "query_id",
         "qv2",
-        # _outer: see cosine_knn_lsh_multiprobe — keeps the centroid-ranking
-        # expression out of an inferred pushed-down filter (never empty)
-        F.explode_outer(_nearest_centroids(F.col("qv2"), centroids, nprobe)).alias("cluster"),
+        # explode_OUTER: see cosine_knn_lsh_multiprobe — keeps the centroid-
+        # ranking expression out of an inferred pushed-down filter
+        f"explode_outer({nearest_centroids_sql('qv2', centroids, nprobe)}) AS cluster",
     )
-    cand = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"), "cluster"
+    cand = assigned.selectExpr("vec_id AS neighbor_id", "qv AS cv", "cluster")
+    cosine = (
+        f"({dot_sql('qv2', 'cv')}) / SQRT(({dot_sql('qv2', 'qv2')})"
+        f" * ({dot_sql('cv', 'cv')}))"
     )
-    dot = _dot(F.col("qv2"), F.col("cv"))
-    qn = _dot(F.col("qv2"), F.col("qv2"))
-    cn = _dot(F.col("cv"), F.col("cv"))
     scored = (
         cand.join(F.broadcast(q), "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / F.sqrt(qn * cn))
+        .filter("query_id != neighbor_id")
+        .selectExpr("*", f"{cosine} AS cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
+        )
     )
 
 
@@ -805,17 +857,17 @@ def contrastive_pairs(
 
     Returns (query_id, neighbor_id, side, cosine, rank).
     """
-    b = df.select(
-        F.col(id_col),
-        F.col(label_col).alias("_lbl"),
-        quantize_embedding(F.col(vec_col)).alias("v"),
-    ).select(
+    b = df.selectExpr(
+        id_col,
+        f"{label_col} AS _lbl",
+        f"{quantize_sql(vec_col)} AS v",
+    ).selectExpr(
         id_col,
         "_lbl",
         "v",
-        lsh_bucket_from_quantized(F.col("v"), planes, dim, seed).alias("bucket"),
-        _dot(F.col("v"), F.col("v")).alias("n2"),
-    ).filter(F.col("n2") > 0).persist()
+        f"{lsh_bucket_sql('v', planes, dim, seed)} AS bucket",
+        f"{dot_sql('v', 'v')} AS n2",
+    ).filter("n2 > 0").persist()
     # ^ the bucketed projection feeds BOTH self-join sides; without the
     # persist Spark computes the quantize + 8-plane LSH HOF chain twice
     # over the corpus (r14 interleaved A/B at sf0.1, median-of-5:
@@ -826,7 +878,6 @@ def contrastive_pairs(
     c = _cap_bucket_candidates(
         b.withColumnRenamed(id_col, "neighbor_id"), max_bucket
     ).alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -834,31 +885,30 @@ def contrastive_pairs(
         # NULL labels yield no pairs on either side: both predicates below
         # are NULL (→ false) when either label is NULL
         & (F.col("a._lbl").isNotNull() & F.col("b._lbl").isNotNull()),
-    ).select(
-        F.col(f"a.{id_col}").alias("query_id"),
-        F.col("b.neighbor_id").alias("neighbor_id"),
-        F.when(F.col("a._lbl") == F.col("b._lbl"), F.lit("pos"))
-        .otherwise(F.lit("neg"))
-        .alias("side"),
-        cos.alias("cosine"),
+    ).selectExpr(
+        f"a.{id_col} AS query_id",
+        "b.neighbor_id AS neighbor_id",
+        "CASE WHEN a._lbl = b._lbl THEN 'pos' ELSE 'neg' END AS side",
+        f"({dot_sql('a.v', 'b.v')}) / SQRT(a.n2 * b.n2) AS cosine",
     )
-    # one window for both tiers: negatives rank by -cosine ASC (= cosine
-    # DESC), positives by +cosine ASC — the per-side hardest-first order
-    signed = F.when(F.col("side") == "pos", F.col("cosine")).otherwise(
-        -F.col("cosine")
-    )
-    w = Window.partitionBy("query_id", "side").orderBy(signed.asc(), "neighbor_id")
     from tamer_spark.operators.dedup import _release_on_gc
 
+    # one window for both tiers: negatives rank by -cosine ASC (= cosine
+    # DESC), positives by +cosine ASC — the per-side hardest-first order
     return _release_on_gc(
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
+        pairs.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id, side ORDER BY"
+            " (CASE WHEN side = 'pos' THEN cosine ELSE -cosine END) ASC,"
+            " neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
             "query_id",
             "neighbor_id",
             "side",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
         ),
         b,
     )
@@ -877,24 +927,23 @@ def _mined_pairs(
     same_label: bool,
     hardest_is_lowest_cosine: bool,
 ) -> DataFrame:
-    b = df.select(
-        F.col(id_col),
-        F.col(label_col).alias("_lbl"),
-        quantize_embedding(F.col(vec_col)).alias("v"),
-    ).select(
+    b = df.selectExpr(
+        id_col,
+        f"{label_col} AS _lbl",
+        f"{quantize_sql(vec_col)} AS v",
+    ).selectExpr(
         id_col,
         "_lbl",
         "v",
-        lsh_bucket_from_quantized(F.col("v"), planes, dim, seed).alias("bucket"),
-        _dot(F.col("v"), F.col("v")).alias("n2"),
-    ).filter(F.col("n2") > 0).persist()
+        f"{lsh_bucket_sql('v', planes, dim, seed)} AS bucket",
+        f"{dot_sql('v', 'v')} AS n2",
+    ).filter("n2 > 0").persist()
     # persist: same both-sides projection reuse as contrastive_pairs
     # (r14 A/B — hard_negatives 1.94 s → 1.47 median-of-5 at sf0.1)
     a = b.alias("a")
     c = _cap_bucket_candidates(
         b.withColumnRenamed(id_col, "neighbor_id"), max_bucket
     ).alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     # eqNullSafe is deliberately NOT used: a NULL label must yield no pairs
     # in EITHER mode (an unlabeled vector is neither a positive nor a
     # negative of anything) — plain =/!= propagate NULL to false
@@ -908,25 +957,26 @@ def _mined_pairs(
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") != F.col("b.neighbor_id"))
         & label_pred,
-    ).select(
-        F.col(f"a.{id_col}").alias("query_id"),
-        F.col("b.neighbor_id").alias("neighbor_id"),
-        cos.alias("cosine"),
+    ).selectExpr(
+        f"a.{id_col} AS query_id",
+        "b.neighbor_id AS neighbor_id",
+        f"({dot_sql('a.v', 'b.v')}) / SQRT(a.n2 * b.n2) AS cosine",
     )
-    order = (
-        F.col("cosine").asc() if hardest_is_lowest_cosine else F.col("cosine").desc()
-    )
-    w = Window.partitionBy("query_id").orderBy(order, "neighbor_id")
+    order = "ASC" if hardest_is_lowest_cosine else "DESC"
     from tamer_spark.operators.dedup import _release_on_gc
 
     return _release_on_gc(
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
+        pairs.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY cosine {order}, neighbor_id ASC) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+            "round(cosine, 6) AS cosine",
+            "CAST(rank AS BIGINT) AS rank",
         ),
         b,
     )

@@ -64,7 +64,7 @@ the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from tamer_spark.operators.similarity import quantize_embedding
 
@@ -100,21 +100,6 @@ def sq_train(
     return [by_dim[t] for t in range(len(by_dim))]
 
 
-def _bounds_arrays(
-    bounds: list[tuple[int, int]], levels: int = _LEVELS
-) -> tuple[Column, Column, Column]:
-    """(mins, spans, mins_scaled) as foldable array literals — one shared
-    literal each (the PQ _codebook_literal argument: lambda-indexed
-    element_at can't constant-fold, so share the array instead of
-    emitting per-dimension expression subtrees)."""
-    from tamer_spark.functions.litfast import lit_doubles, lit_longs
-
-    mins = lit_doubles(float(mn) for mn, _ in bounds)
-    spans = lit_doubles(float(mx - mn) for mn, mx in bounds)
-    mins_scaled = lit_longs(int(mn) * levels for mn, _ in bounds)
-    return mins, spans, mins_scaled
-
-
 def sq_encode(
     df: DataFrame,
     bounds: list[tuple[int, int]],
@@ -130,22 +115,22 @@ def sq_encode(
     clamping is provably a no-op when ``bounds`` came from this corpus.
     Degenerate dimensions (span 0) encode as 0 and reconstruct exactly.
     """
-    mins, spans, _ = _bounds_arrays(bounds, levels)
-    shifted = F.zip_with(
-        quantize_embedding(F.col(vec_col)), mins, lambda x, mn: (x - mn) * levels
+    # one-parse SQL construction (r14): the same fragments the Column form
+    # built, one selectExpr parse — see operators/pq.py's twin rationale
+    from tamer_spark.functions.litfast import sql_doubles
+    from tamer_spark.operators.similarity import quantize_sql
+
+    mins = sql_doubles(float(mn) for mn, _ in bounds)
+    spans = sql_doubles(float(mx - mn) for mn, mx in bounds)
+    shifted = (
+        f"zip_with({quantize_sql(vec_col)}, {mins}, (x, mn) -> (x - mn) * {levels})"
     )
-    codes = F.zip_with(
-        shifted,
-        spans,
-        lambda num, span: F.when(
-            span > 0,
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.least(F.lit(levels).cast("long"), F.floor(num / span)),
-            ),
-        ).otherwise(F.lit(0).cast("long")),
+    codes = (
+        f"zip_with({shifted}, {spans}, (num, span) -> CASE WHEN span > 0"
+        f" THEN greatest(CAST(0 AS BIGINT), least(CAST({levels} AS BIGINT),"
+        " FLOOR(num / span))) ELSE CAST(0 AS BIGINT) END)"
     )
-    return df.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+    return df.selectExpr(f"{id_col} AS vec_id", f"{codes} AS codes")
 
 
 def sq_search(
@@ -168,38 +153,40 @@ def sq_search(
     Python. At 100 TB, compose with the IVF coarse quantizer exactly like
     PQ (probe lists, SQ-reconstruct within them).
     """
-    _, spans, mins_scaled = _bounds_arrays(bounds, levels)
-    recon = F.zip_with(
-        F.zip_with(F.col("codes"), spans, lambda c, s: c * s.cast("long")),
-        mins_scaled,
-        lambda a, m: a + m,
+    from tamer_spark.functions.litfast import sql_doubles, sql_longs
+    from tamer_spark.operators.similarity import quantize_sql
+
+    spans = sql_doubles(float(mx - mn) for mn, mx in bounds)
+    mins_scaled = sql_longs(int(mn) * levels for mn, _ in bounds)
+    recon = (
+        f"zip_with(zip_with(codes, {spans}, (c, s) -> c * CAST(s AS BIGINT)),"
+        f" {mins_scaled}, (a, m) -> a + m)"
     )
-    corpus = coded.select("vec_id", recon.alias("_recon255"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(
-            quantize_embedding(F.col(vec_col)),
-            lambda x: (x * levels).cast("long"),
-        ).alias("_q255"),
+    corpus = coded.selectExpr("vec_id", f"{recon} AS _recon255")
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"transform({quantize_sql(vec_col)}, x -> CAST(x * {levels} AS BIGINT))"
+        " AS _q255",
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("_recon255"), F.col("_q255"), lambda r, qv: (r - qv) * (r - qv)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    dist = (
+        "aggregate(zip_with(_recon255, _q255, (r, qv) -> (r - qv) * (r - qv)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    scored = (
-        corpus.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .withColumn("approx_dist", dist)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
+    scored = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).selectExpr("*", f"{dist} AS approx_dist")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY approx_dist ASC, vec_id ASC) AS rank",
+        )
+        .filter(f"rank <= {topk}")
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "vec_id AS neighbor_id",
             "approx_dist",
-            F.col("rank").cast("long").alias("rank"),
+            "CAST(rank AS BIGINT) AS rank",
         )
     )
 

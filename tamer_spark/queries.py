@@ -4331,30 +4331,29 @@ def dedup_embedding_cosine(spark, sf):
 
 
 def _embedding_neardup_pairs(spark, sf):
-    from tamer_spark.operators.similarity import lsh_bucket_from_quantized, quantize_embedding, _dot
+    from tamer_spark.operators.similarity import dot_sql, lsh_bucket_sql, quantize_sql
 
     emb = _t(spark, sf, "embeddings", floor=True)
     # squared norm once per vector (not per candidate pair); pair work is a
     # single dot. sqrt(a.n2 * b.n2) keeps the arithmetic (and the rounded
     # cosine) bit-identical to the per-pair formulation.
-    b = emb.select(
-        "vec_id", quantize_embedding(F.col("embedding")).alias("v")
-    ).select(
+    b = emb.selectExpr(
+        "vec_id", f"{quantize_sql('embedding')} AS v"
+    ).selectExpr(
         "vec_id",
         "v",
-        lsh_bucket_from_quantized(F.col("v"), 8, 64).alias("bucket"),
-        _dot(F.col("v"), F.col("v")).alias("n2"),
+        f"{lsh_bucket_sql('v', 8, 64)} AS bucket",
+        f"{dot_sql('v', 'v')} AS n2",
     )
     a, bb = b.alias("a"), b.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     return (
         a.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 6).alias("cosine"),
+        .selectExpr("*", f"({dot_sql('a.v', 'b.v')}) / SQRT(a.n2 * b.n2) AS cosine_raw")
+        .filter("cosine_raw >= 0.3D")
+        .selectExpr(
+            "a.vec_id AS vec_a",
+            "b.vec_id AS vec_b",
+            "round(cosine_raw, 6) AS cosine",
         )
     )
 
