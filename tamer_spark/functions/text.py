@@ -221,6 +221,11 @@ def trim_nonempty(arr: Column) -> Column:
     return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: F.length(x) > 0)
 
 
+def trim_nonempty_sql(arr: str) -> str:
+    """SQL fragment twin of ``trim_nonempty`` (one-parse construction, r14)."""
+    return f"filter(transform({arr}, x -> trim(x)), x -> length(x) > 0)"
+
+
 def winnow_fingerprints(
     df, text_col: str = "text", id_col: str = "doc_id", k: int = 4, w: int = 5
 ):

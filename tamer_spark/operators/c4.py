@@ -60,7 +60,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tamer_spark.functions.text import trim_nonempty as _trim_nonempty
+from tamer_spark.functions.text import trim_nonempty_sql as _trim_nonempty_sql
 
 __all__ = ["c4_line_filter", "c4_span_dedup"]
 
@@ -68,8 +68,13 @@ _TERMINALS = (".", "!", "?", '"')
 _SPAN_SEP = "\x1f"
 
 
-def _count_occurrences(col, sym: str):
-    return F.length(col) - F.length(F.replace(col, F.lit(sym), F.lit("")))
+def _sq(s: str) -> str:
+    """Single-quoted Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _count_occurrences_sql(col: str, sym: str) -> str:
+    return f"length({col}) - length(replace({col}, {_sq(sym)}, ''))"
 
 
 def c4_line_filter(
@@ -91,58 +96,53 @@ def c4_line_filter(
     or ``badwords`` (both lowercase substring matches — C4's badword list
     is a parameter here, empty by default; ship your own).
     """
-    raw = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw"))
-    lines = _trim_nonempty(F.split(F.col("_raw"), "\n"))
-
-    def line_ok(x):
-        ok_term = x.endswith(_TERMINALS[0])
-        for t in _TERMINALS[1:]:
-            ok_term = ok_term | x.endswith(t)
-        ok_words = (
-            F.size(F.filter(F.split(x, " "), lambda w: F.length(w) > 0))
-            >= min_line_words
-        )
-        ok_marker = F.lit(True)
-        for m in drop_line_markers:
-            ok_marker = ok_marker & ~F.contains(F.lower(x), F.lit(m))
-        return ok_term & ok_words & ok_marker
-
-    staged = raw.select(
+    # one-parse SQL construction (r14): same trees, a handful of selectExpr
+    # parses instead of ~420 py4j round-trips (see operators/pq.py rationale)
+    raw = docs.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS _raw")
+    lines = _trim_nonempty_sql("split(_raw, '\\n')")
+    ok_term = " OR ".join(f"endswith(x, {_sq(t)})" for t in _TERMINALS)
+    ok_words = f"size(filter(split(x, ' '), w -> length(w) > 0)) >= {min_line_words}"
+    ok_marker = " AND ".join(
+        f"NOT contains(lower(x), {_sq(m)})" for m in drop_line_markers
+    )
+    line_ok = f"({ok_term}) AND ({ok_words})" + (
+        f" AND ({ok_marker})" if ok_marker else ""
+    )
+    staged = raw.selectExpr(
         "doc_id",
         "_raw",
-        lines.alias("_lines"),
-        F.filter(lines, line_ok).alias("_kept"),
+        f"{lines} AS _lines",
+        f"filter({lines}, x -> {line_ok}) AS _kept",
     )
-    doc_ok = F.lit(True)
-    for m in tuple(drop_doc_markers) + tuple(badwords):
-        doc_ok = doc_ok & ~F.contains(F.lower(F.col("_raw")), F.lit(m))
-    out = staged.select(
+    doc_markers = tuple(drop_doc_markers) + tuple(badwords)
+    doc_ok = (
+        " AND ".join(f"NOT contains(lower(_raw), {_sq(m)})" for m in doc_markers)
+        or "true"
+    )
+    n_sent = " + ".join(
+        f"({_count_occurrences_sql('text_clean', s)})" for s in (".", "!", "?")
+    )
+    out = staged.selectExpr(
         "doc_id",
-        F.array_join(F.col("_kept"), "\n").alias("text_clean"),
-        F.size("_lines").cast("long").alias("n_lines"),
-        F.size("_kept").cast("long").alias("n_lines_kept"),
-        doc_ok.alias("_doc_ok"),
-    ).select(
+        "array_join(_kept, '\\n') AS text_clean",
+        "CAST(size(_lines) AS BIGINT) AS n_lines",
+        "CAST(size(_kept) AS BIGINT) AS n_lines_kept",
+        f"({doc_ok}) AS _doc_ok",
+    ).selectExpr(
         "doc_id",
         "text_clean",
         "n_lines",
         "n_lines_kept",
-        (
-            _count_occurrences(F.col("text_clean"), ".")
-            + _count_occurrences(F.col("text_clean"), "!")
-            + _count_occurrences(F.col("text_clean"), "?")
-        ).cast("long").alias("n_sentences"),
+        f"CAST({n_sent} AS BIGINT) AS n_sentences",
         "_doc_ok",
     )
-    return out.select(
+    return out.selectExpr(
         "doc_id",
         "text_clean",
         "n_lines",
         "n_lines_kept",
         "n_sentences",
-        ((F.col("n_sentences") >= min_sentences) & F.col("_doc_ok"))
-        .cast("long")
-        .alias("keep"),
+        f"CAST((n_sentences >= {min_sentences}) AND _doc_ok AS BIGINT) AS keep",
     )
 
 
@@ -162,74 +162,55 @@ def c4_span_dedup(
     (they produce no spans). Idempotent: a second pass finds no duplicated
     spans among survivors of the first.
     """
-    sarr = docs.select(
-        F.col(id_col).alias("doc_id"),
-        # strip the span separator from the text BEFORE splitting — a stray
-        # 0x1F in web text must never alias two different sentence runs
-        _trim_nonempty(
-            F.split(F.replace(F.col(text_col), F.lit(_SPAN_SEP), F.lit("")), "[.!?]")
-        ).alias("_ss"),
-    )
+    sep = _sq(_SPAN_SEP)
+    # strip the span separator from the text BEFORE splitting — a stray
+    # 0x1F in web text must never alias two different sentence runs
+    ss = _trim_nonempty_sql(f"split(replace({text_col}, {sep}, ''), '[.!?]')")
+    sarr = docs.selectExpr(f"{id_col} AS doc_id", f"{ss} AS _ss")
     # the sentence array feeds the span stream AND the rebuild — stage it
     # (multiply-referenced, CollapseProject keeps it materialized)
     sents = sarr.select(
         "doc_id", F.posexplode("_ss").alias("idx", "s")
     )
-    spans = sarr.select(
-        "doc_id",
-        F.when(
-            F.size("_ss") >= span_n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ss") - span_n),
-                lambda i: F.struct(
-                    i.alias("start"),
-                    F.array_join(F.slice(F.col("_ss"), i + 1, span_n), _SPAN_SEP).alias(
-                        "sp"
-                    ),
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<struct<start:int,sp:string>>"))
-        .alias("_sps"),
-    ).select("doc_id", F.explode("_sps").alias("o")).select(
-        "doc_id", F.col("o.start").alias("start"), F.col("o.sp").alias("sp")
+    spans_arr = (
+        f"CASE WHEN size(_ss) >= {span_n}"
+        f" THEN transform(sequence(0, size(_ss) - {span_n}),"
+        f" i -> named_struct('start', i, 'sp',"
+        f" array_join(slice(_ss, i + 1, {span_n}), {sep})))"
+        " ELSE CAST(array() AS array<struct<start:int,sp:string>>) END"
+    )
+    spans = (
+        sarr.selectExpr("doc_id", f"{spans_arr} AS _sps")
+        .select("doc_id", F.explode("_sps").alias("o"))
+        .selectExpr("doc_id", "o.start AS start", "o.sp AS sp")
     )
     # global first occurrence per span value: a partial-aggregable MIN over
     # the (doc_id, start) struct (lexicographic — no packed-integer range
     # limits) — NOT a row_number window, which would funnel a hot
     # boilerplate span into one task
-    occ = spans.withColumn("_key", F.struct(F.col("doc_id"), F.col("start")))
+    occ = spans.selectExpr("*", "struct(doc_id, start) AS _key")
     firsts = occ.groupBy("sp").agg(F.min("_key").alias("_first"))
     dropped_idx = (
         occ.join(firsts, "sp")
-        .filter(F.col("_key") != F.col("_first"))
-        .select(
+        .filter("_key != _first")
+        .selectExpr(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + span_n - 1)
-            ).alias("idx"),
+            f"explode(sequence(start, start + {span_n - 1})) AS idx",
         )
         .distinct()
     )
     kept = sents.join(dropped_idx, ["doc_id", "idx"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "s"))), lambda r: r["s"]
-            ),
-            ". ",
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, s))),"
+            " r -> r.s), '. ')"
         ).alias("text_dedup"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("n_kept"),
     )
-    base = sarr.select("doc_id", F.size("_ss").cast("long").alias("n_sentences"))
-    return (
-        base.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-            "n_sentences",
-            (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
-        )
+    base = sarr.selectExpr("doc_id", "CAST(size(_ss) AS BIGINT) AS n_sentences")
+    return base.join(rebuilt, "doc_id", "left").selectExpr(
+        "doc_id",
+        "coalesce(text_dedup, '') AS text_dedup",
+        "n_sentences",
+        "CAST(n_sentences - coalesce(n_kept, 0) AS BIGINT) AS n_dropped",
     )

@@ -206,22 +206,19 @@ def dedup_lines_in_doc(
 
     Returns (doc_id, text_clean, n_lines, n_dropped).
     """
-    from tamer_spark.functions.text import trim_nonempty
+    from tamer_spark.functions.text import trim_nonempty_sql
 
-    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw"))
-    staged = raw.select(
+    raw = df.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS _raw")
+    staged = raw.selectExpr(
         "doc_id",
-        trim_nonempty(F.split(F.col("_raw"), "\n")).alias("_lines"),
+        trim_nonempty_sql("split(_raw, '\\n')") + " AS _lines",
     )
-    firsts = F.filter(
-        F.col("_lines"),
-        lambda x, i: F.array_position(F.col("_lines"), x) == i + 1,
-    )
-    return staged.select(
+    firsts = "filter(_lines, (x, i) -> array_position(_lines, x) = i + 1)"
+    return staged.selectExpr(
         "doc_id",
-        F.array_join(firsts, "\n").alias("text_clean"),
-        F.size("_lines").cast("long").alias("n_lines"),
-        (F.size("_lines") - F.size(firsts)).cast("long").alias("n_dropped"),
+        f"array_join({firsts}, '\\n') AS text_clean",
+        "CAST(size(_lines) AS BIGINT) AS n_lines",
+        f"CAST(size(_lines) - size({firsts}) AS BIGINT) AS n_dropped",
     )
 
 

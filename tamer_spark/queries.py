@@ -3751,9 +3751,16 @@ def _c4_structured_sql(col: str = "text") -> str:
 
 
 def _c4_structured_col(col):
+    # r14: ONE expr parse for the whole nested replace chain (the Spark
+    # twin of _c4_structured_sql below; newlines render as '\n' escapes).
+    # ``col`` is accepted for source compatibility but must be the text
+    # column itself — both call sites pass F.col("text").
+    out = "text"
     for search, repl in _C4_STRUCTURE:
-        col = F.replace(col, F.lit(search), F.lit(repl))
-    return col
+        s = search.replace("\\", "\\\\").replace("'", "\\'")
+        r = repl.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+        out = f"replace({out}, '{s}', '{r}')"
+    return F.expr(out)
 
 
 def _c4_oracle_ctes() -> str:
@@ -3842,30 +3849,30 @@ def c4_clean_docs_q(spark, sf):
     from tamer_spark.operators.dedup import _release_on_gc
 
     cleaned = c4_line_filter(d).persist()
-    lines = cleaned.select(
-        F.lit("lines").alias("variant"),
-        F.col("doc_id").alias("k"),
-        F.col("text_clean").alias("txt"),
-        (F.col("n_lines") * 100_000 + F.col("n_lines_kept")).cast("long").alias("a"),
-        (F.col("n_sentences") * 10 + F.col("keep")).cast("long").alias("b"),
+    lines = cleaned.selectExpr(
+        "'lines' AS variant",
+        "doc_id AS k",
+        "text_clean AS txt",
+        "CAST(n_lines * 100000 + n_lines_kept AS BIGINT) AS a",
+        "CAST(n_sentences * 10 + keep AS BIGINT) AS b",
     )
     spans = c4_span_dedup(
-        cleaned.select("doc_id", F.col("text_clean").alias("text"))
-    ).select(
-        F.lit("spans").alias("variant"),
-        F.col("doc_id").alias("k"),
-        F.col("text_dedup").alias("txt"),
-        F.col("n_sentences").alias("a"),
-        F.col("n_dropped").alias("b"),
+        cleaned.selectExpr("doc_id", "text_clean AS text")
+    ).selectExpr(
+        "'spans' AS variant",
+        "doc_id AS k",
+        "text_dedup AS txt",
+        "n_sentences AS a",
+        "n_dropped AS b",
     )
     from tamer_spark.operators.dedup import dedup_lines_in_doc
 
-    linededup = dedup_lines_in_doc(d).select(
-        F.lit("linededup").alias("variant"),
-        F.col("doc_id").alias("k"),
-        F.col("text_clean").alias("txt"),
-        F.col("n_lines").alias("a"),
-        F.col("n_dropped").alias("b"),
+    linededup = dedup_lines_in_doc(d).selectExpr(
+        "'linededup' AS variant",
+        "doc_id AS k",
+        "text_clean AS txt",
+        "n_lines AS a",
+        "n_dropped AS b",
     )
     return _release_on_gc(lines.unionByName(spans).unionByName(linededup), cleaned)
 
