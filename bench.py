@@ -235,17 +235,18 @@ def _quality_ppl_bucket(spark, sf_dir):
     # CCNet tercile bucketing hot path: self-trained bigram LM scoring +
     # per-language ntile. Timed COLD like dedup_minhash_lsh (the internal
     # bigram-stream cache is dropped between iterations — _NO_WARM_KEEP)
-    from pyspark.sql import Window
-
     from tamer_spark.operators.lm import bigram_lm_score
 
     d = Q._t(spark, sf_dir, "documents")
     scores = bigram_lm_score(d)
-    wb = Window.partitionBy("lang").orderBy(F.col("avg_p_scaled").desc(), F.col("doc_id"))
     return (
         scores.join(d.select("doc_id", "lang"), "doc_id")
-        .withColumn("bucket", F.ntile(3).over(wb).cast("long"))
-        .select("doc_id", "bucket", "avg_p_scaled")
+        .selectExpr(
+            "*",
+            "CAST(ntile(3) OVER (PARTITION BY lang"
+            " ORDER BY avg_p_scaled DESC, doc_id ASC) AS BIGINT) AS bucket",
+        )
+        .selectExpr("doc_id", "bucket", "avg_p_scaled")
     )
 
 

@@ -46,40 +46,42 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    from tamer_spark.operators.dedup import normalize_text
+    from tamer_spark.operators.dedup import normalize_text_sql
 
-    words = docs.select(
-        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("ws")
+    # one-parse SQL construction (r14): same trees, a handful of selectExpr
+    # parses (see operators/pq.py rationale); float literals carry the D
+    # suffix so they parse as DOUBLE like F.lit, never DECIMAL
+    words = docs.selectExpr(
+        id_col, f"split({normalize_text_sql(text_col)}, ' ') AS ws"
     )
-    with_len = words.select(id_col, "ws", F.size("ws").alias("dl"))
+    with_len = words.selectExpr(id_col, "ws", "size(ws) AS dl")
     stats = with_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.expr("count(1)").alias("n_docs"), F.expr("avg(dl)").alias("avgdl")
     )
+    in_list = ", ".join("'" + t.replace("'", "\\'") + "'" for t in query_terms)
     tf = (
-        with_len.select(id_col, "dl", F.explode("ws").alias("word"))
-        .filter(F.col("word").isin(query_terms))
+        with_len.selectExpr(id_col, "dl", "explode(ws) AS word")
+        .filter(f"word IN ({in_list})")
         .groupBy(id_col, "dl", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.expr("count(1)").alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    dfreq = tf.groupBy("word").agg(F.expr("count(1)").alias("df"))
+    idf = f"LN(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+    tfnorm = (
+        f"(tf * {k1 + 1.0!r}D) / (tf + {k1!r}D"
+        f" * ({1.0 - b!r}D + {b!r}D * dl / avgdl))"
     )
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(idf * tfnorm), 6).alias("score"))
+        .agg(F.expr(f"round(sum(({idf}) * ({tfnorm})), 6)").alias("score"))
     )
     # distributed top-k (TakeOrderedAndProject: per-partition heads merged
     # on the driver), then rank the <=k surviving rows — never a global
     # single-partition window sort over the scored set
     topk = scored.orderBy(F.col("score").desc(), id_col).limit(k)
-    win = Window.orderBy(F.col("score").desc(), id_col)
-    return (
-        topk.withColumn("rank", F.row_number().over(win))
-        .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
-    )
+    return topk.selectExpr(
+        "*",
+        f"row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS _rk",
+    ).selectExpr(id_col, "score", "CAST(_rk AS BIGINT) AS rank")

@@ -37,6 +37,11 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
+def normalize_text_sql(col: str) -> str:
+    """SQL fragment twin of ``normalize_text`` (one-parse construction, r14)."""
+    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative of each exact-duplicate group.
 
@@ -471,27 +476,29 @@ def shingle_string_rows(
     than n words yield their whole normalized text as one shingle. Rows are
     NOT deduplicated — ``.dropDuplicates([id_col, "s"])`` for set semantics.
     """
-    from pyspark.sql import Window
-
-    norm = df.select(
-        F.col(id_col).alias("doc_id"), F.split(normalize_text(F.col(text_col)), " ").alias("ws")
+    norm = df.selectExpr(
+        f"{id_col} AS doc_id", f"split({normalize_text_sql(text_col)}, ' ') AS ws"
     )
-    short = norm.filter(F.size("ws") < n).select(
-        "doc_id", F.concat_ws(" ", F.col("ws")).alias("s")
+    short = norm.filter(f"size(ws) < {n}").selectExpr(
+        "doc_id", "concat_ws(' ', ws) AS s"
     )
     # _outer: the explicit size>=n filter above already implies non-empty,
     # but plain posexplode would infer ANOTHER size>0 filter, re-evaluating
     # the split a third time per row on pushdown
-    wp = norm.filter(F.size("ws") >= n).select(
-        "doc_id", F.posexplode_outer("ws").alias("pos", "w")
+    wp = norm.filter(f"size(ws) >= {n}").selectExpr(
+        "doc_id", "posexplode_outer(ws) AS (pos, w)"
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    over = "OVER (PARTITION BY doc_id ORDER BY pos ASC)"
+    parts = ["w"] + [f"lead(w, {j}) {over}" for j in range(1, n)]
     sh = (
-        wp.select("doc_id", parts[-1].alias("_last"), F.concat_ws(" ", *parts).alias("s"))
+        wp.selectExpr(
+            "doc_id",
+            f"{parts[-1]} AS _last",
+            f"concat_ws(' ', {', '.join(parts)}) AS s",
+        )
         # concat_ws skips NULLs, which would fabricate short tail shingles —
         # drop positions where the window ran past the document end
-        .filter(F.col("_last").isNotNull())
+        .filter("_last IS NOT NULL")
         .drop("_last")
     )
     return sh.unionByName(short)

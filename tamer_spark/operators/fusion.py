@@ -44,11 +44,16 @@ def rrf_fuse(
     tagged = [r.select(query_col, item_col, rank_col) for r in rankings]
     u = reduce(lambda a, b: a.unionByName(b), tagged)
     scored = u.groupBy(query_col, item_col).agg(
-        F.round(F.sum(1.0 / (F.lit(float(k0)) + F.col(rank_col))), 6).alias("rrf_score")
+        F.expr(f"round(sum(1.0D / ({float(k0)!r}D + {rank_col})), 6)").alias(
+            "rrf_score"
+        )
     )
-    win = Window.partitionBy(query_col).orderBy(F.col("rrf_score").desc(), item_col)
     return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select(query_col, item_col, "rrf_score", F.col("rank").cast("long").alias("rank"))
+        scored.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {query_col}"
+            f" ORDER BY rrf_score DESC, {item_col} ASC) AS _rk",
+        )
+        .filter(f"_rk <= {k}")
+        .selectExpr(query_col, item_col, "rrf_score", "CAST(_rk AS BIGINT) AS rank")
     )

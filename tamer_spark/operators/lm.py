@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tamer_spark.operators.dedup import _release_on_gc, normalize_text
+from tamer_spark.operators.dedup import _release_on_gc, normalize_text, normalize_text_sql
 
 __all__ = ["bigram_counts", "bigram_lm_score", "bigram_lm_score_with_cache"]
 
@@ -65,25 +65,19 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, bg) — one row per bigram INSTANCE, bigrams built row-locally
     (the staged-array pattern: no exploded self-join, no O(words²)
     re-inlining; docs with fewer than 2 words contribute nothing)."""
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    words = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"split({normalize_text_sql(text_col)}, ' ') AS _ws",
     )
     # when-guard is load-bearing: sequence(1, size-1) for a 1-word doc is
     # sequence(1, 0) == DESCENDING [1, 0], whose transform would read
     # element_at(ws, 2) out of bounds; CaseWhen evaluates lazily, so the
     # sequence never runs for short docs
-    bgs = words.select(
+    bgs = words.selectExpr(
         "doc_id",
-        F.when(
-            F.size("_ws") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_ws") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("_ws"), i), F.element_at(F.col("_ws"), i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_bgs"),
+        "CASE WHEN size(_ws) >= 2 THEN transform(sequence(1, size(_ws) - 1),"
+        " i -> concat_ws(' ', element_at(_ws, i), element_at(_ws, i + 1)))"
+        " ELSE CAST(array() AS array<string>) END AS _bgs",
     )
     # _outer is load-bearing: plain explode makes InferFiltersFromGenerate
     # add `size(_bgs) > 0 AND isnotnull(_bgs)`, and that filter pushes below
@@ -174,31 +168,30 @@ def bigram_lm_score_with_cache(
         docs = _spread(docs)
         bg_stream = _doc_bigrams(docs, text_col, id_col).persist()
         cached = bg_stream
-        lm = bg_stream.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+        lm = bg_stream.groupBy("bg").agg(F.expr("count(1)").alias("c2"))
         uni = (
-            docs.select(
-                F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+            docs.selectExpr(
+                f"explode_outer(split({normalize_text_sql(text_col)}, ' ')) AS w"
             )
-            .filter(F.col("w").isNotNull())
+            .filter("w IS NOT NULL")
             .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("c1"))
+            .agg(F.expr("count(1)").alias("c1"))
         )
-        vocab = uni.agg(F.count(F.lit(1)).alias("V"))
-    bg = bg_stream.withColumn(
-        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
-    )
+        vocab = uni.agg(F.expr("count(1)").alias("V"))
+    bg = bg_stream.selectExpr("*", "split_part(bg, ' ', 1) AS w1")
     scored = (
         bg.join(lm, "bg", "left")
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "p_scaled",
-            F.expr(f"({scale} * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + V)"),
+        .selectExpr(
+            "*",
+            f"({scale} * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + V)"
+            " AS p_scaled",
         )
     )
     out = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("p_scaled").alias("sum_p_scaled"),
-        (F.sum("p_scaled") / F.count(F.lit(1))).alias("avg_p_scaled"),
+        F.expr("count(1)").alias("n_bigrams"),
+        F.expr("sum(p_scaled)").alias("sum_p_scaled"),
+        F.expr("sum(p_scaled) / count(1)").alias("avg_p_scaled"),
     )
     return out, cached

@@ -4535,40 +4535,40 @@ def skipgram_top_pairs(spark, sf, window: int = _SGRAM_WINDOW, k: int = _SGRAM_K
     pair space; top-k via TakeOrdered then a ≤k-row rank window (the bm25
     pattern, never a global sort).
     """
-    from pyspark.sql import Window
-
-    from tamer_spark.operators.dedup import normalize_text
+    from tamer_spark.operators.dedup import normalize_text_sql
 
     d = _t(spark, sf, "documents")
-    wp = d.select(
+    wp = d.selectExpr(
         "doc_id",
-        F.posexplode_outer(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word"),
-    ).filter(F.col("word").isNotNull() & (F.length("word") > 0))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = wp.select(
-        F.col("word").alias("w1"),
-        *[F.lead("word", off).over(w).alias(f"_l{off}") for off in range(1, window + 1)],
+        f"posexplode_outer(split({normalize_text_sql('text')}, ' ')) AS (pos, word)",
+    ).filter("word IS NOT NULL AND length(word) > 0")
+    over = "OVER (PARTITION BY doc_id ORDER BY pos ASC)"
+    leads = wp.selectExpr(
+        "word AS w1",
+        *[f"lead(word, {off}) {over} AS _l{off}" for off in range(1, window + 1)],
     )
     # both directions emitted MAP-SIDE from the one leads frame (struct
     # explode) — a transpose self-union would put the scan + window subtree
     # in the plan twice
     structs = []
     for off in range(1, window + 1):
-        lead_c = F.col(f"_l{off}")
-        structs.append(F.struct(F.col("w1").alias("a"), lead_c.alias("b")))
-        structs.append(F.struct(lead_c.alias("a"), F.col("w1").alias("b")))
+        structs.append(f"named_struct('a', w1, 'b', _l{off})")
+        structs.append(f"named_struct('a', _l{off}, 'b', w1)")
     both = (
-        leads.select(F.explode(F.array(*structs)).alias("p"))
-        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
-        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        leads.selectExpr(f"explode(array({', '.join(structs)})) AS p")
+        .selectExpr("p.a AS w1", "p.b AS w2")
+        .filter("w1 IS NOT NULL AND w2 IS NOT NULL")
     )
-    cnt = both.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = both.groupBy("w1", "w2").agg(F.expr("count(1)").alias("cnt"))
     topk = cnt.orderBy(F.col("cnt").desc(), "w1", "w2").limit(k)
-    wr = Window.orderBy(F.col("cnt").desc(), "w1", "w2")
-    return topk.withColumn("rank", F.row_number().over(wr).cast("long")).select(
-        F.concat_ws(" ", "w1", "w2").alias("pair"),
-        F.col("cnt").cast("long").alias("cnt"),
-        "rank",
+    return topk.selectExpr(
+        "*",
+        "CAST(row_number() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC)"
+        " AS BIGINT) AS _rk",
+    ).selectExpr(
+        "concat_ws(' ', w1, w2) AS pair",
+        "CAST(cnt AS BIGINT) AS cnt",
+        "_rk AS rank",
     )
 
 
