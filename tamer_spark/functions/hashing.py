@@ -28,6 +28,12 @@ def stable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def stable_hash64_sql(col: str) -> str:
+    """SQL fragment twin of ``stable_hash64`` (one-parse construction, r14):
+    parses to the identical expression tree."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def perm_hash(h: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
     """Universal-hash permutation ``(a*(h%p) + b) % p`` for MinHash."""
     return (F.lit(a) * (h % F.lit(p)) + F.lit(b)) % F.lit(p)

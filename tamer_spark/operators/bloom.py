@@ -26,7 +26,7 @@ operators); part of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MASK64 = (1 << 64) - 1
@@ -79,17 +79,25 @@ def bloom_words_df(df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 5) -
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    probes = F.array(
-        *[F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits)) for i in range(k)]
-    )
+    # one-parse SQL construction (r14): single selectExpr parses instead of
+    # one py4j round-trip per probe term (see operators/pq.py rationale)
+    probes = _sql_probes(col, m_bits, k)
     return (
-        df.select(F.explode(probes).alias("pos"))
-        .select(
-            F.expr("CAST(pos DIV 64 AS BIGINT)").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        df.selectExpr(f"explode(array({probes})) AS pos")
+        .selectExpr(
+            "CAST(pos DIV 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
         )
         .groupBy("w")
-        .agg(F.bit_or("bit").alias(_word_col(m_bits, k)))
+        .agg(F.expr(f"bit_or(bit) AS {_word_col(m_bits, k)}"))
+    )
+
+
+def _sql_probes(col: str, m_bits: int, k: int) -> str:
+    """Comma-joined probe-position fragments ``pmod(xxhash64(i, col), m)``
+    for i in 0..k-1 — the shared build/probe hash expressions."""
+    return ", ".join(
+        f"pmod(xxhash64({i}, {col}), {m_bits})" for i in range(k)
     )
 
 
@@ -185,46 +193,59 @@ def bloom_might_contain(
                 f"{m_bits}, k={k} — probing at a different modulus would "
                 "silently yield false negatives"
             )
-        d = df
-        cond: Column | None = None
+        # one-parse SQL construction (r14): all k probe positions in ONE
+        # selectExpr, each word join condition and bit test one parse, the
+        # final conjunction one parse — instead of one RPC per operator
+        d = df.selectExpr(
+            "*",
+            *[
+                f"pmod(xxhash64({i}, {col}), {m_bits}) AS _bp{i}"
+                for i in range(k)
+            ],
+        )
         drops = []
         for i in range(k):
-            d = d.withColumn(
-                f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
-            )
-            wi = words.select(F.col("w").alias(f"_w{i}"), F.col(wc).alias(f"_wd{i}"))
+            wi = words.selectExpr(f"w AS _w{i}", f"{wc} AS _wd{i}")
             d = d.join(
                 F.broadcast(wi),
-                F.expr(f"CAST(_bp{i} DIV 64 AS BIGINT)") == F.col(f"_w{i}"),
+                F.expr(f"CAST(_bp{i} DIV 64 AS BIGINT) = _w{i}"),
                 "left",
             )
-            c = F.expr(
-                f"(shiftrightunsigned(coalesce(_wd{i}, CAST(0 AS BIGINT)),"
-                f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
-            )
-            cond = c if cond is None else (cond & c)
             drops += [f"_bp{i}", f"_w{i}", f"_wd{i}"]
-        return d.withColumn(out, cond).drop(*drops)
+        cond = " AND ".join(
+            f"((shiftrightunsigned(coalesce(_wd{i}, CAST(0 AS BIGINT)),"
+            f" CAST(_bp{i} % 64 AS INT)) & 1) = 1)"
+            for i in range(k)
+        )
+        return d.selectExpr("*", f"({cond}) AS {out}").drop(*drops)
     if len(words) > _LITERAL_WORDS_MAX:
         raise ValueError(
             f"bloom_might_contain: {len(words)} words exceed the plan-literal "
             f"budget ({_LITERAL_WORDS_MAX}); keep index-scale filters "
             "distributed — build with bloom_words_df and pass the DataFrame"
         )
-    from tamer_spark.functions.litfast import lit_longs
+    from tamer_spark.functions.litfast import sql_longs
 
-    d = df.withColumn("_bw", lit_longs(words))
-    cond = None
-    for i in range(k):
-        d = d.withColumn(
-            f"_bp{i}", F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
-        )
-        c = F.expr(
-            f"(shiftrightunsigned(element_at(_bw, CAST(_bp{i} DIV 64 AS INT) + 1),"
-            f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
-        )
-        cond = c if cond is None else (cond & c)
-    return d.withColumn(out, cond).drop("_bw", *[f"_bp{i}" for i in range(k)])
+    # one-parse SQL construction (r14): the word literal, the k probe
+    # positions and the conjunction land in two selectExpr parses
+    bw = (
+        sql_longs(words)
+        if words
+        else "CAST(array() AS ARRAY<BIGINT>)"
+    )
+    d = df.selectExpr(
+        "*",
+        f"{bw} AS _bw",
+        *[f"pmod(xxhash64({i}, {col}), {m_bits}) AS _bp{i}" for i in range(k)],
+    )
+    cond = " AND ".join(
+        f"((shiftrightunsigned(element_at(_bw, CAST(_bp{i} DIV 64 AS INT) + 1),"
+        f" CAST(_bp{i} % 64 AS INT)) & 1) = 1)"
+        for i in range(k)
+    )
+    return d.selectExpr("*", f"({cond}) AS {out}").drop(
+        "_bw", *[f"_bp{i}" for i in range(k)]
+    )
 
 
 def decontaminate_with_bloom(

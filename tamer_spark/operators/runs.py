@@ -37,7 +37,7 @@ No analog in the reference engine; training-data extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,34 +57,31 @@ def token_window_hashes(
     CollapseProject re-inlines one md5 per reference), exploded with the
     _outer variant so InferFiltersFromGenerate cannot push the staged
     hashing into an inferred size()>0 filter (the documented Generate
-    trap)."""
-    from tamer_spark.functions.hashing import stable_hash64
-    from tamer_spark.operators.dedup import normalize_text
+    trap).
 
-    s1 = df.select(
-        F.col(id_col).alias(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    One-parse SQL construction (r14): whole columns render as single
+    selectExpr parses instead of one py4j round-trip per Column operator
+    (see operators/pq.py rationale); trees identical modulo lambda-variable
+    names."""
+    from tamer_spark.functions.hashing import stable_hash64_sql
+    from tamer_spark.operators.dedup import normalize_text_sql
+
+    s1 = df.selectExpr(
+        f"{id_col} AS {id_col}",
+        f"split({normalize_text_sql(text_col)}, ' ') AS _ws",
     )
-    s2 = s1.select(
+    win_hash = stable_hash64_sql(f"array_join(slice(_ws, i + 1, {length}), ' ')")
+    s2 = s1.selectExpr(
         id_col,
-        F.when(
-            F.size("_ws") - (length - 1) <= 0,
-            F.array().cast("array<bigint>"),
-        )
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ws") - length),
-                lambda i: stable_hash64(
-                    F.array_join(F.slice("_ws", i + 1, length), " ")
-                ),
-            )
-        )
-        .alias("_wh"),
+        f"CASE WHEN size(_ws) - {length - 1} <= 0 "
+        f"THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(0, size(_ws) - {length}), i -> {win_hash}) "
+        f"END AS _wh",
     )
     return (
-        s2.select(id_col, F.posexplode_outer("_wh").alias("pos0", "h"))
-        .filter(F.col("h").isNotNull())
-        .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+        s2.selectExpr(id_col, "posexplode_outer(_wh) AS (pos0, h)")
+        .filter("h IS NOT NULL")
+        .selectExpr(id_col, "CAST(pos0 + 1 AS BIGINT) AS pos", "h")
     )
 
 
@@ -145,20 +142,25 @@ def exact_substring_dedup(
     # at 100 TB). One materialization, both consumers read the cache;
     # released with the result via the GC-tied finalizer.
     wh = token_window_hashes(df, text_col, id_col, length).persist()
-    keep = wh.groupBy("h").agg(
-        F.min(F.struct(id_col, "pos")).alias("_first"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    dups = (
-        wh.join(keep, "h")
-        .filter(
-            (F.col("_n") >= 2)
-            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
-        )
-        .select(id_col, "pos")
-    )
+    dups = _elect_local_dups(wh, id_col)
     out = _remove_marked_windows(df, dups, text_col, id_col, length)
     return _release_on_gc(out, wh)
+
+
+def _elect_local_dups(wh: DataFrame, id_col: str) -> DataFrame:
+    """Shared keeper election: (id, pos) of every non-canonical occurrence
+    of a window hash appearing >= 2 times in ``wh``. groupBy(h) partial
+    aggs + one posting⋈keeper equi-join (see exact_substring_dedup's plan
+    notes). One-parse SQL construction (r14)."""
+    keep = wh.groupBy("h").agg(
+        F.expr(f"min(struct({id_col}, pos)) AS _first"),
+        F.expr("count(1) AS _n"),
+    )
+    return (
+        wh.join(keep, "h")
+        .filter(f"_n >= 2 AND (NOT (struct({id_col}, pos) = _first))")
+        .select(id_col, "pos")
+    )
 
 
 def _remove_marked_windows(
@@ -176,68 +178,63 @@ def _remove_marked_windows(
 
     NULL-text contract (pinned cross-engine): a NULL text yields
     (NULL, NULL, 0) — nothing to cut, the text stays NULL, n_tokens is
-    NULL (ANSI size semantics) and n_removed is 0."""
-    from tamer_spark.operators.dedup import normalize_text
+    NULL (ANSI size semantics) and n_removed is 0.
+
+    One-parse SQL construction (r14): whole columns render as single
+    selectExpr parses; window functions use SQL OVER clauses with the
+    frames the Column API implied (sum-over-orderBy keeps its default
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW frame). Trees identical modulo
+    lambda-variable names."""
+    from tamer_spark.operators.dedup import normalize_text_sql
 
     # gaps-and-islands over removal windows [pos, pos+L-1]: a new island
     # starts when this window's start clears the running max end of all
     # previous windows by >1 (adjacent windows merge — same coverage,
     # fewer intervals)
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max(F.col("pos") + (length - 1)).over(
-        wd.rowsBetween(Window.unboundedPreceding, -1)
+    prev_end = (
+        f"max(pos + {length - 1}) OVER (PARTITION BY {id_col} ORDER BY pos ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    marked = dups.withColumn(
-        "_new",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
-    ).withColumn("_isl", F.sum("_new").over(wd))
+    marked = dups.selectExpr(
+        "*",
+        f"CASE WHEN (({prev_end}) IS NULL) OR (pos > ({prev_end}) + 1) "
+        "THEN 1 ELSE 0 END AS _new",
+    ).selectExpr(
+        "*",
+        f"sum(_new) OVER (PARTITION BY {id_col} ORDER BY pos ASC) AS _isl",
+    )
     intervals = marked.groupBy(id_col, "_isl").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + (length - 1)).alias("e"),
+        F.expr("min(pos) AS s"),
+        F.expr(f"max(pos) + {length - 1} AS e"),
     )
     ivs = intervals.groupBy(id_col).agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("_n_removed"),
+        F.expr("sort_array(collect_list(struct(s, e))) AS _ivs"),
+        F.expr("sum(e - s + 1) AS _n_removed"),
     )
-    base = df.select(
-        F.col(id_col).alias(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    base = df.selectExpr(
+        f"{id_col} AS {id_col}",
+        f"split({normalize_text_sql(text_col)}, ' ') AS _ws",
     )
     joined = base.join(ivs, id_col, "left")
-    empty_ivs = F.array().cast("array<struct<s:bigint,e:bigint>>")
     # splice: fold the sorted disjoint intervals, appending the uncovered
     # token slice before each one, then the tail after the last — O(n)
-    cur0 = F.lit(1).cast("long")
-    spliced = F.aggregate(
-        F.coalesce(F.col("_ivs"), empty_ivs),
-        F.struct(
-            cur0.alias("cur"), F.array().cast("array<string>").alias("parts")
-        ),
-        lambda acc, iv: F.struct(
-            (iv["e"] + 1).alias("cur"),
-            F.concat(
-                acc["parts"],
-                F.slice(
-                    F.col("_ws"),
-                    acc["cur"].cast("int"),
-                    (iv["s"] - acc["cur"]).cast("int"),
-                ),
-            ).alias("parts"),
-        ),
-        lambda acc: F.concat(
-            acc["parts"],
-            F.slice(
-                F.col("_ws"),
-                acc["cur"].cast("int"),
-                (F.size("_ws") - acc["cur"] + 1).cast("int"),
-            ),
-        ),
+    spliced = (
+        "aggregate("
+        "coalesce(_ivs, CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)), "
+        "struct(CAST(1 AS BIGINT) AS cur, CAST(array() AS ARRAY<STRING>) AS parts), "
+        "(acc, iv) -> struct("
+        "iv.e + 1 AS cur, "
+        "concat(acc.parts, slice(_ws, CAST(acc.cur AS INT), "
+        "CAST(iv.s - acc.cur AS INT))) AS parts), "
+        "acc -> concat(acc.parts, slice(_ws, CAST(acc.cur AS INT), "
+        "CAST(size(_ws) - acc.cur + 1 AS INT)))"
+        ")"
     )
-    return joined.select(
+    return joined.selectExpr(
         id_col,
-        F.array_join(spliced, " ").alias("text_dedup"),
-        F.size("_ws").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        f"array_join({spliced}, ' ') AS text_dedup",
+        "CAST(size(_ws) AS BIGINT) AS n_tokens",
+        "CAST(coalesce(_n_removed, 0) AS BIGINT) AS n_removed",
     )
 
 
@@ -316,19 +313,7 @@ def exsub_dedup_incremental_with_cache(
     idx = index.select("h")
     hist_dups = wh.join(idx, "h", "left_semi").select(id_col, "pos")
     local = wh.join(idx, "h", "left_anti")
-    keep = local.groupBy("h").agg(
-        F.min(F.struct(id_col, "pos")).alias("_first"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    local_dups = (
-        local.join(keep, "h")
-        .filter(
-            (F.col("_n") >= 2)
-            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
-        )
-        .select(id_col, "pos")
-    )
-    dups = hist_dups.unionByName(local_dups)
+    dups = hist_dups.unionByName(_elect_local_dups(local, id_col))
     out = _remove_marked_windows(new_df, dups, text_col, id_col, length)
     return out, wh
 
@@ -415,19 +400,7 @@ def exsub_dedup_incremental_bloom(
         hist_dups = pos.join(idx, "h", "left_semi").select(id_col, "pos")
         # bloom false positives are NOVEL windows: back to the local pool
         local = local.unionByName(pos.join(idx, "h", "left_anti"))
-    keep = local.groupBy("h").agg(
-        F.min(F.struct(id_col, "pos")).alias("_first"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    local_dups = (
-        local.join(keep, "h")
-        .filter(
-            (F.col("_n") >= 2)
-            & (F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
-        )
-        .select(id_col, "pos")
-    )
-    dups = hist_dups.unionByName(local_dups)
+    dups = hist_dups.unionByName(_elect_local_dups(local, id_col))
     out = _remove_marked_windows(new_df, dups, text_col, id_col, length)
     return _release_on_gc(out, wh)
 
@@ -453,19 +426,21 @@ def substring_run_pairs(
     boilerplate repeated across thousands of docs) by deterministic
     hash-rank retention — the same skew contract as the LSH/winnow caps;
     ``None`` = exact."""
-    from tamer_spark.functions.hashing import stable_hash64
+    from tamer_spark.functions.hashing import stable_hash64_sql
 
     wh = token_window_hashes(df, text_col, id_col, length)
     if max_posting is not None:
         # rank whole (id, pos) rows: a doc with internal repetition holds
         # several posting rows for one hash, all adjacent in this order —
         # the cap never splits a document's occurrences non-deterministically
-        wcap = Window.partitionBy("h").orderBy(
-            stable_hash64(F.col(id_col).cast("string")), id_col, "pos"
-        )
+        id_rank = stable_hash64_sql(f"CAST({id_col} AS STRING)")
         wh = (
-            wh.withColumn("_r", F.row_number().over(wcap))
-            .filter(F.col("_r") <= max_posting)
+            wh.selectExpr(
+                "*",
+                f"row_number() OVER (PARTITION BY h ORDER BY {id_rank} ASC, "
+                f"{id_col} ASC, pos ASC) AS _r",
+            )
+            .filter(f"_r <= {max_posting}")
             .drop("_r")
         )
     # persist the capped posting table: the self-join's two sides would
@@ -475,8 +450,8 @@ def substring_run_pairs(
     # materialization, both join sides read the cache; released with the
     # grid via the same GC-tied finalizer.
     wh = wh.persist()
-    a = wh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "h")
-    b = wh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "h")
+    a = wh.selectExpr(f"{id_col} AS id_a", "pos AS pa", "h")
+    b = wh.selectExpr(f"{id_col} AS id_b", "pos AS pb", "h")
     # the matched grid feeds BOTH the run-length and the shared-count
     # branches; without a persist each branch re-derives the whole
     # window-hash stage (4 scans of the corpus). The grid is bounded by
@@ -487,35 +462,38 @@ def substring_run_pairs(
     # a dedup here would be a wasted full shuffle of the grid.
     grid = (
         a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
         .select("id_a", "id_b", "pa", "pb", "h")
         .persist()
     )
     # diagonal runs: consecutive pa on one d = pa - pb diagonal are one
     # verbatim run; island id = pa - row_number is constant within a run
-    wd = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
     runs = (
-        grid.withColumn("d", F.col("pa") - F.col("pb"))
-        .withColumn("_isl", F.col("pa") - F.row_number().over(wd))
+        grid.selectExpr("*", "pa - pb AS d")
+        .selectExpr(
+            "*",
+            "pa - row_number() OVER (PARTITION BY id_a, id_b, d "
+            "ORDER BY pa ASC) AS _isl",
+        )
         .groupBy("id_a", "id_b", "d", "_isl")
-        .agg(F.count(F.lit(1)).alias("run_windows"))
+        .agg(F.expr("count(1) AS run_windows"))
     )
     per_pair_runs = runs.groupBy("id_a", "id_b").agg(
-        F.max("run_windows").alias("max_run_windows")
+        F.expr("max(run_windows) AS max_run_windows")
     )
     shared = grid.groupBy("id_a", "id_b").agg(
-        F.countDistinct("h").alias("n_shared_windows")
+        F.expr("count(DISTINCT h) AS n_shared_windows")
     )
     from tamer_spark.operators.dedup import _release_on_gc
 
     out = (
         shared.join(per_pair_runs, ["id_a", "id_b"])
-        .filter(F.col("n_shared_windows") >= min_windows)
-        .select(
+        .filter(f"n_shared_windows >= {min_windows}")
+        .selectExpr(
             "id_a",
             "id_b",
             "n_shared_windows",
-            (F.col("max_run_windows") + (length - 1)).alias("max_run_tokens"),
+            f"max_run_windows + {length - 1} AS max_run_tokens",
         )
     )
     return _release_on_gc(out, grid, wh)
