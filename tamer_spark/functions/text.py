@@ -412,6 +412,43 @@ def canonicalize_url_col(url: Column) -> Column:
     )
 
 
+def _rxlit(r: str) -> str:
+    """Spark SQL string literal of a regex (backslashes doubled — the
+    default escapedStringLiterals=false parser processes escapes)."""
+    return "'" + r.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def canonicalize_url_sql(url: str) -> str:
+    """SQL fragment twin of ``canonicalize_url_col`` (one-parse
+    construction, r14): same pinned constants, parses to the identical
+    expression tree — multiply-referenced sub-expressions are inlined
+    per reference exactly as the Column chain duplicated them."""
+    s = f"regexp_replace({url}, {_rxlit(URL_SCHEME_RE)}, '')"
+    hostport_raw = f"regexp_extract({s}, {_rxlit(URL_HOSTPORT_RE)}, 0)"
+    hostport = f"lower({hostport_raw})"
+    host = (
+        f"regexp_replace(regexp_replace({hostport}, {_rxlit(URL_WWW_RE)}, ''), "
+        f"{_rxlit(URL_DEFAULT_PORT_RE)}, '')"
+    )
+    rest = (
+        f"regexp_replace(substr({s}, length({hostport_raw}) + 1, length({s})), "
+        f"{_rxlit(URL_FRAGMENT_RE)}, '')"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({rest}, {_rxlit(URL_PATH_RE)}, 0), "
+        f"{_rxlit(URL_TRAILING_SLASH_RE)}, '')"
+    )
+    kept = (
+        f"filter(split(regexp_extract({rest}, {_rxlit(URL_QUERY_RE)}, 1), '&'), "
+        f"p -> length(p) > 0 AND NOT (p RLIKE {_rxlit(URL_TRACKING_PARAM_RE)}))"
+    )
+    q = f"array_join(array_sort({kept}), '&')"
+    return (
+        f"concat({host}, {path}, "
+        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END)"
+    )
+
+
 def canonicalize_url_py(url: str) -> str:
     """Pure-Python reference of canonicalize_url_col for differential tests
     (stdlib re only — a third engine besides Spark and DuckDB)."""

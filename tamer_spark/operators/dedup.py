@@ -88,16 +88,21 @@ def url_dedup_counts(
     corpus. Both traps (merge-all under one NULL key; drop-all via
     exclusion) are pinned in tests/test_url_dedup.py.
     """
-    from tamer_spark.functions.text import canonicalize_url_col
+    from tamer_spark.functions.text import canonicalize_url_sql
 
-    key = F.coalesce(
-        F.md5(canonicalize_url_col(F.col(url_col))),
-        F.concat(F.lit("nullurl-"), F.col(id_col).cast("string")),
+    # one-parse SQL construction (r14): the whole canonicalize+key chain
+    # is a single selectExpr parse (see operators/pq.py rationale)
+    key = (
+        f"coalesce(md5({canonicalize_url_sql(url_col)}), "
+        f"concat('nullurl-', CAST({id_col} AS STRING)))"
     )
     return (
-        df.select(F.col(id_col), key.alias("content_hash"))
+        df.selectExpr(id_col, f"{key} AS content_hash")
         .groupBy("content_hash")
-        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .agg(
+            F.expr(f"min({id_col}) AS keep_id"),
+            F.expr("count(1) AS dup_count"),
+        )
     )
 
 
@@ -586,40 +591,40 @@ def minhash_signatures(
 
     Semantics identical to shingle_hash_rows' exploded form (same word hash,
     same polynomial, same short-doc fold) — pinned by the driver oracle.
+
+    One-parse SQL construction (r14): whole columns render as single
+    selectExpr parses (see operators/pq.py rationale); trees identical
+    modulo lambda-variable names.
     """
+    from tamer_spark.functions.hashing import stable_hash64_sql
+
     coeffs = minhash_coefficients(k, seed)
     p, base = MERSENNE_P, SHINGLE_BASE
-    s1 = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    s1 = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"split({normalize_text_sql(text_col)}, ' ') AS _ws",
     )
-    s2 = s1.select(
-        "doc_id", F.transform("_ws", lambda w: stable_hash64(w) % p).alias("_hs")
+    s2 = s1.selectExpr(
+        "doc_id", f"transform(_ws, w -> {stable_hash64_sql('w')} % {p}) AS _hs"
     )
-    hs = F.col("_hs")
     # shingle hash = (h[i]*B^(n-1) + ... + h[i+n-1]) % P over each window of n
-    def shingle_at(i: Column) -> Column:
-        acc = None
-        for j in range(n):
-            term = F.element_at(hs, i + j) * (base ** (n - 1 - j))
-            acc = term if acc is None else acc + term
-        return acc % p
-
-    long_sh = F.transform(F.sequence(F.lit(1), F.size(hs) - (n - 1)), shingle_at)
+    shingle_at = " + ".join(
+        f"element_at(_hs, i + {j}) * {base ** (n - 1 - j)}" for j in range(n)
+    )
+    long_sh = f"transform(sequence(1, size(_hs) - {n - 1}), i -> ({shingle_at}) % {p})"
     # docs shorter than n words fold ALL word hashes into one value
-    short_sh = F.array(
-        F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: (acc * base + h) % p)
+    short_sh = (
+        f"array(aggregate(_hs, CAST(0 AS BIGINT), "
+        f"(acc, h) -> (acc * {base} + h) % {p}))"
     )
-    s3 = s2.select(
-        "doc_id", F.when(F.size(hs) < n, short_sh).otherwise(long_sh).alias("_sh")
+    s3 = s2.selectExpr(
+        "doc_id",
+        f"CASE WHEN size(_hs) < {n} THEN {short_sh} ELSE {long_sh} END AS _sh",
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p)))
-            for a, b in coeffs
-        ]
+    sig = ", ".join(
+        f"array_min(transform(_sh, h -> ({a} * h + {b}) % {p}))" for a, b in coeffs
     )
-    return s3.select("doc_id", sig.alias("signature"))
+    return s3.selectExpr("doc_id", f"array({sig}) AS signature")
 
 
 def _release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -704,20 +709,16 @@ def minhash_lsh_pairs_with_cache(
     # self-join sides; cache it so the (expensive) signature stage computes
     # once per execution instead of 3-4× (2.6× cold speedup at sf0.1)
     sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
-    banded = sigs.select(
-        "doc_id",
-        # _outer: plain posexplode infers a size>0 filter whose pushdown
-        # re-inlines the band transform (Catalyst trap, see queries.py
-        # minhash_signatures_q); band arrays are always length `bands`
-        F.posexplode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "-",
-                    F.transform(F.slice(F.col("signature"), b * r + 1, r), lambda x: x.cast("string")),
-                ),
-            )
-        ).alias("band_id", "band_sig"),
+    # _outer: plain posexplode infers a size>0 filter whose pushdown
+    # re-inlines the band transform (Catalyst trap, see queries.py
+    # minhash_signatures_q); band arrays are always length `bands`
+    band_arr = (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws('-', transform(slice(signature, b * {r} + 1, {r}), "
+        f"x -> CAST(x AS STRING))))"
+    )
+    banded = sigs.selectExpr(
+        "doc_id", f"posexplode_outer({band_arr}) AS (band_id, band_sig)"
     )
     if max_bucket is not None:
         # None = uncapped (the similarity-module convention). Guarded
@@ -731,12 +732,12 @@ def minhash_lsh_pairs_with_cache(
         # exchange the self-join below needs anyway, dropping a join
         # operator and the dual agg branch (A/B at sf0.1, cold like the
         # bench entry: per-round median ratio ~0.9, pairs identical).
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band_id", "band_sig")
         banded = (
-            banded.withColumn("_bc", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bc") <= max_bucket)
+            banded.selectExpr(
+                "*",
+                "count(1) OVER (PARTITION BY band_id, band_sig) AS _bc",
+            )
+            .filter(f"_bc <= {max_bucket}")
             .drop("_bc")
         )
     a = banded.alias("a")
@@ -744,12 +745,13 @@ def minhash_lsh_pairs_with_cache(
     pairs = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_sig = b.band_sig "
+                "AND a.doc_id < b.doc_id"
+            ),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("matching_bands"))
+        .agg(F.expr("count(1) AS matching_bands"))
     )
     return pairs, sigs
 

@@ -1294,32 +1294,38 @@ def sessionize_events(spark, sf):
 # id = f(doc_id%80)) — i.e. doc_id % 160 — so every canonical group unions
 # docs that differ in all six surface dimensions.
 def _derived_url_col():
-    d = F.col("doc_id")
-    idq = F.concat(F.lit("id="), (d % 80).cast("string"))
-    scheme = F.when(d % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTPS://"))
-    host = F.when(
-        d % 4 < 2,
-        F.concat(F.lit("WWW.Site"), (d % 40).cast("string"), F.lit(".Example.COM")),
-    ).otherwise(
-        F.concat(F.lit("site"), (d % 40).cast("string"), F.lit(".example.com"))
+    # one-parse SQL construction (r14): one F.expr parse instead of ~640
+    # py4j round-trips of Column chaining; tree identical
+    idq = "concat('id=', CAST(doc_id % 80 AS STRING))"
+    scheme = "CASE WHEN (doc_id % 2) = 0 THEN 'http://' ELSE 'HTTPS://' END"
+    host = (
+        "CASE WHEN (doc_id % 4) < 2 "
+        "THEN concat('WWW.Site', CAST(doc_id % 40 AS STRING), '.Example.COM') "
+        "ELSE concat('site', CAST(doc_id % 40 AS STRING), '.example.com') END"
     )
     port = (
-        F.when(d % 8 == 3, F.lit(":443")).when(d % 8 == 5, F.lit(":80")).otherwise(F.lit(""))
+        "CASE WHEN (doc_id % 8) = 3 THEN ':443' "
+        "WHEN (doc_id % 8) = 5 THEN ':80' ELSE '' END"
     )
-    path = F.concat(
-        F.lit("/Docs/"),
-        (d % 160).cast("string"),
-        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    path = (
+        "concat('/Docs/', CAST(doc_id % 160 AS STRING), "
+        "CASE WHEN (doc_id % 3) = 0 THEN '/' ELSE '' END)"
     )
     query = (
-        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&"), idq, F.lit("&lang=en&utm_campaign=x")))
-        .when(d % 5 == 1, F.concat(F.lit("?lang=en&"), idq, F.lit("&gclid=x1")))
-        .when(d % 5 == 2, F.concat(F.lit("?fbclid=z&"), idq, F.lit("&lang=en")))
-        .when(d % 5 == 3, F.concat(F.lit("?"), idq, F.lit("&lang=en")))
-        .otherwise(F.concat(F.lit("?lang=en&utm_medium=email&"), idq))
+        "CASE WHEN (doc_id % 5) = 0 THEN "
+        f"concat('?utm_source=feed&', {idq}, '&lang=en&utm_campaign=x') "
+        f"WHEN (doc_id % 5) = 1 THEN concat('?lang=en&', {idq}, '&gclid=x1') "
+        f"WHEN (doc_id % 5) = 2 THEN concat('?fbclid=z&', {idq}, '&lang=en') "
+        f"WHEN (doc_id % 5) = 3 THEN concat('?', {idq}, '&lang=en') "
+        f"ELSE concat('?lang=en&utm_medium=email&', {idq}) END"
     )
-    frag = F.when(d % 6 == 0, F.concat(F.lit("#sec-"), d.cast("string"))).otherwise(F.lit(""))
-    return F.concat(scheme, host, port, path, query, frag)
+    frag = (
+        "CASE WHEN (doc_id % 6) = 0 THEN concat('#sec-', CAST(doc_id AS STRING)) "
+        "ELSE '' END"
+    )
+    return F.expr(
+        f"concat({scheme}, {host}, {port}, {path}, {query}, {frag})"
+    )
 
 
 _URL_DERIVE_SQL = """
@@ -1374,16 +1380,18 @@ def _url_canon_sql() -> str:
 # explicit non-default port (any-port strip), IPv4 hosts (returned whole),
 # a single-label host, and a host-less relative reference (singleton rule).
 def _derived_domain_url_col():
-    d = F.col("doc_id")
-    n20 = (d % 20).cast("string")
-    return (
-        F.when(d % 7 == 0, F.concat(F.lit("https://WWW.Site"), n20, F.lit(".Example.COM/a")))
-        .when(d % 7 == 1, F.concat(F.lit("http://shop.site"), n20, F.lit(".co.uk:8080/x")))
-        .when(d % 7 == 2, F.concat(F.lit("http://blog.site"), n20, F.lit(".example.com/y")))
-        .when(d % 7 == 3, F.concat(F.lit("HTTP://10."), (d % 5).cast("string"), F.lit(".0.1/path")))
-        .when(d % 7 == 4, F.lit("http://localhost/z"))
-        .when(d % 7 == 5, F.lit("/relative/path?x=1"))
-        .otherwise(F.concat(F.lit("https://Site"), n20, F.lit(".example.COM:443/z")))
+    # one-parse SQL construction (r14); tree identical to the former
+    # chained-when Column build
+    n20 = "CAST(doc_id % 20 AS STRING)"
+    return F.expr(
+        "CASE "
+        f"WHEN (doc_id % 7) = 0 THEN concat('https://WWW.Site', {n20}, '.Example.COM/a') "
+        f"WHEN (doc_id % 7) = 1 THEN concat('http://shop.site', {n20}, '.co.uk:8080/x') "
+        f"WHEN (doc_id % 7) = 2 THEN concat('http://blog.site', {n20}, '.example.com/y') "
+        "WHEN (doc_id % 7) = 3 THEN concat('HTTP://10.', CAST(doc_id % 5 AS STRING), '.0.1/path') "
+        "WHEN (doc_id % 7) = 4 THEN 'http://localhost/z' "
+        "WHEN (doc_id % 7) = 5 THEN '/relative/path?x=1' "
+        f"ELSE concat('https://Site', {n20}, '.example.COM:443/z') END"
     )
 
 
