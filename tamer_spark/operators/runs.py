@@ -460,10 +460,17 @@ def substring_run_pairs(
     # No distinct: every (id, pos) posting row carries exactly ONE hash,
     # so each matched (id_a, pa, id_b, pb) cell appears exactly once —
     # a dedup here would be a wasted full shuffle of the grid.
+    # The cache is hash-partitioned on (id_a, id_b) UP FRONT (r14): every
+    # downstream distribution requirement — the run window's
+    # (id_a, id_b, d) clustering, the 4-key island agg, both per-pair
+    # aggs, and the final pair join — is satisfied by this one exchange
+    # (subset rule), so the post-grid phase plans ZERO further exchanges
+    # where the unpartitioned cache paid four plus a shuffled join.
     grid = (
         a.join(b, "h")
         .filter("id_a < id_b")
         .select("id_a", "id_b", "pa", "pb", "h")
+        .repartition("id_a", "id_b")
         .persist()
     )
     # diagonal runs: consecutive pa on one d = pa - pb diagonal are one
