@@ -173,13 +173,37 @@ def global_percentile_bucketed(
                 break
             cum += cnt
 
-    tgt_df = F.broadcast(
-        spark.createDataFrame(targets, "bkt long, off long, p string, rank long")
-    )
     wanted = sorted({b for b, *_ in targets})
     sub = vals.select("v", bucket).filter(F.col("bkt").isin(wanted))
+    # _rn <= max(off) is implied by the target match (_rn == off) — stating
+    # it as a filter right on the row_number lets the optimizer plan a
+    # WindowGroupLimit (per-partition top-k) instead of ranking every row
+    # of the target buckets (r15, guide §2.3 shuffle/sort fewer rows)
+    max_off = max(t[1] for t in targets)
     ranked = sub.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("bkt").orderBy("v"))
+    ).filter(F.col("_rn") <= F.lit(max_off))
+    if len(targets) <= 256:
+        # literal target cells folded into the ranked stage (r15 — the
+        # cms_heavy_hitters/grouped-grid literal-lookup pattern, guide §3.1:
+        # the per-run createDataFrame + BroadcastExchange + join for ≤|ps|
+        # rows replaced by a constant array probe). explode(filter(...))
+        # preserves the join's multiplicity: a row matching SEVERAL targets
+        # (two ps landing on one (bkt, off) cell at tiny n) emits one output
+        # row per match, exactly like the join it replaces. p strings are
+        # "num/den" from validated ints — no quoting hazard.
+        structs = ",".join(
+            f"named_struct('tb',{b}L,'toff',{o}L,'p','{p}','rank',{r}L)"
+            for b, o, p, r in targets
+        )
+        return ranked.selectExpr(
+            "v",
+            f"explode(filter(array({structs}), t -> t.tb = bkt AND t.toff = _rn)) AS _t",
+        ).selectExpr(
+            "_t.p AS p", "v AS value", "_t.rank AS rank", f"CAST({n} AS BIGINT) AS n"
+        )
+    tgt_df = F.broadcast(
+        spark.createDataFrame(targets, "bkt long, off long, p string, rank long")
     )
     return (
         ranked.join(tgt_df, (ranked.bkt == tgt_df.bkt) & (ranked._rn == tgt_df.off))
@@ -410,14 +434,14 @@ def grouped_percentile_bucketed(
                     targets.append(g + (bkt, k - cum, f"{num}/{den}", k, n))
                     break
                 cum += cnt
+    from functools import reduce as _reduce
+
     tgt = F.broadcast(
         spark.createDataFrame(
             targets,
             f"{grid_schema_keys}, bkt long, off long, p string, rank long, n long",
         )
     )
-    from functools import reduce as _reduce
-
     if use_lit:
         # literal target-cell filter: key → sorted array of wanted buckets,
         # array_contains in the scan stage — replaces the left_semi join
@@ -443,9 +467,17 @@ def grouped_percentile_bucketed(
             + [bucketed.bkt == cells.bkt],
         )
         sub = bucketed.join(cells, semi_cond, "left_semi")
+    # _rn <= max(off) is implied by the target match — a WindowGroupLimit
+    # hint exactly like global_percentile_bucketed's (r15)
+    max_off = max(t[len(key_list) + 1] for t in targets)
     ranked = sub.withColumn(
         "_rn", F.row_number().over(Window.partitionBy(*key_list, "bkt").orderBy("v"))
-    )
+    ).filter(F.col("_rn") <= F.lit(max_off))
+    # NOTE (r15): a literal-array target attach (the global form's
+    # explode(filter(...)) probe) was A/B'd here and did NOT beat the
+    # 15-row broadcast join (medians 1.84 vs 1.67 s interleaved at sf0.1)
+    # — the per-target F.lit struct construction and per-row array probe
+    # cost about what the tiny createDataFrame+broadcast costs. Join kept.
     cond = [ranked[k].eqNullSafe(tgt[f"_gk_{k}"]) for k in key_list] + [
         ranked.bkt == tgt.bkt,
         ranked._rn == tgt.off,
