@@ -24,6 +24,19 @@ from tamer_spark.functions.litfast import lit_double_matrix
 
 QUANT = 1000  # milli-unit quantization
 
+# Per-invocation serial for the miners' persisted LSH projections (r15).
+# CacheManager keys cached plans by analyzed-plan equality: when two miner
+# calls (e.g. contrastive_pairs + hard_negatives in one session) build
+# plan-EQUAL projections, the second persist() aliases the first's cache
+# entry and the first result's GC release strips it for both — the r14
+# dump `contrastive_pairs_after2.txt` shows exactly that (no
+# InMemoryRelation). A unique constant tag column makes every persisted
+# projection plan-distinct; it is a literal (cache stores it run-length
+# cheap) and never reaches any output (final selects are explicit).
+import itertools as _itertools
+
+_MINER_SEQ = _itertools.count()
+
 
 def quantize_embedding(vec: Column) -> Column:
     """array<float> → array<double of integer value> (round(x*1000))."""
@@ -867,6 +880,7 @@ def contrastive_pairs(
         "v",
         f"{lsh_bucket_sql('v', planes, dim, seed)} AS bucket",
         f"{dot_sql('v', 'v')} AS n2",
+        f"'m{next(_MINER_SEQ)}' AS _ptag",  # see _MINER_SEQ
     ).filter("n2 > 0").persist()
     # ^ the bucketed projection feeds BOTH self-join sides; without the
     # persist Spark computes the quantize + 8-plane LSH HOF chain twice
@@ -937,6 +951,7 @@ def _mined_pairs(
         "v",
         f"{lsh_bucket_sql('v', planes, dim, seed)} AS bucket",
         f"{dot_sql('v', 'v')} AS n2",
+        f"'m{next(_MINER_SEQ)}' AS _ptag",  # see _MINER_SEQ
     ).filter("n2 > 0").persist()
     # persist: same both-sides projection reuse as contrastive_pairs
     # (r14 A/B — hard_negatives 1.94 s → 1.47 median-of-5 at sf0.1)
