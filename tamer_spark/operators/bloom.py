@@ -184,6 +184,23 @@ def bloom_might_contain(
 
     Guaranteed no false negatives (build and probe share the hash exprs).
     """
+    from tamer_spark.functions.ident import safe_ident
+
+    safe_ident(col, "col"), safe_ident(out, "out")
+    # the one-parse selectExpr('*', ...) construction (r14) appends working
+    # columns instead of withColumn-replacing — a caller column named like
+    # one of them (or like ``out``) would become ambiguous and the final
+    # drop would remove the caller's column too; fail loudly instead
+    # (r15, ADVICE r14)
+    reserved = {out, "_bw", *(f"_bp{i}" for i in range(k)),
+                *(f"_w{i}" for i in range(k)), *(f"_wd{i}" for i in range(k))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_might_contain: input already has column(s) {sorted(clash)} "
+            "which collide with the probe's working columns or the requested "
+            f"out={out!r}; rename them (or pass a different out=) first"
+        )
     if isinstance(words, DataFrame):
         wc, frame_m, frame_k = _parse_word_col(words)
         if (frame_m, frame_k) != (m_bits, k):

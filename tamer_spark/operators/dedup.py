@@ -38,8 +38,16 @@ def normalize_text(text: Column) -> Column:
 
 
 def normalize_text_sql(col: str) -> str:
-    """SQL fragment twin of ``normalize_text`` (one-parse construction, r14)."""
-    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    """SQL fragment twin of ``normalize_text`` (one-parse construction, r14).
+
+    ``col`` must be a plain column NAME (validated): every operator call
+    site passes one, and validating here — the chokepoint all text-fragment
+    paths flow through — catches names that need quoting before they can
+    misparse inside a larger fragment (r15, ADVICE r14).
+    """
+    from tamer_spark.functions.ident import safe_ident
+
+    return f"trim(regexp_replace(lower({safe_ident(col, 'text_col')}), '\\\\s+', ' '))"
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -608,8 +616,19 @@ def minhash_signatures(
         "doc_id", f"transform(_ws, w -> {stable_hash64_sql('w')} % {p}) AS _hs"
     )
     # shingle hash = (h[i]*B^(n-1) + ... + h[i+n-1]) % P over each window of n
+    # The weights render as SQL literals; past int64 Spark would silently
+    # parse them as DECIMAL(38,0) and switch the wrapping-BIGINT arithmetic
+    # to decimal (different signatures, different type) where the old F.lit
+    # path failed loudly — so fail loudly here instead, and pin the literal
+    # type with the L suffix (r15, ADVICE r14).
+    if base ** (n - 1) > 2**63 - 1:
+        raise ValueError(
+            f"minhash_signatures: base**(n-1) = {base}**{n - 1} exceeds "
+            "int64 — shingle weights must stay BIGINT (supported n range "
+            f"for base={base} ends at n={int((63 / (base.bit_length()))) + 1})"
+        )
     shingle_at = " + ".join(
-        f"element_at(_hs, i + {j}) * {base ** (n - 1 - j)}" for j in range(n)
+        f"element_at(_hs, i + {j}) * {base ** (n - 1 - j)}L" for j in range(n)
     )
     long_sh = f"transform(sequence(1, size(_hs) - {n - 1}), i -> ({shingle_at}) % {p})"
     # docs shorter than n words fold ALL word hashes into one value
