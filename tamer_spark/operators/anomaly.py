@@ -20,13 +20,18 @@ textbook default. MAD = 0 (over half the series identical) degenerates the
 ratio — then ``dev_ppm`` is NULL and any nonzero deviation flags, the
 documented Iglewicz–Hoaglin fallback.
 
-Scale shape: two exact-median passes, each ONE window exchange on the
-group keys (the percentile module's shuffle contract); the med/MAD frames
-are one row per key and broadcast back onto the series. The known limit is
-the per-key series length (a calendar-bounded count: days × keys), which
-is exactly the parallel unit — a 100 TB event table first collapses to
-that series via daily_counts' partial-aggregable groupBy, so the window
-never sees raw events.
+Scale shape (r15): ONE window exchange on the group keys computes both
+medians inline — row_number/count rank the series, the median element is
+attached as max(CASE rank-hit) over the same partition, deviations rank a
+second time on the same exchange, and the MAD attaches the same way. No
+joins, no broadcast, and the series plan exists ONCE: the previous
+join-back form re-derived the corpus-collapse subtree on all four plan
+branches (4 parquet scans / 7 exchanges in the final executed plan at
+sf0.1; now 1 scan / 2 exchanges — the (keys, day) collapse and the keys
+window). The known limit is the per-key series length (a calendar-bounded
+count: days × keys), which is exactly the parallel unit — a 100 TB event
+table first collapses to that series via daily_counts' partial-aggregable
+groupBy, so the window never sees raw events.
 
 No analog in the reference engine; training-data extension surface (the
 ingest-monitoring rule: flag the crawl day whose volume is a robust
@@ -36,8 +41,6 @@ outlier before it poisons the mix weights).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-from tamer_spark.operators.percentiles import exact_percentiles
 
 __all__ = ["daily_counts", "mad_anomalies"]
 
@@ -78,25 +81,51 @@ def mad_anomalies(
 
     All arithmetic is int64 (medians are actual elements), so the verdict
     is bit-identical in any engine.
+
+    Implementation (r15): both medians ride ONE exchange on ``keys``.
+    ``row_number`` over the value order plus the partition count identify
+    the percentile_disc(1/2) rank (``(n + 1) div 2`` — identical rank
+    arithmetic to exact_percentiles); the median ELEMENT is then attached
+    to every row of the partition as ``max(CASE WHEN rank hit THEN value
+    END) OVER (PARTITION BY keys)`` — a whole-partition frame, no join.
+    Deviations re-rank on the same partitioning (a second sort, not a
+    second shuffle) and the MAD attaches the same way. The previous
+    exact_percentiles + broadcast-join form planned the series subtree
+    four times (verified: 4 parquet scans / 7 exchanges final at sf0.1 vs
+    1 / 2 here; interleaved A/B medians 5.0 s -> 1.6 s under load).
+    Value selection is tie-safe: rows equal on the sort key are
+    interchangeable, so whichever gets the median rank carries the same
+    value.
     """
+    from pyspark.sql import Window
+
     key_list = list(keys)
-    med = exact_percentiles(series, value_col, [(1, 2)], keys=keys).select(
-        *key_list, F.col("value").alias("med")
+    wk = Window.partitionBy(*key_list)
+    return (
+        series.withColumn(
+            "_rn", F.row_number().over(wk.orderBy(F.col(value_col).asc()))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "med",
+            F.max(F.when(F.expr("_rn = (_n + 1) div 2"), F.col(value_col))).over(wk),
+        )
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("med")))
+        .withColumn("_rn2", F.row_number().over(wk.orderBy(F.col("_dev").asc())))
+        .withColumn(
+            "mad",
+            F.max(F.when(F.expr("_rn2 = (_n + 1) div 2"), F.col("_dev"))).over(wk),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.when(F.col("mad") > 0, F.expr("_dev * 1000000 div mad")).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("mad") > 0, F.col("dev_ppm") > F.lit(int(threshold_ppm)))
+            .otherwise(F.col("_dev") > 0),
+        )
+        .drop("_rn", "_n", "_dev", "_rn2")
     )
-    dev = series.join(F.broadcast(med), key_list).withColumn(
-        "_dev", F.abs(F.col(value_col) - F.col("med"))
-    )
-    mad = exact_percentiles(dev, "_dev", [(1, 2)], keys=keys).select(
-        *key_list, F.col("value").alias("mad")
-    )
-    scored = dev.join(F.broadcast(mad), key_list).withColumn(
-        "dev_ppm",
-        F.when(F.col("mad") > 0, F.expr("_dev * 1000000 div mad")).otherwise(
-            F.lit(None).cast("long")
-        ),
-    )
-    return scored.withColumn(
-        "is_anomaly",
-        F.when(F.col("mad") > 0, F.col("dev_ppm") > F.lit(int(threshold_ppm)))
-        .otherwise(F.col("_dev") > 0),
-    ).drop("_dev")
