@@ -65,14 +65,22 @@ def bm25_topk(
         .groupBy(id_col, "dl", "word")
         .agg(F.expr("count(1)").alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.expr("count(1)").alias("df"))
+    # df (document frequency) as a window count over the tf frame itself
+    # (r15, guide §2.1/§2.4): the former tf.groupBy("word") + broadcast
+    # join built dfreq from a column-pruned COPY of the tf subtree — the
+    # pruned copy is not plan-equal to tf, so ReuseExchange cannot dedup
+    # it and the executed plan re-ran the whole corpus tokenize+explode a
+    # second time (verified: plans/r15/bm25_topk_docs_before.txt, 3 scans).
+    # A count over partitionBy(word) re-shuffles only the query-vocabulary-
+    # bounded tf rows (docs-containing-a-term × terms, never the corpus)
+    # and yields the identical integer df per row.
     idf = f"LN(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
     tfnorm = (
         f"(tf * {k1 + 1.0!r}D) / (tf + {k1!r}D"
         f" * ({1.0 - b!r}D + {b!r}D * dl / avgdl))"
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.expr(f"round(sum(({idf}) * ({tfnorm})), 6)").alias("score"))
