@@ -4460,9 +4460,14 @@ def tfidf_top_terms(spark, sf):
         "doc_id", F.explode_outer(F.split(normalize_text(F.col("text")), " ")).alias("word")
     ).filter(F.col("word").isNotNull())
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df as a window count over tf (r15, the bm25 rewrite): tf has exactly
+    # one row per (doc, word), so count(1) per word == countDistinct(doc_id)
+    # over the token stream — and the former dfreq broadcast was built from
+    # a column-pruned copy of the tokenize subtree that ReuseExchange could
+    # not dedup (second corpus tokenize). tfidf itself is per-row (no sum),
+    # so no float-order sensitivity.
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -4609,7 +4614,13 @@ def pmi_top_bigrams(spark, sf, min_count: int = _PMI_MIN_COUNT, k: int = _PMI_K)
         F.posexplode_outer(F.split(normalize_text(F.col("text")), " ")).alias("pos", "word"),
     ).filter(F.col("word").isNotNull() & (F.length("word") > 0))
     uni = wp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    n_tok = wp.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    # total tokens as Σc over the vocabulary frame, not a third derivation
+    # of the tokenize stream (r15): uni.agg is plan-equal to uni up to the
+    # final agg, so ReuseExchange dedups it onto uni's exchange (the
+    # dsir_ratio_table nt/nr shape, reuse verified in its final plan),
+    # where the pruned wp.agg copy re-ran the corpus tokenize. Integer
+    # sum — exactly the same n.
+    n_tok = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     pairs = (
         wp.select(F.col("word").alias("w1"), F.lead("word").over(w).alias("w2"))
